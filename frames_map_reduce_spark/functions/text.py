@@ -1,0 +1,240 @@
+"""Text analysis for large-scale training-data pipelines.
+
+All hot-path functions are native Column expressions (JVM-side, inside
+whole-stage codegen) — no Python in the per-row path.  For each operator
+there is also a DuckDB-SQL generator producing the *same* semantics, used
+by the differential-test oracle; both are generated from one shared spec
+so they cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Tokenization
+# ---------------------------------------------------------------------------
+
+WS = r"\s+"
+
+
+def tokens(col: Column, lowercase: bool = True) -> Column:
+    """Whitespace tokens, empties removed."""
+    c = F.lower(col) if lowercase else col
+    return F.filter(F.split(c, WS), lambda t: t != F.lit(""))
+
+
+def tokens_sql(col: str, lowercase: bool = True) -> str:
+    c = f"lower({col})" if lowercase else col
+    return f"list_filter(string_split_regex({c}, '{WS}'), t -> t <> '')"
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (native; used for corpus token budgeting)."""
+    return F.size(tokens(col, lowercase=False))
+
+
+def token_count_sql(col: str) -> str:
+    return f"len({tokens_sql(col, lowercase=False)})"
+
+
+# BPE-ish word/punct tokenizer: words of letters+digits OR single
+# non-space-non-word symbols — a common pre-tokenization for byte-pair
+# encoders, cheap enough to run on 100 TB as a pure regex extract.
+WORDISH = "[a-z0-9]+|[^a-z0-9\\s]"
+
+
+def wordish_tokens(col: Column) -> Column:
+    return F.regexp_extract_all(F.lower(col), F.lit(WORDISH), 0)
+
+
+def wordish_count(col: Column) -> Column:
+    return F.size(wordish_tokens(col))
+
+
+def wordish_count_sql(col: str) -> str:
+    return f"len(regexp_extract_all(lower({col}), '{WORDISH}'))"
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+PUNCT_CLASS = "[^a-zA-Z0-9\\s]"
+DIGIT_CLASS = "[0-9]"
+
+
+def _ratio(numer: Column, denom: Column) -> Column:
+    return F.try_divide(numer, denom)
+
+
+def char_class_ratio(col: Column, cls: str) -> Column:
+    """share of characters matching regex class ``cls``."""
+    kept = F.length(F.regexp_replace(col, f"(?s)(?!{cls}).", ""))
+    return _ratio(kept, F.length(col))
+
+
+def punct_ratio(col: Column) -> Column:
+    return _ratio(F.length(F.regexp_replace(col, f"[^{_punct_raw()}]", "")),
+                  F.length(col))
+
+
+def _punct_raw() -> str:
+    # explicit, engine-portable punctuation set (same bytes in Java regex
+    # and RE2): no ranges that differ between dialects
+    return r"\.\,\;\:\!\?\'\"\(\)\-"
+
+
+def punct_ratio_sql(col: str) -> str:
+    return (f"len(regexp_replace({col}, '[^{_punct_raw()}]', '', 'g'))"
+            f" / nullif(len({col}), 0)")
+
+
+def digit_ratio(col: Column) -> Column:
+    return _ratio(F.length(F.regexp_replace(col, "[^0-9]", "")), F.length(col))
+
+
+def digit_ratio_sql(col: str) -> str:
+    return f"len(regexp_replace({col}, '[^0-9]', '', 'g')) / nullif(len({col}), 0)"
+
+
+STOPWORDS_EN = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be", "this",
+)
+
+
+def stopword_ratio(col: Column, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    """Fraction of whitespace tokens that are (English) stopwords — the
+    classic fluency signal for web-scrape quality filtering."""
+    toks = tokens(col)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return _ratio(hits, F.size(toks))
+
+
+def stopword_ratio_sql(col: str, stopwords: tuple[str, ...] = STOPWORDS_EN) -> str:
+    lst = "[" + ", ".join(f"'{s}'" for s in stopwords) + "]"
+    toks = tokens_sql(col)
+    return (f"len(list_filter({toks}, t -> list_contains({lst}, t)))"
+            f" / nullif(len({toks}), 0)")
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality score: long enough, low punct/digit noise,
+    plausible stopword density.  Weights are fixed so the score is a pure
+    deterministic expression (auditable, reproducible across runs)."""
+    n = F.length(col)
+    len_score = F.least(_ratio(n, F.lit(500.0)), F.lit(1.0))
+    noise = F.coalesce(punct_ratio(col), F.lit(0.0)) + F.coalesce(digit_ratio(col), F.lit(0.0))
+    noise_score = F.greatest(F.lit(0.0), F.lit(1.0) - noise * 2)
+    sw = F.coalesce(stopword_ratio(col), F.lit(0.0))
+    sw_score = F.when((sw > 0.05) & (sw < 0.6), F.lit(1.0)).otherwise(F.lit(0.3))
+    return len_score * 0.4 + noise_score * 0.3 + sw_score * 0.3
+
+
+# ---------------------------------------------------------------------------
+# Language ID — marker-word n-gram heuristic.
+# One shared marker table generates BOTH the Spark expression and the
+# DuckDB oracle SQL, so the two cannot diverge.
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "that", "with", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "que", "pour", "dans"),
+    "es": ("el", "los", "las", "es", "que", "para", "con", "una"),
+    "it": ("il", "di", "che", "per", "con", "una", "sono", "della"),
+}
+_LANG_ORDER = tuple(LANG_MARKERS)  # deterministic tie-break order
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    toks = tokens(col)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(toks, lambda t, a=arr: F.array_contains(a, t)))
+    return out
+
+
+def lang_id(col: Column) -> Column:
+    """Predicted language: argmax marker-hit count, ties broken by the
+    fixed language order, zero hits ⇒ 'unknown'."""
+    scores = lang_scores(col)
+    expr = F.lit("unknown")
+    # build the CASE from the LAST language backwards so earlier languages
+    # win ties (>= comparison against all later ones)
+    for i in range(len(_LANG_ORDER) - 1, -1, -1):
+        lang = _LANG_ORDER[i]
+        cond = scores[lang] > 0
+        for other in _LANG_ORDER:
+            if other != lang:
+                cond = cond & (scores[lang] >= scores[other]) \
+                    if _LANG_ORDER.index(other) > i else \
+                    cond & (scores[lang] > scores[other])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def lang_id_sql(col: str) -> str:
+    toks = tokens_sql(col)
+
+    def score(lang: str) -> str:
+        lst = "[" + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]) + "]"
+        return f"len(list_filter({toks}, t -> list_contains({lst}, t)))"
+
+    cases = []
+    for i, lang in enumerate(_LANG_ORDER):
+        conds = [f"{score(lang)} > 0"]
+        for j, other in enumerate(_LANG_ORDER):
+            if other == lang:
+                continue
+            op = ">=" if j > i else ">"
+            conds.append(f"{score(lang)} {op} {score(other)}")
+        cases.append("WHEN " + " AND ".join(conds) + f" THEN '{lang}'")
+    return "CASE " + " ".join(cases) + " ELSE 'unknown' END"
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting
+# ---------------------------------------------------------------------------
+
+def normalized(col: Column) -> Column:
+    """Canonical text form for fingerprinting: lowercase, collapse runs of
+    whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), WS, " "))
+
+
+def normalized_sql(col: str) -> str:
+    return f"trim(regexp_replace(lower({col}), '{WS}', ' ', 'g'))"
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    Used as the exact-dedup key and as a stable blocking key prefix."""
+    return F.md5(normalized(col))
+
+
+def fingerprint_sql(col: str) -> str:
+    return f"md5({normalized_sql(col)})"
+
+
+def char_shingles(col: Column, k: int = 5) -> Column:
+    """Distinct character k-grams of the normalized text — the shingle set
+    for MinHash / Jaccard near-dup.  Pure expression: transform over a
+    sequence of start offsets, no UDF."""
+    norm = normalized(col)
+    n = F.length(norm)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.substring(norm, i, k),
+    )
+    return F.array_distinct(grams)
+
+
+def char_shingles_sql(col: str, k: int = 5) -> str:
+    norm = normalized_sql(col)
+    return (f"list_distinct(list_transform(range(1, greatest(len({norm}) - {k - 1}, 1) + 1), "
+            f"i -> substr({norm}, i, {k})))")

@@ -1,0 +1,3 @@
+"""Scale extension operators: dedup, similarity search, multimodal."""
+
+from frames_map_reduce_spark.operators import dedup, multimodal, similarity  # noqa: F401

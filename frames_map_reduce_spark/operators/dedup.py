@@ -1,0 +1,263 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, ordered by cost:
+
+1. exact         — hash-groupBy on a content fingerprint; one shuffle.
+2. MinHash + LSH — shingle → minhash signature → banded bucket join;
+                   candidate pairs verified by exact Jaccard.
+3. SimHash       — 63-bit signature, banded buckets, Hamming verify.
+4. embedding     — SRP-LSH buckets over a vector column, cosine verify
+                   (see similarity.py for the SRP machinery).
+
+Everything per-row is a native Column expression (shingling, hashing,
+signatures): no Python in the scan.  The only shuffles are the bucket
+group/join — which is the point of LSH: at 100 TB you cannot afford the
+O(n²) pair space, so candidate generation must be a key-equality join
+Spark can hash-partition.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from frames_map_reduce_spark.functions.text import char_shingles, fingerprint, wordish_tokens
+from frames_map_reduce_spark.schema import require_columns
+
+_P31 = (1 << 31) - 1  # Mersenne prime 2^31-1: hash universe for minhash
+
+
+# ---------------------------------------------------------------------------
+# 1. Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_keys(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One surviving id per distinct normalized content: groupBy the md5
+    fingerprint, keep the MIN id (deterministic winner).  Single shuffle on
+    a high-cardinality uniform key — the cheapest possible dedup and the
+    right first pass at any scale.
+
+    Returns (fingerprint, keep_id, dup_count).
+    """
+    require_columns(df, [text_col, id_col])
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+          .groupBy("fingerprint")
+          .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The deduplicated rows themselves (winner rows, all original columns).
+    Implemented as a semi-join of the winners back to the input — two
+    shuffles total, no window function over the full table."""
+    winners = exact_dedup_keys(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col))
+    return df.join(winners, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# 2. MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _minhash_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _P31), rng.randrange(0, _P31)) for _ in range(num_perm)]
+
+
+def minhash_signature(text: Column, num_perm: int = 64, shingle_k: int = 5,
+                      seed: int = 42) -> Column:
+    """``array<bigint>`` of ``num_perm`` minhash values over the distinct
+    character-``shingle_k``-gram set of the normalized text.
+
+    Per-row only: shingle hashes are computed once
+    (``xxhash64 mod 2^31-1``), then each permutation ``(a*x+b) mod p`` is
+    an ``array_min∘transform`` — all inside codegen.  ``a*x`` stays below
+    2^62 so it cannot overflow ANSI bigint arithmetic.
+    """
+    shingle_hashes = F.transform(
+        char_shingles(text, shingle_k),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(_P31)),
+    )
+    sigs = [
+        F.array_min(F.transform(
+            shingle_hashes,
+            lambda x, a=a, b=b: F.pmod(x * F.lit(a) + F.lit(b), F.lit(_P31)),
+        ))
+        for a, b in _minhash_params(num_perm, seed)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
+                           num_perm: int = 64, bands: int = 16,
+                           shingle_k: int = 5, seed: int = 42,
+                           max_bucket: int = 1000) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded LSH.
+
+    Plan shape (scale rationale):
+    - signature: per-row expressions, no shuffle;
+    - band explode: rows × bands, still narrow;
+    - bucket id = hash(band index, band slice) — ONE key column, so the
+      candidate join is a plain hash-partitioned equi-self-join;
+    - ``max_bucket`` caps degenerate buckets (e.g. empty documents all
+      colliding): a bucket with B members yields B² pairs, so one skewed
+      bucket can dominate the job.  Capped buckets are dropped — at scale
+      you handle those via exact dedup first (identical content lands
+      there anyway).
+    """
+    rows_per_band = num_perm // bands
+    if rows_per_band * bands != num_perm:
+        raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
+    sig = minhash_signature(F.col(text_col), num_perm, shingle_k, seed)
+    with_sig = df.select(F.col(id_col), sig.alias("_sig"))
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("_band")
+    banded = with_sig.select(id_col, "_sig", band_idx).select(
+        id_col,
+        F.xxhash64(
+            F.col("_band"),
+            F.slice(F.col("_sig"), F.col("_band") * rows_per_band + 1, rows_per_band),
+        ).alias("_bucket"),
+    )
+    sized = banded.groupBy("_bucket").agg(
+        F.collect_list(id_col).alias("_ids"), F.count(F.lit(1)).alias("_n"))
+    pairs = (
+        sized.filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket))
+             .select(F.explode(_pairs_expr(F.sort_array(F.col("_ids")))).alias("_p"))
+             .select(F.col("_p._1").alias("id_a"), F.col("_p._2").alias("id_b"))
+             .distinct()
+    )
+    return pairs
+
+
+def _pairs_expr(sorted_ids: Column) -> Column:
+    """All (earlier, later) pairs of a sorted id array, as a pure
+    expression: flatten(transform(ids, outer -> transform(later, ...)))."""
+    return F.flatten(F.transform(
+        sorted_ids,
+        lambda x, i: F.transform(
+            F.slice(sorted_ids, i + 2, F.size(sorted_ids)),
+            lambda y: F.struct(x.alias("_1"), y.alias("_2")),
+        ),
+    ))
+
+
+def jaccard(shingles_a: Column, shingles_b: Column) -> Column:
+    """Exact Jaccard similarity of two distinct-element arrays."""
+    return F.try_divide(
+        F.size(F.array_intersect(shingles_a, shingles_b)),
+        F.size(F.array_union(shingles_a, shingles_b)),
+    )
+
+
+def minhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
+                           threshold: float = 0.8, num_perm: int = 64,
+                           bands: int = 16, shingle_k: int = 5,
+                           seed: int = 42) -> DataFrame:
+    """LSH candidates verified by exact Jaccard on the true shingle sets.
+    Returns (id_a, id_b, jaccard_sim) with jaccard_sim ≥ threshold."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands,
+                                   shingle_k, seed)
+    shingled = df.select(
+        F.col(id_col), char_shingles(F.col(text_col), shingle_k).alias("_sh"))
+    a = shingled.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
+    b = shingled.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
+    return (
+        cands.join(a, "id_a").join(b, "id_b")
+             .select("id_a", "id_b",
+                     jaccard(F.col("_sh_a"), F.col("_sh_b")).alias("jaccard_sim"))
+             .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                        block_col: Column, threshold: float = 0.5,
+                        shingle_k: int = 3, max_block: int = 10_000) -> DataFrame:
+    """Direct blocked n-gram-Jaccard near-dup: all pairs within a blocking
+    key (caller-chosen, e.g. source or length bucket), verified exactly.
+    Suits moderate blocks where LSH overhead isn't worth it; ``max_block``
+    guards the quadratic blow-up."""
+    shingled = df.select(
+        F.col(id_col), block_col.alias("_blk"),
+        char_shingles(F.col(text_col), shingle_k).alias("_sh"))
+    a = shingled.select(F.col("_blk"), F.col(id_col).alias("id_a"),
+                        F.col("_sh").alias("_sh_a"))
+    b = shingled.select(F.col("_blk").alias("_blk_b"), F.col(id_col).alias("id_b"),
+                        F.col("_sh").alias("_sh_b"))
+    blk_sizes = shingled.groupBy("_blk").agg(F.count(F.lit(1)).alias("_n"))
+    ok = blk_sizes.filter(F.col("_n") <= max_block).select("_blk")
+    return (
+        a.join(F.broadcast(ok), "_blk")
+         .join(b, (F.col("_blk") == F.col("_blk_b")) & (F.col("id_a") < F.col("id_b")))
+         .select("id_a", "id_b",
+                 jaccard(F.col("_sh_a"), F.col("_sh_b")).alias("jaccard_sim"))
+         .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(text: Column, bits: int = 63) -> Column:
+    """``bits``-bit SimHash (≤63 so the packed value stays in a signed
+    bigint) over wordish tokens, as ONE pure expression:
+
+    counts[i] = Σ_tokens (bit i of xxhash64(token) ? +1 : −1)   (aggregate)
+    simhash   = Σ_i (counts[i] > 0 ? 2^i : 0)                    (pack)
+    """
+    toks = wordish_tokens(text)
+    zero = F.array_repeat(F.lit(0).cast("long"), bits)
+
+    def token_bits(t: Column) -> Column:
+        # bit loop unrolled in Python: shift amounts must be int literals
+        return F.array(*[
+            F.when(F.shiftrightunsigned(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1,
+                   F.lit(1).cast("long")).otherwise(F.lit(-1).cast("long"))
+            for i in range(bits)
+        ])
+
+    counts = F.aggregate(
+        toks, zero, lambda acc, t: F.zip_with(acc, token_bits(t), lambda a, b: a + b))
+    powers = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
+    packed = F.aggregate(
+        F.zip_with(counts, powers,
+                   lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return packed
+
+
+def hamming(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
+                           max_hamming: int = 3, bits: int = 63,
+                           n_bands: int = 4) -> DataFrame:
+    """SimHash near-dup via the classic band trick: split the signature
+    into ``n_bands`` chunks; any pair within Hamming distance
+    ``max_hamming < n_bands`` must agree exactly on ≥1 chunk, so bucketing
+    by (chunk index, chunk value) finds all such pairs with an equi-join.
+    Verified by exact Hamming distance."""
+    chunk = bits // n_bands
+    sh = df.select(F.col(id_col), simhash(F.col(text_col), bits).alias("_sim"))
+    # chunk extraction unrolled per band (shift amounts are int literals)
+    chunks = F.array(*[
+        F.concat_ws(":", F.lit(i),
+                    F.shiftrightunsigned(F.col("_sim"), i * chunk)
+                     .bitwiseAND(F.lit((1 << chunk) - 1)))
+        for i in range(n_bands)
+    ])
+    banded = sh.select(
+        id_col, "_sim", F.explode(chunks).alias("_bucket"))
+    a = banded.select("_bucket", F.col(id_col).alias("id_a"), F.col("_sim").alias("_sim_a"))
+    b = banded.select(F.col("_bucket").alias("_bucket_b"), F.col(id_col).alias("id_b"),
+                      F.col("_sim").alias("_sim_b"))
+    return (
+        a.join(b, (F.col("_bucket") == F.col("_bucket_b")) & (F.col("id_a") < F.col("id_b")))
+         .select("id_a", "id_b", hamming(F.col("_sim_a"), F.col("_sim_b")).alias("hamming_dist"))
+         .distinct()
+         .filter(F.col("hamming_dist") <= max_hamming)
+    )

@@ -1,0 +1,130 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Two strategies:
+
+- **Brute-force cosine top-k** — the correctness baseline.  Queries are a
+  SMALL set broadcast to every executor; each partition scores its local
+  rows (pure ``zip_with``/``aggregate`` expressions, JVM-side) and a
+  window-free two-stage top-k picks the winners.  Linear in corpus size,
+  embarrassingly parallel — this is the shape that survives 100 TB when
+  the query set is bounded.
+
+- **SRP-LSH ANN** — sign-random-projection buckets; queries probe only
+  their own bucket (plus optional multi-probe neighbors at Hamming
+  distance 1).  Turns the scan into a key-equality join on bucket id, so
+  corpus-side work is proportional to matching buckets only.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from frames_map_reduce_spark.functions.vectors import cosine, srp_signature
+from frames_map_reduce_spark.schema import require_columns
+
+
+def _random_planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     query_id_col: str = "query_id",
+                     round_digits: int | None = 6) -> DataFrame:
+    """Exact cosine top-k per query.
+
+    ``queries`` must be small (it is broadcast).  Ranking is deterministic:
+    by (similarity DESC, corpus id ASC); ``round_digits`` rounds the
+    similarity BEFORE ranking so results are stable across engines and
+    float summation orders.
+
+    Returns (query_id, vec_id, cosine_sim, rank).
+    """
+    require_columns(corpus, [id_col, vec_col])
+    require_columns(queries, [query_id_col, vec_col])
+    q = queries.select(F.col(query_id_col),
+                       F.col(vec_col).alias("_qvec"))
+    scored = corpus.join(F.broadcast(q)).select(
+        query_id_col, id_col,
+        cosine(F.col(vec_col).cast("array<double>"),
+               F.col("_qvec").cast("array<double>")).alias("cosine_sim"),
+    )
+    if round_digits is not None:
+        scored = scored.withColumn("cosine_sim", F.round("cosine_sim", round_digits))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k))
+
+
+def srp_bucketed(df: DataFrame, vec_col: str, dim: int, n_planes: int = 16,
+                 seed: int = 42) -> DataFrame:
+    """Attach an SRP-LSH bucket id column ``_bucket`` (pure expression)."""
+    planes = _random_planes(dim, n_planes, seed)
+    return df.withColumn(
+        "_bucket", srp_signature(F.col(vec_col).cast("array<double>"), planes))
+
+
+def ann_topk_srp(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 query_id_col: str = "query_id", n_planes: int = 12,
+                 seed: int = 42, multiprobe: bool = True) -> DataFrame:
+    """Approximate top-k: score only corpus rows in the query's SRP bucket
+    (and, with ``multiprobe``, buckets at Hamming distance 1 — recall
+    insurance against boundary effects).
+
+    The corpus side is bucketed once (reusable, e.g. written bucketed by
+    ``_bucket``); per query the join touches ~corpus/2^n_planes rows.
+    """
+    cb = srp_bucketed(corpus, vec_col, dim, n_planes, seed)
+    qb = srp_bucketed(queries, vec_col, dim, n_planes, seed)
+    if multiprobe:
+        probes = F.array(*([F.col("_bucket")] +
+                           [F.col("_bucket").bitwiseXOR(F.lit(1 << i))
+                            for i in range(n_planes)]))
+        qb = qb.select(query_id_col, F.col(vec_col).alias("_qvec"),
+                       F.explode(probes).alias("_bucket"))
+    else:
+        qb = qb.select(query_id_col, F.col(vec_col).alias("_qvec"), "_bucket")
+    scored = cb.join(F.broadcast(qb), on="_bucket").select(
+        query_id_col, id_col,
+        F.round(cosine(F.col(vec_col).cast("array<double>"),
+                       F.col("_qvec").cast("array<double>")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k))
+
+
+def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
+                             id_col: str = "vec_id", vec_col: str = "embedding",
+                             dim: int = 0, n_planes: int = 10,
+                             seed: int = 42, max_bucket: int = 5000) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via SRP blocking: pairs are
+    generated only within a bucket (equi-self-join on ``_bucket``) and
+    verified by exact cosine.  ``max_bucket`` caps quadratic blow-up in
+    skewed buckets, mirroring minhash_lsh_candidates."""
+    if dim <= 0:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = first["d"]
+    b = srp_bucketed(df, vec_col, dim, n_planes, seed).select(
+        "_bucket", F.col(id_col), F.col(vec_col))
+    sizes = b.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
+    ok = sizes.filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket)).select("_bucket")
+    lhs = b.join(F.broadcast(ok), "_bucket").select(
+        "_bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    rhs = b.select(F.col("_bucket").alias("_bucket_b"),
+                   F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        lhs.join(rhs, (F.col("_bucket") == F.col("_bucket_b")) & (F.col("id_a") < F.col("id_b")))
+           .select("id_a", "id_b",
+                   F.round(cosine(F.col("_va").cast("array<double>"),
+                                  F.col("_vb").cast("array<double>")), 6).alias("cosine_sim"))
+           .filter(F.col("cosine_sim") >= threshold)
+           .distinct()
+    )

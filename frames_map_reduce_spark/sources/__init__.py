@@ -1,0 +1,78 @@
+"""Sources & sinks.
+
+The reference library consumes any ``Foldable`` of rows and has no storage
+layer of its own (SURVEY §2.1); its ecosystem ingest paths are in-memory
+row lists (``F.toFrame``, reference examples/AddRowsByLabel.hs:134-144) and
+permissive CSV parsing where an unparseable *cell* becomes a missing value,
+not a row failure (``F.readRec``, examples/AddRowsByLabel.hs:146-155).
+
+Here those become: createDataFrame, permissive CSV with per-column
+try-cast, and the columnar formats a 100 TB deployment actually uses
+(parquet first).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+STAR_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def to_frame(spark: SparkSession, rows: Iterable, schema) -> DataFrame:
+    """``F.toFrame`` (reference examples/AddRowsByLabel.hs:134-144)."""
+    return spark.createDataFrame(list(rows), schema)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_tables(spark: SparkSession, sf_dir: str,
+                tables: Sequence[str] = STAR_TABLES) -> dict[str, DataFrame]:
+    """Load the driver's star schema from an sf directory."""
+    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in tables}
+
+
+def read_csv_permissive(spark: SparkSession, path: str, schema: T.StructType,
+                        header: bool = True) -> DataFrame:
+    """Per-cell-failure CSV read: read as string, then try-cast each column,
+    so a bad cell (the reference's ``"NaN"``/``"lol"``,
+    examples/AddRowsByLabel.hs:146-155 and Readme.md:207-216) becomes NULL
+    in that cell while the rest of the row survives — the exact
+    ``Rec (Maybe :. ElField)`` ingestion semantics.
+
+    (Spark's own PERMISSIVE mode nulls the whole row on a malformed cell;
+    the reference's semantics are finer-grained, hence the explicit
+    string-read + try_cast.)"""
+    raw = spark.read.csv(path, header=header)
+    out = raw
+    for f2 in schema.fields:
+        out = out.withColumn(f2.name, F.col(f2.name).try_cast(f2.dataType))
+    return out.select(*[f2.name for f2 in schema.fields])
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
+                  partition_by: Sequence[str] = ()) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_cols: Sequence[str],
+                   n_buckets: int, mode: str = "overwrite") -> None:
+    """Bucketed sink: pre-shuffles once at write time so later joins and
+    aggregations on ``bucket_cols`` are shuffle-free — the co-location
+    primitive for repeated 100 TB joins."""
+    (df.write.mode(mode)
+       .bucketBy(n_buckets, *bucket_cols)
+       .sortBy(*bucket_cols)
+       .format("parquet")
+       .saveAsTable(table))
