@@ -82,8 +82,9 @@ def punct_ratio(col: Column) -> Column:
 
 def _punct_raw() -> str:
     # explicit, engine-portable punctuation set (same bytes in Java regex
-    # and RE2): no ranges that differ between dialects
-    return r"\.\,\;\:\!\?\'\"\(\)\-"
+    # and RE2): no ranges that differ between dialects, and no apostrophe
+    # (it would terminate a single-quoted SQL literal in the oracle twin)
+    return r"\.\,\;\:\!\?\"\(\)\-"
 
 
 def punct_ratio_sql(col: str) -> str:
@@ -150,12 +151,18 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 _LANG_ORDER = tuple(LANG_MARKERS)  # deterministic tie-break order
 
 
+def _contains_fn(arr: Column):
+    # closure factory: a default-arg lambda (lambda t, a=arr: ...) would be
+    # seen by PySpark as a TWO-arg (element, index) lambda — wrong semantics
+    return lambda t: F.array_contains(arr, t)
+
+
 def lang_scores(col: Column) -> dict[str, Column]:
     toks = tokens(col)
     out = {}
     for lang, markers in LANG_MARKERS.items():
         arr = F.array(*[F.lit(m) for m in markers])
-        out[lang] = F.size(F.filter(toks, lambda t, a=arr: F.array_contains(a, t)))
+        out[lang] = F.size(F.filter(toks, _contains_fn(arr)))
     return out
 
 

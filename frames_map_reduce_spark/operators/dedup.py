@@ -81,11 +81,14 @@ def minhash_signature(text: Column, num_perm: int = 64, shingle_k: int = 5,
         char_shingles(text, shingle_k),
         lambda s: F.pmod(F.xxhash64(s), F.lit(_P31)),
     )
+
+    def perm_fn(a: int, b: int):
+        # closure factory — default-arg lambdas would be mis-read by
+        # PySpark as (element, index) lambdas
+        return lambda x: F.pmod(x * F.lit(a) + F.lit(b), F.lit(_P31))
+
     sigs = [
-        F.array_min(F.transform(
-            shingle_hashes,
-            lambda x, a=a, b=b: F.pmod(x * F.lit(a) + F.lit(b), F.lit(_P31)),
-        ))
+        F.array_min(F.transform(shingle_hashes, perm_fn(a, b)))
         for a, b in _minhash_params(num_perm, seed)
     ]
     return F.array(*sigs)
