@@ -52,6 +52,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet is a single split at test scale — widen so the
+    heavy per-row string expressions parallelize (no-op on wide scans)."""
+    from frames_map_reduce_spark.partitioning import ensure_parallelism
+    return ensure_parallelism(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
     reader rejects by default; read nanos as long and convert with exact
@@ -237,13 +244,18 @@ def q_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_flatmap_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generalized flatMap Unpack (reference Aggregation.hs:116-118 uses
     the Unpack-as-flatMap form): explode document tokens, count per token."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
+    # explode plain split (codegen) rather than a filtered higher-order
+    # expression (interpreted per element), and filter on the group key
+    # BEFORE the shuffle — semantically identical to HAVING on the key
+    exploded = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), "\\s+")).alias("token"))
     return map_reduce(
-        docs,
-        unpack=unpack_flat_map(TX.tokens(F.col("text")), out="token", keep=["doc_id"]),
+        exploded,
+        unpack=unpack_filter_row((F.col("token") != "") & (F.length("token") >= 4)),
         assign=split_on_keys(["token"]),
         reduce=fold_and_add_key(folds.count_star("n")),
-    ).filter(F.length("token") >= 4)
+    )
 
 
 def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -264,7 +276,7 @@ def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     enriched = docs.select(
         "source",
         TX.token_count(F.col("text")).cast("bigint").alias("n_tok"),
@@ -285,13 +297,13 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return (docs.select(TX.lang_id(F.col("text")).alias("pred_lang"))
                 .groupBy("pred_lang").agg(F.count(F.lit(1)).alias("n")))
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     enriched = docs.select(
         "lang",
         TX.token_count(F.col("text")).cast("bigint").alias("n_tok"),
@@ -305,7 +317,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return (docs.select("source", TX.fingerprint(F.col("text")).alias("fp"))
                 .groupBy("source")
                 .agg(F.count_distinct("fp").cast("bigint").alias("n_distinct"),
@@ -317,7 +329,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return DD.exact_dedup_keys(docs, "text", "doc_id")
 
 
@@ -326,16 +338,16 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     are EXACT Jaccard ≥ τ on 5-gram shingles — SQL-expressible, so this
     gets a full oracle despite the LSH candidate step (LSH only prunes;
     the data's near-dup pairs sit at J ≥ 0.93 vs a background < 0.32, and
-    16 bands × 4 rows miss a J=0.93 pair with probability ~1e-10)."""
-    docs = _t(spark, sf_dir, "documents")
+    16 bands × 8 rows miss a J=0.93 pair with probability ~2e-6)."""
+    docs = _docs(spark, sf_dir)
     out = DD.minhash_near_dup_pairs(docs, "text", "doc_id",
-                                    threshold=0.6, num_perm=64, bands=16)
+                                    threshold=0.6, num_perm=128, bands=16)
     return out.withColumn("jaccard_sim", F.round("jaccard_sim", 6))
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked exact n-gram Jaccard: all pairs within a source block."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     out = DD.ngram_jaccard_pairs(docs, "text", "doc_id",
                                  block_col=F.col("source"),
                                  threshold=0.5, shingle_k=3)
@@ -345,7 +357,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (no SQL oracle: 63-bit signature packing is
     not reasonably SQL-expressible — rows-only check)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return DD.simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=8)
 
 

@@ -1,0 +1,71 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is executed to completion (collect) — results are small
+aggregates, so driver materialization is negligible versus execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import __spark_entry__ as E
+from frames_map_reduce_spark.session import get_spark
+
+HEADLINE = [
+    "tpch_q1",            # scan + multi-output fold fusion
+    "mr_sum_by_flag",     # filter pushdown + groupBy
+    "weighted_mean",      # derived-value folds
+    "fold_all_numeric",   # wide aggregation
+    "aggregate_fold_year",  # key coarsening
+    "topk_per_group",     # grouped-map applyInPandas (Arrow)
+    "group_median",       # whole-group reduce
+    "flatmap_tokens",     # explode + re-aggregate
+    "text_quality",       # heavy string expressions
+    "lang_id",            # marker-scoring expressions
+    "dedup_exact",        # fingerprint groupBy
+    "dedup_minhash",      # minhash signatures + LSH bucket join
+    "ann_bruteforce",     # broadcast crossJoin + vector math + topk
+    "events_hourly",      # timestamp truncation agg
+    "sessionize",         # window functions
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("fmr-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = E.queries()
+
+    # warm the JVM / parquet footers with a trivial job so timings measure
+    # the queries, not session startup
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        rows = fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({len(rows)} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline-suite wall time at sf" + str(sf),
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

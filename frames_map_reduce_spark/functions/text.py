@@ -231,14 +231,20 @@ def fingerprint_sql(col: str) -> str:
 def char_shingles(col: Column, k: int = 5) -> Column:
     """Distinct character k-grams of the normalized text — the shingle set
     for MinHash / Jaccard near-dup.  Pure expression: transform over a
-    sequence of start offsets, no UDF."""
-    norm = normalized(col)
-    n = F.length(norm)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-        lambda i: F.substring(norm, i, k),
-    )
-    return F.array_distinct(grams)
+    sequence of start offsets, no UDF.
+
+    The normalized string is BOUND ONCE per row via a single-element
+    ``transform(array(norm), n -> ...)`` wrapper: lambda bodies are
+    interpreted with no common-subexpression elimination, so inlining the
+    normalization (a whole-text regexp_replace) into the per-offset lambda
+    would re-run the regex once per shingle — measured 17 s vs ~1 s on 5k
+    docs."""
+    def shingles_of(n: Column) -> Column:
+        cnt = F.greatest(F.length(n) - (k - 1), F.lit(1))
+        return F.array_distinct(F.transform(
+            F.sequence(F.lit(1), cnt), lambda i: F.substring(n, i, k)))
+
+    return F.element_at(F.transform(F.array(normalized(col)), shingles_of), 1)
 
 
 def char_shingles_sql(col: str, k: int = 5) -> str:

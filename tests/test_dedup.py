@@ -1,0 +1,91 @@
+"""Dedup operator tests on crafted fixtures with known answers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from frames_map_reduce_spark.operators import dedup as DD
+
+BASE = ("the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the deep green forest to find some food for the long winter")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),                                 # exact dup of 1
+        (3, BASE.replace("winter", "summer")),     # near dup of 1
+        (4, "completely different text about spark query engines and "
+            "distributed aggregation pipelines at massive scale"),
+        (5, "  The   quick brown fox jumps over the lazy dog and then runs far away "
+            "into the deep green forest to find some food for the long winter  "),
+        # 5 normalizes (case/whitespace) to the same fingerprint as 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keys(docs):
+    keys = DD.exact_dedup_keys(docs, "text", "doc_id").collect()
+    by_keep = {r["keep_id"]: r["dup_count"] for r in keys}
+    assert by_keep[1] == 3  # docs 1, 2, 5 share a normalized fingerprint
+    assert by_keep[3] == 1 and by_keep[4] == 1
+
+
+def test_exact_dedup_rows(docs):
+    out = DD.exact_dedup(docs, "text", "doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3, 4]
+
+
+def test_minhash_near_dup_pairs(docs):
+    pairs = DD.minhash_near_dup_pairs(docs, "text", "doc_id",
+                                      threshold=0.5, num_perm=64, bands=16)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # 1-2, 1-5, 2-5 are identical (J=1); 3 is a near dup of each
+    assert {(1, 2), (1, 5), (2, 5)} <= got
+    assert (1, 3) in got
+    assert all(p not in got for p in [(1, 4), (2, 4), (3, 4), (4, 5)])
+
+
+def test_jaccard_expression(spark):
+    df = spark.createDataFrame([(["a", "b", "c"], ["b", "c", "d"])],
+                               "x array<string>, y array<string>")
+    sim = df.select(DD.jaccard(F.col("x"), F.col("y")).alias("j")).first()["j"]
+    assert sim == pytest.approx(2 / 4)
+
+
+def test_simhash_identical_and_near(spark):
+    rows = [(1, BASE), (2, BASE), (3, BASE.replace("winter", "summer")), (4, "unrelated words entirely")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = df.select("doc_id", DD.simhash(F.col("text")).alias("s")).collect()
+    by_id = {r["doc_id"]: r["s"] for r in sh}
+    assert by_id[1] == by_id[2]
+    ham13 = bin(by_id[1] ^ by_id[3]).count("1")
+    ham14 = bin(by_id[1] ^ by_id[4]).count("1")
+    assert ham13 < ham14  # near dup closer than unrelated
+
+
+def test_simhash_near_dup_pairs(docs):
+    pairs = DD.simhash_near_dup_pairs(docs, "text", "doc_id",
+                                      max_hamming=10, n_bands=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # identical ⇒ hamming 0
+
+
+def test_ngram_jaccard_pairs(docs):
+    out = DD.ngram_jaccard_pairs(docs.withColumn("blk", F.lit(1)),
+                                 "text", "doc_id", block_col=F.col("blk"),
+                                 threshold=0.8, shingle_k=3)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert {(1, 2), (1, 5), (2, 5)} <= got
+    assert (1, 4) not in got
+
+
+def test_minhash_bucket_cap(spark):
+    # 12 identical docs with max_bucket=10 ⇒ the degenerate bucket is
+    # dropped, no candidates emitted (exact-dedup's job instead)
+    df = spark.createDataFrame([(i, BASE) for i in range(12)],
+                               "doc_id long, text string")
+    pairs = DD.minhash_lsh_candidates(df, "text", "doc_id", max_bucket=10)
+    assert pairs.count() == 0

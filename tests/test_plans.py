@@ -1,0 +1,89 @@
+"""Plan-shape regression tests: the scale properties the engine promises
+(pushdown, pruning, broadcast, two-phase aggregation, bounded shuffles)
+asserted against the actual physical plans."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from frames_map_reduce_spark import folds
+from frames_map_reduce_spark.mapreduce import (
+    fold_and_add_key,
+    map_reduce,
+    split_on_keys,
+    unpack_filter_on_field,
+)
+from frames_map_reduce_spark.plans import (
+    assert_filter_pushed,
+    assert_scan_pruned,
+    count_exchanges,
+    count_hash_aggregates,
+    explain_formatted,
+    has_broadcast_join,
+)
+
+
+@pytest.fixture(scope="module")
+def flagship(lineitem):
+    return map_reduce(
+        lineitem,
+        unpack=unpack_filter_on_field("l_returnflag", lambda c: c.isin("A", "R")),
+        assign=split_on_keys(["l_returnflag"]),
+        reduce=fold_and_add_key(folds.sum_("l_quantity", "sum_qty")
+                                & folds.sum_("l_extendedprice", "sum_price")),
+    )
+
+
+def test_filter_reaches_parquet_scan(flagship):
+    assert_filter_pushed(flagship, "l_returnflag")
+
+
+def test_scan_prunes_to_used_columns(flagship):
+    # 3 of lineitem's 11 columns: key + the two aggregated values
+    assert_scan_pruned(flagship, 3)
+
+
+def test_two_phase_aggregation(flagship):
+    # partial (map-side) + final — fold fusion's distributed form
+    assert count_hash_aggregates(flagship) == 2
+
+
+def test_single_shuffle_for_group_by(flagship):
+    assert count_exchanges(flagship) == 1
+
+
+def test_multi_output_fold_is_one_pass(lineitem):
+    """Five fold outputs must not add aggregation passes (reference fold
+    fusion, sequenceRecFold Folds.hs:147-154)."""
+    five = map_reduce(
+        lineitem, unpack_filter_on_field("l_returnflag", lambda c: c.isin("A")),
+        split_on_keys(["l_returnflag"]),
+        fold_and_add_key(
+            folds.sum_("l_quantity", "a") & folds.mean_("l_quantity", "b")
+            & folds.min_("l_quantity", "c") & folds.max_("l_quantity", "d")
+            & folds.count_star("e")))
+    assert count_hash_aggregates(five) == 2
+    assert count_exchanges(five) == 1
+
+
+def test_mapping_table_broadcasts(spark, lineitem):
+    from frames_map_reduce_spark.aggregation import key_map_from_table
+    mapping = spark.createDataFrame(
+        [("A", "returned"), ("R", "returned"), ("N", "kept")],
+        "l_returnflag string, flag_class string")
+    out = key_map_from_table(lineitem, mapping, "l_returnflag", "flag_class")
+    assert has_broadcast_join(out)
+
+
+def test_brute_force_topk_broadcasts_queries(spark, embeddings):
+    from frames_map_reduce_spark.operators.similarity import brute_force_topk
+    queries = (embeddings.limit(3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = brute_force_topk(embeddings, queries, k=3)
+    assert has_broadcast_join(out)
+
+
+def test_whole_stage_codegen_covers_agg(flagship):
+    from frames_map_reduce_spark.plans import has_whole_stage_codegen
+    assert has_whole_stage_codegen(flagship)

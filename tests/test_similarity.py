@@ -1,0 +1,79 @@
+"""Similarity search tests: exact correctness of brute force, recall and
+self-retrieval of the SRP-LSH path."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from frames_map_reduce_spark.functions.vectors import cosine, dot, norm
+from frames_map_reduce_spark.operators import similarity as SIM
+
+
+def test_vector_expressions(spark):
+    df = spark.createDataFrame([([1.0, 2.0], [2.0, 3.0])],
+                               "a array<double>, b array<double>")
+    row = df.select(
+        dot(F.col("a"), F.col("b")).alias("d"),
+        norm(F.col("a")).alias("na"),
+        cosine(F.col("a"), F.col("b")).alias("c")).first()
+    assert row["d"] == pytest.approx(8.0)
+    assert row["na"] == pytest.approx(math.sqrt(5))
+    assert row["c"] == pytest.approx(8.0 / (math.sqrt(5) * math.sqrt(13)))
+
+
+def test_cosine_zero_vector_is_null(spark):
+    df = spark.createDataFrame([([0.0, 0.0], [1.0, 1.0])],
+                               "a array<double>, b array<double>")
+    assert df.select(cosine(F.col("a"), F.col("b")).alias("c")).first()["c"] is None
+
+
+def test_brute_force_topk_known_order(spark):
+    corpus = spark.createDataFrame([
+        (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [-1.0, 0.0]),
+    ], "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame([(100, [1.0, 0.0])],
+                                    "query_id long, embedding array<float>")
+    out = SIM.brute_force_topk(corpus, queries, k=3).collect()
+    assert [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3]
+    assert out[0]["cosine_sim"] == pytest.approx(1.0)
+
+
+def test_srp_self_retrieval(spark, embeddings):
+    """A query present in the corpus must find itself at rank 1 (its own
+    bucket always matches)."""
+    queries = (embeddings.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = SIM.ann_topk_srp(embeddings, queries, k=3, dim=64, n_planes=8)
+    top1 = {r["query_id"]: r["vec_id"] for r in out.collect() if r["rank"] == 1}
+    assert top1 == {0: 0, 1: 1, 2: 2}
+
+
+def test_srp_recall_vs_bruteforce(spark, embeddings):
+    queries = (embeddings.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    corpus = embeddings.filter(F.col("vec_id") >= 10)
+    exact = SIM.brute_force_topk(corpus, queries, k=5).collect()
+    # uniformly random embeddings are LSH's worst case; measured recall@5
+    # on this corpus: 0.70/0.58/0.44/0.24 at 3/4/5/6 planes
+    approx = SIM.ann_topk_srp(corpus, queries, k=5, dim=64, n_planes=4).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(exact_sets[q] & approx_sets.get(q, set())) / 5 for q in exact_sets]
+    assert sum(recalls) / len(recalls) >= 0.3  # sanity floor for 8-plane multiprobe
+
+
+def test_embedding_near_dup_finds_exact_duplicate(spark):
+    rows = [(1, [1.0, 2.0, 3.0], 0), (2, [1.0, 2.0, 3.0], 0),
+            (3, [-3.0, 1.0, 0.5], 0), (4, [2.0, 4.0, 6.0], 1)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = SIM.embedding_near_dup_pairs(df, threshold=0.999, dim=3, n_planes=4)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got

@@ -1,0 +1,86 @@
+"""Structured Streaming pipeline tests: the fold vocabulary over streams,
+checked against the equivalent batch result (availableNow + memory sink)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from frames_map_reduce_spark import folds
+from frames_map_reduce_spark.mapreduce import unpack_filter_on_field, unpack_no_op
+from frames_map_reduce_spark.streaming import stream_map_reduce, stream_to_memory
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    rows = [
+        ("2024-01-01 00:05:00", "click", 1.0),
+        ("2024-01-01 00:15:00", "click", 2.0),
+        ("2024-01-01 00:45:00", "view", 3.0),
+        ("2024-01-01 01:05:00", "click", 4.0),
+        ("2024-01-01 01:20:00", "view", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "ts_s string, event_type string, value double") \
+              .select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value")
+    out = str(tmp_path / "events_stream")
+    df.coalesce(1).write.parquet(out)
+    return out, df
+
+
+def test_windowed_stream_agg_matches_batch(spark, events_dir):
+    path, batch_df = events_dir
+    stream = spark.readStream.schema(batch_df.schema).parquet(path)
+    result = stream_map_reduce(
+        stream, unpack_no_op(), keys=["event_type"],
+        fold=folds.count_star("n") & folds.sum_("value"),
+        ts_col="ts", window="1 hour", watermark="2 hours")
+    q = stream_to_memory(result, "win_agg")
+    q.awaitTermination(60)
+    got = {(r["window"]["start"].isoformat(), r["event_type"]): (r["n"], r["value"])
+           for r in spark.sql("SELECT * FROM win_agg").collect()}
+    assert got[("2024-01-01T00:00:00", "click")] == (2, 3.0)
+    assert got[("2024-01-01T00:00:00", "view")] == (1, 3.0)
+    assert got[("2024-01-01T01:00:00", "click")] == (1, 4.0)
+    assert got[("2024-01-01T01:00:00", "view")] == (1, 5.0)
+
+
+def test_unwindowed_stream_with_filter(spark, events_dir):
+    path, batch_df = events_dir
+    stream = spark.readStream.schema(batch_df.schema).parquet(path)
+    result = stream_map_reduce(
+        stream,
+        unpack_filter_on_field("event_type", lambda c: c == "click"),
+        keys=["event_type"],
+        fold=folds.sum_("value"))
+    q = stream_to_memory(result, "flt_agg")
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT * FROM flt_agg").collect()
+    assert len(rows) == 1
+    assert rows[0]["value"] == 7.0
+
+
+def test_session_windows(spark, events_dir):
+    from frames_map_reduce_spark.streaming import stream_sessions
+    path, batch_df = events_dir
+    stream = spark.readStream.schema(batch_df.schema).parquet(path)
+    result = stream_sessions(stream, ["event_type"], "ts",
+                             folds.count_star("n"), gap="30 minutes")
+    q = stream_to_memory(result, "sess")
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT event_type, n FROM sess").collect()
+    got = sorted((r["event_type"], r["n"]) for r in rows)
+    # clicks at 00:05/00:15 form one session; 01:05 another.
+    # views at 00:45 and 01:20 are two sessions (gap > 30m).
+    assert got == [("click", 1), ("click", 2), ("view", 1), ("view", 1)]
+
+
+def test_stateful_counts(spark, events_dir):
+    from frames_map_reduce_spark.streaming import stream_stateful_counts
+    path, batch_df = events_dir
+    stream = spark.readStream.schema(batch_df.schema).parquet(path)
+    result = stream_stateful_counts(stream, "event_type")
+    q = stream_to_memory(result, "statec", output_mode="update")
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT * FROM statec").collect()
+    got = {r["event_type"]: r["n"] for r in rows}
+    assert got == {"click": 3, "view": 2}

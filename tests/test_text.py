@@ -1,0 +1,103 @@
+"""Text-analysis function tests with hand-computed expectations."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from frames_map_reduce_spark.functions import text as TX
+
+
+def _one(spark, s: str, col):
+    return spark.createDataFrame([(s,)], "t string").select(col.alias("v")).first()["v"]
+
+
+def test_token_count(spark):
+    assert _one(spark, "a b  c", TX.token_count(F.col("t"))) == 3
+    assert _one(spark, "  leading and trailing  ", TX.token_count(F.col("t"))) == 3
+    assert _one(spark, "", TX.token_count(F.col("t"))) == 0
+    assert _one(spark, "one", TX.token_count(F.col("t"))) == 1
+
+
+def test_wordish_tokens(spark):
+    got = _one(spark, "Hello, world! x2", TX.wordish_tokens(F.col("t")))
+    assert got == ["hello", ",", "world", "!", "x2"]
+
+
+def test_punct_and_digit_ratio(spark):
+    # "ab.!12" → 6 chars, 2 punct, 2 digits
+    assert _one(spark, "ab.!12", TX.punct_ratio(F.col("t"))) == pytest.approx(2 / 6)
+    assert _one(spark, "ab.!12", TX.digit_ratio(F.col("t"))) == pytest.approx(2 / 6)
+    assert _one(spark, "", TX.punct_ratio(F.col("t"))) is None  # 0/0 → NULL
+
+
+def test_stopword_ratio(spark):
+    assert _one(spark, "the cat sat on the mat",
+                TX.stopword_ratio(F.col("t"))) == pytest.approx(3 / 6)
+
+
+def test_lang_id(spark):
+    cases = {
+        "the cat and the dog of the house": "en",
+        "der hund und die katze ist nicht da": "de",
+        "le chat est dans la maison pour toujours": "fr",
+        "el gato es para los amigos con una casa": "es",
+        "il gatto di casa che corre per la strada con una scusa": "it",
+        "zzz qqq xxx": "unknown",
+        "": "unknown",
+    }
+    for text, want in cases.items():
+        assert _one(spark, text, TX.lang_id(F.col("t"))) == want, text
+
+
+def test_fingerprint_normalization(spark):
+    a = _one(spark, "Hello   World", TX.fingerprint(F.col("t")))
+    b = _one(spark, "  hello world ", TX.fingerprint(F.col("t")))
+    c = _one(spark, "hello worlds", TX.fingerprint(F.col("t")))
+    assert a == b and a != c
+
+
+def test_char_shingles(spark):
+    got = _one(spark, "abcdef", TX.char_shingles(F.col("t"), 3))
+    assert sorted(got) == ["abc", "bcd", "cde", "def"]
+    # shorter than k: one shingle = the whole (normalized) string
+    assert _one(spark, "ab", TX.char_shingles(F.col("t"), 3)) == ["ab"]
+
+
+def test_quality_score_ranges(spark):
+    good = _one(spark, "the quick brown fox jumps over the lazy dog " * 12,
+                TX.quality_score(F.col("t")))
+    noisy = _one(spark, "!!! 111 ??? 222 !!! 333 " * 10, TX.quality_score(F.col("t")))
+    assert 0.0 <= noisy < good <= 1.0
+
+
+def test_sql_twins_match_spark(spark):
+    """The DuckDB twins must agree with the Spark expressions on a corpus
+    of edge-case strings — this is what keeps the oracle honest."""
+    import duckdb
+    samples = [
+        "the quick brown fox", "", "  ", "UPPER lower MiXeD",
+        "numbers 123 and punct !?", "der hund und die katze ist gut",
+        "a" * 3, "multi   space\ttab", "le chat est la",
+    ]
+    sdf = spark.createDataFrame([(s,) for s in samples], "text string")
+    srows = sdf.select(
+        F.col("text"),
+        TX.token_count(F.col("text")).cast("bigint").alias("tc"),
+        TX.wordish_count(F.col("text")).cast("bigint").alias("wc"),
+        TX.fingerprint(F.col("text")).alias("fp"),
+        TX.lang_id(F.col("text")).alias("lang"),
+    ).collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(s,) for s in samples])
+    drows = con.sql(f"""
+        SELECT text,
+               CAST({TX.token_count_sql('text')} AS BIGINT) AS tc,
+               CAST({TX.wordish_count_sql('text')} AS BIGINT) AS wc,
+               {TX.fingerprint_sql('text')} AS fp,
+               {TX.lang_id_sql('text')} AS lang
+        FROM t""").fetchall()
+    smap = {r["text"]: (r["tc"], r["wc"], r["fp"], r["lang"]) for r in srows}
+    for text, tc, wc, fp, lang in drows:
+        assert smap[text] == (tc, wc, fp, lang), f"mismatch for {text!r}"
