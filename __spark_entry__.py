@@ -440,6 +440,42 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .agg(F.sum("new_session").cast("bigint").alias("n_sessions")))
 
 
+def q_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join (extension beyond the reference, which has no joins —
+    SURVEY §2.8): revenue by nation.  Shuffle discipline: the fact table
+    (lineitem) shuffles ONCE on o_orderkey; every dimension (orders is
+    fact-sized so it shuffles too, but customer/nation are broadcast) —
+    at 100 TB the broadcast of bounded dims is what keeps this a 2-shuffle
+    plan instead of 4."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+              .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+              .groupBy("n_name")
+              .agg(F.round(F.sum(revenue), 2).alias("revenue"),
+                   F.count(F.lit(1)).alias("n_lineitems")))
+
+
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window aggregation: per-customer running order total
+    (ordered by date, deterministic orderkey tiebreak), reported as each
+    customer's final cumulative value and order count."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+               .orderBy("o_orderdate", "o_orderkey")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = orders.select(
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running"))
+    return (cum.groupBy("o_custkey")
+               .agg(F.max("running").alias("final_total"),
+                    F.count(F.lit(1)).alias("n_orders")))
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -477,6 +513,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_json": q_events_json,
         "sessionize": q_sessionize,
+        "join_revenue": q_join_revenue,
+        "running_total": q_running_total,
     }
 
 
@@ -633,4 +671,23 @@ def oracle_sql() -> dict[str, str]:
                               THEN 1 ELSE 0 END AS new_session
                   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
             GROUP BY user_id""",
+        "join_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_lineitems
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name""",
+        "running_total": """
+            SELECT o_custkey, max(running) AS final_total,
+                   count(*) AS n_orders
+            FROM (SELECT o_custkey,
+                         round(sum(o_totalprice) OVER (
+                             PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+                  FROM orders)
+            GROUP BY o_custkey""",
     }
