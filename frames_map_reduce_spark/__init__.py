@@ -51,7 +51,9 @@ from frames_map_reduce_spark.mapreduce import (
     unpack_good_rows,
     unpack_no_op,
 )
+from frames_map_reduce_spark.partitioning import ensure_parallelism
 from frames_map_reduce_spark.session import get_spark
+from frames_map_reduce_spark.skew import salted_aggregate, salted_join
 
 __version__ = "0.1.0"
 
@@ -77,4 +79,7 @@ __all__ = [
     "aggregate_all_fold",
     "aggregate_fold",
     "merge_data_folds",
+    "ensure_parallelism",
+    "salted_aggregate",
+    "salted_join",
 ]

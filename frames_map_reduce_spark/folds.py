@@ -194,6 +194,23 @@ def null_propagating(agg: Callable[[Column], Column], col: Column | str,
     return Fold([(_named(col, out, "null_propagating"), expr)])
 
 
+def approx_count_distinct(col: Column | str, out: str | None = None,
+                          rsd: float = 0.05) -> Fold:
+    """HyperLogLog++ distinct count — THE 100 TB cardinality fold: fixed
+    sketch memory per group vs count_distinct's full shuffle of values."""
+    return Fold([(_named(col, out, "approx_count_distinct"),
+                  F.approx_count_distinct(_c(col), rsd))])
+
+
+def approx_quantiles(col: Column | str, probs: Sequence[float],
+                     out: str | None = None, accuracy: int = 10000) -> Fold:
+    """Approximate percentiles (GK sketch) — bounded-memory alternative to
+    exact medians for groups too large to materialize."""
+    arr = F.array(*[F.lit(float(p)) for p in probs])
+    return Fold([(_named(col, out, "approx_quantiles"),
+                  F.percentile_approx(_c(col), arr, F.lit(accuracy)))])
+
+
 # ---------------------------------------------------------------------------
 # Whole-schema fold builders (foldAll family)
 # ---------------------------------------------------------------------------
