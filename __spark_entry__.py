@@ -460,6 +460,18 @@ def q_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.count(F.lit(1)).alias("n_lineitems")))
 
 
+def q_topk_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native top-k per group (operators.topk): same semantics as
+    q_topk_per_group but pure JVM window — the scale path; the grouped-map
+    form remains the arbitrary-function fallback."""
+    from frames_map_reduce_spark.operators.topk import top_k_per_group
+    li = _t(spark, sf_dir, "lineitem")
+    return top_k_per_group(
+        li, ["l_returnflag"],
+        [F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")],
+        k=3, payload=["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+
 def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative window aggregation: per-customer running order total
     (ordered by date, deterministic orderkey tiebreak), reported as each
@@ -515,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "join_revenue": q_join_revenue,
         "running_total": q_running_total,
+        "topk_native": q_topk_native,
     }
 
 
@@ -585,6 +598,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
             FROM orders GROUP BY prio_class, order_year""",
         "topk_per_group": """
+            SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+            FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                         row_number() OVER (PARTITION BY l_returnflag
+                             ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+                  FROM lineitem)
+            WHERE rn <= 3""",
+        "topk_native": """
             SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
             FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
                          row_number() OVER (PARTITION BY l_returnflag

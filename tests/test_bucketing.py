@@ -1,0 +1,58 @@
+"""Bucketed-write co-location: joining two tables bucketed on the join
+key must not shuffle either side — the repeated-join primitive at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from frames_map_reduce_spark.plans import count_exchanges
+from frames_map_reduce_spark.sources import write_bucketed
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    write_bucketed(li.withColumnRenamed("l_orderkey", "okey"), "li_b", ["okey"], 8)
+    write_bucketed(orders.withColumnRenamed("o_orderkey", "okey"), "ord_b", ["okey"], 8)
+    yield spark.table("li_b"), spark.table("ord_b")
+
+
+def test_bucketed_join_is_shuffle_free(spark, bucketed_tables):
+    li_b, ord_b = bucketed_tables
+    # disable broadcast so the join strategy must be sort-merge — the
+    # bucketing claim is about avoiding the SHUFFLE, not the join kind
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (li_b.join(ord_b, "okey")
+                      .groupBy("o_orderstatus")
+                      .agg(F.round(F.sum("l_quantity"), 2).alias("qty")))
+        # one exchange for the final groupBy; ZERO for the join
+        assert count_exchanges(joined) == 1
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_bucketed_group_by_is_shuffle_free(spark, bucketed_tables):
+    li_b, _ = bucketed_tables
+    agg = li_b.groupBy("okey").agg(F.sum("l_quantity").alias("q"))
+    assert count_exchanges(agg) == 0
+
+
+def test_native_topk_matches_grouped_map(spark, lineitem):
+    from frames_map_reduce_spark.operators.topk import top_k_per_group
+    native = top_k_per_group(
+        lineitem, ["l_returnflag"],
+        [F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")],
+        k=3, payload=["l_orderkey", "l_linenumber", "l_extendedprice"])
+    import __spark_entry__ as E
+    import os
+    gm = E.q_topk_per_group(spark, os.environ.get("SPARK_GRAFT_TEST_SF_DIR",
+                                                  "/root/testdata/sf0.001"))
+    a = sorted(tuple(r) for r in native.collect())
+    b = sorted(tuple(r) for r in gm.collect())
+    assert a == b
