@@ -62,8 +62,11 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
     reader rejects by default; read nanos as long and convert with exact
-    integral division (no double rounding)."""
+    integral division (no double rounding).  Session tz pinned to UTC so
+    hour truncation and collected values match the (naive) oracle
+    timestamps regardless of the host session's default."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 

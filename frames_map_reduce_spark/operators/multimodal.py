@@ -97,6 +97,57 @@ def decode_image_features(df: DataFrame, id_col: str, binary_col: str,
     return narrow.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
+def resize_images(df: DataFrame, id_col: str, binary_col: str,
+                  width: int, height: int, fake: bool = False) -> DataFrame:
+    """Resize stage: binary → binary with updated metadata.  Stubbed codec
+    (fake path emits a deterministic truncated payload standing in for the
+    re-encoded image); the schema/meta plumbing is real."""
+    require_columns(df, [id_col, binary_col])
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("media_meta", MEDIA_META),
+    ])
+    narrow = df.select(F.col(id_col).alias("doc_id"), F.col(binary_col).alias("_payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resizing requires a codec library; use fake=True")
+            payloads = [bytes(p)[: max(16, width * height // 64)] for p in pdf["_payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": payloads,
+                "media_meta": [
+                    {"mime": "image/png", "width": width, "height": height,
+                     "duration_ms": None, "n_bytes": len(p)}
+                    for p in payloads],
+            })
+
+    return narrow.mapInPandas(run, schema=schema)
+
+
+def extract_audio_features(df: DataFrame, id_col: str, binary_col: str,
+                           fake: bool = False) -> DataFrame:
+    """Audio feature extraction stub (MFCC-shaped output): binary →
+    array<float>, same mapInPandas plumbing as images."""
+    require_columns(df, [id_col, binary_col])
+    narrow = df.select(F.col(id_col).alias("doc_id"), F.col(binary_col).alias("_payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real audio decoding requires a codec library; use fake=True")
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "feature": [_fake_features(bytes(p) + b"audio") for p in pdf["_payload"]],
+            })
+
+    return narrow.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
 def sample_frames(df: DataFrame, id_col: str, binary_col: str,
                   every_ms: int = 1000, fake: bool = False) -> DataFrame:
     """Video frame sampling: one output row per sampled frame.  Stubbed

@@ -16,6 +16,11 @@ def bucketed_tables(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS ord_b")
+    # a fresh session has an empty in-memory catalog, but the warehouse
+    # DIRECTORY survives earlier runs and blocks saveAsTable
+    import shutil
+    for d in ("spark-warehouse/li_b", "spark-warehouse/ord_b"):
+        shutil.rmtree(d, ignore_errors=True)
     write_bucketed(li.withColumnRenamed("l_orderkey", "okey"), "li_b", ["okey"], 8)
     write_bucketed(orders.withColumnRenamed("o_orderkey", "okey"), "ord_b", ["okey"], 8)
     yield spark.table("li_b"), spark.table("ord_b")

@@ -51,3 +51,31 @@ def test_sample_frames_fake(media):
     for r in rows:
         per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
     assert all(sorted(v) == [0, 1, 2] for v in per_doc.values())
+
+
+def test_resize_plumbing(media):
+    out = MM.resize_images(media, "doc_id", "payload", 64, 64, fake=True)
+    rows = out.collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["media_meta"]["width"] == 64
+        assert r["media_meta"]["n_bytes"] == len(r["payload"])
+
+
+def test_audio_features(media):
+    rows = MM.extract_audio_features(media, "doc_id", "payload", fake=True).collect()
+    by_id = {r["doc_id"]: r["feature"] for r in rows}
+    assert by_id[1] == by_id[3] and by_id[1] != by_id[2]
+
+
+def test_features_to_similarity_pipeline(spark, media):
+    """End-to-end multimodal pipeline: binary → features → exact near-dup
+    via the similarity operators (docs 1 and 3 share bytes ⇒ cosine 1)."""
+    from frames_map_reduce_spark.operators.similarity import embedding_near_dup_pairs
+    feats = MM.decode_image_features(media, "doc_id", "payload", fake=True) \
+              .withColumnRenamed("doc_id", "vec_id") \
+              .withColumnRenamed("feature", "embedding")
+    pairs = embedding_near_dup_pairs(feats, threshold=0.999,
+                                     dim=MM.FEATURE_DIM, n_planes=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(1, 3)}
