@@ -55,27 +55,34 @@ class Fold:
     src/Frames/Aggregation.hs:169-173).
     """
 
-    def __init__(self, exprs: Sequence[tuple[str, Column]]):
+    def __init__(self, exprs: Sequence[tuple], pandas_names: Sequence[str] = ()):
         names = [n for n, _ in exprs]
         if len(set(names)) != len(names):
             dupes = sorted({n for n in names if names.count(n) > 1})
             raise ValueError(f"duplicate fold output names: {dupes}")
         self._exprs: list[tuple[str, Column]] = list(exprs)
+        # outputs backed by GROUPED_AGG pandas UDFs: Spark refuses to mix
+        # them with native aggregates in one .agg(), so FoldReduce needs
+        # to know which is which to split the passes
+        self._pandas_names: frozenset[str] = frozenset(pandas_names)
 
     # -- algebra -----------------------------------------------------------
     def merge(self, *others: "Fold") -> "Fold":
         """Applicative product: all outputs, still one pass."""
         exprs = list(self._exprs)
+        pandas_names = set(self._pandas_names)
         for o in others:
             exprs.extend(o._exprs)
-        return Fold(exprs)
+            pandas_names |= o._pandas_names
+        return Fold(exprs, pandas_names)
 
     def __and__(self, other: "Fold") -> "Fold":
         return self.merge(other)
 
     def rename(self, mapping: dict[str, str]) -> "Fold":
         """Rename outputs (cf. ``fieldToFieldFold``, Folds.hs:115-123)."""
-        return Fold([(mapping.get(n, n), e) for n, e in self._exprs])
+        return Fold([(mapping.get(n, n), e) for n, e in self._exprs],
+                    {mapping.get(n, n) for n in self._pandas_names})
 
     # -- accessors ---------------------------------------------------------
     @property
@@ -85,6 +92,13 @@ class Fold:
     def columns(self) -> list[Column]:
         """The aliased aggregate expressions, ready for one ``.agg()``."""
         return [e.alias(n) for n, e in self._exprs]
+
+    def split_pandas(self) -> tuple[list[Column], list[Column]]:
+        """(native agg columns, pandas GROUPED_AGG columns) — each list in
+        declaration order; empty second list means one .agg() suffices."""
+        native = [e.alias(n) for n, e in self._exprs if n not in self._pandas_names]
+        pand = [e.alias(n) for n, e in self._exprs if n in self._pandas_names]
+        return native, pand
 
 
 def of(expr: Column, out: str) -> Fold:
@@ -285,4 +299,4 @@ def pandas_fold(fn: Callable[..., Any], return_type: str | T.DataType,
     UDFs (vectorized over Arrow batches).
     """
     udf = F.pandas_udf(fn, returnType=return_type, functionType=F.PandasUDFType.GROUPED_AGG)
-    return Fold([(out, udf(*[_c(c) for c in cols]))])
+    return Fold([(out, udf(*[_c(c) for c in cols]))], pandas_names=[out])

@@ -239,7 +239,25 @@ class FoldReduce(Reduce):
         clash = set(self.fold.output_names) & set(keys)
         if clash:
             raise SchemaError(f"fold outputs {sorted(clash)} collide with group keys")
-        return df.groupBy(*keys).agg(*self.fold.columns())
+        native, pand = self.fold.split_pandas()
+        if not pand or not native:
+            return df.groupBy(*keys).agg(*self.fold.columns())
+        # Spark refuses GROUPED_AGG pandas UDFs mixed with native
+        # aggregates in one .agg() (INVALID_PANDAS_UDF_PLACEMENT): run two
+        # aggregation passes over the same grouped input and join them
+        # null-safely on the keys (NULL keys are groups, cf. §2.3), then
+        # restore declaration order.
+        left = df.groupBy(*keys).agg(*native)
+        right = df.groupBy(*keys).agg(*pand)
+        rr = right
+        for k in keys:
+            rr = rr.withColumnRenamed(k, f"_r_{k}")
+        cond = None
+        for k in keys:
+            c = left[k].eqNullSafe(rr[f"_r_{k}"])
+            cond = c if cond is None else (cond & c)
+        joined = left.join(rr, cond, "inner").drop(*[f"_r_{k}" for k in keys])
+        return joined.select(*keys, *self.fold.output_names)
 
 
 @dataclass(frozen=True)

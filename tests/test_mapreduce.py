@@ -224,3 +224,23 @@ def test_collect_sorted_fold(f2):
         fold_and_add_key(folds.collect_sorted("y", out="ys")))
     got = {r["label"]: r["ys"] for r in out.collect()}
     assert got == {"A": [2.0], "Z": [3.0, 6.0]}
+
+
+def test_mixed_pandas_and_native_folds(spark):
+    """GROUPED_AGG pandas folds can't share an .agg() with native
+    aggregates (INVALID_PANDAS_UDF_PLACEMENT) — FoldReduce must split the
+    passes and re-join null-safely, preserving NULL-key groups and
+    declaration order."""
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 5.0), (None, 2.0)], "k string, x double")
+
+    def rng(s):
+        return float(s.max() - s.min())
+
+    out = map_reduce(
+        df, unpack_no_op(), split_on_keys(["k"]),
+        fold_and_add_key(folds.pandas_fold(rng, "double", "x", out="rng")
+                         & folds.sum_("x")))
+    assert out.columns == ["k", "rng", "x"]
+    got = {r["k"]: (r["rng"], r["x"]) for r in out.collect()}
+    assert got == {"a": (2.0, 4.0), "b": (0.0, 5.0), None: (0.0, 2.0)}
