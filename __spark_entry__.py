@@ -475,6 +475,24 @@ def q_topk_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3, payload=["l_orderkey", "l_linenumber", "l_extendedprice"])
 
 
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide) with explicit values — one conditional-aggregate
+    pass, no value-discovery job (operators.reshape)."""
+    from frames_map_reduce_spark.operators.reshape import pivot_fold
+    li = _t(spark, sf_dir, "lineitem")
+    return pivot_fold(li, ["l_linestatus"], "l_returnflag", ["A", "N", "R"],
+                      folds.of(F.round(F.sum("l_quantity"), 2), "sum_qty"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score aggregated by source — the Spark
+    expression and the DuckDB twin are generated from the same formula."""
+    docs = _docs(spark, sf_dir)
+    return (docs.select("source", TX.quality_score(F.col("text")).alias("q"))
+                .groupBy("source")
+                .agg(F.round(F.avg("q"), 6).alias("avg_quality")))
+
+
 def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative window aggregation: per-customer running order total
     (ordered by date, deterministic orderkey tiebreak), reported as each
@@ -531,6 +549,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_revenue": q_join_revenue,
         "running_total": q_running_total,
         "topk_native": q_topk_native,
+        "pivot": q_pivot,
+        "quality_score": q_quality_score,
     }
 
 
@@ -703,6 +723,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name""",
+        "pivot": """
+            SELECT l_linestatus,
+                   round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS A,
+                   round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS N,
+                   round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS R
+            FROM lineitem GROUP BY l_linestatus""",
+        "quality_score": f"""
+            SELECT source, round(avg({TX.quality_score_sql('text')}), 6) AS avg_quality
+            FROM documents GROUP BY source""",
         "running_total": """
             SELECT o_custkey, max(running) AS final_total,
                    count(*) AS n_orders

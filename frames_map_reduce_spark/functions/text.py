@@ -125,7 +125,8 @@ def stopword_ratio_sql(col: str, stopwords: tuple[str, ...] = STOPWORDS_EN) -> s
 def quality_score(col: Column) -> Column:
     """Composite [0,1] quality score: long enough, low punct/digit noise,
     plausible stopword density.  Weights are fixed so the score is a pure
-    deterministic expression (auditable, reproducible across runs)."""
+    deterministic expression (auditable, reproducible across runs).
+    Keep in lockstep with :func:`quality_score_sql`."""
     n = F.length(col)
     len_score = F.least(_ratio(n, F.lit(500.0)), F.lit(1.0))
     noise = F.coalesce(punct_ratio(col), F.lit(0.0)) + F.coalesce(digit_ratio(col), F.lit(0.0))
@@ -133,6 +134,17 @@ def quality_score(col: Column) -> Column:
     sw = F.coalesce(stopword_ratio(col), F.lit(0.0))
     sw_score = F.when((sw > 0.05) & (sw < 0.6), F.lit(1.0)).otherwise(F.lit(0.3))
     return len_score * 0.4 + noise_score * 0.3 + sw_score * 0.3
+
+
+def quality_score_sql(col: str) -> str:
+    """DuckDB twin of :func:`quality_score` — same formula, same nulls."""
+    len_score = f"least(len({col}) / 500.0, 1.0)"
+    noise = (f"(coalesce({punct_ratio_sql(col)}, 0.0)"
+             f" + coalesce({digit_ratio_sql(col)}, 0.0))")
+    noise_score = f"greatest(0.0, 1.0 - {noise} * 2)"
+    sw = f"coalesce({stopword_ratio_sql(col)}, 0.0)"
+    sw_score = f"(CASE WHEN {sw} > 0.05 AND {sw} < 0.6 THEN 1.0 ELSE 0.3 END)"
+    return f"({len_score} * 0.4 + {noise_score} * 0.3 + {sw_score} * 0.3)"
 
 
 # ---------------------------------------------------------------------------
