@@ -407,6 +407,16 @@ def q_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
                             k=5, dim=64, n_planes=8)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: sampled-k-means coarse quantizer, inverted
+    lists probed via a key-equality join (rows-only: approximate)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 5)
+                  .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return SIM.ivf_topk(emb.filter(F.col("vec_id") >= 5), queries,
+                        k=5, n_centroids=16, nprobe=4)
+
+
 # ---------------------------------------------------------------------------
 # Scale extensions: events (JSON + sessionization + time windows)
 # ---------------------------------------------------------------------------
@@ -543,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "embedding_neardup": q_embedding_neardup,
         "ann_srp": q_ann_srp,
+        "ann_ivf": q_ann_ivf,
         "events_hourly": q_events_hourly,
         "events_json": q_events_json,
         "sessionize": q_sessionize,

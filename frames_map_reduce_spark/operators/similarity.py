@@ -108,6 +108,95 @@ def ann_topk_srp(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
                   .filter(F.col("rank") <= k))
 
 
+def train_ivf_centroids(corpus: DataFrame, vec_col: str, n_centroids: int = 16,
+                        sample_limit: int = 20_000, iters: int = 10,
+                        seed: int = 42):
+    """IVF coarse quantizer: Lloyd's k-means on a bounded driver-side
+    sample (the standard IVF recipe — training on a sample is how FAISS
+    et al. build 100 TB-scale indexes too; only ASSIGNMENT must be
+    distributed).  Returns a (n_centroids, dim) float64 numpy array."""
+    import numpy as np
+    rows = (corpus.select(vec_col).limit(sample_limit).collect())
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def ivf_assign(df: DataFrame, vec_col: str, centroids) -> DataFrame:
+    """Attach ``_centroid`` (nearest-centroid id) via a vectorized
+    mapInPandas — one numpy matmul per Arrow batch, centroids shipped in
+    the task closure (small)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cents = centroids.astype("float64")
+    schema = T.StructType(list(df.schema.fields)
+                          + [T.StructField("_centroid", T.IntegerType())])
+
+    def run(batches):
+        for pdf in batches:
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if len(x) == 0:
+                yield pdf.assign(_centroid=pd.Series([], dtype="int32"))
+                continue
+            # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
+            scores = x @ cents.T - 0.5 * (cents ** 2).sum(axis=1)[None, :]
+            yield pdf.assign(_centroid=scores.argmax(axis=1).astype("int32"))
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
+             n_centroids: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id", seed: int = 42,
+             centroids=None) -> DataFrame:
+    """IVF approximate top-k: corpus is partitioned into ``n_centroids``
+    inverted lists; each query scores only the lists of its ``nprobe``
+    nearest centroids — corpus-side work ≈ nprobe/n_centroids of brute
+    force, and the probe join is a key-equality join on ``_centroid``.
+
+    Pass a prebuilt ``centroids`` array to reuse an index across query
+    batches (the realistic deployment shape: train once, assign once,
+    write bucketed by ``_centroid``)."""
+    import numpy as np
+    require_columns(corpus, [id_col, vec_col])
+    require_columns(queries, [query_id_col, vec_col])
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, vec_col, n_centroids, seed=seed)
+    cb = ivf_assign(corpus, vec_col, centroids)
+
+    # queries: nprobe nearest centroids each, computed driver-side
+    # (queries are small by contract — they are broadcast anyway)
+    qrows = queries.collect()
+    qx = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    scores = qx @ centroids.T - 0.5 * (centroids ** 2).sum(axis=1)[None, :]
+    order = np.argsort(-scores, axis=1)[:, :nprobe]
+    spark = corpus.sparkSession
+    probe_rows = [(r[query_id_col], list(r[vec_col]), int(c))
+                  for r, cs in zip(qrows, order) for c in cs]
+    qb = spark.createDataFrame(
+        probe_rows, f"{query_id_col} long, _qvec array<double>, _centroid int")
+
+    scored = cb.join(F.broadcast(qb), on="_centroid").select(
+        query_id_col, id_col,
+        F.round(cosine(F.col(vec_col).cast("array<double>"),
+                       F.col("_qvec")), 6).alias("cosine_sim"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k))
+
+
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id", vec_col: str = "embedding",
                              dim: int = 0, n_planes: int = 10,

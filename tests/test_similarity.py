@@ -77,3 +77,37 @@ def test_embedding_near_dup_finds_exact_duplicate(spark):
     got = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert (1, 2) in got
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_ivf_self_retrieval_and_recall(spark, embeddings):
+    """IVF: a query in the corpus finds itself (its own list is always
+    probed); recall vs brute force beats a random subset of the same
+    size (nprobe/n_centroids of the corpus)."""
+    queries = (embeddings.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    corpus = embeddings
+    out = SIM.ivf_topk(corpus, queries, k=5, n_centroids=16, nprobe=4)
+    top1 = {r["query_id"]: r["vec_id"] for r in out.collect() if r["rank"] == 1}
+    assert top1 == {q: q for q in range(10)}
+
+    exact = SIM.brute_force_topk(
+        embeddings.filter(F.col("vec_id") >= 10), queries, k=5).collect()
+    es = {}
+    for r in exact:
+        es.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx = SIM.ivf_topk(embeddings.filter(F.col("vec_id") >= 10), queries,
+                          k=5, n_centroids=16, nprobe=4).collect()
+    asets = {}
+    for r in approx:
+        asets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recall = sum(len(es[q] & asets.get(q, set())) / 5 for q in es) / len(es)
+    assert recall >= 0.4  # nprobe/n_centroids = 25% of corpus scored
+
+
+def test_ivf_reusable_centroids(spark, embeddings):
+    queries = (embeddings.limit(2)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    cents = SIM.train_ivf_centroids(embeddings, "embedding", n_centroids=8)
+    a = SIM.ivf_topk(embeddings, queries, k=3, centroids=cents, nprobe=2).collect()
+    b = SIM.ivf_topk(embeddings, queries, k=3, centroids=cents, nprobe=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
