@@ -180,7 +180,8 @@ def _minhash_map_in_pandas(hashed: DataFrame, id_col: str, num_perm: int,
 def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
                            num_perm: int = 128, bands: int = 16,
                            shingle_k: int = 5, seed: int = 42,
-                           max_bucket: int = 1000) -> DataFrame:
+                           max_bucket: int = 1000,
+                           hashed: DataFrame | None = None) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded LSH.
 
     Plan shape (scale rationale):
@@ -208,9 +209,10 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
     # BOTH the parallelism fix for narrow inputs AND an optimizer barrier.
     # Stage 2: permutation minima in a vectorized pandas UDF (see
     # minhash_signature_pandas for why not a native expression).
-    hashed = ensure_parallelism(df.select(
-        F.col(id_col),
-        shingle_hashes64(F.col(text_col), shingle_k).alias("_sh64")))
+    if hashed is None:
+        hashed = ensure_parallelism(df.select(
+            F.col(id_col),
+            shingle_hashes64(F.col(text_col), shingle_k).alias("_sh64")))
     with_sig = _minhash_map_in_pandas(hashed, id_col, num_perm, seed)
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("_band")
     banded = with_sig.select(id_col, "_sig", band_idx).select(
@@ -257,14 +259,20 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
                            seed: int = 42) -> DataFrame:
     """LSH candidates verified by exact Jaccard on the true shingle sets.
     Returns (id_a, id_b, jaccard_sim) with jaccard_sim ≥ threshold."""
+    # One shared lineage feeds the candidate branch and both verify join
+    # sides.  Deliberately NOT persisted: caching the wide array column
+    # (in-memory columnar write + serialization) measured 5x slower than
+    # recomputing the shingling per branch, which pipelines inside each
+    # consumer's stage.
+    hashed = ensure_parallelism(df.select(
+        F.col(id_col),
+        shingle_hashes64(F.col(text_col), shingle_k).alias("_sh64")))
     cands = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands,
-                                   shingle_k, seed)
+                                   shingle_k, seed, hashed=hashed)
     # verify on 64-bit shingle-hash arrays: same Jaccard as string shingles
     # (collision odds ~1e-14/pair) at a fraction of the compare cost
-    shingled = ensure_parallelism(df.select(
-        F.col(id_col), shingle_hashes64(F.col(text_col), shingle_k).alias("_sh")))
-    a = shingled.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
-    b = shingled.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
+    a = hashed.select(F.col(id_col).alias("id_a"), F.col("_sh64").alias("_sh_a"))
+    b = hashed.select(F.col(id_col).alias("id_b"), F.col("_sh64").alias("_sh_b"))
     return (
         cands.join(a, "id_a").join(b, "id_b")
              .select("id_a", "id_b",
