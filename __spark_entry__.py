@@ -440,6 +440,37 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.max("k").alias("max_k")))
 
 
+def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_hourly computed through Structured Streaming: file stream →
+    watermarked tumbling-window fold → availableNow into a memory sink —
+    then returned as a batch DataFrame.  Semantically identical to the
+    batch query, so it shares the same oracle: the streaming path is held
+    to full value parity, not just a rows-only check."""
+    import uuid
+
+    from frames_map_reduce_spark.mapreduce import unpack_no_op as _noop
+    from frames_map_reduce_spark.streaming import stream_map_reduce, stream_to_memory
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # file streams require a directory basePath — glob the single file so
+    # the base resolves to the parent dir
+    stream = (spark.readStream.schema(raw_schema)
+                   .parquet(f"{sf_dir}/events.parque*")
+                   .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    result = stream_map_reduce(
+        stream, _noop(), keys=["event_type"],
+        fold=folds.count_star("n")
+             & folds.of(F.round(F.sum("value"), 2), "sum_value"),
+        ts_col="ts", window="1 hour", watermark="1 hour")
+    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    q = stream_to_memory(result, name, output_mode="complete")
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("window.start").alias("hour"), "event_type", "n", "sum_value")
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-minute-gap sessions per user via window lag —
     the batch form of the streaming session operator."""
@@ -555,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_srp": q_ann_srp,
         "ann_ivf": q_ann_ivf,
         "events_hourly": q_events_hourly,
+        "stream_hourly": q_stream_hourly,
         "events_json": q_events_json,
         "sessionize": q_sessionize,
         "join_revenue": q_join_revenue,
@@ -709,6 +741,10 @@ def oracle_sql() -> dict[str, str]:
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE {cos} >= 0.3""",
         "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY hour, event_type""",
+        "stream_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, round(sum(value), 2) AS sum_value
             FROM events GROUP BY hour, event_type""",
