@@ -690,7 +690,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag""",
         "text_quality": f"""
             SELECT source,
-                   sum(CAST({TX.token_count_sql('text')} AS BIGINT)) AS total_tokens,
+                   CAST(sum({TX.token_count_sql('text')}) AS BIGINT) AS total_tokens,
                    round(avg({TX.punct_ratio_sql('text')}), 6) AS avg_punct_ratio,
                    round(avg({TX.digit_ratio_sql('text')}), 6) AS avg_digit_ratio,
                    round(avg({TX.stopword_ratio_sql('text')}), 6) AS avg_stopword_ratio
@@ -700,9 +700,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY pred_lang""",
         "token_stats": f"""
             SELECT lang,
-                   sum(CAST({TX.token_count_sql('text')} AS BIGINT)) AS sum_tokens,
+                   CAST(sum({TX.token_count_sql('text')}) AS BIGINT) AS sum_tokens,
                    round(avg({TX.token_count_sql('text')}), 6) AS avg_tokens,
-                   sum(CAST({TX.wordish_count_sql('text')} AS BIGINT)) AS sum_wordish
+                   CAST(sum({TX.wordish_count_sql('text')}) AS BIGINT) AS sum_wordish
             FROM documents GROUP BY lang""",
         "fingerprint": f"""
             SELECT source,
