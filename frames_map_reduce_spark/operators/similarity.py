@@ -3,11 +3,12 @@
 Two strategies:
 
 - **Brute-force cosine top-k** — the correctness baseline.  Queries are a
-  SMALL set broadcast to every executor; each partition scores its local
-  rows (pure ``zip_with``/``aggregate`` expressions, JVM-side) and a
-  window-free two-stage top-k picks the winners.  Linear in corpus size,
-  embarrassingly parallel — this is the shape that survives 100 TB when
-  the query set is bounded.
+  SMALL set (bounded by contract) shipped to every task; each Arrow batch
+  is scored with ONE numpy matmul against the query matrix and reduced to
+  a per-batch partial top-k, so the final per-query merge ranks at most
+  ``partitions × k`` rows instead of the whole corpus.  Linear in corpus
+  size, embarrassingly parallel — this is the shape that survives 100 TB
+  when the query set is bounded.
 
 - **SRP-LSH ANN** — sign-random-projection buckets; queries probe only
   their own bucket (plus optional multi-probe neighbors at Hamming
@@ -31,34 +32,114 @@ def _random_planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def _round_half_up(x, digits: int):
+    """HALF_UP-away-from-zero rounding on float64 — the mode BOTH Spark's
+    ``round`` (BigDecimal HALF_UP) and DuckDB's ``round`` use, unlike
+    numpy's default half-to-even.  Keeping all three engines on one mode
+    is what lets a 6-dp round absorb float summation-order noise."""
+    import numpy as np
+    p = 10.0 ** digits
+    return np.copysign(np.floor(np.abs(x) * p + 0.5), x) / p
+
+
+def _rank_topk(scored: DataFrame, k: int, query_id_col: str, id_col: str,
+               sim_col: str = "cosine_sim") -> DataFrame:
+    """Final deterministic per-query ranking: (sim DESC, id ASC).  Callers
+    must have bounded the per-query row count first (partial top-k or
+    bucket caps) — this window is the MERGE step, not the workhorse."""
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col(sim_col).desc(), F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k))
+
+
+def partial_topk(scored: DataFrame, k: int, query_id_col: str, id_col: str,
+                 sim_col: str = "cosine_sim") -> DataFrame:
+    """Per-Arrow-batch partial top-k: keep only the k best (sim DESC, id
+    ASC) rows per query within each batch.  The ordering is total, so any
+    row dropped here is dominated by ≥k rows that also dominate it in the
+    global merge — partial-then-merge is exact.
+
+    This is the stage that makes per-query ranking scale-safe: the merge
+    window after it receives ≤ batches×k rows per query instead of every
+    scored corpus row (at 100 TB the un-partialed window funnels the whole
+    corpus's scores for a query through ONE task)."""
+    cols = [query_id_col, id_col, sim_col]
+    sub = scored.select(*cols)
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield (pdf.sort_values([query_id_col, sim_col, id_col],
+                                   ascending=[True, False, True])
+                      .groupby(query_id_col, sort=False).head(k))
+
+    return sub.mapInPandas(run, schema=sub.schema)
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      query_id_col: str = "query_id",
                      round_digits: int | None = 6) -> DataFrame:
-    """Exact cosine top-k per query.
+    """Exact cosine top-k per query — two-stage.
 
-    ``queries`` must be small (it is broadcast).  Ranking is deterministic:
-    by (similarity DESC, corpus id ASC); ``round_digits`` rounds the
-    similarity BEFORE ranking so results are stable across engines and
-    float summation orders.
+    ``queries`` must be small (collected driver-side and shipped in the
+    task closure — the same bounded-queries contract as :func:`ivf_topk`).
+    Stage 1 scores each corpus Arrow batch with one float64 numpy matmul
+    against the query matrix and keeps a per-batch top-k per query;
+    stage 2 merges ≤ partitions×k rows per query.  Ranking is
+    deterministic: by (similarity DESC, corpus id ASC); ``round_digits``
+    rounds the similarity (HALF_UP, matching Spark/DuckDB ``round``)
+    BEFORE ranking so results are stable across engines and float
+    summation orders.  Zero-norm vectors (NULL cosine) are excluded, the
+    same fate NULLS-LAST ranking gives them when ≥k finite rows exist.
 
     Returns (query_id, vec_id, cosine_sim, rank).
     """
+    import numpy as np
+    from pyspark.sql import types as T
+
     require_columns(corpus, [id_col, vec_col])
     require_columns(queries, [query_id_col, vec_col])
-    q = queries.select(F.col(query_id_col),
-                       F.col(vec_col).alias("_qvec"))
-    scored = corpus.join(F.broadcast(q)).select(
-        query_id_col, id_col,
-        cosine(F.col(vec_col).cast("array<double>"),
-               F.col("_qvec").cast("array<double>")).alias("cosine_sim"),
-    )
-    if round_digits is not None:
-        scored = scored.withColumn("cosine_sim", F.round("cosine_sim", round_digits))
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine_sim").desc(), F.col(id_col).asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-                  .filter(F.col("rank") <= k))
+
+    qrows = queries.select(query_id_col, vec_col).collect()  # contract-small
+    qids = np.array([r[0] for r in qrows])
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+
+    sub = corpus.select(id_col, vec_col)
+    out_schema = T.StructType([
+        next(f for f in queries.schema.fields if f.name == query_id_col),
+        next(f for f in corpus.schema.fields if f.name == id_col),
+        T.StructField("cosine_sim", T.DoubleType()),
+    ])
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            xnorm = np.linalg.norm(x, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (x @ qmat.T) / (xnorm[:, None] * qnorm[None, :])
+            if round_digits is not None:
+                sims = _round_half_up(sims, round_digits)
+            ids = pdf[id_col].to_numpy()
+            parts = []
+            for j, qid in enumerate(qids):
+                s = sims[:, j]
+                ok = np.isfinite(s)
+                s, ids_ok = s[ok], ids[ok]
+                top = np.lexsort((ids_ok, -s))[:k]
+                parts.append(pd.DataFrame({
+                    query_id_col: np.repeat(qid, len(top)),
+                    id_col: ids_ok[top], "cosine_sim": s[top]}))
+            yield pd.concat(parts, ignore_index=True)
+
+    partial = sub.mapInPandas(run, schema=out_schema)
+    return _rank_topk(partial, k, query_id_col, id_col)
 
 
 def srp_bucketed(df: DataFrame, vec_col: str, dim: int, n_planes: int = 16,
@@ -102,10 +183,8 @@ def ann_topk_srp(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
         F.round(cosine(F.col(vec_col).cast("array<double>"),
                        F.col("_qvec").cast("array<double>")), 6).alias("cosine_sim"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine_sim").desc(), F.col(id_col).asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-                  .filter(F.col("rank") <= k))
+    return _rank_topk(partial_topk(scored, k, query_id_col, id_col),
+                      k, query_id_col, id_col)
 
 
 def train_ivf_centroids(corpus: DataFrame, vec_col: str, n_centroids: int = 16,
@@ -191,10 +270,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
         query_id_col, id_col,
         F.round(cosine(F.col(vec_col).cast("array<double>"),
                        F.col("_qvec")), 6).alias("cosine_sim"))
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine_sim").desc(), F.col(id_col).asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-                  .filter(F.col("rank") <= k))
+    return _rank_topk(partial_topk(scored, k, query_id_col, id_col),
+                      k, query_id_col, id_col)
 
 
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
