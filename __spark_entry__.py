@@ -361,7 +361,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (no SQL oracle: 63-bit signature packing is
     not reasonably SQL-expressible — rows-only check)."""
     docs = _docs(spark, sf_dir)
-    return DD.simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=8)
+    # n_bands=9 > max_hamming=8: the banding pigeonhole guarantee holds
+    # (7-bit chunks of the 63-bit signature)
+    return DD.simhash_near_dup_pairs(docs, "text", "doc_id",
+                                     max_hamming=8, n_bands=9)
 
 
 # ---------------------------------------------------------------------------

@@ -222,13 +222,21 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
             F.slice(F.col("_sig"), F.col("_band") * rows_per_band + 1, rows_per_band),
         ).alias("_bucket"),
     )
-    sized = banded.groupBy("_bucket").agg(
-        F.collect_list(id_col).alias("_ids"), F.count(F.lit(1)).alias("_n"))
+    # Size-filter buckets BEFORE materializing any id array: the counts
+    # pass has bounded (one long) agg state per bucket, and only surviving
+    # buckets reach the collect_list, so its buffer is capped at
+    # ``max_bucket`` elements — a degenerate bucket never builds an
+    # unbounded array.  The join and the regroup share the hash
+    # partitioning on ``_bucket`` (one exchange, reused).
+    sizes = banded.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
+    ok = sizes.filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket)) \
+              .select("_bucket")
     pairs = (
-        sized.filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket))
-             .select(F.explode(_pairs_expr(F.sort_array(F.col("_ids")))).alias("_p"))
-             .select(F.col("_p._1").alias("id_a"), F.col("_p._2").alias("id_b"))
-             .distinct()
+        banded.join(ok, "_bucket")
+              .groupBy("_bucket").agg(F.collect_list(id_col).alias("_ids"))
+              .select(F.explode(_pairs_expr(F.sort_array(F.col("_ids")))).alias("_p"))
+              .select(F.col("_p._1").alias("id_a"), F.col("_p._2").alias("id_b"))
+              .distinct()
     )
     return pairs
 
@@ -345,17 +353,61 @@ def hamming(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def _simhash_map_in_pandas(hashed: DataFrame, id_col: str, bits: int) -> DataFrame:
+    """(id, _th: array<bigint> of token xxhash64s) → (id, _sim: bigint).
+
+    Same integer math as :func:`simhash`, but the 63-way per-token bit test
+    — interpreted per element as a HOF expression (the minhash lesson) —
+    becomes one numpy shift/mask per Arrow batch.  mapInPandas (structural
+    node) rather than a pandas-UDF expression so the optimizer can never
+    fold it into a shuffle projection (see _minhash_map_in_pandas)."""
+    schema = T.StructType([hashed.schema[id_col],
+                           T.StructField("_sim", T.LongType())])
+    shifts = np.arange(bits, dtype=np.uint64)
+    powers = (np.uint64(1) << shifts).astype(np.int64)
+
+    def run(batches):
+        for pdf in batches:
+            sims = []
+            for h in pdf["_th"]:
+                x = np.asarray(h, dtype=np.int64).astype(np.uint64)[:, None]
+                if x.size == 0:
+                    sims.append(0)
+                    continue
+                signs = ((x >> shifts[None, :]) & np.uint64(1)).astype(np.int64) * 2 - 1
+                counts = signs.sum(axis=0)
+                sims.append(int(np.where(counts > 0, powers, 0).sum()))
+            yield pd.DataFrame({id_col: pdf[id_col], "_sim": sims})
+
+    return hashed.mapInPandas(run, schema=schema)
+
+
 def simhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
                            max_hamming: int = 3, bits: int = 63,
-                           n_bands: int = 4) -> DataFrame:
+                           n_bands: int = 4,
+                           max_bucket: int = 1000) -> DataFrame:
     """SimHash near-dup via the classic band trick: split the signature
     into ``n_bands`` chunks; any pair within Hamming distance
-    ``max_hamming < n_bands`` must agree exactly on ≥1 chunk, so bucketing
-    by (chunk index, chunk value) finds all such pairs with an equi-join.
-    Verified by exact Hamming distance."""
+    ``max_hamming < n_bands`` must agree exactly on ≥1 chunk (pigeonhole),
+    so bucketing by (chunk index, chunk value) finds all such pairs with an
+    equi-join.  Verified by exact Hamming distance.
+
+    ``max_hamming >= n_bands`` would silently lose recall (a pair can
+    spread its differing bits over every chunk), so it raises.
+    ``max_bucket`` caps the quadratic blow-up of degenerate buckets —
+    empty/boilerplate docs agree on whole chunks, and one such bucket of
+    B members emits B² join rows; at 100 TB that one key dominates the
+    job.  Capped buckets are dropped, as in minhash_lsh_candidates."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= n_bands={n_bands}: banding only "
+            f"guarantees recall for Hamming distance < n_bands")
     chunk = bits // n_bands
-    sh = ensure_parallelism(df.select(F.col(id_col), F.col(text_col))) \
-        .select(F.col(id_col), simhash(F.col(text_col), bits).alias("_sim"))
+    hashed = ensure_parallelism(df.select(
+        F.col(id_col),
+        F.transform(wordish_tokens(F.col(text_col)),
+                    lambda t: F.xxhash64(t)).alias("_th")))
+    sh = _simhash_map_in_pandas(hashed, id_col, bits)
     # chunk extraction unrolled per band (shift amounts are int literals)
     chunks = F.array(*[
         F.concat_ws(":", F.lit(i),
@@ -365,12 +417,16 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
     ])
     banded = sh.select(
         id_col, "_sim", F.explode(chunks).alias("_bucket"))
-    a = banded.select("_bucket", F.col(id_col).alias("id_a"), F.col("_sim").alias("_sim_a"))
+    sizes = banded.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
+    ok = sizes.filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket)) \
+              .select("_bucket")
+    a = banded.join(ok, "_bucket").select(
+        "_bucket", F.col(id_col).alias("id_a"), F.col("_sim").alias("_sim_a"))
     b = banded.select(F.col("_bucket").alias("_bucket_b"), F.col(id_col).alias("id_b"),
                       F.col("_sim").alias("_sim_b"))
     return (
         a.join(b, (F.col("_bucket") == F.col("_bucket_b")) & (F.col("id_a") < F.col("id_b")))
          .select("id_a", "id_b", hamming(F.col("_sim_a"), F.col("_sim_b")).alias("hamming_dist"))
+         .filter(F.col("hamming_dist") <= max_hamming)  # before distinct: shuffle only survivors
          .distinct()
-         .filter(F.col("hamming_dist") <= max_hamming)
     )

@@ -68,9 +68,29 @@ def test_simhash_identical_and_near(spark):
 
 def test_simhash_near_dup_pairs(docs):
     pairs = DD.simhash_near_dup_pairs(docs, "text", "doc_id",
-                                      max_hamming=10, n_bands=4)
+                                      max_hamming=10, n_bands=11)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (1, 2) in got  # identical ⇒ hamming 0
+
+
+def test_simhash_banding_guarantee_enforced(docs):
+    with pytest.raises(ValueError, match="n_bands"):
+        DD.simhash_near_dup_pairs(docs, "text", "doc_id",
+                                  max_hamming=4, n_bands=4)
+
+
+def test_simhash_vectorized_matches_expression(docs):
+    """The mapInPandas signature path must produce bit-identical simhashes
+    to the pure-expression simhash() (same token hashes, same math)."""
+    hashed = docs.select(
+        F.col("doc_id"),
+        F.transform(DD.wordish_tokens(F.col("text")),
+                    lambda t: F.xxhash64(t)).alias("_th"))
+    vec = {r["doc_id"]: r["_sim"]
+           for r in DD._simhash_map_in_pandas(hashed, "doc_id", 63).collect()}
+    expr = {r["doc_id"]: r["s"]
+            for r in docs.select("doc_id", DD.simhash(F.col("text")).alias("s")).collect()}
+    assert vec == expr
 
 
 def test_ngram_jaccard_pairs(docs):
