@@ -213,15 +213,7 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
         hashed = ensure_parallelism(df.select(
             F.col(id_col),
             shingle_hashes64(F.col(text_col), shingle_k).alias("_sh64")))
-    with_sig = _minhash_map_in_pandas(hashed, id_col, num_perm, seed)
-    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("_band")
-    banded = with_sig.select(id_col, "_sig", band_idx).select(
-        id_col,
-        F.xxhash64(
-            F.col("_band"),
-            F.slice(F.col("_sig"), F.col("_band") * rows_per_band + 1, rows_per_band),
-        ).alias("_bucket"),
-    )
+    banded = _minhash_banded(hashed, id_col, num_perm, bands, seed)
     # Size-filter buckets BEFORE materializing any id array: the counts
     # pass has bounded (one long) agg state per bucket, and only surviving
     # buckets reach the collect_list, so its buffer is capped at
@@ -239,6 +231,45 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
               .distinct()
     )
     return pairs
+
+
+def _minhash_banded(hashed: DataFrame, id_col: str, num_perm: int,
+                    bands: int, seed: int) -> DataFrame:
+    """(id, _sh64) → (id, _bucket): signature via the vectorized
+    mapInPandas stage, then one bucket key per band =
+    xxhash64(band index, band slice of the signature)."""
+    rows_per_band = num_perm // bands
+    with_sig = _minhash_map_in_pandas(hashed, id_col, num_perm, seed)
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("_band")
+    return with_sig.select(id_col, "_sig", band_idx).select(
+        id_col,
+        F.xxhash64(
+            F.col("_band"),
+            F.slice(F.col("_sig"), F.col("_band") * rows_per_band + 1, rows_per_band),
+        ).alias("_bucket"),
+    )
+
+
+def minhash_bucket_stats(df: DataFrame, text_col: str, id_col: str,
+                         num_perm: int = 128, bands: int = 16,
+                         shingle_k: int = 5, seed: int = 42,
+                         max_bucket: int = 1000) -> DataFrame:
+    """Drop-accountability for the LSH cap: one row
+    (n_buckets, n_multi, n_oversized, max_size) describing the bucket-size
+    distribution ``minhash_lsh_candidates`` would see.  ``max_bucket``
+    silently drops oversized buckets there (by design — exact dedup owns
+    degenerate content); monitor THIS so a data change that starts
+    tripping the cap fails loudly instead of as a recall loss."""
+    hashed = ensure_parallelism(df.select(
+        F.col(id_col),
+        shingle_hashes64(F.col(text_col), shingle_k).alias("_sh64")))
+    sizes = _minhash_banded(hashed, id_col, num_perm, bands, seed) \
+        .groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(F.col("_n") > 1, 1).otherwise(0)).alias("n_multi"),
+        F.sum(F.when(F.col("_n") > max_bucket, 1).otherwise(0)).alias("n_oversized"),
+        F.max("_n").alias("max_size"))
 
 
 def _pairs_expr(sorted_ids: Column) -> Column:

@@ -36,7 +36,8 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
             "spark.sql.shuffle.partitions",
-            str(shuffle_partitions or int(cpus) * 2 if str(cpus).isdigit() else 64),
+            str(shuffle_partitions
+                or (int(cpus) * 2 if str(cpus).isdigit() else 64)),
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

@@ -76,7 +76,16 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     Row multiplication is ``salts``× of the SMALL side only — bounded and
     chosen by the caller.  Use when the big side's join key is hot enough
     that one task would own a partition-sized key (and a broadcast of
-    ``small`` is too large — otherwise just broadcast)."""
+    ``small`` is too large — otherwise just broadcast).
+
+    Only ``inner`` and ``left`` joins are supported: under right/full an
+    unmatched small-side row would surface once per replica (``salts``
+    duplicate null-extended rows), which is silently wrong."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            f"outer variants would emit each unmatched small-side row "
+            f"once per salt replica")
     require_columns(big, [key])
     require_columns(small, [key])
     big_salted = big.withColumn(

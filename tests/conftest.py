@@ -39,7 +39,11 @@ def rows_sorted(df, *cols):
     """collect + sort for order-insensitive comparison (Spark groupBy output
     order is undefined — FIXTURES.md convention)."""
     key_cols = cols or tuple(df.columns)
+    idx = [df.columns.index(c) for c in key_cols]
+    # requested columns lead the sort key; the full tuple breaks ties so
+    # the ordering stays total (and unchanged for no-cols callers)
     return sorted(
         [tuple(r[c] for c in df.columns) for r in df.collect()],
-        key=lambda t: tuple((v is None, v) for v in t),
+        key=lambda t: (tuple((t[i] is None, t[i]) for i in idx),
+                       tuple((v is None, str(v)) for v in t)),
     )

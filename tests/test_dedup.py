@@ -109,3 +109,24 @@ def test_minhash_bucket_cap(spark):
                                "doc_id long, text string")
     pairs = DD.minhash_lsh_candidates(df, "text", "doc_id", max_bucket=10)
     assert pairs.count() == 0
+
+
+def test_fixture_parity_preconditions(documents):
+    """dedup_minhash oracle parity is DATA-dependent: the driver query
+    verifies at threshold 0.6 but 16x8 banding only guarantees recall for
+    high-J pairs, and max_bucket silently drops oversized buckets the
+    exhaustive oracle keeps.  Parity holds because the fixture's Jaccard
+    distribution is bimodal and no bucket trips the cap — assert BOTH so
+    a testdata change fails here, loudly, instead of as a silent parity
+    break (ADVICE r1)."""
+    stats = DD.minhash_bucket_stats(documents, "text", "doc_id").collect()[0]
+    assert stats["n_oversized"] == 0, stats
+
+    sh = documents.select(
+        F.col("doc_id"), DD.char_shingles(F.col("text"), 5).alias("_sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("_sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("_sh").alias("_sh_b"))
+    gap = (a.join(b, F.col("id_a") < F.col("id_b"))
+            .select(DD.jaccard(F.col("_sh_a"), F.col("_sh_b")).alias("j"))
+            .filter((F.col("j") >= 0.4) & (F.col("j") < 0.9)))
+    assert gap.count() == 0, "fixture Jaccard gap [0.4, 0.9) is no longer empty"
