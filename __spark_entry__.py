@@ -685,6 +685,59 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Scale extensions: multimodal columns (binary payloads + typed metadata)
+# ---------------------------------------------------------------------------
+
+MEDIA_PARQUET = "/root/repo/tests/fixtures/media.parquet"
+
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal metadata extraction (operators/multimodal.py
+    extract_media_meta): mime sniff + PNG/JPEG/GIF dimensions + WAV
+    duration parsed from payload HEADERS inside an Arrow-batched
+    mapInPandas — O(header) per row regardless of payload size, bytes
+    never on the driver.  Oracle compares against ground-truth columns
+    written by the fixture generator from the PRE-ENCODE source arrays,
+    so value parity proves the byte-level parsing.  Reference parity:
+    media-as-opaque-blob columns (SURVEY extension surface)."""
+    from frames_map_reduce_spark.operators.multimodal import extract_media_meta
+    media = spark.read.parquet(MEDIA_PARQUET)
+    meta = extract_media_meta(media, "doc_id", "payload")
+    return (meta.select(
+                F.col("media_meta.mime").alias("mime"),
+                F.col("media_meta.width").alias("width"),
+                F.col("media_meta.height").alias("height"),
+                F.col("media_meta.duration_ms").alias("duration_ms"),
+                F.col("media_meta.n_bytes").alias("n_bytes"))
+            .groupBy("mime")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("n_bytes").alias("total_bytes"),
+                 F.max("width").alias("max_width"),
+                 F.max("height").alias("max_height"),
+                 F.max("duration_ms").alias("max_duration_ms")))
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel/sample decode: PNG payloads through the pure-Python
+    zlib codec (functions/media.py png_decode → 4×4 mean-pooled
+    luminance), WAV payloads through np.frombuffer PCM16 → band RMS.
+    Per-doc feature mean must round-match the float64 ground truth
+    computed from the source arrays before encoding — an
+    encode→decode→featurize roundtrip proof."""
+    from frames_map_reduce_spark.operators.multimodal import (
+        decode_image_features, extract_audio_features)
+    media = spark.read.parquet(MEDIA_PARQUET).filter(F.col("feat_check"))
+    png = media.filter(F.col("true_mime") == "image/png")
+    wav = media.filter(F.col("true_mime") == "audio/wav")
+    feats = decode_image_features(png, "doc_id", "payload").unionByName(
+        extract_audio_features(wav, "doc_id", "payload"))
+    mean_expr = F.expr(
+        "aggregate(feature, 0D, (acc, x) -> acc + CAST(x AS DOUBLE))"
+        " / size(feature)")
+    return feats.select("doc_id", F.round(mean_expr, 4).alias("feat_mean"))
+
+
+# ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
 
@@ -737,6 +790,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_native": q_topk_native,
         "pivot": q_pivot,
         "quality_score": q_quality_score,
+        "media_meta": q_media_meta,
+        "media_features": q_media_features,
     }
 
 
@@ -969,6 +1024,16 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": f"""
             SELECT source, round(avg({TX.quality_score_sql('text')}), 6) AS avg_quality
             FROM documents GROUP BY source""",
+        "media_meta": f"""
+            SELECT true_mime AS mime, count(*) AS n,
+                   CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
+                   max(true_width) AS max_width,
+                   max(true_height) AS max_height,
+                   max(true_duration_ms) AS max_duration_ms
+            FROM '{MEDIA_PARQUET}' GROUP BY true_mime""",
+        "media_features": f"""
+            SELECT doc_id, round(true_feat_mean, 4) AS feat_mean
+            FROM '{MEDIA_PARQUET}' WHERE feat_check""",
         "running_total": """
             SELECT o_custkey, max(running) AS final_total,
                    count(*) AS n_orders

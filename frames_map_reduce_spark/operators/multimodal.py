@@ -8,11 +8,16 @@ only sane shape at 100 TB: payload bytes never visit the driver, each
 batch is decoded inside an executor, and the output schema is fixed up
 front so downstream stages remain declarative.
 
-The actual codec calls are STUBBED (the image/audio libraries are not in
-this container): ``decode_image`` raises ``NotImplementedError`` unless
-``fake=True``, in which case a deterministic hash-derived feature vector
-stands in for real decoding.  The Spark-side plumbing — schema, batching,
-partitioning, UDF signatures — is real and tested.
+Codec status (no Pillow/libsndfile in this container, so everything here
+is stdlib + numpy — see functions/media.py):
+
+- REAL: metadata extraction (PNG/JPEG/GIF dimensions, WAV duration) via
+  pure header parsing; PNG decode/encode/resize/feature-extraction
+  (zlib rows + predictor inversion); WAV PCM16 feature extraction.
+- STUBBED: JPEG/GIF pixel decode and video frame sampling (need a
+  DCT/LZW/container codec) — those paths raise ``NotImplementedError``
+  unless ``fake=True``, in which case a deterministic hash-derived
+  vector stands in so the plumbing stays testable.
 """
 
 from __future__ import annotations
@@ -25,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from frames_map_reduce_spark.functions import media as MEDIA
 from frames_map_reduce_spark.schema import require_columns
 
 MEDIA_META = T.StructType([
@@ -53,6 +59,48 @@ def attach_media_meta(df: DataFrame, binary_col: str, mime: str) -> DataFrame:
     )
 
 
+MEDIA_META_FIELDS = [f.name for f in MEDIA_META.fields]
+
+
+def extract_media_meta(df: DataFrame, id_col: str, binary_col: str,
+                       batch_hint: int = 1024) -> DataFrame:
+    """REAL metadata extraction: (id, media_meta struct) per payload.
+
+    Sniffs the format by magic bytes and parses dimensions (PNG IHDR,
+    JPEG SOFn walk, GIF screen descriptor) and WAV duration from headers
+    only — no pixel/sample decode, so cost is O(header) per row no matter
+    the payload size.  Arrow-batched ``mapInPandas``: bytes stay on
+    executors, and the structural plan node is safe under AQE
+    re-optimization (see spark-graft gotchas on PythonUDF collapse).
+    """
+    require_columns(df, [id_col, binary_col])
+    narrow = df.select(F.col(id_col).alias("doc_id"),
+                       F.col(binary_col).alias("_payload"))
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_meta", MEDIA_META),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for p in pdf["_payload"]:
+                b = bytes(p)
+                mime = MEDIA.sniff_mime(b)
+                dims = MEDIA.parse_dims(b) if (mime or "").startswith("image/") else None
+                wav = MEDIA.parse_wav_meta(b) if mime == "audio/wav" else None
+                metas.append({
+                    "mime": mime,
+                    "width": dims[0] if dims else None,
+                    "height": dims[1] if dims else None,
+                    "duration_ms": wav["duration_ms"] if wav else None,
+                    "n_bytes": len(b),
+                })
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media_meta": metas})
+
+    return narrow.mapInPandas(run, schema=schema)
+
+
 FEATURE_DIM = 16
 IMAGE_FEATURES_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
@@ -75,33 +123,41 @@ def decode_image_features(df: DataFrame, id_col: str, binary_col: str,
                           fake: bool = False, batch_hint: int = 1024) -> DataFrame:
     """binary payload → feature vector via Arrow-batched mapInPandas.
 
-    ``fake=False`` raises NotImplementedError at execution time (no codec
-    libraries in this container); ``fake=True`` uses the deterministic
-    hash-derived vector so the full pipeline (schema, batching, joins on
-    features) is exercisable in tests.
+    REAL for PNG payloads: decode (functions/media.py png_decode) then
+    4×4 mean-pooled luminance grid → 16 floats in [0, 1].  JPEG/GIF
+    pixel decode needs a DCT/LZW codec this container lacks, so those
+    raise ``NotImplementedError`` unless ``fake=True`` (deterministic
+    hash-derived vector, plumbing-only).
     """
     require_columns(df, [id_col, binary_col])
     narrow = df.select(F.col(id_col).alias("doc_id"), F.col(binary_col).alias("_payload"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image decoding requires a codec library (e.g. Pillow); "
-                    "not available in this environment — use fake=True for plumbing tests")
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "feature": [_fake_features(p) for p in pdf["_payload"]],
-            })
+            feats = []
+            for p in pdf["_payload"]:
+                b = bytes(p)
+                if fake:
+                    feats.append(_fake_features(b))
+                elif b[:8] == MEDIA.PNG_SIG:
+                    feats.append(MEDIA.png_features(b, grid=4))
+                else:
+                    raise NotImplementedError(
+                        "real pixel decode implemented for PNG only (pure "
+                        "stdlib); JPEG/GIF need a codec library — use "
+                        "fake=True for plumbing tests")
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
 
     return narrow.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
 def resize_images(df: DataFrame, id_col: str, binary_col: str,
                   width: int, height: int, fake: bool = False) -> DataFrame:
-    """Resize stage: binary → binary with updated metadata.  Stubbed codec
-    (fake path emits a deterministic truncated payload standing in for the
-    re-encoded image); the schema/meta plumbing is real."""
+    """Resize stage: binary → binary with updated metadata.
+
+    REAL for PNG: decode → nearest-neighbor resample → re-encode (pure
+    numpy index-gather; functions/media.py).  Other formats raise unless
+    ``fake=True`` (deterministic truncated payload stand-in)."""
     require_columns(df, [id_col, binary_col])
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
@@ -112,10 +168,16 @@ def resize_images(df: DataFrame, id_col: str, binary_col: str,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image resizing requires a codec library; use fake=True")
-            payloads = [bytes(p)[: max(16, width * height // 64)] for p in pdf["_payload"]]
+            payloads = []
+            for p in pdf["_payload"]:
+                b = bytes(p)
+                if fake:
+                    payloads.append(b[: max(16, width * height // 64)])
+                elif b[:8] == MEDIA.PNG_SIG:
+                    payloads.append(MEDIA.png_resize_nearest(b, width, height))
+                else:
+                    raise NotImplementedError(
+                        "real resize implemented for PNG only; use fake=True")
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "payload": payloads,
@@ -130,20 +192,30 @@ def resize_images(df: DataFrame, id_col: str, binary_col: str,
 
 def extract_audio_features(df: DataFrame, id_col: str, binary_col: str,
                            fake: bool = False) -> DataFrame:
-    """Audio feature extraction stub (MFCC-shaped output): binary →
-    array<float>, same mapInPandas plumbing as images."""
+    """Audio feature extraction: binary → array<float> (16 bands), same
+    mapInPandas plumbing as images.
+
+    REAL for PCM16 WAV: band-wise RMS energy over 16 equal time slices
+    (functions/media.py wav_features — ``np.frombuffer`` sample decode,
+    no codec needed).  Compressed formats raise unless ``fake=True``."""
     require_columns(df, [id_col, binary_col])
     narrow = df.select(F.col(id_col).alias("doc_id"), F.col(binary_col).alias("_payload"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real audio decoding requires a codec library; use fake=True")
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "feature": [_fake_features(bytes(p) + b"audio") for p in pdf["_payload"]],
-            })
+            feats = []
+            for p in pdf["_payload"]:
+                b = bytes(p)
+                if fake:
+                    feats.append(_fake_features(b + b"audio"))
+                else:
+                    real = MEDIA.wav_features(b, n_bands=FEATURE_DIM)
+                    if real is None:
+                        raise NotImplementedError(
+                            "real audio decode implemented for PCM16 WAV only; "
+                            "use fake=True for other formats")
+                    feats.append(real)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
 
     return narrow.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
