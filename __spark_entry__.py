@@ -585,14 +585,9 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frames_map_reduce_spark.mapreduce import unpack_no_op as _noop
     from frames_map_reduce_spark.streaming import stream_map_reduce, stream_to_memory
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # file streams require a directory basePath — glob the single file so
-    # the base resolves to the parent dir
-    stream = (spark.readStream.schema(raw_schema)
-                   .parquet(f"{sf_dir}/events.parque*")
-                   .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    # file streams require a directory basePath — _event_stream globs the
+    # single file so the base resolves to the parent dir
+    stream = _event_stream(spark, sf_dir)
     result = stream_map_reduce(
         stream, _noop(), keys=["event_type"],
         fold=folds.count_star("n")
@@ -603,6 +598,66 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     return spark.table(name).select(
         F.col("window.start").alias("hour"), "event_type", "n", "sum_value")
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File stream over events.parquet with the nanos→micros conversion
+    (shared by the streaming driver queries)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return (spark.readStream.schema(raw_schema)
+                 .parquet(f"{sf_dir}/events.parque*")
+                 .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+
+
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows through Structured Streaming: native
+    ``session_window`` (30-min inactivity gap) → availableNow memory sink
+    → batch per-user summary.  Shares a full value oracle with the batch
+    lag-based sessionization — boundary semantics are session_window's
+    (a gap of exactly 30:00 STARTS a new session, i.e. merge iff
+    diff < gap), which the oracle mirrors with ``>= 1800000000`` µs."""
+    import uuid
+
+    from frames_map_reduce_spark.streaming import stream_sessions, stream_to_memory
+
+    stream = _event_stream(spark, sf_dir)
+    per_session = stream_sessions(
+        stream, keys=["user_id"], ts_col="ts",
+        fold=folds.count_star("n_events")
+             & folds.of(F.round(F.sum("value"), 2), "sum_value"),
+        gap="30 minutes", watermark="1 hour")
+    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    q = stream_to_memory(per_session, name, output_mode="complete")
+    q.awaitTermination()
+    return (spark.table(name)
+                 .groupBy("user_id")
+                 .agg(F.count(F.lit(1)).alias("n_sessions"),
+                      F.sum("n_events").alias("n_events"),
+                      F.round(F.sum("sum_value"), 2).alias("sum_value")))
+
+
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``,
+    streaming/__init__.py stream_stateful_counts): running per-key counts
+    across micro-batches.  Under availableNow the final state equals the
+    batch group-by count, so this arbitrary-stateful path gets a FULL
+    value oracle, not a rows-only check."""
+    import uuid
+
+    from frames_map_reduce_spark.streaming import stream_stateful_counts
+
+    stream = _event_stream(spark, sf_dir).select("event_type")
+    counts = stream_stateful_counts(stream, "event_type")
+    name = f"stream_stateful_{uuid.uuid4().hex[:8]}"
+    q = (counts.writeStream.format("memory").queryName(name)
+               .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    # update mode emits one row per key per micro-batch; the LAST value
+    # per key is the final running count
+    tbl = spark.table(name)
+    return tbl.groupBy("event_type").agg(F.max("n").alias("n"))
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -783,6 +838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "events_hourly": q_events_hourly,
         "stream_hourly": q_stream_hourly,
+        "stream_sessions": q_stream_sessions,
+        "stream_stateful": q_stream_stateful,
         "events_json": q_events_json,
         "sessionize": q_sessionize,
         "join_revenue": q_join_revenue,
@@ -993,6 +1050,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, round(sum(value), 2) AS sum_value
             FROM events GROUP BY hour, event_type""",
+        "stream_sessions": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(n_events) AS BIGINT) AS n_events,
+                   round(sum(sum_value), 2) AS sum_value
+            FROM (SELECT user_id, count(*) AS n_events,
+                         round(sum(value), 2) AS sum_value
+                  FROM (SELECT user_id, value, ts,
+                               sum(new_session) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+                        FROM (SELECT user_id, value, ts, event_id,
+                                     CASE WHEN lag(ts) OVER w IS NULL
+                                               OR date_diff('microsecond',
+                                                            lag(ts) OVER w, ts)
+                                                  >= 1800000000
+                                          THEN 1 ELSE 0 END AS new_session
+                              FROM events
+                              WINDOW w AS (PARTITION BY user_id
+                                           ORDER BY ts, event_id)))
+                  GROUP BY user_id, session_id)
+            GROUP BY user_id""",
+        "stream_stateful": """
+            SELECT event_type, count(*) AS n
+            FROM events GROUP BY event_type""",
         "events_json": """
             SELECT event_type,
                    round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
