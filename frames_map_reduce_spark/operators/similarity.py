@@ -142,6 +142,30 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
     return _rank_topk(partial, k, query_id_col, id_col)
 
 
+def recall_at_k(approx: DataFrame, exact: DataFrame,
+                query_id_col: str = "query_id",
+                id_col: str = "vec_id") -> DataFrame:
+    """Per-query recall of an approximate top-k result against the exact
+    one: |approx ∩ exact| / |exact|.  Both inputs are top-k result frames
+    (≤ k rows per query — tiny), so this is a bounded join; it exists so
+    ANN queries can carry their own accuracy accounting instead of being
+    unauditable rows-only results.
+
+    Returns (query_id, n_exact, n_hits, recall)."""
+    ex = exact.select(query_id_col, id_col)
+    ap = approx.select(query_id_col, id_col)
+    hits = (ex.join(ap, [query_id_col, id_col])
+              .groupBy(query_id_col)
+              .agg(F.count(F.lit(1)).alias("n_hits")))
+    totals = ex.groupBy(query_id_col).agg(F.count(F.lit(1)).alias("n_exact"))
+    return (totals.join(hits, query_id_col, "left")
+                  .select(query_id_col, "n_exact",
+                          F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                          F.round(F.try_divide(F.coalesce("n_hits", F.lit(0)),
+                                               F.col("n_exact")), 6)
+                           .alias("recall")))
+
+
 def srp_bucketed(df: DataFrame, vec_col: str, dim: int, n_planes: int = 16,
                  seed: int = 42) -> DataFrame:
     """Attach an SRP-LSH bucket id column ``_bucket`` (pure expression)."""
@@ -153,36 +177,65 @@ def srp_bucketed(df: DataFrame, vec_col: str, dim: int, n_planes: int = 16,
 def ann_topk_srp(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  query_id_col: str = "query_id", n_planes: int = 12,
-                 seed: int = 42, multiprobe: bool = True) -> DataFrame:
-    """Approximate top-k: score only corpus rows in the query's SRP bucket
-    (and, with ``multiprobe``, buckets at Hamming distance 1 — recall
-    insurance against boundary effects).
+                 seed: int = 42, multiprobe: bool = True,
+                 n_tables: int = 1) -> DataFrame:
+    """Approximate top-k: score only corpus rows sharing an SRP bucket
+    with the query in at least one of ``n_tables`` independent hash
+    tables (OR-amplification), optionally widened per table by
+    ``multiprobe`` (buckets at Hamming distance 1).
 
-    The corpus side is bucketed once (reusable, e.g. written bucketed by
-    ``_bucket``); per query the join touches ~corpus/2^n_planes rows
-    (×(n_planes+1) with multiprobe).
+    Recall/cost dials — standard LSH geometry:
 
-    Tuning ``n_planes`` is the recall/cost dial and depends on how
-    clustered the embeddings are.  On UNIFORMLY RANDOM 64-dim vectors
-    (LSH's worst case — no cluster structure) measured recall@5 with
-    multiprobe was 0.70 / 0.58 / 0.44 / 0.24 at 3 / 4 / 5 / 6 planes;
-    real embedding corpora cluster and tolerate many more planes.
+    - ``n_planes`` controls selectivity: each table touches
+      ~corpus/2^n_planes rows per probe.  More planes = cheaper + lower
+      recall per table.
+    - ``n_tables`` (OR-amplification) multiplies recall: a true neighbor
+      is missed only if it misses in EVERY table, so miss-rate decays
+      exponentially in L while cost grows linearly.
+    - ``multiprobe`` adds the n_planes Hamming-1 buckets of each table —
+      recall insurance against plane-boundary effects.
+
+    Candidates from different tables/probes are deduplicated on
+    (query, id) BEFORE scoring, so exact-cosine work is per unique
+    candidate.  On this repo's synthetic 64-dim embeddings (weakly
+    clustered — close to LSH's uniform worst case) measured recall@5:
+    1 table 8 planes ≈ 0.0-0.2; 4 tables 6 planes + multiprobe ≈ 0.6-0.9
+    (see tests/test_similarity.py recall-floor tests).  Real embedding
+    corpora cluster far more and tolerate more planes / fewer tables.
+
+    The corpus side per table is a pure-expression bucket id (reusable —
+    write-time bucketed by ``_bucket`` per table); the probe is a
+    key-equality join, never a cross join.
     """
-    cb = srp_bucketed(corpus, vec_col, dim, n_planes, seed)
-    qb = srp_bucketed(queries, vec_col, dim, n_planes, seed)
-    if multiprobe:
-        probes = F.array(*([F.col("_bucket")] +
-                           [F.col("_bucket").bitwiseXOR(F.lit(1 << i))
-                            for i in range(n_planes)]))
-        qb = qb.select(query_id_col, F.col(vec_col).alias("_qvec"),
-                       F.explode(probes).alias("_bucket"))
-    else:
-        qb = qb.select(query_id_col, F.col(vec_col).alias("_qvec"), "_bucket")
-    scored = cb.join(F.broadcast(qb), on="_bucket").select(
-        query_id_col, id_col,
-        F.round(cosine(F.col(vec_col).cast("array<double>"),
-                       F.col("_qvec").cast("array<double>")), 6).alias("cosine_sim"),
-    )
+    cand = None
+    for t in range(n_tables):
+        tseed = seed + 7919 * t
+        cb = srp_bucketed(corpus, vec_col, dim, n_planes, tseed).select(
+            F.lit(t).alias("_table"), "_bucket", F.col(id_col), F.col(vec_col))
+        qb = srp_bucketed(queries, vec_col, dim, n_planes, tseed)
+        if multiprobe:
+            probes = F.array(*([F.col("_bucket")] +
+                               [F.col("_bucket").bitwiseXOR(F.lit(1 << i))
+                                for i in range(n_planes)]))
+            qb = qb.select(query_id_col,
+                           F.explode(probes).alias("_bucket"))
+        else:
+            qb = qb.select(query_id_col, "_bucket")
+        qb = qb.withColumn("_table", F.lit(t))
+        pairs = cb.join(F.broadcast(qb), on=["_table", "_bucket"]).select(
+            query_id_col, id_col, vec_col)
+        cand = pairs if cand is None else cand.unionByName(pairs)
+
+    # dedupe across tables/probes (vector rides along — identical source
+    # bytes, so distinct is exact and no corpus-wide re-join is needed),
+    # then score each unique candidate once
+    cand = cand.distinct()
+    qvecs = queries.select(query_id_col, F.col(vec_col).alias("_qvec"))
+    scored = (cand.join(F.broadcast(qvecs), on=query_id_col)
+                  .select(query_id_col, id_col,
+                          F.round(cosine(F.col(vec_col).cast("array<double>"),
+                                         F.col("_qvec").cast("array<double>")),
+                                  6).alias("cosine_sim")))
     return _rank_topk(partial_topk(scored, k, query_id_col, id_col),
                       k, query_id_col, id_col)
 
