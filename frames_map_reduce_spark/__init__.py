@@ -39,10 +39,13 @@ from frames_map_reduce_spark.mapreduce import (
     assign_keys,
     assign_keys_and_data,
     fold_and_add_key,
+    fold_and_label,
     frame_concat,
     make_recs_with_key,
     map_reduce,
+    process_and_label,
     reduce_and_add_key,
+    reduce_map_with_key,
     split_on_data,
     split_on_keys,
     unpack_filter_on_field,
@@ -71,8 +74,11 @@ __all__ = [
     "split_on_keys",
     "split_on_data",
     "fold_and_add_key",
+    "fold_and_label",
     "reduce_and_add_key",
+    "process_and_label",
     "make_recs_with_key",
+    "reduce_map_with_key",
     "frame_concat",
     "key_map",
     "combine_key_aggregations",

@@ -325,6 +325,38 @@ def make_recs_with_key(fn: Callable[[pd.DataFrame], pd.DataFrame],
 
 
 # ---------------------------------------------------------------------------
+# Engine-combinator aliases (reference Control.MapReduce re-exports, used
+# at src/Frames/MapReduce.hs:158,166,177 and MapReduce/General.hs:230-260).
+# In the reference these are the generic engine combinators that the
+# frames-level wrappers specialize by passing ``V.rappend`` (or a custom
+# record constructor) as the key-label function.  In the Spark rendering
+# the label step is structural — groupBy keys REMAIN columns of the
+# aggregate/applyInPandas output — so the generic form and the frames
+# wrapper are the same operator; these aliases keep the reference's
+# engine-level names callable for API parity.
+# ---------------------------------------------------------------------------
+
+def fold_and_label(fold: Fold) -> FoldReduce:
+    """``MR.foldAndLabel fld rappend`` (src/Frames/MapReduce.hs:166):
+    identical to :func:`fold_and_add_key` — see block comment above."""
+    return fold_and_add_key(fold)
+
+
+def process_and_label(fn: Callable[[pd.DataFrame], pd.DataFrame],
+                      output_schema: str | T.StructType) -> GroupMapReduce:
+    """``MR.processAndLabel process rappend`` (src/Frames/MapReduce.hs:158):
+    identical to :func:`reduce_and_add_key`."""
+    return reduce_and_add_key(fn, output_schema)
+
+
+def reduce_map_with_key(fn: Callable[[pd.DataFrame], pd.DataFrame],
+                        output_schema: str | T.StructType) -> GroupMapReduce:
+    """``MR.reduceMapWithKey addKey reduceToY`` (src/Frames/MapReduce.hs:177):
+    identical to :func:`make_recs_with_key`."""
+    return make_recs_with_key(fn, output_schema)
+
+
+# ---------------------------------------------------------------------------
 # The pipeline driver (reference §3.1)
 # ---------------------------------------------------------------------------
 

@@ -287,6 +287,35 @@ def ivf_assign(df: DataFrame, vec_col: str, centroids) -> DataFrame:
     return df.mapInPandas(run, schema=schema)
 
 
+def _ivf_probe_frame(spark, queries: DataFrame, centroids, nprobe: int,
+                     query_id_col: str, vec_col: str) -> DataFrame:
+    """(query_id, _qvec, _centroid) — one row per probed inverted list.
+    Queries are small by contract (they are broadcast anyway), so the
+    nprobe-nearest-centroid selection runs driver-side on numpy."""
+    import numpy as np
+    qrows = queries.collect()
+    qx = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    scores = qx @ centroids.T - 0.5 * (centroids ** 2).sum(axis=1)[None, :]
+    order = np.argsort(-scores, axis=1)[:, :nprobe]
+    probe_rows = [(r[query_id_col], list(r[vec_col]), int(c))
+                  for r, cs in zip(qrows, order) for c in cs]
+    qb = spark.createDataFrame(
+        probe_rows, f"{query_id_col} long, _qvec array<double>, _centroid int")
+    return qb, sorted({c for (_, _, c) in probe_rows})
+
+
+def _ivf_score(cb: DataFrame, qb: DataFrame, k: int, id_col: str,
+               vec_col: str, query_id_col: str) -> DataFrame:
+    """Probe join (broadcast — exchange-free on the corpus side) +
+    exact-cosine scoring + two-stage top-k."""
+    scored = cb.join(F.broadcast(qb), on="_centroid").select(
+        query_id_col, id_col,
+        F.round(cosine(F.col(vec_col).cast("array<double>"),
+                       F.col("_qvec")), 6).alias("cosine_sim"))
+    return _rank_topk(partial_topk(scored, k, query_id_col, id_col),
+                      k, query_id_col, id_col)
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
              n_centroids: int = 16, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
@@ -298,33 +327,54 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
     force, and the probe join is a key-equality join on ``_centroid``.
 
     Pass a prebuilt ``centroids`` array to reuse an index across query
-    batches (the realistic deployment shape: train once, assign once,
-    write bucketed by ``_centroid``)."""
-    import numpy as np
+    batches; for the full train-once/query-many deployment shape (index
+    persisted bucketed by ``_centroid``) use :func:`build_ivf_index` +
+    :func:`ivf_topk_indexed`."""
     require_columns(corpus, [id_col, vec_col])
     require_columns(queries, [query_id_col, vec_col])
     if centroids is None:
         centroids = train_ivf_centroids(corpus, vec_col, n_centroids, seed=seed)
     cb = ivf_assign(corpus, vec_col, centroids)
+    qb, _ = _ivf_probe_frame(corpus.sparkSession, queries, centroids, nprobe,
+                             query_id_col, vec_col)
+    return _ivf_score(cb, qb, k, id_col, vec_col, query_id_col)
 
-    # queries: nprobe nearest centroids each, computed driver-side
-    # (queries are small by contract — they are broadcast anyway)
-    qrows = queries.collect()
-    qx = np.array([r[vec_col] for r in qrows], dtype=np.float64)
-    scores = qx @ centroids.T - 0.5 * (centroids ** 2).sum(axis=1)[None, :]
-    order = np.argsort(-scores, axis=1)[:, :nprobe]
-    spark = corpus.sparkSession
-    probe_rows = [(r[query_id_col], list(r[vec_col]), int(c))
-                  for r, cs in zip(qrows, order) for c in cs]
-    qb = spark.createDataFrame(
-        probe_rows, f"{query_id_col} long, _qvec array<double>, _centroid int")
 
-    scored = cb.join(F.broadcast(qb), on="_centroid").select(
-        query_id_col, id_col,
-        F.round(cosine(F.col(vec_col).cast("array<double>"),
-                       F.col("_qvec")), 6).alias("cosine_sim"))
-    return _rank_topk(partial_topk(scored, k, query_id_col, id_col),
-                      k, query_id_col, id_col)
+def build_ivf_index(corpus: DataFrame, table: str, n_centroids: int = 16,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    seed: int = 42, n_buckets: int | None = None):
+    """Train-once half of the IVF deployment shape: train the coarse
+    quantizer, assign every corpus row, and PERSIST the assigned corpus
+    bucketed (and sorted) by ``_centroid`` via ``sources.write_bucketed``.
+
+    The write pays the assignment + one shuffle ONCE; afterwards every
+    query batch probes the saved table with a broadcast key-equality join
+    that needs NO corpus-side exchange (test_similarity pins the
+    0-exchange plan), and Spark's bucket pruning skips the inverted lists
+    no query probes.  Returns the centroid array — persist it however you
+    like (it is tiny: n_centroids × dim floats)."""
+    from frames_map_reduce_spark.sources import write_bucketed
+    require_columns(corpus, [id_col, vec_col])
+    centroids = train_ivf_centroids(corpus, vec_col, n_centroids, seed=seed)
+    assigned = ivf_assign(corpus.select(id_col, vec_col), vec_col, centroids)
+    write_bucketed(assigned, table, ["_centroid"],
+                   n_buckets or n_centroids)
+    return centroids
+
+
+def ivf_topk_indexed(spark, table: str, queries: DataFrame, centroids,
+                     k: int, nprobe: int = 4,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     query_id_col: str = "query_id") -> DataFrame:
+    """Query-many half: probe a persisted IVF index (built by
+    :func:`build_ivf_index`).  The ``_centroid IN (probed…)`` filter
+    prunes unread buckets at scan time; the probe join is broadcast, so
+    the corpus side runs scan→filter→score with zero exchanges."""
+    cb = spark.table(table)
+    qb, probed = _ivf_probe_frame(spark, queries, centroids, nprobe,
+                                  query_id_col, vec_col)
+    cb = cb.filter(F.col("_centroid").isin(probed))
+    return _ivf_score(cb, qb, k, id_col, vec_col, query_id_col)
 
 
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,

@@ -244,3 +244,41 @@ def test_mixed_pandas_and_native_folds(spark):
     assert out.columns == ["k", "rng", "x"]
     got = {r["k"]: (r["rng"], r["x"]) for r in out.collect()}
     assert got == {"a": (2.0, 4.0), "b": (0.0, 5.0), None: (0.0, 2.0)}
+
+
+def test_engine_aliases(spark, lineitem):
+    """The reference's engine-level combinators (Control.MapReduce
+    foldAndLabel/processAndLabel/reduceMapWithKey, used at reference
+    src/Frames/MapReduce.hs:158,166,177) collapse onto the frames-level
+    wrappers in the Spark rendering — the aliases must be the same
+    callables producing the same results."""
+    from frames_map_reduce_spark import (
+        fold_and_add_key, fold_and_label, make_recs_with_key, map_reduce,
+        process_and_label, reduce_and_add_key, reduce_map_with_key,
+        split_on_keys, unpack_no_op, folds)
+
+    r1 = map_reduce(lineitem, unpack_no_op(), split_on_keys(["l_returnflag"]),
+                    fold_and_label(folds.sum_("l_quantity", "q")))
+    r2 = map_reduce(lineitem, unpack_no_op(), split_on_keys(["l_returnflag"]),
+                    fold_and_add_key(folds.sum_("l_quantity", "q")))
+    assert sorted(map(tuple, r1.collect())) == sorted(map(tuple, r2.collect()))
+
+    def one_row(pdf):
+        import pandas as pd
+        return pd.DataFrame({"n": [len(pdf)]})
+
+    s1 = map_reduce(lineitem, unpack_no_op(), split_on_keys(["l_returnflag"]),
+                    process_and_label(one_row, "n long"))
+    s2 = map_reduce(lineitem, unpack_no_op(), split_on_keys(["l_returnflag"]),
+                    reduce_and_add_key(one_row, "n long"))
+    assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
+
+    def two_rows(pdf):
+        import pandas as pd
+        return pd.DataFrame({"n": [1, 2]})
+
+    t1 = map_reduce(lineitem, unpack_no_op(), split_on_keys(["l_returnflag"]),
+                    reduce_map_with_key(two_rows, "n long"))
+    t2 = map_reduce(lineitem, unpack_no_op(), split_on_keys(["l_returnflag"]),
+                    make_recs_with_key(two_rows, "n long"))
+    assert sorted(map(tuple, t1.collect())) == sorted(map(tuple, t2.collect()))

@@ -4,6 +4,7 @@ self-retrieval of the SRP-LSH path."""
 from __future__ import annotations
 
 import math
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -144,3 +145,55 @@ def test_srp_or_amplification_improves_recall(spark, embeddings):
     # measured ≈0.5 at sf0.01 / ≈0.6 at sf0.001 on near-uniform synthetic
     # embeddings (LSH worst case); generous floor so data tweaks don't flake
     assert r8 >= 0.25, (r1, r8)
+
+
+def test_ivf_persisted_index_probe(spark, embeddings):
+    """Train-once/query-many IVF: build_ivf_index persists the assigned
+    corpus bucketed by _centroid; ivf_topk_indexed must (a) return the
+    same result as the in-memory path with the same centroids, (b) probe
+    with a 0-exchange corpus side (scan→filter→score, broadcast probe),
+    (c) prune unprobed buckets at scan time."""
+    from frames_map_reduce_spark.plans import count_exchanges, explain_formatted
+
+    queries = (embeddings.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    corpus = embeddings.filter(F.col("vec_id") >= 3)
+
+    table = "ivf_index_test"
+    cents = SIM.build_ivf_index(corpus, table, n_centroids=8)
+    try:
+        indexed = SIM.ivf_topk_indexed(spark, table, queries, cents,
+                                       k=5, nprobe=2)
+        direct = SIM.ivf_topk(corpus, queries, k=5, nprobe=2, centroids=cents)
+        assert sorted(map(tuple, indexed.collect())) == \
+            sorted(map(tuple, direct.collect()))
+
+        # plan shape: the scored-join stage (before the top-k merge) must
+        # be exchange-free on the corpus side — scan + broadcast join only —
+        # with the probe-set IN filter pushed into the parquet scan
+        cb = spark.table(table)
+        qb, probed = SIM._ivf_probe_frame(spark, queries, cents, 2,
+                                          "query_id", "embedding")
+        scored = (cb.filter(F.col("_centroid").isin(probed))
+                    .join(F.broadcast(qb), on="_centroid"))
+        plan = explain_formatted(scored)
+        assert count_exchanges(scored) == 0
+        assert "In(_centroid" in plan
+        # under a bucketed scan the same filter prunes whole buckets
+        # (the planner may elect a plain scan when nothing needs
+        # co-location — pushed filters cover that case above)
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        try:
+            pruned = (spark.table(table)
+                           .filter(F.col("_centroid").isin(probed))
+                           .join(F.broadcast(qb), on="_centroid"))
+            plan2 = explain_formatted(pruned)
+            assert count_exchanges(pruned) == 0
+            m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan2)
+            assert m and int(m.group(1)) < int(m.group(2)), plan2
+        finally:
+            spark.conf.unset(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
