@@ -32,9 +32,12 @@ HEADLINE = [
     "lang_id",            # marker-scoring expressions
     "dedup_exact",        # fingerprint groupBy
     "dedup_minhash",      # minhash signatures + LSH bucket join
-    "ann_bruteforce",     # broadcast crossJoin + vector math + topk
+    "dedup_simhash",      # vectorized simhash + capped banded self-join
+    "ann_bruteforce",     # batched matmul scoring + two-stage topk
     "events_hourly",      # timestamp truncation agg
     "sessionize",         # window functions
+    "topk_native",        # JVM window top-k (the scale path)
+    "pivot",              # explicit-values conditional-agg pivot
 ]
 
 

@@ -115,8 +115,93 @@ def shingle_hashes64(text: Column, shingle_k: int = 5) -> Column:
     the verify-stage shingle-set representation: array_intersect on
     fixed-width longs is far cheaper than on strings, and the 64-bit space
     makes a hash collision distorting a pair's Jaccard (~1e-14 per pair)
-    negligible."""
+    negligible.
+
+    Expression form — each substring + hash is an INTERPRETED lambda eval
+    (~chars-per-doc of them per row).  Pipelines should prefer
+    :func:`shingle_hashes64_frame`, the vectorized numpy rendering of the
+    same shingle-set semantics (measured ~10× on 5k docs)."""
     return F.transform(char_shingles(text, shingle_k), lambda s: F.xxhash64(s))
+
+
+# splitmix64 constants (public-domain mixer, Steele et al.) — used to
+# finalize the rolling polynomial so shingle hashes are well-distributed
+_SM_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+_SM_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_M2 = np.uint64(0x94D049BB133111EB)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def _mix64(z: "np.ndarray") -> "np.ndarray":
+    z = (z + _SM_GAMMA)
+    z ^= z >> np.uint64(30)
+    z *= _SM_M1
+    z ^= z >> np.uint64(27)
+    z *= _SM_M2
+    z ^= z >> np.uint64(31)
+    return z
+
+
+def _shingle_hashes_np(s: str, k: int) -> "np.ndarray":
+    """Distinct 64-bit hashes of the character k-grams of an ALREADY
+    normalized string — polynomial rolling hash over code points,
+    splitmix64-finalized, np.unique'd.  Hash identity differs from the
+    expression form's xxhash64 (irrelevant: only shingle-set EQUALITY
+    semantics matter for Jaccard/minhash), but the set semantics are
+    identical: k-grams of the normalized text, whole string when shorter
+    than k."""
+    cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    n = len(cp)
+    if n < k + 1:  # 0..k chars: single shingle = the whole string
+        h = np.uint64(0)
+        for c in cp:
+            h = h * _FNV_PRIME + c
+        return _mix64(np.array([h], dtype=np.uint64))
+    win = np.lib.stride_tricks.sliding_window_view(cp, k)
+    h = win[:, 0].copy()
+    for j in range(1, k):
+        h = h * _FNV_PRIME + win[:, j]
+    return np.unique(_mix64(h))
+
+
+_WS_JAVA = None  # compiled lazily inside executors
+
+
+def _normalize_py(s: str) -> str:
+    """EXACT Python replica of functions/text.normalized(): lower, collapse
+    Java-``\\s`` runs ([ \\t\\n\\x0B\\f\\r] — NOT Python's Unicode \\s) to
+    one space, trim."""
+    global _WS_JAVA
+    if _WS_JAVA is None:
+        import re
+        _WS_JAVA = re.compile("[ \t\n\x0b\f\r]+")
+    return _WS_JAVA.sub(" ", s.lower()).strip(" ")
+
+
+def shingle_hashes64_frame(df: DataFrame, text_col: str, id_col: str,
+                           shingle_k: int = 5) -> DataFrame:
+    """(id, _sh64): the vectorized scale path for shingle hashing — an
+    Arrow-batched ``mapInPandas`` stage computing normalized-text k-gram
+    hash sets in numpy (rolling polynomial + splitmix64 + np.unique)
+    instead of per-element interpreted ``substring``/``xxhash64`` lambdas.
+
+    Structural plan node (AQE-safe, same rationale as
+    ``_minhash_map_in_pandas``); also serves as the parallelism barrier
+    that ``ensure_parallelism`` provided in the expression path."""
+    require_columns(df, [text_col, id_col])
+    narrow = ensure_parallelism(df.select(F.col(id_col),
+                                          F.col(text_col).alias("_txt")))
+    schema = T.StructType([df.schema[id_col],
+                           T.StructField("_sh64", T.ArrayType(T.LongType()))])
+
+    def run(batches):
+        for pdf in batches:
+            hs = [_shingle_hashes_np(_normalize_py(t or ""), shingle_k)
+                  .view(np.int64)
+                  for t in pdf["_txt"]]
+            yield pd.DataFrame({pdf.columns[0]: pdf.iloc[:, 0], "_sh64": hs})
+
+    return narrow.mapInPandas(run, schema=schema)
 
 
 def minhash_signature_pandas(num_perm: int = 128, seed: int = 42):
@@ -177,11 +262,47 @@ def _minhash_map_in_pandas(hashed: DataFrame, id_col: str, num_perm: int,
     return hashed.mapInPandas(run, schema=schema)
 
 
+def _shingle_sig_frame(df: DataFrame, text_col: str, id_col: str,
+                       shingle_k: int, num_perm: int, seed: int) -> DataFrame:
+    """(id, _sh64, _sig) in ONE fused Python stage: normalized-k-gram
+    hash set (see :func:`shingle_hashes64_frame`) AND the minhash
+    signature computed from it in the same Arrow batch — one
+    worker/serialization round instead of two chained ones.  The fused
+    frame is what ``minhash_near_dup_pairs`` persists: every consumer
+    (banding, both verify sides) reads it cache-side, so the whole dedup
+    pays exactly one Python pass over the corpus."""
+    require_columns(df, [text_col, id_col])
+    params = _minhash_params(num_perm, seed)
+    a = np.array([p[0] for p in params], dtype=np.int64)[None, :]
+    b = np.array([p[1] for p in params], dtype=np.int64)[None, :]
+    narrow = ensure_parallelism(df.select(F.col(id_col),
+                                          F.col(text_col).alias("_txt")))
+    schema = T.StructType([df.schema[id_col],
+                           T.StructField("_sh64", T.ArrayType(T.LongType())),
+                           T.StructField("_sig", T.ArrayType(T.LongType()))])
+
+    def run(batches):
+        for pdf in batches:
+            shs, sigs = [], []
+            for t in pdf["_txt"]:
+                h = _shingle_hashes_np(_normalize_py(t or ""), shingle_k) \
+                    .view(np.int64)
+                shs.append(h)
+                x = (h % _P31)[:, None]
+                sigs.append(np.full(num_perm, _P31, dtype=np.int64)
+                            if x.size == 0 else ((x * a + b) % _P31).min(axis=0))
+            yield pd.DataFrame({pdf.columns[0]: pdf.iloc[:, 0],
+                                "_sh64": shs, "_sig": sigs})
+
+    return narrow.mapInPandas(run, schema=schema)
+
+
 def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
                            num_perm: int = 128, bands: int = 16,
                            shingle_k: int = 5, seed: int = 42,
                            max_bucket: int = 1000,
-                           hashed: DataFrame | None = None) -> DataFrame:
+                           hashed: DataFrame | None = None,
+                           with_sig: DataFrame | None = None) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded LSH.
 
     Plan shape (scale rationale):
@@ -205,15 +326,34 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
     rows_per_band = num_perm // bands
     if rows_per_band * bands != num_perm:
         raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
-    # Stage 1: shingle-hash once per row (native exprs); the repartition is
-    # BOTH the parallelism fix for narrow inputs AND an optimizer barrier.
+    # Stage 1: shingle-hash once per row (vectorized numpy mapInPandas —
+    # doubles as parallelism fix and optimizer barrier for narrow inputs).
     # Stage 2: permutation minima in a vectorized pandas UDF (see
     # minhash_signature_pandas for why not a native expression).
-    if hashed is None:
-        hashed = ensure_parallelism(df.select(
-            F.col(id_col),
-            shingle_hashes64(F.col(text_col), shingle_k).alias("_sh64")))
-    banded = _minhash_banded(hashed, id_col, num_perm, bands, seed)
+    # The banded frame is PERSISTED (memory-and-disk): it has two
+    # consumers (bucket sizes, bucket join), and recomputing it re-runs
+    # both Python stages — with Python stages in the lineage the
+    # cache-vs-recompute tradeoff flips (per-stage worker/Arrow overhead
+    # dominates, unlike the earlier all-JVM lineage).  The persisted form
+    # is skinny: (id, _bucket) — 2 longs × rows × bands.
+    from pyspark import StorageLevel
+    sig_cached = with_sig is not None
+    if with_sig is None:
+        if hashed is not None:
+            with_sig = _minhash_map_in_pandas(hashed, id_col, num_perm, seed)
+        else:
+            with_sig = _shingle_sig_frame(df, text_col, id_col, shingle_k,
+                                          num_perm, seed) \
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            sig_cached = True
+    banded = _minhash_banded(with_sig, id_col, num_perm, bands)
+    # Two consumers below (sizes, join).  If the signature frame is cached
+    # (the normal path), re-deriving banded per consumer is a cheap JVM
+    # explode over the cache — persisting it again would only add a
+    # materialization barrier.  With an UNcached Python lineage, persist:
+    # recomputing would re-pay the Python stage per consumer.
+    if not sig_cached:
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     # Size-filter buckets BEFORE materializing any id array: the counts
     # pass has bounded (one long) agg state per bucket, and only surviving
     # buckets reach the collect_list, so its buffer is capped at
@@ -233,13 +373,12 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
     return pairs
 
 
-def _minhash_banded(hashed: DataFrame, id_col: str, num_perm: int,
-                    bands: int, seed: int) -> DataFrame:
-    """(id, _sh64) → (id, _bucket): signature via the vectorized
-    mapInPandas stage, then one bucket key per band =
-    xxhash64(band index, band slice of the signature)."""
+def _minhash_banded(with_sig: DataFrame, id_col: str, num_perm: int,
+                    bands: int) -> DataFrame:
+    """(id, …, _sig) → (id, _bucket): one bucket key per band =
+    xxhash64(band index, band slice of the signature) — pure JVM
+    expressions over the (cached) signature frame."""
     rows_per_band = num_perm // bands
-    with_sig = _minhash_map_in_pandas(hashed, id_col, num_perm, seed)
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("_band")
     return with_sig.select(id_col, "_sig", band_idx).select(
         id_col,
@@ -260,10 +399,9 @@ def minhash_bucket_stats(df: DataFrame, text_col: str, id_col: str,
     silently drops oversized buckets there (by design — exact dedup owns
     degenerate content); monitor THIS so a data change that starts
     tripping the cap fails loudly instead of as a recall loss."""
-    hashed = ensure_parallelism(df.select(
-        F.col(id_col),
-        shingle_hashes64(F.col(text_col), shingle_k).alias("_sh64")))
-    sizes = _minhash_banded(hashed, id_col, num_perm, bands, seed) \
+    with_sig = _shingle_sig_frame(df, text_col, id_col, shingle_k,
+                                  num_perm, seed)
+    sizes = _minhash_banded(with_sig, id_col, num_perm, bands) \
         .groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
     return sizes.agg(
         F.count(F.lit(1)).alias("n_buckets"),
@@ -298,20 +436,23 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
                            seed: int = 42) -> DataFrame:
     """LSH candidates verified by exact Jaccard on the true shingle sets.
     Returns (id_a, id_b, jaccard_sim) with jaccard_sim ≥ threshold."""
-    # One shared lineage feeds the candidate branch and both verify join
-    # sides.  Deliberately NOT persisted: caching the wide array column
-    # (in-memory columnar write + serialization) measured 5x slower than
-    # recomputing the shingling per branch, which pipelines inside each
-    # consumer's stage.
-    hashed = ensure_parallelism(df.select(
-        F.col(id_col),
-        shingle_hashes64(F.col(text_col), shingle_k).alias("_sh64")))
+    # ONE fused Python pass (shingle-hash set + minhash signature in the
+    # same Arrow batch) feeds the candidate branch and both verify join
+    # sides.  PERSISTED (memory-and-disk, spills at scale): with a Python
+    # stage in the lineage, recomputing per branch re-pays the
+    # worker/serialization round each time — measured slower than caching,
+    # the OPPOSITE call from the earlier all-JVM expression lineage whose
+    # recompute pipelined for free inside each consumer stage.
+    from pyspark import StorageLevel
+    fused = _shingle_sig_frame(df, text_col, id_col, shingle_k,
+                               num_perm, seed) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     cands = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands,
-                                   shingle_k, seed, hashed=hashed)
+                                   shingle_k, seed, with_sig=fused)
     # verify on 64-bit shingle-hash arrays: same Jaccard as string shingles
     # (collision odds ~1e-14/pair) at a fraction of the compare cost
-    a = hashed.select(F.col(id_col).alias("id_a"), F.col("_sh64").alias("_sh_a"))
-    b = hashed.select(F.col(id_col).alias("id_b"), F.col("_sh64").alias("_sh_b"))
+    a = fused.select(F.col(id_col).alias("id_a"), F.col("_sh64").alias("_sh_a"))
+    b = fused.select(F.col(id_col).alias("id_b"), F.col("_sh64").alias("_sh_b"))
     return (
         cands.join(a, "id_a").join(b, "id_b")
              .select("id_a", "id_b",
@@ -438,7 +579,13 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
         F.col(id_col),
         F.transform(wordish_tokens(F.col(text_col)),
                     lambda t: F.xxhash64(t)).alias("_th")))
-    sh = _simhash_map_in_pandas(hashed, id_col, bits)
+    # PERSIST the signature frame: three consumers below (bucket sizes and
+    # both self-join sides) would otherwise re-run the tokenize + Python
+    # signature stage each — and (id, _sim) is two longs per row, the
+    # cheapest possible thing to cache.
+    from pyspark import StorageLevel
+    sh = _simhash_map_in_pandas(hashed, id_col, bits) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     # chunk extraction unrolled per band (shift amounts are int literals)
     chunks = F.array(*[
         F.concat_ws(":", F.lit(i),
