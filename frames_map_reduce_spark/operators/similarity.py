@@ -32,6 +32,24 @@ def _random_planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
+MAX_DRIVER_QUERIES = 100_000
+
+
+def _collect_queries(queries: DataFrame, cols: list[str]) -> list:
+    """Enforce the bounded-queries contract BEFORE materializing on the
+    driver: top-k search ships the query set to every task (closure or
+    broadcast), so an unboundedly large query frame is a design error —
+    fail loudly with the fix (batch the queries) instead of OOMing the
+    driver at scale."""
+    rows = queries.select(*cols).limit(MAX_DRIVER_QUERIES + 1).collect()
+    if len(rows) > MAX_DRIVER_QUERIES:
+        raise ValueError(
+            f"query set exceeds MAX_DRIVER_QUERIES={MAX_DRIVER_QUERIES}; "
+            "top-k queries are driver-collected and shipped to every task "
+            "by contract — run in batches (or join against an index) instead")
+    return rows
+
+
 def _round_half_up(x, digits: int):
     """HALF_UP-away-from-zero rounding on float64 — the mode BOTH Spark's
     ``round`` (BigDecimal HALF_UP) and DuckDB's ``round`` use, unlike
@@ -103,7 +121,7 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
     require_columns(corpus, [id_col, vec_col])
     require_columns(queries, [query_id_col, vec_col])
 
-    qrows = queries.select(query_id_col, vec_col).collect()  # contract-small
+    qrows = _collect_queries(queries, [query_id_col, vec_col])
     qids = np.array([r[0] for r in qrows])
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
     qnorm = np.linalg.norm(qmat, axis=1)
@@ -293,7 +311,7 @@ def _ivf_probe_frame(spark, queries: DataFrame, centroids, nprobe: int,
     Queries are small by contract (they are broadcast anyway), so the
     nprobe-nearest-centroid selection runs driver-side on numpy."""
     import numpy as np
-    qrows = queries.collect()
+    qrows = _collect_queries(queries, [query_id_col, vec_col])
     qx = np.array([r[vec_col] for r in qrows], dtype=np.float64)
     scores = qx @ centroids.T - 0.5 * (centroids ** 2).sum(axis=1)[None, :]
     order = np.argsort(-scores, axis=1)[:, :nprobe]

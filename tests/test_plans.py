@@ -76,12 +76,18 @@ def test_mapping_table_broadcasts(spark, lineitem):
     assert has_broadcast_join(out)
 
 
-def test_brute_force_topk_broadcasts_queries(spark, embeddings):
+def test_brute_force_topk_plan_shape(spark, embeddings):
+    """Two-stage brute force: queries ship in the task closure (no join —
+    scoring is one numpy matmul per Arrow batch inside mapInPandas) and
+    only the per-query MERGE shuffles, receiving ≤ partitions×k rows per
+    query.  Exactly ONE exchange and no join of any kind."""
     from frames_map_reduce_spark.operators.similarity import brute_force_topk
+    from frames_map_reduce_spark.plans import count_exchanges, explain_formatted
     queries = (embeddings.limit(3)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
     out = brute_force_topk(embeddings, queries, k=3)
-    assert has_broadcast_join(out)
+    assert count_exchanges(out) == 1
+    assert "Join" not in explain_formatted(out)
 
 
 def test_whole_stage_codegen_covers_agg(flagship):
