@@ -447,6 +447,9 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
     fused = _shingle_sig_frame(df, text_col, id_col, shingle_k,
                                num_perm, seed) \
         .persist(StorageLevel.MEMORY_AND_DISK)
+    # eager materialization: see simhash_near_dup_pairs — avoids the
+    # concurrent-consumer cache-population race re-running the Python pass
+    fused.count()
     cands = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands,
                                    shingle_k, seed, with_sig=fused)
     # verify on 64-bit shingle-hash arrays: same Jaccard as string shingles
@@ -554,6 +557,71 @@ def _simhash_map_in_pandas(hashed: DataFrame, id_col: str, bits: int) -> DataFra
     return hashed.mapInPandas(run, schema=schema)
 
 
+_WORDISH_PY = None
+
+
+def _wordish_tokens_py(s: str) -> list[str]:
+    """Python replica of functions/text.wordish_tokens: lowercase, then
+    ``[a-z0-9]+|[^a-z0-9\\s]`` with Java's ASCII ``\\s`` class."""
+    global _WORDISH_PY
+    if _WORDISH_PY is None:
+        import re
+        _WORDISH_PY = re.compile("[a-z0-9]+|[^a-z0-9 \t\n\x0b\f\r]")
+    return _WORDISH_PY.findall(s.lower())
+
+
+def _token_hash_py(tok: str) -> int:
+    """64-bit token hash: polynomial over code points + splitmix64 — the
+    same family as the shingle hash.  Hash IDENTITY is free to differ
+    from the expression path's xxhash64: simhash quality only needs a
+    well-distributed 64-bit hash (and the driver check is rows-only)."""
+    h = 0
+    for c in tok:
+        h = (h * 1099511628211 + ord(c)) & 0xFFFFFFFFFFFFFFFF
+    return int(_mix64(np.array([h], dtype=np.uint64))[0])
+
+
+def _simhash_from_text_frame(df: DataFrame, text_col: str, id_col: str,
+                             bits: int) -> DataFrame:
+    """(id, _sim) in ONE fused Python stage: tokenize + token-hash +
+    sign-accumulate + pack per Arrow batch (the minhash fusion lesson —
+    the JVM transform(xxhash64) per token is an interpreted HOF, and a
+    separate Python signature stage pays a second worker round).  Token
+    hashes are memoized per worker: corpus vocabulary is tiny relative to
+    token occurrences, so most tokens hash once per executor."""
+    require_columns(df, [text_col, id_col])
+    narrow = ensure_parallelism(df.select(F.col(id_col),
+                                          F.col(text_col).alias("_txt")))
+    schema = T.StructType([df.schema[id_col],
+                           T.StructField("_sim", T.LongType())])
+    shifts = np.arange(bits, dtype=np.uint64)
+    powers = (np.uint64(1) << shifts).astype(np.int64)
+
+    def run(batches):
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            sims = []
+            for t in pdf["_txt"]:
+                toks = _wordish_tokens_py(t or "")
+                if not toks:
+                    sims.append(0)
+                    continue
+                hs = np.empty(len(toks), dtype=np.uint64)
+                for i, tok in enumerate(toks):
+                    v = memo.get(tok)
+                    if v is None:
+                        v = _token_hash_py(tok)
+                        memo[tok] = v
+                    hs[i] = v
+                signs = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)) \
+                    .astype(np.int64) * 2 - 1
+                counts = signs.sum(axis=0)
+                sims.append(int(np.where(counts > 0, powers, 0).sum()))
+            yield pd.DataFrame({pdf.columns[0]: pdf.iloc[:, 0], "_sim": sims})
+
+    return narrow.mapInPandas(run, schema=schema)
+
+
 def simhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
                            max_hamming: int = 3, bits: int = 63,
                            n_bands: int = 4,
@@ -575,17 +643,18 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
             f"max_hamming={max_hamming} >= n_bands={n_bands}: banding only "
             f"guarantees recall for Hamming distance < n_bands")
     chunk = bits // n_bands
-    hashed = ensure_parallelism(df.select(
-        F.col(id_col),
-        F.transform(wordish_tokens(F.col(text_col)),
-                    lambda t: F.xxhash64(t)).alias("_th")))
     # PERSIST the signature frame: three consumers below (bucket sizes and
     # both self-join sides) would otherwise re-run the tokenize + Python
     # signature stage each — and (id, _sim) is two longs per row, the
     # cheapest possible thing to cache.
     from pyspark import StorageLevel
-    sh = _simhash_map_in_pandas(hashed, id_col, bits) \
+    sh = _simhash_from_text_frame(df, text_col, id_col, bits) \
         .persist(StorageLevel.MEMORY_AND_DISK)
+    # Materialize NOW: within one downstream action the three consumers
+    # otherwise race to populate the cache and each can recompute the
+    # Python stage (measured ~1.5× total job cost).  One eager pass is
+    # strictly cheaper than that race at any scale.
+    sh.count()
     # chunk extraction unrolled per band (shift amounts are int literals)
     chunks = F.array(*[
         F.concat_ws(":", F.lit(i),
