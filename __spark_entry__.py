@@ -762,6 +762,54 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Scale extensions: temporal joins (as-of, range) — operators Spark lacks
+# natively, composed from window/equi-join primitives (operators/temporal.py)
+# ---------------------------------------------------------------------------
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each 'click' event picks up the most recent
+    'view' event of the same user (value + age).  One shuffle (the window
+    partitionBy user) — no range self-join.  Oracle: DuckDB's native
+    ASOF JOIN."""
+    from frames_map_reduce_spark.operators.temporal import as_of_join
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click") \
+               .select("user_id", "ts", "event_id", "value")
+    views = ev.filter(F.col("event_type") == "view") \
+              .select("user_id", "ts",
+                      F.col("value").alias("view_value"))
+    out = as_of_join(clicks, views, "ts", ["user_id"], ["view_value"])
+    return out.select(
+        "event_id", "user_id",
+        F.round("value", 2).alias("click_value"),
+        F.round("view_value_right", 2).alias("view_value"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_right")))
+        .alias("age_us"))
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-containment) join via time bucketing: every
+    'error' event opens a 1-hour window; count the 'click' events falling
+    inside each.  Pair generation is a key-EQUALITY join on
+    (user_id, bucket) — no theta-join.  Oracle: plain BETWEEN join."""
+    from frames_map_reduce_spark.operators.temporal import range_join
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click") \
+               .select("user_id", "ts",
+                       F.col("event_id").alias("click_id"))
+    errors = ev.filter(F.col("event_type") == "error") \
+               .select("user_id",
+                       F.col("event_id").alias("error_id"),
+                       F.col("ts").alias("t0"),
+                       (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("t1"))
+    pairs = range_join(clicks, errors, "ts", "t0", "t1",
+                       by_cols=["user_id"], bucket="30 minutes")
+    return (pairs.groupBy("error_id")
+                 .agg(F.count(F.lit(1)).alias("n_clicks"),
+                      F.min("click_id").alias("first_click_id")))
+
+
+# ---------------------------------------------------------------------------
 # Scale extensions: multimodal columns (binary payloads + typed metadata)
 # ---------------------------------------------------------------------------
 
@@ -871,6 +919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "media_meta": q_media_meta,
         "media_features": q_media_features,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
     }
 
 
@@ -1127,6 +1177,22 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": f"""
             SELECT source, round(avg({TX.quality_score_sql('text')}), 6) AS avg_quality
             FROM documents GROUP BY source""",
+        "asof_join": """
+            SELECT c.event_id, c.user_id,
+                   round(c.value, 2) AS click_value,
+                   round(v.value, 2) AS view_value,
+                   date_diff('microsecond', v.ts, c.ts) AS age_us
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON c.user_id = v.user_id AND c.ts >= v.ts""",
+        "range_join": """
+            SELECT e.event_id AS error_id, count(*) AS n_clicks,
+                   min(c.event_id) AS first_click_id
+            FROM (SELECT * FROM events WHERE event_type = 'error') e
+            JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON e.user_id = c.user_id
+             AND c.ts BETWEEN e.ts AND e.ts + INTERVAL 1 HOUR
+            GROUP BY e.event_id""",
         "media_meta": f"""
             SELECT true_mime AS mime, count(*) AS n,
                    CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,

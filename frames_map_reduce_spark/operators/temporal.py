@@ -1,0 +1,144 @@
+"""Temporal joins Spark lacks natively: as-of join and range (interval)
+join, expressed Spark-first as compositions of existing DataFrame ops —
+no Python in the hot path, no theta-join.
+
+These are the canonical "custom operator the engine doesn't ship"
+examples for a time-series/training-data pipeline (the reference library
+is a fold engine with no joins at all — SURVEY §2.8 extension surface).
+
+Scale design:
+
+- ``as_of_join`` is the union-marker/window rendering: both sides union
+  into one frame, ONE shuffle on the ``by`` keys, and a running
+  ``last(..., ignorenulls)`` window carries the most recent right-side
+  row forward onto each left row.  No per-key driver loops, no range
+  self-join; cost is a sort within each key partition — the same shape
+  Spark uses for any window, so AQE/skew handling apply as usual.
+- ``range_join`` buckets time so the pair generation is a key-EQUALITY
+  join: each interval explodes into the fixed-width buckets it covers,
+  each point lands in exactly one bucket, so every qualifying
+  (point, interval) pair meets exactly once (no distinct needed) and the
+  residual ``BETWEEN`` filter runs post-join.  Quadratic blow-up is
+  impossible unless many intervals overlap the same bucket, which
+  ``max_span_buckets`` + bucket sizing control.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from frames_map_reduce_spark.schema import require_columns
+
+
+def _interval_us(spec: str) -> str:
+    """SQL expression for the length of ``INTERVAL <spec>`` in
+    microseconds (Spark cannot ``extract(epoch ...)`` from day-time
+    intervals; adding to the epoch and taking unix_micros is
+    timezone-independent)."""
+    return (f"unix_micros(cast('1970-01-01 00:00:00Z' AS TIMESTAMP)"
+            f" + INTERVAL {spec})")
+
+
+def as_of_join(left: DataFrame, right: DataFrame, ts_col: str,
+               by_cols: Sequence[str], value_cols: Sequence[str],
+               tolerance: str | None = None,
+               suffix: str = "_right") -> DataFrame:
+    """Backward as-of join: each left row picks up ``value_cols`` from the
+    most recent right row with the same ``by_cols`` and right.ts ≤
+    left.ts (inclusive — DuckDB/pandas ``merge_asof`` semantics).
+
+    Left rows keep ALL their columns; matched right values arrive as
+    ``<name><suffix>`` plus ``<ts_col><suffix>`` (the matched right
+    timestamp, NULL when no match).  ``tolerance`` (e.g. ``"1 hour"``)
+    nulls out matches older than the interval, like pandas
+    ``merge_asof(tolerance=...)``.
+
+    Ties: among right rows sharing an exact (by, ts) the carried row is
+    the last in sort order — deduplicate the right side first if that
+    matters (the driver query does).
+
+    Implementation: union-marker + running ``last(struct, ignorenulls)``
+    window.  Right values are packed into ONE struct before the window so
+    a legitimately-NULL right value column cannot make ``ignorenulls``
+    skip back to an older row.
+    """
+    require_columns(left, [ts_col, *by_cols])
+    require_columns(right, [ts_col, *by_cols, *value_cols])
+
+    rv = F.struct(F.col(ts_col).alias("_rts"),
+                  *[F.col(c) for c in value_cols])
+    rhs = right.select(*by_cols, ts_col, rv.alias("_rv"),
+                       F.lit(0).alias("_side"))
+    lhs = left.withColumn("_side", F.lit(1)) \
+              .withColumn("_rv", F.lit(None).cast(rhs.schema["_rv"].dataType))
+    both = lhs.unionByName(rhs, allowMissingColumns=True)
+
+    # right rows (_side=0) sort BEFORE left rows at the same timestamp, so
+    # an equal-ts right row is visible to the left row (inclusive match)
+    w = (Window.partitionBy(*by_cols)
+               .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = both.withColumn("_m", F.last("_rv", ignorenulls=True).over(w)) \
+                  .filter(F.col("_side") == 1)
+
+    if tolerance is not None:
+        tol_us = F.expr(_interval_us(tolerance))
+        in_tol = (F.unix_micros(F.col(ts_col))
+                  - F.unix_micros(F.col("_m._rts")) <= tol_us)
+        carried = carried.withColumn(
+            "_m", F.when(in_tol, F.col("_m")))
+
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols.append(F.col(f"_m._rts").alias(f"{ts_col}{suffix}"))
+    out_cols.extend(F.col(f"_m.{c}").alias(f"{c}{suffix}")
+                    for c in value_cols)
+    return carried.select(*out_cols)
+
+
+def range_join(points: DataFrame, intervals: DataFrame, point_ts: str,
+               start_col: str, end_col: str, by_cols: Sequence[str] = (),
+               bucket: str = "1 hour",
+               max_span_buckets: int = 1000) -> DataFrame:
+    """Inner join of point rows onto every interval row containing them:
+    ``start ≤ ts ≤ end`` (and equal ``by_cols``), WITHOUT a theta-join.
+
+    Buckets of width ``bucket`` turn containment into key equality: an
+    interval registers under each bucket it covers, a point under exactly
+    one, so the equi-join meets each qualifying pair exactly once and the
+    exact BETWEEN predicate filters residuals.  Intervals spanning more
+    than ``max_span_buckets`` buckets raise (size the bucket to your data
+    instead of silently exploding); conflicting column names on the
+    interval side must be resolved by the caller (checked).
+
+    Returns points' columns + intervals' columns.
+    """
+    require_columns(points, [point_ts, *by_cols])
+    require_columns(intervals, [start_col, end_col, *by_cols])
+    overlap = (set(points.columns) & set(intervals.columns)) - set(by_cols)
+    if overlap:
+        raise ValueError(
+            f"points/intervals share non-key columns {sorted(overlap)}; "
+            "rename one side before range_join")
+
+    step = f"({_interval_us(bucket)})"
+    p_bkt = F.expr(f"unix_micros({point_ts}) div {step}")
+    i_first = F.expr(f"unix_micros({start_col}) div {step}")
+    i_last = F.expr(f"unix_micros({end_col}) div {step}")
+
+    p = points.withColumn("_bkt", p_bkt)
+    span_guard = F.when(
+        i_last - i_first >= max_span_buckets,
+        F.raise_error(F.lit(
+            f"range_join: an interval spans >= {max_span_buckets} buckets "
+            f"of {bucket}; use a coarser bucket or split the interval"))
+    ).otherwise(i_last)
+    i = intervals.withColumn(
+        "_bkt", F.explode(F.sequence(i_first, span_guard)))
+
+    joined = p.join(i, [*by_cols, "_bkt"]).filter(
+        F.col(point_ts).between(F.col(start_col), F.col(end_col)))
+    return joined.drop("_bkt")
