@@ -76,3 +76,96 @@ def test_random_pipeline_matches_duckdb(spark, rows, fold_kinds, fold_col,
     con.close()
 
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Temporal operators vs pandas / DuckDB references
+# ---------------------------------------------------------------------------
+
+asof_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["k1", "k2"]),
+        st.integers(min_value=0, max_value=3600),   # seconds offset
+        st.integers(min_value=-50, max_value=50),
+    ),
+    min_size=1, max_size=30)
+
+
+@given(left_rows=asof_rows, right_rows=asof_rows)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_as_of_join_matches_merge_asof(spark, left_rows, right_rows):
+    """as_of_join ≡ pandas.merge_asof(direction='backward') on arbitrary
+    generated frames (right side deduplicated per (key, ts) — tie order
+    among exact duplicates is unspecified in both engines)."""
+    import datetime as dt
+
+    from frames_map_reduce_spark.operators.temporal import as_of_join
+
+    base = dt.datetime(2024, 6, 1)
+
+    def frame(rows, vcol):
+        pdf = pd.DataFrame(rows, columns=["k", "off", vcol])
+        pdf["ts"] = pdf["off"].map(lambda s: base + dt.timedelta(seconds=int(s)))
+        pdf = pdf.drop(columns=["off"])
+        # dedupe per (k, ts): keep max value for determinism
+        pdf = pdf.sort_values(vcol).groupby(["k", "ts"], as_index=False).last()
+        return pdf
+
+    lp = frame(left_rows, "lv")
+    rp = frame(right_rows, "rv")
+    left = spark.createDataFrame(lp)
+    right = spark.createDataFrame(rp)
+
+    out = as_of_join(left, right, "ts", ["k"], ["rv"]).toPandas() \
+        .sort_values(["k", "ts", "lv"]).reset_index(drop=True)
+    exp = pd.merge_asof(
+        lp.sort_values("ts", kind="stable"),
+        rp.sort_values("ts", kind="stable"),
+        on="ts", by="k", direction="backward") \
+        .sort_values(["k", "ts", "lv"]).reset_index(drop=True)
+
+    assert (out["rv_right"].fillna(-999) == exp["rv"].fillna(-999)).all(), \
+        (out, exp)
+
+
+interval_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["k1", "k2"]),
+        st.integers(min_value=0, max_value=7200),
+        st.integers(min_value=0, max_value=5400),   # duration seconds
+    ),
+    min_size=1, max_size=20)
+
+
+@given(point_rows=asof_rows, iv_rows=interval_rows,
+       bucket=st.sampled_from(["7 minutes", "1 hour"]))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_range_join_matches_bruteforce(spark, point_rows, iv_rows, bucket):
+    """range_join ≡ brute-force containment filter for ANY bucket width:
+    bucketing is a pure pruning device, never a semantics change."""
+    import datetime as dt
+
+    from frames_map_reduce_spark.operators.temporal import range_join
+
+    base = dt.datetime(2024, 6, 1)
+    pp = pd.DataFrame(point_rows, columns=["k", "off", "pid"])
+    pp["ts"] = pp["off"].map(lambda s: base + dt.timedelta(seconds=int(s)))
+    pp["pid"] = range(len(pp))
+    ip = pd.DataFrame(iv_rows, columns=["k", "off", "dur"])
+    ip["t0"] = ip["off"].map(lambda s: base + dt.timedelta(seconds=int(s)))
+    ip["t1"] = ip.apply(
+        lambda r: r["t0"] + dt.timedelta(seconds=int(r["dur"])), axis=1)
+    ip["iid"] = range(len(ip))
+
+    points = spark.createDataFrame(pp[["k", "ts", "pid"]])
+    intervals = spark.createDataFrame(ip[["k", "t0", "t1", "iid"]])
+    got = {(r["pid"], r["iid"])
+           for r in range_join(points, intervals, "ts", "t0", "t1",
+                               by_cols=["k"], bucket=bucket).collect()}
+
+    merged = pp.merge(ip, on="k")
+    exp = {(r.pid, r.iid) for r in merged.itertuples()
+           if r.t0 <= r.ts <= r.t1}
+    assert got == exp
