@@ -682,6 +682,35 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.groupBy("event_type").agg(F.max("n").alias("n"))
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join (bounded state: watermarks + range condition):
+    click events joined to the same user's view events within the
+    preceding hour, summarized per user.  Under availableNow every pair
+    is emitted, so the batch BETWEEN join is a FULL value oracle."""
+    import uuid
+
+    from frames_map_reduce_spark.streaming import stream_stream_join
+
+    stream = _event_stream(spark, sf_dir)
+    clicks = (stream.filter(F.col("event_type") == "click")
+                    .select("user_id", F.col("ts").alias("c_ts"),
+                            F.col("event_id").alias("click_id")))
+    views = (stream.filter(F.col("event_type") == "view")
+                   .select("user_id", F.col("ts").alias("v_ts"),
+                           F.col("event_id").alias("view_id")))
+    joined = stream_stream_join(clicks, views, ["user_id"],
+                                "c_ts", "v_ts", lookback="1 hour")
+    name = f"stream_join_{uuid.uuid4().hex[:8]}"
+    q = (joined.writeStream.format("memory").queryName(name)
+               .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+                 .groupBy("user_id")
+                 .agg(F.count(F.lit(1)).alias("n_pairs"),
+                      F.count_distinct("click_id").alias("n_clicks"),
+                      F.count_distinct("view_id").alias("n_views")))
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-minute-gap sessions per user via window lag —
     the batch form of the streaming session operator."""
@@ -910,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hourly": q_stream_hourly,
         "stream_sessions": q_stream_sessions,
         "stream_stateful": q_stream_stateful,
+        "stream_join": q_stream_join,
         "events_json": q_events_json,
         "sessionize": q_sessionize,
         "join_revenue": q_join_revenue,
@@ -1146,6 +1176,15 @@ def oracle_sql() -> dict[str, str]:
         "stream_stateful": """
             SELECT event_type, count(*) AS n
             FROM events GROUP BY event_type""",
+        "stream_join": """
+            SELECT c.user_id, count(*) AS n_pairs,
+                   count(DISTINCT c.event_id) AS n_clicks,
+                   count(DISTINCT v.event_id) AS n_views
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON c.user_id = v.user_id
+             AND v.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts
+            GROUP BY c.user_id""",
         "events_json": """
             SELECT event_type,
                    round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,

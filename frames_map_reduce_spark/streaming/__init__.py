@@ -82,6 +82,31 @@ def stream_stateful_counts(stream: DataFrame, key: str,
     )
 
 
+def stream_stream_join(left: DataFrame, right: DataFrame,
+                       keys: Sequence[str], left_ts: str, right_ts: str,
+                       lookback: str, watermark: str = "1 hour",
+                       how: str = "inner") -> DataFrame:
+    """Stream-stream join with bounded state: equality on ``keys`` plus a
+    time-range condition ``right_ts ∈ [left_ts - lookback, left_ts]``.
+
+    The watermark on BOTH inputs and the range bound are what let Spark
+    evict join state — without them a stream-stream join buffers forever.
+    State per key is bounded by (watermark + lookback) of input.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = None
+    for k in keys:
+        c = lw[k] == rw[k]
+        cond = c if cond is None else cond & c
+    cond = cond & (rw[right_ts] >= F.expr(
+        f"{left_ts} - INTERVAL {lookback}")) & (rw[right_ts] <= lw[left_ts])
+    out = lw.join(rw, cond, how)
+    for k in keys:  # drop the duplicate right-side key columns
+        out = out.drop(rw[k])
+    return out
+
+
 def stream_to_memory(result: DataFrame, name: str, output_mode: str = "complete"):
     """Test sink: run the streaming query into an in-memory table with
     availableNow (process everything currently available, then stop)."""

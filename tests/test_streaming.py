@@ -84,3 +84,32 @@ def test_stateful_counts(spark, events_dir):
     rows = spark.sql("SELECT * FROM statec").collect()
     got = {r["event_type"]: r["n"] for r in rows}
     assert got == {"click": 3, "view": 2}
+
+
+def test_stream_stream_join_bounded(spark, tmp_path):
+    """Stream-stream join with watermarks + range bound: each left row
+    pairs with right rows of the same key within the lookback window."""
+    import datetime as dt
+
+    from frames_map_reduce_spark.streaming import stream_stream_join
+
+    base = dt.datetime(2024, 1, 1, 12)
+    lrows = [(1, base, "L1"), (2, base, "L2")]
+    rrows = [(1, base - dt.timedelta(minutes=30), "R1"),   # inside 1h
+             (1, base - dt.timedelta(hours=2), "R2"),      # too old
+             (1, base + dt.timedelta(minutes=1), "R3"),    # future — excluded
+             (2, base, "R4")]                              # equal ts — inside
+    spark.createDataFrame(lrows, "k long, lts timestamp, lid string") \
+        .write.mode("overwrite").parquet(str(tmp_path / "l"))
+    spark.createDataFrame(rrows, "k long, rts timestamp, rid string") \
+        .write.mode("overwrite").parquet(str(tmp_path / "r"))
+    ls = spark.readStream.schema("k long, lts timestamp, lid string") \
+        .parquet(str(tmp_path / "l"))
+    rs = spark.readStream.schema("k long, rts timestamp, rid string") \
+        .parquet(str(tmp_path / "r"))
+    joined = stream_stream_join(ls, rs, ["k"], "lts", "rts", lookback="1 hour")
+    q = (joined.writeStream.format("memory").queryName("ssj_test")
+               .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["lid"], r["rid"]) for r in spark.table("ssj_test").collect()}
+    assert got == {("L1", "R1"), ("L2", "R4")}

@@ -123,3 +123,16 @@ def test_as_of_join_plan_single_exchange(trades, quotes):
     from frames_map_reduce_spark.plans import count_exchanges
     out = as_of_join(trades, quotes, "ts", ["sym"], ["px"])
     assert count_exchanges(out) == 1
+
+
+def test_range_join_plan_is_equi_join(spark):
+    """Bucketization must yield a hash-partitioned/broadcast EQUI-join —
+    never BroadcastNestedLoopJoin/CartesianProduct (the theta-join shapes
+    that die at scale)."""
+    from frames_map_reduce_spark.plans import explain_formatted
+    points = spark.createDataFrame([(1, _ts(10))], "pid long, ts timestamp")
+    intervals = spark.createDataFrame(
+        [(100, _ts(9), _ts(11))], "iid long, t0 timestamp, t1 timestamp")
+    plan = explain_formatted(
+        range_join(points, intervals, "ts", "t0", "t1", bucket="1 hour"))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
