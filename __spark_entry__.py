@@ -50,6 +50,7 @@ from frames_map_reduce_spark.mapreduce import (
     unpack_good_rows,
     unpack_no_op,
 )
+from frames_map_reduce_spark.operators import clusters as CL
 from frames_map_reduce_spark.operators import dedup as DD
 from frames_map_reduce_spark.operators import similarity as SIM
 
@@ -498,6 +499,18 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      max_hamming=8, n_bands=9)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: verified minhash pairs →
+    large-star/small-star connected components → every doc labeled with
+    its cluster id (min doc_id) and cluster size.  The full closure of
+    "exact Jaccard ≥ 0.6 on 5-shingles" is SQL-expressible via a
+    recursive CTE, so the iterative graph algorithm gets a full value
+    oracle (operators/clusters.py)."""
+    docs = _docs(spark, sf_dir)
+    return CL.dedup_clusters(docs, "text", "doc_id",
+                             threshold=0.6, num_perm=128, bands=16)
+
+
 # ---------------------------------------------------------------------------
 # Scale extensions: similarity search
 # ---------------------------------------------------------------------------
@@ -931,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
         "ann_bruteforce": q_ann_bruteforce,
         "embedding_neardup": q_embedding_neardup,
         "ann_srp": q_ann_srp,
@@ -1127,6 +1141,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, {jaccard5} AS jaccard_sim
             FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
             WHERE {jaccard5} >= 0.5""",
+        "dedup_clusters": f"""
+            WITH RECURSIVE
+            sh AS (SELECT doc_id, {shingle5} AS sh FROM documents),
+            p AS (SELECT a.doc_id AS u, b.doc_id AS v
+                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                  WHERE {jaccard5} >= 0.6),
+            e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+            reach(id, r) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.id),
+            comp AS (SELECT id AS doc_id, min(r) AS cluster_id
+                     FROM reach GROUP BY id)
+            SELECT doc_id, cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+            FROM comp""",
         "ann_bruteforce": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
                  c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
