@@ -52,6 +52,8 @@ from frames_map_reduce_spark.mapreduce import (
 )
 from frames_map_reduce_spark.operators import clusters as CL
 from frames_map_reduce_spark.operators import dedup as DD
+from frames_map_reduce_spark.operators import packing as PK
+from frames_map_reduce_spark.operators import sampling as SMP
 from frames_map_reduce_spark.operators import similarity as SIM
 
 
@@ -512,6 +514,55 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Scale extensions: deterministic sampling / splits / shard packing
+# ---------------------------------------------------------------------------
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split (operators/sampling.py): every doc lands
+    in train/val/test by salted md5 of its id — map-side, rerun-stable,
+    growth-stable.  Aggregated per split for a compact full oracle."""
+    docs = _docs(spark, sf_dir)
+    out = SMP.hash_split(docs, "doc_id", _SPLIT_WEIGHTS, salt="v1")
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"))
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-n-per-stratum deterministic sample: the 5 smallest salted
+    hashes per source (native window top-k underneath)."""
+    docs = _docs(spark, sf_dir)
+    out = SMP.stratified_sample(docs, ["source"], 5, "doc_id",
+                                salt="v1", rank_col="rk")
+    return out.select("source", "doc_id", "rk")
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture re-weighting: subsample each source at its own
+    rate via the shared hash threshold (pure filter, no shuffle)."""
+    docs = _docs(spark, sf_dir)
+    out = SMP.weighted_mixture(docs, "source", _MIX_RATES, "doc_id",
+                               salt="mix", default_rate=0.1)
+    return out.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset packing of documents into ~800-token shards per source
+    (operators/packing.py), summarized per shard."""
+    docs = _docs(spark, sf_dir)
+    sized = docs.withColumn("n_tokens", TX.token_count(F.col("text")))
+    out = PK.pack_shards(sized, "n_tokens", 800,
+                         order_by=["doc_id"], by=["source"])
+    return out.groupBy("source", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"))
+
+
+# ---------------------------------------------------------------------------
 # Scale extensions: similarity search
 # ---------------------------------------------------------------------------
 
@@ -945,6 +996,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
+        "train_test_split": q_train_test_split,
+        "sample_stratified": q_sample_stratified,
+        "mixture_weights": q_mixture_weights,
+        "pack_shards": q_pack_shards,
         "ann_bruteforce": q_ann_bruteforce,
         "embedding_neardup": q_embedding_neardup,
         "ann_srp": q_ann_srp,
@@ -1141,6 +1196,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, {jaccard5} AS jaccard_sim
             FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
             WHERE {jaccard5} >= 0.5""",
+        "train_test_split": f"""
+            SELECT {SMP.hash_split_sql_case('doc_id', _SPLIT_WEIGHTS, 'v1')} AS split,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY split""",
+        "sample_stratified": f"""
+            SELECT source, doc_id, rk FROM (
+                SELECT source, doc_id,
+                       row_number() OVER (PARTITION BY source
+                           ORDER BY {SMP.hash_unit_sql('doc_id', 'v1')}, doc_id) AS rk
+                FROM documents)
+            WHERE rk <= 5""",
+        "mixture_weights": f"""
+            SELECT source, count(*) AS n_docs
+            FROM documents
+            WHERE {SMP.weighted_mixture_sql_pred('source', _MIX_RATES, 'doc_id', 'mix', 0.1)}
+            GROUP BY source""",
+        "pack_shards": f"""
+            WITH sized AS (
+                SELECT source, doc_id, {TX.token_count_sql('text')} AS n_tokens
+                FROM documents),
+            sharded AS (
+                SELECT source, n_tokens,
+                       {PK.pack_shards_sql('n_tokens', 800, ['doc_id'], ['source'])} AS shard_id
+                FROM sized)
+            SELECT source, shard_id, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+            FROM sharded GROUP BY source, shard_id""",
         "dedup_clusters": f"""
             WITH RECURSIVE
             sh AS (SELECT doc_id, {shingle5} AS sh FROM documents),

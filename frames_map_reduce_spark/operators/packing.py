@@ -1,0 +1,74 @@
+"""Token-budget shard packing for training-data pipelines.
+
+Training jobs consume a corpus as fixed-budget shards (e.g. "~100M
+tokens per file").  Assigning documents to shards must be deterministic
+(resumable, re-runnable) and distributed (no driver-side loop over
+documents).  The window-expressible scheme used here is *offset
+packing*: documents take a deterministic total order, and a document
+belongs to shard ``floor(start_offset / budget)`` where
+``start_offset`` is the cumulative size of all documents before it.
+
+Semantics (documented, engine-checkable):
+
+- every shard except the last holds ≥ 1 document and its documents'
+  start offsets span one ``budget`` window — so a shard's total size
+  can overshoot ``budget`` by at most one document;
+- a document larger than ``budget`` still lands in exactly one shard
+  (the one its start offset falls in);
+- "close the shard early when the next doc would overflow" is a
+  sequential recurrence, NOT window-expressible — offset packing is the
+  standard distributed relaxation.
+
+Scale: one shuffle on the ``by`` columns; the cumulative sum is a
+running ROWS window inside each partition.  Pack per group (source,
+date, …): a global pack (``by=()``) degenerates to a single-task sort,
+exactly like any global window — the API makes the partitioning
+explicit so that cost is a visible choice.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from frames_map_reduce_spark.schema import require_columns
+
+__all__ = ["pack_shards"]
+
+
+def pack_shards(df: DataFrame, size_col: Column | str, budget: int,
+                order_by: Sequence[str], by: Sequence[str] = (),
+                shard_col: str = "shard_id") -> DataFrame:
+    """Label every row with its shard index under offset packing.
+
+    ``size_col``: a column name or expression giving each row's size
+    (tokens, bytes…).  ``order_by`` must totally order rows within each
+    ``by`` group (include a unique id) or shard assignment is
+    nondeterministic.  Returns ``df`` + ``shard_col`` (bigint, 0-based
+    per group).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if not order_by:
+        raise ValueError("order_by must name at least one column")
+    require_columns(df, [*by, *order_by])
+    size = F.col(size_col) if isinstance(size_col, str) else size_col
+    w = (Window.partitionBy(*[F.col(c) for c in by])
+               .orderBy(*[F.col(c) for c in order_by])
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    start = F.sum(size).over(w) - size  # cumulative size BEFORE this row
+    return df.withColumn(
+        shard_col, F.floor(start / F.lit(budget)).cast("bigint"))
+
+
+def pack_shards_sql(size_expr: str, budget: int, order_by: Sequence[str],
+                    by: Sequence[str] = ()) -> str:
+    """DuckDB twin: expression for the shard index (same offset-packing
+    spec), to embed in a SELECT over the same ordered window."""
+    part = f"PARTITION BY {', '.join(by)} " if by else ""
+    order = ", ".join(order_by)
+    cum = (f"sum({size_expr}) OVER ({part}ORDER BY {order} "
+           f"ROWS UNBOUNDED PRECEDING)")
+    return f"CAST(floor(({cum} - {size_expr}) / {budget}) AS BIGINT)"

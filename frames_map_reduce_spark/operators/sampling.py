@@ -1,0 +1,158 @@
+"""Deterministic sampling and dataset-split operators for training-data
+pipelines.
+
+A 100 TB corpus cannot be split with ``rand()``: re-runs must land every
+document in the same split (resumable pipelines, leak-free eval sets),
+adding data must not reshuffle old assignments, and the split must be
+reproducible from the row alone — no persisted assignment table, no
+driver state.  Everything here therefore keys off a salted MD5 of a
+stable business key:
+
+    unit(row) = int(first 8 hex chars of md5(salt || '|' || key)) / 2^32
+
+which is uniform on [0, 1), independent across salts, identical in any
+engine with md5 (the DuckDB twins below generate the oracle side from
+the same spec, functions/text.py-style, so the two can't drift).
+
+Scale notes:
+
+- ``hash_split`` / ``weighted_mixture`` are pure map-side projections /
+  filters — no shuffle, no state, they scale linearly and survive any
+  repartitioning.  Thresholds are *integer* literals (floor(w · 2^32))
+  so there is no float-boundary ambiguity between engines.
+- ``stratified_sample`` (exact n per stratum) rides the native window
+  top-k (operators/topk.py): one shuffle on the strata key, rank by
+  hash.  Exact-n is inherently a per-stratum ordering; for rate-based
+  sampling at scale prefer ``weighted_mixture`` (shuffle-free).
+
+The reference library has no sampling surface (it is a fold engine);
+this module is part of the mandated LLM-pipeline extension set.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from frames_map_reduce_spark.schema import require_columns
+
+__all__ = [
+    "hash_unit", "hash_unit_sql", "hash_split", "hash_split_sql_case",
+    "stratified_sample", "weighted_mixture", "weighted_mixture_sql_pred",
+]
+
+_SCALE = 1 << 32  # 8 hex chars
+
+
+def hash_unit(col: Column, salt: str = "") -> Column:
+    """Deterministic uniform 32-bit integer in [0, 2^32) derived from
+    ``col`` (cast to string) and ``salt``.  JVM-side: md5 + conv, no
+    Python."""
+    payload = F.concat(F.lit(salt), F.lit("|"), col.cast("string"))
+    hexpart = F.substring(F.md5(F.encode(payload, "UTF-8")), 1, 8)
+    return F.conv(hexpart, 16, 10).cast("long")
+
+
+def hash_unit_sql(col: str, salt: str = "") -> str:
+    """DuckDB twin of ``hash_unit`` (generated, not hand-kept)."""
+    payload = f"concat('{salt}', '|', CAST({col} AS VARCHAR))"
+    return f"CAST(concat('0x', substr(md5({payload}), 1, 8)) AS BIGINT)"
+
+
+def _cut_points(weights: Mapping[str, float]) -> list[tuple[str, int]]:
+    """(split-name, exclusive upper bound) pairs on the integer hash
+    scale; bounds are exact integers so every engine draws the same
+    boundary."""
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("split weights must sum to a positive value")
+    cuts, acc = [], 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cuts.append((name, int(acc * _SCALE)))
+    cuts.append((names[-1], _SCALE))  # last bucket absorbs rounding
+    return cuts
+
+
+def hash_split(df: DataFrame, key_col: str,
+               weights: Mapping[str, float], salt: str = "",
+               split_col: str = "split") -> DataFrame:
+    """Assign every row to a named split (e.g. train/val/test) by
+    deterministic hash of ``key_col``.  Map-side only: no shuffle, no
+    rand(), stable under re-runs and data growth.  ``weights`` are
+    relative (normalized); dict order fixes bucket layout."""
+    require_columns(df, [key_col])
+    h = hash_unit(F.col(key_col), salt)
+    expr = None
+    for name, bound in _cut_points(weights):
+        cond = h < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None \
+            else expr.when(cond, F.lit(name))
+    return df.withColumn(split_col, expr)
+
+
+def hash_split_sql_case(key_col: str, weights: Mapping[str, float],
+                        salt: str = "") -> str:
+    """DuckDB CASE expression twin of ``hash_split``."""
+    h = hash_unit_sql(key_col, salt)
+    arms = " ".join(
+        f"WHEN {h} < {bound} THEN '{name}'"
+        for name, bound in _cut_points(weights))
+    return f"CASE {arms} END"
+
+
+def stratified_sample(df: DataFrame, strata_cols: Sequence[str], n: int,
+                      key_col: str, salt: str = "",
+                      rank_col: str | None = None) -> DataFrame:
+    """Exactly ``n`` rows per stratum, chosen deterministically: the n
+    smallest salted hashes of ``key_col`` within each stratum (hash
+    order ≈ uniform random order, but reproducible).  One shuffle on
+    the strata key via the native JVM window top-k."""
+    from frames_map_reduce_spark.operators.topk import top_k_per_group
+    require_columns(df, [*strata_cols, key_col])
+    tagged = df.withColumn("_h", hash_unit(F.col(key_col), salt))
+    out = top_k_per_group(
+        tagged, list(strata_cols),
+        [F.col("_h"), F.col(key_col)],  # hash first, key breaks ties
+        n, rank_col=rank_col)
+    return out.drop("_h")
+
+
+def weighted_mixture(df: DataFrame, source_col: str,
+                     rates: Mapping[str, float], key_col: str,
+                     salt: str = "", default_rate: float = 0.0) -> DataFrame:
+    """Re-weight a mixed corpus by subsampling each source at its own
+    rate (0 ≤ rate ≤ 1) — the standard way to hit a target training
+    mixture.  Pure map-side filter; sources missing from ``rates`` get
+    ``default_rate``.  Rates > 1 (upsampling) are out of scope: at
+    training scale repetition is done by the data loader, not by
+    materializing duplicate rows."""
+    require_columns(df, [source_col, key_col])
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {s!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    h = hash_unit(F.col(key_col), salt)
+    bound = None
+    for s, r in rates.items():
+        cond = F.col(source_col) == F.lit(s)
+        b = F.lit(int(r * _SCALE))
+        bound = F.when(cond, b) if bound is None else bound.when(cond, b)
+    bound = F.lit(int(default_rate * _SCALE)) if bound is None \
+        else bound.otherwise(F.lit(int(default_rate * _SCALE)))
+    return df.filter(h < bound)
+
+
+def weighted_mixture_sql_pred(source_col: str, rates: Mapping[str, float],
+                              key_col: str, salt: str = "",
+                              default_rate: float = 0.0) -> str:
+    """DuckDB WHERE-clause twin of ``weighted_mixture``."""
+    h = hash_unit_sql(key_col, salt)
+    arms = " ".join(
+        f"WHEN {source_col} = '{s}' THEN {int(r * _SCALE)}"
+        for s, r in rates.items())
+    return f"{h} < (CASE {arms} ELSE {int(default_rate * _SCALE)} END)"

@@ -1,0 +1,128 @@
+"""Deterministic sampling / split / mixture / packing operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from frames_map_reduce_spark.operators.packing import pack_shards
+from frames_map_reduce_spark.operators.sampling import (
+    hash_split,
+    stratified_sample,
+    weighted_mixture,
+)
+from tests.conftest import rows_sorted
+
+WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _assignments(documents, salt="s"):
+    out = hash_split(documents, "doc_id", WEIGHTS, salt=salt)
+    return {r["doc_id"]: r["split"] for r in out.select("doc_id", "split").collect()}
+
+
+def test_hash_split_total_and_deterministic(spark, documents):
+    a = _assignments(documents)
+    b = _assignments(documents)
+    assert a == b                      # rerun-stable
+    assert set(a.values()) <= set(WEIGHTS)
+    assert None not in a.values()      # every row assigned
+    n = len(a)
+    train = sum(1 for v in a.values() if v == "train")
+    assert 0.6 * n < train < 0.95 * n  # loose proportion sanity on ~100 docs
+
+
+def test_hash_split_stable_under_data_growth(spark, documents):
+    """A document's split must not depend on what other rows exist."""
+    full = _assignments(documents)
+    subset = hash_split(documents.filter(F.col("doc_id") % 3 == 0),
+                        "doc_id", WEIGHTS, salt="s")
+    for r in subset.select("doc_id", "split").collect():
+        assert full[r["doc_id"]] == r["split"]
+
+
+def test_hash_split_salt_changes_assignment(spark, documents):
+    a = _assignments(documents, salt="s")
+    b = _assignments(documents, salt="other")
+    assert a != b
+
+
+def test_stratified_sample_exact_n_deterministic(spark, documents):
+    got = stratified_sample(documents, ["source"], 3, "doc_id", salt="s")
+    per = {r["source"]: r["n"]
+           for r in got.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    n_sources = documents.select("source").distinct().count()
+    assert len(per) == n_sources and set(per.values()) == {3}
+    again = stratified_sample(documents, ["source"], 3, "doc_id", salt="s")
+    assert rows_sorted(got) == rows_sorted(again)
+    other = stratified_sample(documents, ["source"], 3, "doc_id", salt="z")
+    assert rows_sorted(got) != rows_sorted(other)
+
+
+def test_weighted_mixture_rates_and_monotone(spark, documents):
+    n = documents.count()
+    all_src = [r["source"] for r in documents.select("source").distinct().collect()]
+    keep_all = weighted_mixture(documents, "source",
+                                {s: 1.0 for s in all_src}, "doc_id")
+    assert keep_all.count() == n
+    drop_all = weighted_mixture(documents, "source", {}, "doc_id",
+                                default_rate=0.0)
+    assert drop_all.count() == 0
+    # same salt ⇒ lower rate selects a SUBSET of the higher rate
+    lo = {r["doc_id"] for r in weighted_mixture(
+        documents, "source", {s: 0.25 for s in all_src}, "doc_id").select("doc_id").collect()}
+    hi = {r["doc_id"] for r in weighted_mixture(
+        documents, "source", {s: 0.75 for s in all_src}, "doc_id").select("doc_id").collect()}
+    assert lo <= hi and 0 < len(lo) < len(hi) < n
+
+
+def test_weighted_mixture_rejects_bad_rate(spark, documents):
+    with pytest.raises(ValueError):
+        weighted_mixture(documents, "source", {"a": 1.5}, "doc_id")
+
+
+def _pack_rows(spark, sizes, budget, by_groups=1):
+    rows = [(g, i, s) for g in range(by_groups)
+            for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "g int, id int, size int")
+    out = pack_shards(df, "size", budget, order_by=["id"], by=["g"])
+    return {(r["g"], r["id"]): r["shard_id"] for r in out.collect()}
+
+
+def test_pack_shards_offset_semantics(spark):
+    # sizes 4,4,4 budget 8: offsets 0,4,8 → shards 0,0,1
+    got = _pack_rows(spark, [4, 4, 4], budget=8)
+    assert got == {(0, 0): 0, (0, 1): 0, (0, 2): 1}
+
+
+def test_pack_shards_oversized_item_single_shard(spark):
+    # sizes 3,20,3 budget 8: offsets 0,3,23 → shards 0,0,2
+    got = _pack_rows(spark, [3, 20, 3], budget=8)
+    assert got == {(0, 0): 0, (0, 1): 0, (0, 2): 2}
+
+
+def test_pack_shards_per_group_independent(spark):
+    got = _pack_rows(spark, [5, 5, 5], budget=10, by_groups=3)
+    for g in range(3):
+        assert [got[(g, i)] for i in range(3)] == [0, 0, 1]
+
+
+def test_pack_shards_matches_python_reference(spark, documents):
+    df = documents.withColumn("size", F.length("text"))
+    out = pack_shards(df, "size", 2000, order_by=["doc_id"], by=["source"])
+    got = {(r["source"], r["doc_id"]): r["shard_id"]
+           for r in out.select("source", "doc_id", "shard_id").collect()}
+    rows = sorted((r["source"], r["doc_id"], r["size"])
+                  for r in df.select("source", "doc_id", "size").collect())
+    offset: dict[str, int] = {}
+    for src, did, size in rows:
+        start = offset.get(src, 0)
+        assert got[(src, did)] == start // 2000, (src, did)
+        offset[src] = start + size
+
+
+def test_pack_shards_validation(spark, documents):
+    with pytest.raises(ValueError):
+        pack_shards(documents, "n_chars", 0, order_by=["doc_id"])
+    with pytest.raises(ValueError):
+        pack_shards(documents, "n_chars", 10, order_by=[])
