@@ -32,6 +32,7 @@ from frames_map_reduce_spark.aggregation import (
     combine_key_aggregations,
     key_map,
     merge_data_folds,
+    rollup_fold,
 )
 from frames_map_reduce_spark.functions import text as TX
 from frames_map_reduce_spark.mapreduce import (
@@ -198,6 +199,19 @@ def q_aggregate_fold_year(spark: SparkSession, sf_dir: str) -> DataFrame:
                          folds.of(F.round(F.sum("o_totalprice"), 2), "sum_price")),
         constant_keys=["o_orderstatus"])
     return out
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole key hierarchy in one pass (aggregation.rollup_fold): order
+    year → status → grand total.  The reference would run aggregateFold
+    once per level and frameConcat; Spark ROLLUP computes every level
+    off a single shuffle."""
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("bigint"))
+    return rollup_fold(
+        orders, ["order_year", "o_orderstatus"],
+        merge_data_folds(folds.count_star("n"),
+                         folds.of(F.round(F.sum("o_totalprice"), 2), "sum_price")))
 
 
 def q_combine_key_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -880,6 +894,28 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("age_us"))
 
 
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound (pandas merge_asof tolerance
+    semantics): matches older than 15 minutes are nulled out.  Same
+    single-shuffle union-marker plan as q_asof_join; the tolerance is a
+    post-window projection, not a second join."""
+    from frames_map_reduce_spark.operators.temporal import as_of_join
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click") \
+               .select("user_id", "ts", "event_id", "value")
+    views = ev.filter(F.col("event_type") == "view") \
+              .select("user_id", "ts",
+                      F.col("value").alias("view_value"))
+    out = as_of_join(clicks, views, "ts", ["user_id"], ["view_value"],
+                     tolerance="15 minutes")
+    return out.select(
+        "event_id", "user_id",
+        F.round("value", 2).alias("click_value"),
+        F.round("view_value_right", 2).alias("view_value"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_right")))
+        .alias("age_us"))
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (interval-containment) join via time bucketing: every
     'error' event opens a 1-hour window; count the 'click' events falling
@@ -973,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "good_rows": q_good_rows,
         "null_propagating": q_null_propagating,
         "aggregate_fold_year": q_aggregate_fold_year,
+        "rollup_revenue": q_rollup_revenue,
         "combine_key_maps": q_combine_key_maps,
         "topk_per_group": q_topk_per_group,
         "group_median": q_group_median,
@@ -1019,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": q_media_meta,
         "media_features": q_media_features,
         "asof_join": q_asof_join,
+        "asof_tolerance": q_asof_tolerance,
         "range_join": q_range_join,
     }
 
@@ -1083,6 +1121,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, CAST(year(o_orderdate) AS BIGINT) AS order_year,
                    count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
             FROM orders GROUP BY o_orderstatus, order_year""",
+        "rollup_revenue": """
+            SELECT year(o_orderdate) AS order_year, o_orderstatus,
+                   GROUPING(year(o_orderdate), o_orderstatus) AS grouping_level,
+                   count(*) AS n,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders
+            GROUP BY ROLLUP(year(o_orderdate), o_orderstatus)""",
         "combine_key_maps": """
             SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                         THEN 'urgent' ELSE 'normal' END AS prio_class,
@@ -1334,6 +1379,16 @@ def oracle_sql() -> dict[str, str]:
                    round(c.value, 2) AS click_value,
                    round(v.value, 2) AS view_value,
                    date_diff('microsecond', v.ts, c.ts) AS age_us
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON c.user_id = v.user_id AND c.ts >= v.ts""",
+        "asof_tolerance": """
+            SELECT c.event_id, c.user_id,
+                   round(c.value, 2) AS click_value,
+                   CASE WHEN date_diff('microsecond', v.ts, c.ts) <= 900000000
+                        THEN round(v.value, 2) END AS view_value,
+                   CASE WHEN date_diff('microsecond', v.ts, c.ts) <= 900000000
+                        THEN date_diff('microsecond', v.ts, c.ts) END AS age_us
             FROM (SELECT * FROM events WHERE event_type = 'click') c
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
               ON c.user_id = v.user_id AND c.ts >= v.ts""",

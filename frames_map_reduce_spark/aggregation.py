@@ -110,6 +110,39 @@ def merge_data_folds(*folds: Fold) -> Fold:
     return folds[0].merge(*folds[1:])
 
 
+def rollup_fold(df: DataFrame, key_cols: Sequence[str], data_fold: Fold,
+                level_col: str = "grouping_level") -> DataFrame:
+    """Hierarchical key-coarsening in ONE pass: fold the data at every
+    prefix level of ``key_cols`` (full keys, each rollup, grand total).
+
+    This generalizes ``aggregate_fold``'s single coarsening into the
+    whole hierarchy — the reference would run one ``aggregateFold`` per
+    level and concatenate (src/Frames/Aggregation.hs:123-136 +
+    frameConcat); Spark's ``rollup`` computes all levels from one
+    shuffle with partial aggregation, so the N-pass concat collapses
+    into one job.  Rolled-up key columns come back NULL (SQL ROLLUP
+    convention); ``level_col`` carries ``grouping_id`` (bigint — 0 for
+    the finest level) so NULL-as-rolled-up and NULL-as-data stay
+    distinguishable.
+    """
+    require_columns(df, key_cols)
+    return (df.rollup(*key_cols)
+              .agg(F.grouping_id().cast("bigint").alias(level_col),
+                   *data_fold.columns())
+              .select(*key_cols, level_col, *data_fold.output_names))
+
+
+def cube_fold(df: DataFrame, key_cols: Sequence[str], data_fold: Fold,
+              level_col: str = "grouping_level") -> DataFrame:
+    """Like :func:`rollup_fold` but over EVERY subset of ``key_cols``
+    (2^n groupings), still one shuffle."""
+    require_columns(df, key_cols)
+    return (df.cube(*key_cols)
+              .agg(F.grouping_id().cast("bigint").alias(level_col),
+                   *data_fold.columns())
+              .select(*key_cols, level_col, *data_fold.output_names))
+
+
 def key_map_from_table(df: DataFrame, mapping: DataFrame, in_col: str,
                        out_col: str, default: Column | None = None) -> DataFrame:
     """Data-driven key map: join against a small mapping table.  At scale

@@ -101,3 +101,42 @@ def test_key_map_from_table_default(spark, turnout):
                              default=F.lit("Other"))
     got = {r["state"]: r["region"] for r in out.select("state", "region").distinct().collect()}
     assert got == {"CA": "West", "TX": "Other"}
+
+
+def test_rollup_fold_all_levels(turnout):
+    from frames_map_reduce_spark.aggregation import rollup_fold
+    out = rollup_fold(turnout, ["state", "age"], folds.sum_("votes", "v"))
+    # one shuffle: a single Expand feeding one partial/final agg pair —
+    # counted pre-execution (a finalized AQE plan prints initial+final
+    # sections and would double-count)
+    from frames_map_reduce_spark.plans import count_exchanges
+    assert count_exchanges(out) == 1
+    rows = {(r["state"], r["age"], r["grouping_level"]): r["v"]
+            for r in out.collect()}
+    # finest level (grouping 0)
+    assert rows[("CA", 25, 0)] == 100 and rows[("TX", 60, 0)] == 120
+    # per-state rollup (grouping 1: age rolled up)
+    assert rows[("CA", None, 1)] == 350 and rows[("TX", None, 1)] == 200
+    # grand total (grouping 3)
+    assert rows[(None, None, 3)] == 550
+
+
+def test_cube_fold_includes_cross_slice(turnout):
+    from frames_map_reduce_spark.aggregation import cube_fold
+    out = cube_fold(turnout, ["state", "age"], folds.sum_("votes", "v"))
+    rows = {(r["state"], r["age"], r["grouping_level"]): r["v"]
+            for r in out.collect()}
+    # the slice rollup_fold cannot produce: per-age across states (grouping 2)
+    assert rows[(None, 25, 2)] == 180
+    assert rows[(None, None, 3)] == 550
+
+
+def test_rollup_fold_null_key_vs_rolled_up(spark):
+    """grouping_level disambiguates a NULL data key from a rolled-up key."""
+    from frames_map_reduce_spark.aggregation import rollup_fold
+    df = spark.createDataFrame([(None, 1), ("a", 2)], "k string, x long")
+    out = rollup_fold(df, ["k"], folds.sum_("x", "sx"))
+    rows = {(r["k"], r["grouping_level"]): r["sx"] for r in out.collect()}
+    assert rows[(None, 0)] == 1    # genuine NULL key group
+    assert rows[(None, 1)] == 3    # grand total
+    assert rows[("a", 0)] == 2
