@@ -30,6 +30,7 @@ from frames_map_reduce_spark import sources as SRC
 from frames_map_reduce_spark.aggregation import (
     aggregate_fold,
     combine_key_aggregations,
+    cube_fold,
     key_map,
     merge_data_folds,
     rollup_fold,
@@ -54,6 +55,7 @@ from frames_map_reduce_spark.mapreduce import (
 from frames_map_reduce_spark.operators import clusters as CL
 from frames_map_reduce_spark.operators import dedup as DD
 from frames_map_reduce_spark.operators import packing as PK
+from frames_map_reduce_spark.operators import quality as QL
 from frames_map_reduce_spark.operators import sampling as SMP
 from frames_map_reduce_spark.operators import similarity as SIM
 
@@ -209,6 +211,18 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").withColumn(
         "order_year", F.year("o_orderdate").cast("bigint"))
     return rollup_fold(
+        orders, ["order_year", "o_orderstatus"],
+        merge_data_folds(folds.count_star("n"),
+                         folds.of(F.round(F.sum("o_totalprice"), 2), "sum_price")))
+
+
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full grouping lattice (aggregation.cube_fold): all 2^2 subsets of
+    (order year, status) computed off a single shuffle — the companion to
+    q_rollup_revenue's hierarchy."""
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("bigint"))
+    return cube_fold(
         orders, ["order_year", "o_orderstatus"],
         merge_data_folds(folds.count_star("n"),
                          folds.of(F.round(F.sum("o_totalprice"), 2), "sum_price")))
@@ -475,6 +489,53 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.count(F.lit(1)).alias("n_docs")))
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition profile (operators/quality.py): per-doc
+    duplicate-bigram and top-bigram fractions via explode + two
+    key-partitioned aggregations (linear, no per-row quadratic lambda),
+    summarized per source."""
+    docs = _docs(spark, sf_dir)
+    per_doc = QL.ngram_repetition_stats(docs, "text", "doc_id",
+                                        carry=["source"], n=2)
+    return (per_doc.groupBy("source")
+                   .agg(F.count(F.lit(1)).alias("n_docs"),
+                        F.sum("total_ngrams").alias("sum_ngrams"),
+                        F.round(F.avg("dup_ngram_frac"), 6).alias("avg_dup_frac"),
+                        F.round(F.avg("top_ngram_frac"), 6).alias("avg_top_frac")))
+
+
+PII_CSV = "/root/repo/tests/fixtures/pii.csv"
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (functions/text.py PII_PATTERNS): per-row email/phone
+    match counts and the md5 of the redacted text — native regexp
+    expressions restricted to the Java∩RE2 subset so the DuckDB twin
+    compiles the same automaton.  Input is a committed fixture salted
+    with known PII (the synthetic documents contain none)."""
+    schema = T.StructType([
+        T.StructField("row_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    df = spark.read.csv(PII_CSV, header=True, schema=schema)
+    return df.select(
+        "row_id",
+        TX.pii_count(F.col("text"), "email").alias("n_emails"),
+        TX.pii_count(F.col("text"), "phone").alias("n_phones"),
+        F.md5(TX.redact_pii(F.col("text"))).alias("redacted_md5"))
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word bigrams: explode → partial-aggregated count
+    → TakeOrderedAndProject (distributed partial top-k — no global sort,
+    no single-task window).  Total order (n desc, ngram asc) makes the
+    cut deterministic."""
+    docs = _docs(spark, sf_dir)
+    grams = docs.select(F.explode(TX.word_ngrams(F.col("text"), 2)).alias("ngram"))
+    counts = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.col("n").desc(), "ngram").limit(20)
+
+
 # ---------------------------------------------------------------------------
 # Scale extensions: dedup
 # ---------------------------------------------------------------------------
@@ -651,6 +712,23 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_with_recall(approx, corpus, queries)
 
 
+def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-once/query-many IVF: the inverted lists are PERSISTED as a
+    bucketed table (one shuffle paid at build time), then probed with a
+    broadcast key-equality join — the corpus side runs scan→filter→score
+    with zero exchanges and bucket pruning skips unprobed lists
+    (plan-asserted in test_similarity).  Rows-only + recall@5 column."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 5)
+                  .select(F.col("vec_id").alias("query_id"), "embedding"))
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    # fixed name + overwrite: re-runs replace the index in spark-warehouse
+    centroids = SIM.build_ivf_index(corpus, "ivf_index_driver", n_centroids=16)
+    approx = SIM.ivf_topk_indexed(spark, "ivf_index_driver", queries,
+                                  centroids, k=5, nprobe=4)
+    return _ann_with_recall(approx, corpus, queries)
+
+
 # ---------------------------------------------------------------------------
 # Scale extensions: events (JSON + sessionization + time windows)
 # ---------------------------------------------------------------------------
@@ -789,6 +867,28 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.count_distinct("view_id").alias("n_views")))
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication (streaming.stream_dedup): distinct
+    (user_id, event_type) pairs discovered incrementally across
+    micro-batches, then summarized per event type.  Exact-dedup regime
+    (finite replayed input), so the batch DISTINCT is a FULL value
+    oracle; the bounded-state dropDuplicatesWithinWatermark regime is
+    exercised in tests."""
+    import uuid
+
+    from frames_map_reduce_spark.streaming import stream_dedup
+
+    stream = _event_stream(spark, sf_dir).select("user_id", "event_type")
+    dd = stream_dedup(stream, ["user_id", "event_type"])
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (dd.writeStream.format("memory").queryName(name)
+           .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+                 .groupBy("event_type")
+                 .agg(F.count(F.lit(1)).alias("n_users")))
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-minute-gap sessions per user via window lag —
     the batch form of the streaming session operator."""
@@ -843,6 +943,20 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                       folds.of(F.round(F.sum("l_quantity"), 2), "sum_qty"))
 
 
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long, operators.reshape): per-returnflag sums spread
+    back into (metric, value) rows — a pure per-row ``stack``, no
+    shuffle beyond the feeding aggregate."""
+    from frames_map_reduce_spark.operators.reshape import unpivot
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_tax"), 2).alias("sum_tax"))
+    return unpivot(wide, ["l_returnflag"], ["sum_qty", "sum_price", "sum_tax"],
+                   var_name="metric", value_name="value")
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite document quality score aggregated by source — the Spark
     expression and the DuckDB twin are generated from the same formula."""
@@ -866,6 +980,44 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cum.groupBy("o_custkey")
                .agg(F.max("running").alias("final_total"),
                     F.count(F.lit(1)).alias("n_orders")))
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation (skew.salted_aggregate): each hot
+    key is split into 16 salted sub-keys for the heavy first pass, then
+    the small partials re-merge.  Result is IDENTICAL to the plain
+    group-by, so the plain aggregate is a full value oracle."""
+    from frames_map_reduce_spark.skew import salted_aggregate
+    ev = _events(spark, sf_dir)
+    out = salted_aggregate(
+        ev, ["event_type"],
+        {"n": ("count_star", ""),
+         "sum_value": ("sum", "value"),
+         "avg_value": ("mean", "value"),
+         "max_value": ("max", "value")},
+        salts=16)
+    return out.select(
+        "event_type", "n",
+        F.round("sum_value", 2).alias("sum_value"),
+        F.round("avg_value", 6).alias("avg_value"),
+        F.round("max_value", 2).alias("max_value"))
+
+
+def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch folds (folds.approx_count_distinct — HyperLogLog++): the
+    fixed-memory cardinality fold next to its exact twin, with the
+    relative error surfaced as a column.  Rows-only check (HLL estimates
+    are implementation-specific, no SQL oracle); tests pin rel_err."""
+    ev = _events(spark, sf_dir)
+    out = map_reduce(
+        ev, unpack_no_op(), split_on_keys(["event_type"]),
+        fold_and_add_key(
+            folds.approx_count_distinct("user_id", "approx_users", rsd=0.02)
+            & folds.of(F.count_distinct("user_id").cast("bigint"), "exact_users")))
+    return out.select(
+        "event_type", "approx_users", "exact_users",
+        F.round(F.try_divide(F.abs(F.col("approx_users") - F.col("exact_users")),
+                             F.col("exact_users")), 6).alias("rel_err"))
 
 
 # ---------------------------------------------------------------------------
@@ -1010,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_propagating": q_null_propagating,
         "aggregate_fold_year": q_aggregate_fold_year,
         "rollup_revenue": q_rollup_revenue,
+        "cube_revenue": q_cube_revenue,
         "combine_key_maps": q_combine_key_maps,
         "topk_per_group": q_topk_per_group,
         "group_median": q_group_median,
@@ -1028,6 +1181,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "token_stats": q_token_stats,
         "fingerprint": q_fingerprint,
+        "repetition_stats": q_repetition_stats,
+        "redact_pii": q_redact_pii,
+        "top_ngrams": q_top_ngrams,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1041,17 +1197,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_srp": q_ann_srp,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_indexed": q_ann_ivf_indexed,
         "events_hourly": q_events_hourly,
         "stream_hourly": q_stream_hourly,
         "stream_sessions": q_stream_sessions,
         "stream_stateful": q_stream_stateful,
         "stream_join": q_stream_join,
+        "stream_dedup": q_stream_dedup,
         "events_json": q_events_json,
         "sessionize": q_sessionize,
         "join_revenue": q_join_revenue,
         "running_total": q_running_total,
         "topk_native": q_topk_native,
         "pivot": q_pivot,
+        "unpivot": q_unpivot,
+        "salted_agg": q_salted_agg,
+        "sketch_distinct": q_sketch_distinct,
         "quality_score": q_quality_score,
         "media_meta": q_media_meta,
         "media_features": q_media_features,
@@ -1128,6 +1289,13 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS sum_price
             FROM orders
             GROUP BY ROLLUP(year(o_orderdate), o_orderstatus)""",
+        "cube_revenue": """
+            SELECT year(o_orderdate) AS order_year, o_orderstatus,
+                   GROUPING(year(o_orderdate), o_orderstatus) AS grouping_level,
+                   count(*) AS n,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders
+            GROUP BY CUBE(year(o_orderdate), o_orderstatus)""",
         "combine_key_maps": """
             SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                         THEN 'urgent' ELSE 'normal' END AS prio_class,
@@ -1227,6 +1395,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT {TX.fingerprint_sql('text')}) AS BIGINT) AS n_distinct,
                    count(*) AS n_docs
             FROM documents GROUP BY source""",
+        "repetition_stats": f"""
+            WITH per_doc AS ({QL.ngram_repetition_stats_sql('text', 'doc_id', ['source'], n=2)})
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(total_ngrams) AS BIGINT) AS sum_ngrams,
+                   round(avg(dup_ngram_frac), 6) AS avg_dup_frac,
+                   round(avg(top_ngram_frac), 6) AS avg_top_frac
+            FROM per_doc GROUP BY source""",
+        "redact_pii": f"""
+            SELECT row_id,
+                   {TX.pii_count_sql('text', 'email')} AS n_emails,
+                   {TX.pii_count_sql('text', 'phone')} AS n_phones,
+                   md5({TX.redact_pii_sql('text')}) AS redacted_md5
+            FROM read_csv('{PII_CSV}', header=true,
+                           columns={{'row_id': 'BIGINT', 'text': 'VARCHAR'}})""",
+        "top_ngrams": f"""
+            SELECT ngram, count(*) AS n
+            FROM (SELECT unnest({TX.word_ngrams_sql('text', 2)}) AS ngram
+                  FROM documents)
+            GROUP BY ngram
+            ORDER BY n DESC, ngram
+            LIMIT 20""",
         "dedup_exact": f"""
             SELECT {TX.fingerprint_sql('text')} AS fingerprint,
                    min(doc_id) AS keep_id, count(*) AS dup_count
@@ -1371,6 +1560,28 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS N,
                    round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS R
             FROM lineitem GROUP BY l_linestatus""",
+        "unpivot": """
+            WITH wide AS (
+                SELECT l_returnflag,
+                       round(sum(l_quantity), 2) AS sum_qty,
+                       round(sum(l_extendedprice), 2) AS sum_price,
+                       round(sum(l_tax), 2) AS sum_tax
+                FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+            UNION ALL
+            SELECT l_returnflag, 'sum_price', sum_price FROM wide
+            UNION ALL
+            SELECT l_returnflag, 'sum_tax', sum_tax FROM wide""",
+        "salted_agg": """
+            SELECT event_type, count(*) AS n,
+                   round(sum(value), 2) AS sum_value,
+                   round(avg(value), 6) AS avg_value,
+                   round(max(value), 2) AS max_value
+            FROM events GROUP BY event_type""",
+        "stream_dedup": """
+            SELECT event_type, count(*) AS n_users
+            FROM (SELECT DISTINCT user_id, event_type FROM events)
+            GROUP BY event_type""",
         "quality_score": f"""
             SELECT source, round(avg({TX.quality_score_sql('text')}), 6) AS avg_quality
             FROM documents GROUP BY source""",

@@ -263,3 +263,79 @@ def char_shingles_sql(col: str, k: int = 5) -> str:
     norm = normalized_sql(col)
     return (f"list_distinct(list_transform(range(1, greatest(len({norm}) - {k - 1}, 1) + 1), "
             f"i -> substr({norm}, i, {k})))")
+
+
+# ---------------------------------------------------------------------------
+# Word n-grams (repetition analysis / corpus statistics)
+# ---------------------------------------------------------------------------
+
+def word_ngrams(col: Column, n: int = 2) -> Column:
+    """Word n-grams (space-joined) of the whitespace tokens, order kept.
+
+    Built as n shifted copies of the token array zipped with cheap
+    ``concat_ws`` lambdas — O(tokens) work per row (the
+    ``sequence``+``slice`` formulation would be O(tokens·n) with an
+    interpreted slice per element; see char_shingles' binding note)."""
+    if n < 1:
+        raise ValueError("word_ngrams needs n >= 1")
+    toks = tokens(col)
+    if n == 1:
+        return toks
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    out = F.slice(toks, 1, m)
+    for i in range(1, n):
+        out = F.zip_with(out, F.slice(toks, i + 1, m),
+                         lambda a, b: F.concat_ws(" ", a, b))
+    return out
+
+
+def word_ngrams_sql(col: str, n: int = 2) -> str:
+    toks = tokens_sql(col)
+    if n == 1:
+        return toks
+    return (f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
+            f"i -> array_to_string(({toks})[i:i+{n - 1}], ' '))")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data scrubbing)
+# ---------------------------------------------------------------------------
+# Patterns restricted to the Java-regex ∩ RE2 common subset (no
+# backreferences / lookaround) so the Spark expression and the DuckDB
+# twin compile the same automaton.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE = "\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (PII_EMAIL, "<EMAIL>"),
+    "phone": (PII_PHONE, "<PHONE>"),
+}
+
+
+def pii_count(col: Column, kind: str) -> Column:
+    """Number of matches of one PII pattern (native regexp, codegen)."""
+    pat, _ = PII_PATTERNS[kind]
+    return F.size(F.regexp_extract_all(col, F.lit(pat), 0)).cast("bigint")
+
+
+def pii_count_sql(col: str, kind: str) -> str:
+    pat, _ = PII_PATTERNS[kind]
+    return f"CAST(len(regexp_extract_all({col}, '{pat}')) AS BIGINT)"
+
+
+def redact_pii(col: Column, kinds: tuple[str, ...] = ("email", "phone")) -> Column:
+    """Replace every PII match with its tag, applying patterns in the
+    given order (order matters where patterns could overlap — keep the
+    SQL twin in lockstep).  Spark ``regexp_replace`` is global."""
+    out = col
+    for kind in kinds:
+        pat, tag = PII_PATTERNS[kind]
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def redact_pii_sql(col: str, kinds: tuple[str, ...] = ("email", "phone")) -> str:
+    out = col
+    for kind in kinds:
+        pat, tag = PII_PATTERNS[kind]
+        out = f"regexp_replace({out}, '{pat}', '{tag}', 'g')"
+    return out

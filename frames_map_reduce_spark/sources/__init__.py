@@ -71,6 +71,19 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: Sequence[str],
     """Bucketed sink: pre-shuffles once at write time so later joins and
     aggregations on ``bucket_cols`` are shuffle-free — the co-location
     primitive for repeated 100 TB joins."""
+    if mode == "overwrite":
+        # A fresh session's catalog doesn't know tables a previous process
+        # left in the warehouse dir, and saveAsTable refuses to reuse the
+        # stale location — drop both the entry and the directory.
+        import os
+        import shutil
+        from urllib.parse import urlparse
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        loc = os.path.join(wh, table.lower())
+        if os.path.exists(loc):
+            shutil.rmtree(loc)
     (df.write.mode(mode)
        .bucketBy(n_buckets, *bucket_cols)
        .sortBy(*bucket_cols)

@@ -82,6 +82,32 @@ def stream_stateful_counts(stream: DataFrame, key: str,
     )
 
 
+def stream_dedup(stream: DataFrame, keys: Sequence[str],
+                 ts_col: str | None = None,
+                 watermark: str | None = None) -> DataFrame:
+    """Streaming deduplication on ``keys`` — each key's FIRST arrival is
+    emitted, later duplicates are dropped across micro-batches.
+
+    Two state regimes:
+
+    - ``watermark`` set (needs ``ts_col``): bounded state via
+      ``dropDuplicatesWithinWatermark`` — duplicates arriving within the
+      watermark horizon of the first sighting are dropped, state older
+      than the watermark is evicted.  This is the 100 TB shape: state is
+      proportional to the distinct keys per horizon, not all time.
+    - no watermark: exact global dedup (``dropDuplicates``); state grows
+      with the distinct-key count — only for finite/replayed inputs where
+      exact parity with a batch ``DISTINCT`` is required.
+    """
+    require_columns(stream, [*keys] + ([ts_col] if ts_col else []))
+    if watermark is not None:
+        if ts_col is None:
+            raise ValueError("bounded-state stream_dedup needs ts_col")
+        return (stream.withWatermark(ts_col, watermark)
+                      .dropDuplicatesWithinWatermark(list(keys)))
+    return stream.dropDuplicates(list(keys))
+
+
 def stream_stream_join(left: DataFrame, right: DataFrame,
                        keys: Sequence[str], left_ts: str, right_ts: str,
                        lookback: str, watermark: str = "1 hour",

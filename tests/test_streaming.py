@@ -113,3 +113,46 @@ def test_stream_stream_join_bounded(spark, tmp_path):
     q.awaitTermination()
     got = {(r["lid"], r["rid"]) for r in spark.table("ssj_test").collect()}
     assert got == {("L1", "R1"), ("L2", "R4")}
+
+
+def test_stream_dedup_exact_matches_batch_distinct(spark, events_dir):
+    """Exact regime (no watermark): streamed dedup emits exactly the
+    batch DISTINCT set."""
+    import uuid
+
+    from frames_map_reduce_spark.streaming import stream_dedup
+
+    path, batch_df = events_dir
+    stream = (spark.readStream.schema(batch_df.schema).parquet(path)
+                   .select("event_type"))
+    dd = stream_dedup(stream, ["event_type"])
+    name = f"t_dedup_{uuid.uuid4().hex[:8]}"
+    q = (dd.writeStream.format("memory").queryName(name)
+           .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted(r["event_type"] for r in spark.table(name).collect())
+    want = sorted(r["event_type"] for r in
+                  batch_df.select("event_type").distinct().collect())
+    assert got == want
+
+
+def test_stream_dedup_within_watermark(spark, events_dir):
+    """Bounded-state regime: duplicates inside the watermark horizon are
+    dropped; state requires ts_col + watermark."""
+    import uuid
+
+    from frames_map_reduce_spark.streaming import stream_dedup
+
+    path, batch_df = events_dir
+    stream = spark.readStream.schema(batch_df.schema).parquet(path)
+    dd = stream_dedup(stream, ["event_type"], ts_col="ts", watermark="2 hours")
+    name = f"t_dedup_wm_{uuid.uuid4().hex[:8]}"
+    q = (dd.writeStream.format("memory").queryName(name)
+           .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    # the fixture spans ~80 min < 2 h horizon → exactly one row per key
+    got = sorted(r["event_type"] for r in spark.table(name).collect())
+    assert got == ["click", "view"]
+
+    with pytest.raises(ValueError):
+        stream_dedup(stream, ["event_type"], watermark="1 hour")

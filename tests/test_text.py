@@ -101,3 +101,82 @@ def test_sql_twins_match_spark(spark):
     smap = {r["text"]: (r["tc"], r["wc"], r["fp"], r["lang"]) for r in srows}
     for text, tc, wc, fp, lang in drows:
         assert smap[text] == (tc, wc, fp, lang), f"mismatch for {text!r}"
+
+
+def test_word_ngrams(spark):
+    assert _one(spark, "A b c d", TX.word_ngrams(F.col("t"), 2)) == \
+        ["a b", "b c", "c d"]
+    assert _one(spark, "a b c d", TX.word_ngrams(F.col("t"), 3)) == \
+        ["a b c", "b c d"]
+    assert _one(spark, "a b", TX.word_ngrams(F.col("t"), 1)) == ["a", "b"]
+    # fewer tokens than n → empty, not null
+    assert _one(spark, "solo", TX.word_ngrams(F.col("t"), 2)) == []
+    assert _one(spark, "", TX.word_ngrams(F.col("t"), 2)) == []
+    with pytest.raises(ValueError):
+        TX.word_ngrams(F.col("t"), 0)
+
+
+def test_word_ngrams_sql_twin(spark):
+    import duckdb
+    for s in ["a b c d e", "x", "", "one two", "  padded   tokens  here "]:
+        spark_v = _one(spark, s, TX.word_ngrams(F.col("t"), 3))
+        duck_v = duckdb.sql(
+            f"SELECT {TX.word_ngrams_sql(f'''{s!r}''', 3)} AS g").fetchone()[0]
+        assert spark_v == duck_v, s
+
+
+def test_pii_count_and_redact(spark):
+    s = "mail a@b.co or x.y+z@corp.example.net, call 555-123-4567 / (555) 123-4567"
+    assert _one(spark, s, TX.pii_count(F.col("t"), "email")) == 2
+    assert _one(spark, s, TX.pii_count(F.col("t"), "phone")) == 2
+    red = _one(spark, s, TX.redact_pii(F.col("t")))
+    assert red == "mail <EMAIL> or <EMAIL>, call <PHONE> / <PHONE>"
+    # no PII → text unchanged
+    assert _one(spark, "plain words only", TX.redact_pii(F.col("t"))) == \
+        "plain words only"
+
+
+def test_pii_sql_twin(spark):
+    import duckdb
+    s = "a@b.co and 555-123-4567 and (999) 888-7777 and not.a@pii"
+    spark_row = (spark.createDataFrame([(s,)], "t string")
+                 .select(TX.pii_count(F.col("t"), "email").alias("e"),
+                         TX.pii_count(F.col("t"), "phone").alias("p"),
+                         TX.redact_pii(F.col("t")).alias("r")).first())
+    duck_row = duckdb.sql(
+        f"SELECT {TX.pii_count_sql(f'{s!r}', 'email')} AS e, "
+        f"{TX.pii_count_sql(f'{s!r}', 'phone')} AS p, "
+        f"{TX.redact_pii_sql(f'{s!r}')} AS r").fetchone()
+    assert (spark_row["e"], spark_row["p"], spark_row["r"]) == duck_row
+
+
+def test_ngram_repetition_stats(spark):
+    from frames_map_reduce_spark.operators.quality import ngram_repetition_stats
+    df = spark.createDataFrame(
+        [(1, "a a a a", "s1"),       # bigrams: "a a"×3 → dup 2/3, top 3/3
+         (2, "a b c d", "s1"),       # 3 distinct bigrams → dup 0, top 1/3
+         (3, "x", "s2")],            # <2 tokens → absent from output
+        "doc_id long, text string, src string")
+    rows = {r["doc_id"]: r for r in
+            ngram_repetition_stats(df, "text", "doc_id", carry=["src"]).collect()}
+    assert set(rows) == {1, 2}
+    r1 = rows[1]
+    assert (r1["total_ngrams"], r1["distinct_ngrams"], r1["max_ngram_count"]) == (3, 1, 3)
+    assert r1["dup_ngram_frac"] == pytest.approx(2 / 3)
+    assert r1["top_ngram_frac"] == pytest.approx(1.0)
+    r2 = rows[2]
+    assert (r2["total_ngrams"], r2["distinct_ngrams"], r2["max_ngram_count"]) == (3, 3, 1)
+    assert r2["dup_ngram_frac"] == pytest.approx(0.0)
+    assert r2["top_ngram_frac"] == pytest.approx(1 / 3)
+    assert r1["src"] == "s1" and r2["src"] == "s1"
+
+
+def test_sketch_distinct_rel_err(spark):
+    """HLL++ estimate stays within the configured rsd envelope on real
+    cardinalities (the accountability column of q_sketch_distinct)."""
+    import __spark_entry__ as entry_mod
+    from tests.conftest import SF_DIR
+    rows = entry_mod.queries()["sketch_distinct"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["rel_err"] is not None and r["rel_err"] <= 0.05, dict(r.asDict())
