@@ -57,6 +57,7 @@ from frames_map_reduce_spark.operators import dedup as DD
 from frames_map_reduce_spark.operators import packing as PK
 from frames_map_reduce_spark.operators import quality as QL
 from frames_map_reduce_spark.operators import sampling as SMP
+from frames_map_reduce_spark.operators import retrieval as RET
 from frames_map_reduce_spark.operators import similarity as SIM
 
 
@@ -1144,6 +1145,60 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Retrieval / corpus indexing (operators/retrieval.py)
+# ---------------------------------------------------------------------------
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token chunking for context-window packing / RAG
+    (operators/retrieval.py chunk_by_tokens): 64-token windows advancing
+    by 48 — a pure narrow flatMap (sequence → explode → slice), no
+    shuffle, chunk text returned as md5 so output stays narrow at
+    corpus scale."""
+    docs = _docs(spark, sf_dir)
+    return RET.chunk_by_tokens(docs, "text", "doc_id", size=64, stride=48)
+
+
+BM25_TERMS = ("spark", "hash", "vector", "customer")
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-15 over documents for a fixed term bag: term
+    filter BEFORE the tf shuffle, df/corpus stats broadcast, rounded
+    score + id tiebreak ranking via TakeOrderedAndProject."""
+    docs = _docs(spark, sf_dir)
+    return RET.bm25_scores(docs, "text", "doc_id", BM25_TERMS, k=15)
+
+
+_CONT_WEIGHTS = {"train": 0.8, "eval": 0.2}
+_CONT_SALT = "cont-v1"
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit: deterministic hash split of the
+    corpus into train/eval, then per-train-doc distinct word-5-gram
+    overlap against the broadcast eval n-gram set.  Near-dup documents
+    crossing the split boundary surface with high hit_frac — the
+    train-on-test leak a 100 TB pipeline must detect before training."""
+    docs = _docs(spark, sf_dir)
+    split = SMP.hash_split(docs, "doc_id", _CONT_WEIGHTS, salt=_CONT_SALT)
+    train = split.filter(F.col("split") == "train")
+    eval_df = split.filter(F.col("split") == "eval")
+    return RET.ngram_contamination(train, eval_df, "text", "doc_id", n=5)
+
+
+def q_percentile_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles on the JVM path (`percentile` with
+    linear interpolation — the scale alternative to the grouped-map
+    median in q_group_median; both engines interpolate identically)."""
+    ev = _events(spark, sf_dir)
+    pct = F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))")
+    return (ev.groupBy("event_type")
+              .agg(F.round(F.element_at(pct, 1), 6).alias("p50"),
+                   F.round(F.element_at(pct, 2), 6).alias("p90"),
+                   F.round(F.element_at(pct, 3), 6).alias("p99")))
+
+
+# ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
 
@@ -1219,6 +1274,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "asof_tolerance": q_asof_tolerance,
         "range_join": q_range_join,
+        "chunk_docs": q_chunk_docs,
+        "bm25": q_bm25,
+        "contamination": q_contamination,
+        "percentile_native": q_percentile_native,
     }
 
 
@@ -1631,4 +1690,23 @@ def oracle_sql() -> dict[str, str]:
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
                   FROM orders)
             GROUP BY o_custkey""",
+        "chunk_docs": RET.chunk_by_tokens_sql_select(
+            "documents", "text", "doc_id", size=64, stride=48),
+        "bm25": RET.bm25_sql("documents", "text", "doc_id", BM25_TERMS, k=15),
+        "contamination": RET.ngram_contamination_sql(
+            train_sel=("SELECT doc_id, text FROM documents WHERE "
+                       + SMP.hash_split_sql_case("doc_id", _CONT_WEIGHTS,
+                                                 _CONT_SALT) + " = 'train'"),
+            eval_sel=("SELECT text FROM documents WHERE "
+                      + SMP.hash_split_sql_case("doc_id", _CONT_WEIGHTS,
+                                                _CONT_SALT) + " = 'eval'"),
+            text_col="text", id_col="doc_id", n=5),
+        "percentile_native": """
+            SELECT event_type,
+                   round(CAST(q[1] AS DOUBLE), 6) AS p50,
+                   round(CAST(q[2] AS DOUBLE), 6) AS p90,
+                   round(CAST(q[3] AS DOUBLE), 6) AS p99
+            FROM (SELECT event_type,
+                         quantile_cont(value, [0.5, 0.9, 0.99]) AS q
+                  FROM events GROUP BY event_type)""",
     }
