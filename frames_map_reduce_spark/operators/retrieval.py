@@ -126,6 +126,14 @@ def bm25_scores(df: DataFrame, text_col: str, id_col: str,
     the corpus), then two broadcast joins against the tiny df-per-term
     and (N, avgdl) aggregates.  Scores are rounded to 6 dp *before*
     ranking, with id tiebreak, so the cut is engine-stable.
+
+    The tf subtree feeds both the join and the df aggregation; AQE's
+    ReuseExchange dedupes it at runtime (verified: executed plan shows
+    ``ReusedExchange`` on the tf shuffle), so total input scans = 2 —
+    the postings pass plus the corpus-stats pass, i.e. the canonical
+    two-pass BM25 index build.  df-per-term is a 2-phase partial
+    aggregate and stays parallel however skewed the term distribution
+    (no per-term window).
     """
     require_columns(df, [text_col, id_col])
     terms = [t.lower() for t in terms]

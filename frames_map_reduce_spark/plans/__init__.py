@@ -36,6 +36,18 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return out
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """Predicates applied at the partition-directory level (partition
+    pruning): a filter on a partition column must show up here — meaning
+    unmatched directories are never listed, let alone read — rather than
+    as a post-scan row filter."""
+    out = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", explain_formatted(df)):
+        if m.group(1).strip():
+            out.extend(p.strip() for p in m.group(1).split(","))
+    return out
+
+
 def read_schemas(df: DataFrame) -> list[list[str]]:
     """Column lists actually read from each scan (column pruning check)."""
     out = []

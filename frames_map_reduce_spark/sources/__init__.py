@@ -66,6 +66,34 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
     w.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning properties as parquet
+    (both are covered by the partition-pruning and pushdown plan tests)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
+              partition_by: Sequence[str] = ()) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_json_lines(spark: SparkSession, path: str,
+                    schema: T.StructType | None = None) -> DataFrame:
+    """JSON-lines scan.  Passing an explicit schema skips the extra
+    inference pass over the data — mandatory at 100 TB."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_json_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
 def write_bucketed(df: DataFrame, table: str, bucket_cols: Sequence[str],
                    n_buckets: int, mode: str = "overwrite") -> None:
     """Bucketed sink: pre-shuffles once at write time so later joins and
