@@ -52,6 +52,7 @@ from frames_map_reduce_spark.mapreduce import (
     unpack_good_rows,
     unpack_no_op,
 )
+from frames_map_reduce_spark.operators import cdc as CDC
 from frames_map_reduce_spark.operators import clusters as CL
 from frames_map_reduce_spark.operators import dedup as DD
 from frames_map_reduce_spark.operators import packing as PK
@@ -1186,6 +1187,62 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RET.ngram_contamination(train, eval_df, "text", "doc_id", n=5)
 
 
+def q_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction (operators/cdc.py compact_latest): events as
+    a per-user changelog — latest record by (ts, event_id) wins, users
+    whose latest record is an 'error' tombstone are dropped.  One
+    2-phase max_by aggregation: partial winners map-side, |users| rows
+    shuffled (vs the window formulation shuffling every log row)."""
+    ev = _events(spark, sf_dir)
+    out = CDC.compact_latest(
+        ev, keys=["user_id"], version=["ts", "event_id"],
+        payload=["event_type", "value", "event_id"],
+        tombstone=F.col("event_type") == "error")
+    return out.select("user_id", F.col("event_type").alias("last_type"),
+                      F.round("value", 6).alias("last_value"),
+                      F.col("event_id").alias("last_event_id"))
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (customers with no high-value order, per nation):
+    left_anti against the filtered fact table — the filter prunes the
+    build side BEFORE the anti join shuffle — then broadcast the 25-row
+    nation dim onto the per-nation counts."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    big = orders.filter(F.col("o_totalprice") > 300000)
+    orderless = cust.join(big, cust.c_custkey == big.o_custkey,
+                          "left_anti")
+    per_nation = orderless.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_custs"))
+    return (per_nation
+            .join(F.broadcast(nation),
+                  per_nation.c_nationkey == nation.n_nationkey)
+            .select("n_name", "n_custs"))
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase conversion funnel via a frame-bounded conditional
+    window aggregate: for each click, the next purchase timestamp of the
+    same user is ``min(CASE type='purchase' THEN ts END) OVER (ROWS
+    CURRENT→UNBOUNDED FOLLOWING)`` — one shuffle on user_id, no
+    self-join, no grouped-map.  Total order (ts, event_id) makes the
+    ROWS frame engine-deterministic."""
+    ev = _events(spark, sf_dir)
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+               .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    next_purchase = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))).over(w)
+    clicks = (ev.withColumn("_np", next_purchase)
+                .filter(F.col("event_type") == "click"))
+    delay = (F.unix_micros(F.col("_np")) - F.unix_micros(F.col("ts"))) / 1e6
+    return (clicks.groupBy("user_id")
+                  .agg(F.count(F.lit(1)).alias("n_clicks"),
+                       F.count("_np").alias("n_converted"),
+                       F.round(F.avg(delay), 6).alias("avg_delay_s")))
+
+
 def q_percentile_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact grouped percentiles on the JVM path (`percentile` with
     linear interpolation — the scale alternative to the grouped-map
@@ -1278,6 +1335,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "contamination": q_contamination,
         "percentile_native": q_percentile_native,
+        "cdc_compact": q_cdc_compact,
+        "anti_join": q_anti_join,
+        "funnel": q_funnel,
     }
 
 
@@ -1709,4 +1769,33 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT event_type,
                          quantile_cont(value, [0.5, 0.9, 0.99]) AS q
                   FROM events GROUP BY event_type)""",
+        "cdc_compact": """
+            SELECT user_id, event_type AS last_type,
+                   round(value, 6) AS last_value,
+                   event_id AS last_event_id
+            FROM (SELECT user_id, event_type, value, event_id,
+                         row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1 AND event_type <> 'error'""",
+        "anti_join": """
+            SELECT n_name, count(*) AS n_custs
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_totalprice > 300000)
+            GROUP BY n_name""",
+        "funnel": """
+            SELECT user_id, count(*) AS n_clicks,
+                   count(np) AS n_converted,
+                   round(avg(date_diff('microsecond', ts, np) / 1e6), 6)
+                       AS avg_delay_s
+            FROM (SELECT user_id, ts, event_type,
+                         min(CASE WHEN event_type = 'purchase' THEN ts END)
+                             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN CURRENT ROW
+                                            AND UNBOUNDED FOLLOWING) AS np
+                  FROM events)
+            WHERE event_type = 'click'
+            GROUP BY user_id""",
     }

@@ -1,0 +1,48 @@
+"""Changelog (CDC) compaction: latest-wins snapshots from an append-only
+event/update log.
+
+A 100 TB ingestion pipeline rarely receives clean snapshots — it receives
+changelogs (upserts + tombstones).  ``compact_latest`` reduces a log to
+its current state in ONE 2-phase aggregation: ``max_by(payload-struct,
+version-struct)`` partial-aggregates map-side (each task keeps one
+candidate per key seen locally), so the shuffle carries at most
+|distinct keys| rows per task — strictly cheaper than the window
+``row_number() = 1`` formulation, which shuffles EVERY log row and
+sorts whole key partitions.
+
+The reference engine has no storage/CDC layer (SURVEY §2.1 — sources
+are in-memory Foldables); this is part of the mandated scale-extension
+surface.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from frames_map_reduce_spark.schema import require_columns
+
+__all__ = ["compact_latest"]
+
+
+def compact_latest(df: DataFrame, keys: Sequence[str],
+                   version: Sequence[str],
+                   payload: Sequence[str] | None = None,
+                   tombstone: Column | None = None) -> DataFrame:
+    """Latest row per ``keys``, "latest" = lexicographic max of
+    ``version`` (include a unique id as the last version column or the
+    winner among ties is nondeterministic).  ``payload`` defaults to all
+    non-key columns.  ``tombstone`` (evaluated on the winning row)
+    drops keys whose LATEST record is a delete — earlier deletes are
+    correctly superseded by later upserts."""
+    require_columns(df, [*keys, *version])
+    payload = [c for c in df.columns if c not in keys] \
+        if payload is None else list(payload)
+    winner = F.max_by(F.struct(*payload), F.struct(*version)).alias("_w")
+    out = (df.groupBy(*keys).agg(winner)
+             .select(*keys, *[F.col(f"_w.{c}").alias(c) for c in payload]))
+    if tombstone is not None:
+        out = out.filter(~tombstone)
+    return out

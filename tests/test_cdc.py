@@ -1,0 +1,67 @@
+"""Changelog compaction (operators/cdc.py compact_latest)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from frames_map_reduce_spark.operators.cdc import compact_latest
+from frames_map_reduce_spark.plans import executed_plan
+
+
+@pytest.fixture(scope="module")
+def log(spark):
+    # (key, version, seq, op, val) — seq breaks version ties.
+    rows = [
+        ("a", 1, 1, "upsert", 10.0),
+        ("a", 2, 2, "upsert", 20.0),
+        ("b", 1, 3, "upsert", 30.0),
+        ("b", 2, 4, "delete", None),        # latest is a tombstone
+        ("c", 1, 5, "delete", None),
+        ("c", 2, 6, "upsert", 60.0),        # delete superseded by upsert
+        ("d", 5, 7, "upsert", 70.0),
+        ("d", 5, 8, "upsert", 71.0),        # tie on version → seq decides
+    ]
+    return spark.createDataFrame(
+        rows, "k string, v long, seq long, op string, val double")
+
+
+def test_latest_wins(log):
+    out = compact_latest(log, ["k"], ["v", "seq"])
+    got = {r["k"]: (r["v"], r["seq"], r["op"], r["val"]) for r in out.collect()}
+    assert got == {
+        "a": (2, 2, "upsert", 20.0),
+        "b": (2, 4, "delete", None),
+        "c": (2, 6, "upsert", 60.0),
+        "d": (5, 8, "upsert", 71.0),
+    }
+
+
+def test_tombstone_drops_only_latest_deletes(log):
+    out = compact_latest(log, ["k"], ["v", "seq"],
+                         tombstone=F.col("op") == "delete")
+    got = {r["k"]: r["val"] for r in out.collect()}
+    # b's latest record is a delete → gone; c's delete was superseded.
+    assert got == {"a": 20.0, "c": 60.0, "d": 71.0}
+
+
+def test_payload_projection(log):
+    out = compact_latest(log, ["k"], ["v", "seq"], payload=["val"])
+    assert out.columns == ["k", "val"]
+
+
+def test_missing_column_raises(log):
+    with pytest.raises(ValueError):
+        compact_latest(log, ["nope"], ["v"])
+
+
+def test_plan_is_two_phase_agg_no_window(log):
+    """The scale contract: compaction is a partial-aggregated max_by
+    (one shuffle carrying ≤ |keys| rows per task), NOT a window sort
+    over every log row."""
+    out = compact_latest(log, ["k"], ["v", "seq"])
+    plan = executed_plan(out)
+    assert "Window" not in plan
+    # Struct-buffered max_by lowers to SortAggregate, but still with a
+    # map-side partial before the exchange — that's the scale property.
+    assert "partial_max_by" in plan
