@@ -1203,6 +1203,27 @@ def q_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("event_id").alias("last_event_id"))
 
 
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build (operators/cdc.py scd2_intervals): each event
+    opens a validity interval on its user closed by the next event;
+    'error' records close the prior interval but emit none.  Per-user
+    rollup keeps the driver output small and hash-stable."""
+    ev = _events(spark, sf_dir)
+    hist = CDC.scd2_intervals(
+        ev, keys=["user_id"], ts_col="ts", order=["ts", "event_id"],
+        tombstone=F.col("event_type") == "error")
+    dur_s = (F.unix_micros(F.col("valid_to"))
+             - F.unix_micros(F.col("valid_from"))) / 1e6
+    return (hist.groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias("n_versions"),
+                     F.sum(F.col("is_current").cast("long"))
+                      .alias("n_current"),
+                     F.round(F.avg(dur_s), 6).alias("avg_version_s"),
+                     F.max_by(F.round("value", 6),
+                              F.struct("ts", "event_id"))
+                      .alias("current_value")))
+
+
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti join (customers with no high-value order, per nation):
     left_anti against the filtered fact table — the filter prunes the
@@ -1336,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "percentile_native": q_percentile_native,
         "cdc_compact": q_cdc_compact,
+        "scd2": q_scd2,
         "anti_join": q_anti_join,
         "funnel": q_funnel,
     }
@@ -1778,6 +1800,24 @@ def oracle_sql() -> dict[str, str]:
                              ORDER BY ts DESC, event_id DESC) AS rn
                   FROM events)
             WHERE rn = 1 AND event_type <> 'error'""",
+        "scd2": """
+            WITH hist AS (
+              SELECT user_id, event_type, value, ts, event_id,
+                     lead(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS valid_to
+              FROM events),
+            surv AS (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+              FROM hist WHERE event_type <> 'error')
+            SELECT user_id, count(*) AS n_versions,
+                   CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_current,
+                   round(avg(date_diff('microsecond', ts, valid_to) / 1e6), 6)
+                       AS avg_version_s,
+                   round(max(CASE WHEN rn = 1 THEN value END), 6)
+                       AS current_value
+            FROM surv GROUP BY user_id""",
         "anti_join": """
             SELECT n_name, count(*) AS n_custs
             FROM customer JOIN nation ON c_nationkey = n_nationkey

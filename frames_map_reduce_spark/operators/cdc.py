@@ -19,12 +19,12 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from frames_map_reduce_spark.schema import require_columns
 
-__all__ = ["compact_latest"]
+__all__ = ["compact_latest", "scd2_intervals"]
 
 
 def compact_latest(df: DataFrame, keys: Sequence[str],
@@ -46,3 +46,35 @@ def compact_latest(df: DataFrame, keys: Sequence[str],
     if tombstone is not None:
         out = out.filter(~tombstone)
     return out
+
+
+def scd2_intervals(df: DataFrame, keys: Sequence[str], ts_col: str,
+                   order: Sequence[str] | None = None,
+                   tombstone: Column | None = None,
+                   valid_from: str = "valid_from",
+                   valid_to: str = "valid_to",
+                   current: str = "is_current") -> DataFrame:
+    """Changelog → SCD-type-2 history: each record becomes a validity
+    interval ``[ts, next record's ts)`` per key; the last interval is
+    open (``valid_to`` null, ``is_current`` true).
+
+    ``order`` is the total per-key ordering (default ``[ts_col]`` —
+    append a unique id when timestamps can tie, or interval bounds are
+    nondeterministic).  ``tombstone`` rows close the preceding interval
+    (their ts becomes its ``valid_to``) but emit no interval themselves,
+    so a key whose latest record is a delete has no current row.
+
+    Scale: one shuffle on ``keys``; per-key history sorts locally inside
+    the window, so state is bounded by the largest single key's history
+    — the same bound any per-key versioning scheme needs.  There is no
+    self-join (the naive formulation joins the log to itself on
+    "next version").
+    """
+    require_columns(df, [*keys, ts_col])
+    order = [ts_col] if order is None else list(order)
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order])
+    out = (df.withColumn(valid_from, F.col(ts_col))
+             .withColumn(valid_to, F.lead(ts_col).over(w)))
+    if tombstone is not None:
+        out = out.filter(~tombstone)
+    return out.withColumn(current, F.col(valid_to).isNull())

@@ -5,7 +5,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from frames_map_reduce_spark.operators.cdc import compact_latest
+from frames_map_reduce_spark.operators.cdc import compact_latest, scd2_intervals
 from frames_map_reduce_spark.plans import executed_plan
 
 
@@ -53,6 +53,34 @@ def test_payload_projection(log):
 def test_missing_column_raises(log):
     with pytest.raises(ValueError):
         compact_latest(log, ["nope"], ["v"])
+
+
+def test_scd2_intervals(spark):
+    rows = [
+        ("a", 10, "upsert", 1.0),
+        ("a", 20, "upsert", 2.0),
+        ("a", 30, "delete", None),   # closes the 20-interval, emits none
+        ("b", 10, "upsert", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, op string, val double")
+    out = scd2_intervals(df, ["k"], "t", order=["t"],
+                         tombstone=F.col("op") == "delete")
+    got = sorted((r["k"], r["valid_from"], r["valid_to"], r["is_current"])
+                 for r in out.collect())
+    assert got == [
+        ("a", 10, 20, False),
+        ("a", 20, 30, False),   # closed by the tombstone, not current
+        ("b", 10, None, True),
+    ]
+
+
+def test_scd2_latest_delete_means_no_current(spark):
+    df = spark.createDataFrame([("a", 1, "upsert"), ("a", 2, "delete")],
+                               "k string, t long, op string")
+    out = scd2_intervals(df, ["k"], "t",
+                         tombstone=F.col("op") == "delete")
+    rows = out.collect()
+    assert len(rows) == 1 and not rows[0]["is_current"]
 
 
 def test_plan_is_two_phase_agg_no_window(log):
