@@ -1187,6 +1187,28 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RET.ngram_contamination(train, eval_df, "text", "doc_id", n=5)
 
 
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning — the composed use-case the engine
+    exists for: language-ID filter → quality threshold → PII redaction →
+    exact dedup of the REDACTED text → per-source yield stats.  Every
+    stage is a map-side expression except the one dedup shuffle, so the
+    whole pipeline is scan → project/filter → one groupBy + semi-join →
+    final agg: 3 shuffles total at any corpus size, no Python."""
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id", "source",
+        TX.lang_id(F.col("text")).alias("lid"),
+        F.round(TX.quality_score(F.col("text")), 6).alias("q"),
+        TX.redact_pii(F.col("text")).alias("clean_text"))
+    kept = scored.filter((F.col("lid") == "en") & (F.col("q") >= 0.7))
+    deduped = DD.exact_dedup(kept, "clean_text", "doc_id")
+    return (deduped.groupBy("source")
+                   .agg(F.count(F.lit(1)).alias("n_docs"),
+                        F.sum(TX.token_count(F.col("clean_text")))
+                         .alias("total_tokens"),
+                        F.round(F.avg("q"), 6).alias("avg_quality")))
+
+
 def q_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changelog compaction (operators/cdc.py compact_latest): events as
     a per-user changelog — latest record by (ts, event_id) wins, users
@@ -1356,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "contamination": q_contamination,
         "percentile_native": q_percentile_native,
+        "clean_corpus": q_clean_corpus,
         "cdc_compact": q_cdc_compact,
         "scd2": q_scd2,
         "anti_join": q_anti_join,
@@ -1800,6 +1823,27 @@ def oracle_sql() -> dict[str, str]:
                              ORDER BY ts DESC, event_id DESC) AS rn
                   FROM events)
             WHERE rn = 1 AND event_type <> 'error'""",
+        "clean_corpus": f"""
+            WITH scored AS (
+              SELECT doc_id, source,
+                     {TX.lang_id_sql('text')} AS lid,
+                     round({TX.quality_score_sql('text')}, 6) AS q,
+                     {TX.redact_pii_sql('text')} AS clean_text
+              FROM documents),
+            kept AS (
+              SELECT *, {TX.fingerprint_sql('clean_text')} AS fp
+              FROM scored WHERE lid = 'en' AND q >= 0.7),
+            dedup AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY fp
+                              ORDER BY doc_id) AS rn
+                FROM kept)
+              WHERE rn = 1)
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum({TX.token_count_sql('clean_text')}) AS BIGINT)
+                       AS total_tokens,
+                   round(avg(q), 6) AS avg_quality
+            FROM dedup GROUP BY source""",
         "scd2": """
             WITH hist AS (
               SELECT user_id, event_type, value, ts, event_id,
