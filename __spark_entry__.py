@@ -1191,9 +1191,10 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus cleaning — the composed use-case the engine
     exists for: language-ID filter → quality threshold → PII redaction →
     exact dedup of the REDACTED text → per-source yield stats.  Every
-    stage is a map-side expression except the one dedup shuffle, so the
-    whole pipeline is scan → project/filter → one groupBy + semi-join →
-    final agg: 3 shuffles total at any corpus size, no Python."""
+    stage is a map-side expression except the dedup (one min_by
+    aggregation on the fingerprint — the regex-heavy projection is
+    computed exactly once) and the final rollup: 2 shuffles total at
+    any corpus size, no Python."""
     docs = _docs(spark, sf_dir)
     scored = docs.select(
         "doc_id", "source",

@@ -55,11 +55,21 @@ def exact_dedup_keys(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """The deduplicated rows themselves (winner rows, all original columns).
-    Implemented as a semi-join of the winners back to the input — two
-    shuffles total, no window function over the full table."""
-    winners = exact_dedup_keys(df, text_col, id_col).select(
-        F.col("keep_id").alias(id_col))
-    return df.join(winners, on=id_col, how="left_semi")
+
+    ONE 2-phase aggregation: ``min_by(struct(row), id)`` grouped by the
+    content fingerprint.  Map-side partials keep a single candidate row
+    per fingerprint seen locally, so every input row is read (and any
+    upstream projection computed) exactly once, and the only shuffle
+    carries one row per distinct fingerprint.  The alternative winner
+    semi-join reads the input twice (once to pick winners, once to join
+    them back) and shuffles three times; the window ``row_number() = 1``
+    formulation sorts whole fingerprint partitions.  Fingerprints are
+    high-cardinality and uniform, so this aggregation cannot skew."""
+    require_columns(df, [text_col, id_col])
+    cols = df.columns
+    out = (df.groupBy(fingerprint(F.col(text_col)).alias("_fp"))
+             .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("_w")))
+    return out.select(*[F.col(f"_w.{c}").alias(c) for c in cols])
 
 
 # ---------------------------------------------------------------------------
