@@ -43,6 +43,9 @@ HEADLINE = [
     "quality_score",      # composite text-quality expression pipeline
     "asof_join",          # union-marker windowed as-of join
     "range_join",         # bucketized interval-containment join
+    "clean_corpus",       # composed cleaning pipeline (2-shuffle end-to-end)
+    "cdc_compact",        # changelog compaction via 2-phase max_by
+    "funnel",             # conditional frame-bounded window funnel
 ]
 
 
