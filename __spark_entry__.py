@@ -869,6 +869,26 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.count_distinct("view_id").alias("n_views")))
 
 
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (streaming.stream_static_join): the
+    event stream joined per micro-batch against the customer dimension
+    (broadcast, stateless, no watermark), then a complete-mode rollup
+    per market segment.  availableNow replays the full input, so the
+    batch left join is a FULL value oracle."""
+    from frames_map_reduce_spark.streaming import (stream_static_join,
+                                                   stream_to_memory)
+
+    stream = _event_stream(spark, sf_dir).select("user_id", "value")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"))
+    enriched = stream_static_join(stream, dim, ["user_id"])
+    agg = (enriched.groupBy("segment")
+                   .agg(F.count(F.lit(1)).alias("n"),
+                        F.round(F.sum("value"), 2).alias("sum_value")))
+    return stream_to_memory(agg, f"stream_enrich_{uuid.uuid4().hex[:8]}")
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming deduplication (streaming.stream_dedup): distinct
     (user_id, event_type) pairs discovered incrementally across

@@ -108,6 +108,19 @@ def stream_dedup(stream: DataFrame, keys: Sequence[str],
     return stream.dropDuplicates(list(keys))
 
 
+def stream_static_join(stream: DataFrame, dim: DataFrame,
+                       keys: Sequence[str], how: str = "left") -> DataFrame:
+    """Stream-static enrichment: join every micro-batch against a batch
+    dimension table.  STATELESS — nothing buffers across batches (unlike
+    stream-stream joins), so no watermark is needed.  The dimension is
+    broadcast: each micro-batch enriches map-side with no shuffle of the
+    stream.  Spark re-evaluates the static side per micro-batch, which
+    is what makes slowly-refreshed dims pick up updates; persist the dim
+    upstream if recomputing it is expensive."""
+    require_columns(dim, keys)
+    return stream.join(F.broadcast(dim), list(keys), how)
+
+
 def stream_stream_join(left: DataFrame, right: DataFrame,
                        keys: Sequence[str], left_ts: str, right_ts: str,
                        lookback: str, watermark: str = "1 hour",
