@@ -74,15 +74,24 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects by default; read nanos as long and convert with exact
-    integral division (no double rounding).  Session tz pinned to UTC so
-    hour truncation and collected values match the (naive) oracle
+    """events.parquet has shipped ts as TIMESTAMP(NANOS) (older testdata —
+    Spark's reader rejects nanos unless read as long) and as plain
+    TIMESTAMP(MICROS) (current testdata).  Adapt to whichever is on disk:
+    nanos-as-long gets an exact integral division to micros (no double
+    rounding); a native timestamp passes through.  Session tz pinned to
+    UTC so hour truncation and collected values match the (naive) oracle
     timestamps regardless of the host session's default."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ev.schema["ts"].dataType, T.LongType):
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        # TIMESTAMP_NTZ → session-tz TIMESTAMP (UTC pinned above): keeps
+        # wall-clock values and restores BIGINT-castability for the
+        # epoch-second window arithmetic downstream
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    return ev
 
 
 # ---------------------------------------------------------------------------
@@ -569,8 +578,11 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (no SQL oracle: 63-bit signature packing is
-    not reasonably SQL-expressible — rows-only check)."""
+    """SimHash near-dup pairs, FULL value oracle: the polynomial+splitmix64
+    token hash and 63-bit majority-vote packing are replayed in DuckDB via
+    HUGEINT modular arithmetic (dedup.simhash_oracle_sql, generated from
+    the same spec constants as the numpy path).  n_bands=9 > max_hamming=8
+    makes banding lossless, so the exhaustive SQL twin is exact."""
     docs = _docs(spark, sf_dir)
     # n_bands=9 > max_hamming=8: the banding pigeonhole guarantee holds
     # (7-bit chunks of the 63-bit signature)
@@ -781,14 +793,19 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File stream over events.parquet with the nanos→micros conversion
-    (shared by the streaming driver queries)."""
+    """File stream over events.parquet (shared by the streaming driver
+    queries), with the same nanos-vs-micros schema adaptation as
+    :func:`_events`."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    return (spark.readStream.schema(raw_schema)
-                 .parquet(f"{sf_dir}/events.parque*")
-                 .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    stream = (spark.readStream.schema(raw_schema)
+                   .parquet(f"{sf_dir}/events.parque*"))
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1329,19 +1346,83 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Query registry.
+
+    ORDER MATTERS: the driver's correctness harness checks the FIRST 50
+    entries only.  The window is therefore ordered (1) queries that have
+    never had a driver row (r2 verdict list), (2) r1-green queries that
+    fell out of the window when the registry grew, (3) one representative
+    per SURVEY §2 family so reference parity stays continuously proven,
+    (4) the LLM-pipeline heavy hitters.  Proven micro-queries (to_frame,
+    assign_keys, ...) rotate to the back — they are cheap to rotate back
+    into the window in a later round."""
     return {
-        "mr_sum_by_flag": q_mr_sum_by_flag,
-        "tpch_q1": q_tpch_q1,
+        # -- (1) never driver-checked before round 3 --------------------
+        "asof_join": q_asof_join,
+        "asof_tolerance": q_asof_tolerance,
+        "range_join": q_range_join,
+        "cdc_compact": q_cdc_compact,
+        "scd2": q_scd2,
+        "anti_join": q_anti_join,
+        "funnel": q_funnel,
+        "clean_corpus": q_clean_corpus,
+        "chunk_docs": q_chunk_docs,
+        "bm25": q_bm25,
+        "contamination": q_contamination,
+        "percentile_native": q_percentile_native,
+        "media_meta": q_media_meta,
+        "media_features": q_media_features,
+        "unpivot": q_unpivot,
+        "salted_agg": q_salted_agg,
+        "sketch_distinct": q_sketch_distinct,
+        # -- (2) green in r1, dropped out of the r2 window --------------
+        "events_json": q_events_json,
+        "sessionize": q_sessionize,
+        "join_revenue": q_join_revenue,
+        "running_total": q_running_total,
+        "topk_native": q_topk_native,
+        "pivot": q_pivot,
+        "quality_score": q_quality_score,
+        # -- new / upgraded this round ----------------------------------
+        "dedup_simhash": q_dedup_simhash,   # r3: gained a full DuckDB oracle
+        # -- (3) SURVEY §2 family representatives -----------------------
+        "mr_sum_by_flag": q_mr_sum_by_flag,     # §2.2 unpack
+        "tpch_q1": q_tpch_q1,                   # §2.4/2.5 folds end-to-end
+        "good_rows": q_good_rows,               # §2.2 unpackGoodRows
+        "null_propagating": q_null_propagating, # §2.5 functor folds
+        "aggregate_fold_year": q_aggregate_fold_year,  # §2.6 keyMap
+        "topk_per_group": q_topk_per_group,     # §2.4 makeRecsWithKey
+        "group_median": q_group_median,         # §2.4 reduceAndAddKey
+        # -- (4) LLM-pipeline heavy hitters -----------------------------
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "ann_bruteforce": q_ann_bruteforce,
+        "embedding_neardup": q_embedding_neardup,
+        "train_test_split": q_train_test_split,
+        "sample_stratified": q_sample_stratified,
+        "mixture_weights": q_mixture_weights,
+        "pack_shards": q_pack_shards,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "token_stats": q_token_stats,
+        "fingerprint": q_fingerprint,
+        "stream_hourly": q_stream_hourly,
+        "stream_sessions": q_stream_sessions,
+        "stream_stateful": q_stream_stateful,
+        # ---------------- 50-row window ends here ----------------------
+        # All entries below were hash-green in r1/r2 (or are no_oracle
+        # approximate ops carrying in-row recall accountability) and
+        # rotate back into the window in later rounds.
+        "stream_join": q_stream_join,
+        "stream_dedup": q_stream_dedup,
+        "events_hourly": q_events_hourly,
         "weighted_mean": q_weighted_mean,
         "fold_all_numeric": q_fold_all_numeric,
-        "good_rows": q_good_rows,
-        "null_propagating": q_null_propagating,
-        "aggregate_fold_year": q_aggregate_fold_year,
         "rollup_revenue": q_rollup_revenue,
         "cube_revenue": q_cube_revenue,
         "combine_key_maps": q_combine_key_maps,
-        "topk_per_group": q_topk_per_group,
-        "group_median": q_group_median,
         "flatmap_tokens": q_flatmap_tokens,
         "collect_sorted": q_collect_sorted,
         "split_on_data": q_split_on_data,
@@ -1353,57 +1434,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_concat": q_frame_concat,
         "to_frame": q_to_frame,
         "read_csv_permissive": q_read_csv_permissive,
-        "text_quality": q_text_quality,
-        "lang_id": q_lang_id,
-        "token_stats": q_token_stats,
-        "fingerprint": q_fingerprint,
         "repetition_stats": q_repetition_stats,
         "redact_pii": q_redact_pii,
         "top_ngrams": q_top_ngrams,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_clusters": q_dedup_clusters,
-        "train_test_split": q_train_test_split,
-        "sample_stratified": q_sample_stratified,
-        "mixture_weights": q_mixture_weights,
-        "pack_shards": q_pack_shards,
-        "ann_bruteforce": q_ann_bruteforce,
-        "embedding_neardup": q_embedding_neardup,
         "ann_srp": q_ann_srp,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
-        "events_hourly": q_events_hourly,
-        "stream_hourly": q_stream_hourly,
-        "stream_sessions": q_stream_sessions,
-        "stream_stateful": q_stream_stateful,
-        "stream_join": q_stream_join,
-        "stream_dedup": q_stream_dedup,
-        "events_json": q_events_json,
-        "sessionize": q_sessionize,
-        "join_revenue": q_join_revenue,
-        "running_total": q_running_total,
-        "topk_native": q_topk_native,
-        "pivot": q_pivot,
-        "unpivot": q_unpivot,
-        "salted_agg": q_salted_agg,
-        "sketch_distinct": q_sketch_distinct,
-        "quality_score": q_quality_score,
-        "media_meta": q_media_meta,
-        "media_features": q_media_features,
-        "asof_join": q_asof_join,
-        "asof_tolerance": q_asof_tolerance,
-        "range_join": q_range_join,
-        "chunk_docs": q_chunk_docs,
-        "bm25": q_bm25,
-        "contamination": q_contamination,
-        "percentile_native": q_percentile_native,
-        "clean_corpus": q_clean_corpus,
-        "cdc_compact": q_cdc_compact,
-        "scd2": q_scd2,
-        "anti_join": q_anti_join,
-        "funnel": q_funnel,
     }
 
 
@@ -1615,6 +1651,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, {jaccard5} AS jaccard_sim
             FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
             WHERE {jaccard5} >= 0.5""",
+        # exhaustive Hamming twin, valid because the query runs with
+        # n_bands=9 > max_hamming=8 (lossless banding by pigeonhole); the
+        # integer hash pipeline is generated from dedup.py's spec constants
+        "dedup_simhash": DD.simhash_oracle_sql(
+            "documents", "text", "doc_id", max_hamming=8),
         "train_test_split": f"""
             SELECT {SMP.hash_split_sql_case('doc_id', _SPLIT_WEIGHTS, 'v1')} AS split,
                    count(*) AS n_docs,

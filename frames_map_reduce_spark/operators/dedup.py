@@ -687,3 +687,92 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
          .filter(F.col("hamming_dist") <= max_hamming)  # before distinct: shuffle only survivors
          .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash DuckDB oracle twin — generated from the SAME spec constants as the
+# fused Python path (_token_hash_py/_mix64), so the two cannot drift.
+# ---------------------------------------------------------------------------
+
+_POLY_PRIME = 1099511628211  # FNV-64 prime; must equal _token_hash_py's
+
+
+def _mulmod64_sql(a: str, b: int) -> str:
+    """DuckDB expression for ``(a * b) mod 2**64`` with ``a`` a UBIGINT
+    identifier and ``b`` a 64-bit constant.  UBIGINT arithmetic raises on
+    overflow, so split both operands at 32 bits: the cross terms are summed
+    in HUGEINT, folded mod 2^32, and recombined — every intermediate fits
+    int128."""
+    bh, bl = b >> 32, b & 0xFFFFFFFF
+    return (
+        f"CAST(((({a} >> 32)::HUGEINT * {bl} + ({a} & 4294967295)::HUGEINT * {bh})"
+        f" % 4294967296 * 4294967296"
+        f" + ({a} & 4294967295)::HUGEINT * {bl}) % 18446744073709551616 AS UBIGINT)"
+    )
+
+
+def simhash_oracle_sql(table: str, text_col: str, id_col: str,
+                       max_hamming: int = 8, bits: int = 63) -> str:
+    """Exhaustive DuckDB twin of :func:`simhash_near_dup_pairs`.
+
+    Replays the exact integer pipeline — wordish tokenize (occurrence
+    multiplicity kept), per-token polynomial code-point hash, splitmix64
+    finalize, per-bit majority vote, 63-bit pack — then checks ALL pairs by
+    Hamming distance.  Valid as a full-value oracle because the Spark side
+    runs with ``n_bands > max_hamming`` (banding is then lossless by
+    pigeonhole) and the test corpora never trip ``max_bucket``.
+
+    Every constant is derived from the same module-level spec the numpy
+    path uses (``_POLY_PRIME``, ``_SM_GAMMA``, ``_SM_M1``, ``_SM_M2``)."""
+    from frames_map_reduce_spark.functions.text import WORDISH
+    gamma, m1, m2 = int(_SM_GAMMA), int(_SM_M1), int(_SM_M2)
+    # list_reduce seeds with the first element == ord(c0) == the Python
+    # loop's state after one char, so no explicit initial accumulator.
+    poly = (f"CAST(({_mulmod64_sql('h', _POLY_PRIME)}::HUGEINT + cp)"
+            f" % 18446744073709551616 AS UBIGINT)")
+    return f"""
+WITH tok AS (
+    SELECT {id_col}, unnest(regexp_extract_all(lower({text_col}), '{WORDISH}')) AS tok
+    FROM {table}
+),
+tokc AS (  -- hash once per distinct (doc, token); multiplicity via cnt
+    SELECT {id_col}, tok, count(*)::BIGINT AS cnt FROM tok GROUP BY {id_col}, tok
+),
+poly AS (
+    SELECT {id_col}, cnt,
+           list_reduce(
+               list_transform(regexp_extract_all(tok, '.'), c -> unicode(c)::UBIGINT),
+               (h, cp) -> {poly}
+           ) AS h0
+    FROM tokc
+),
+mixed AS (  -- splitmix64 finalizer, staged via lateral aliases
+    SELECT {id_col}, cnt,
+           CAST((h0::HUGEINT + {gamma}) % 18446744073709551616 AS UBIGINT) AS z0,
+           xor(z0, z0 >> 30) AS z1,
+           {_mulmod64_sql('z1', m1)} AS z2,
+           xor(z2, z2 >> 27) AS z3,
+           {_mulmod64_sql('z3', m2)} AS z4,
+           xor(z4, z4 >> 31) AS th
+    FROM poly
+),
+bitsum AS (  -- per-bit occurrence-weighted majority vote
+    SELECT {id_col}, bb.b AS b,
+           SUM(cnt * (CASE WHEN (th >> bb.b) & 1 = 1 THEN 1 ELSE -1 END)) AS s
+    FROM mixed CROSS JOIN (SELECT unnest(range({bits})) AS b) bb
+    GROUP BY {id_col}, bb.b
+),
+sig0 AS (
+    SELECT {id_col},
+           CAST(SUM(CASE WHEN s > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END) AS BIGINT) AS sim
+    FROM bitsum GROUP BY {id_col}
+),
+sig AS (  -- docs with no tokens sign to 0, as in the numpy path
+    SELECT d.{id_col}, COALESCE(s.sim, 0) AS sim
+    FROM {table} d LEFT JOIN sig0 s USING ({id_col})
+)
+SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+       bit_count(xor(a.sim::UBIGINT, b.sim::UBIGINT))::INT AS hamming_dist
+FROM sig a JOIN sig b ON a.{id_col} < b.{id_col}
+WHERE bit_count(xor(a.sim::UBIGINT, b.sim::UBIGINT)) <= {max_hamming}
+"""
