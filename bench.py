@@ -70,26 +70,29 @@ def main() -> None:
     li.select("l_orderkey").repartition(32) \
       .mapInPandas(_ident, "l_orderkey long").count()
 
-    # best-of-2 per query: this host intermittently throttles under
+    # median-of-3 per query: this host intermittently throttles under
     # sustained load (observed ±50% on identical runs), and a single
-    # sample can charge one query several seconds of machine noise.
-    # Caches/persists are per-DataFrame lineages rebuilt each call, so a
-    # second run measures the same work.
+    # sample can charge one query several seconds of machine noise; the
+    # median is robust to one throttled sample in either direction, so
+    # round-over-round deltas are signal.  Caches/persists are
+    # per-DataFrame lineages rebuilt each call, so every sample measures
+    # the same work.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        best, rows = None, []
-        for _ in range(2):
+        samples, rows = [], []
+        for _ in range(3):
             # full work each sample: the dedup pipelines persist interim
             # frames, and CacheManager plan-matching would otherwise let
-            # run 2 skip their Python stages entirely
+            # later runs skip their Python stages entirely
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             rows = fn(spark, sf_dir).collect()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s ({len(rows)} rows)", file=sys.stderr)
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = round(samples[1], 3)
+        print(f"# {name}: median {timings[name]}s of {[round(s, 2) for s in samples]} "
+              f"({len(rows)} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -98,6 +101,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "n": 3,
+        "stat": "median",
     }))
 
 
