@@ -794,6 +794,73 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("window.start").alias("hour"), "event_type", "n", "sum_value")
 
 
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window streaming aggregation with DELIBERATE late data,
+    held to full value parity with a batch twin.
+
+    Three staged files become three availableNow micro-batches
+    (maxFilesPerTrigger=1, mtime-ordered):
+
+    1. the whole events table (on-time rows);
+    2. one synthetic 'tick' row at max(ts)+31min — under the 30-min
+       watermark delay this advances the watermark to max(ts)+1min, which
+       finalizes (emits + evicts, append mode) every window ending at or
+       before that mark;
+    3. late copies of the 100 earliest events — their windows are already
+       evicted, and the pre-aggregation watermark filter drops them
+       (semantics pinned by tests/test_streaming.py::
+       test_sliding_window_late_drop, including the end == watermark
+       boundary, which EMITS).
+
+    The emitted result is therefore exactly the batch sliding-window
+    aggregation over the on-time rows restricted to windows with
+    end <= max(ts)+1min — which is the DuckDB oracle.  The tick row's own
+    windows end past the watermark, so it never reaches the output."""
+    import datetime as _dtm
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import uuid
+
+    from frames_map_reduce_spark.mapreduce import unpack_no_op as _noop
+    from frames_map_reduce_spark.streaming import stream_map_reduce, stream_to_memory
+
+    ev = _events(spark, sf_dir)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+
+    base = f"/tmp/fmr_stream_sliding_{uuid.uuid4().hex[:12]}"
+    stage = f"{base}/in"
+    _os.makedirs(stage)
+    tick = spark.createDataFrame(
+        [(-1, max_ts + _dtm.timedelta(minutes=31), -1, "tick", 0.0, "{}")],
+        schema=ev.schema)
+    late = (ev.orderBy("ts", "event_id").limit(100)
+              .withColumn("event_id", F.col("event_id") + F.lit(10_000_000)))
+    for i, df in enumerate((ev, tick, late)):
+        out = f"{base}/f{i}"
+        df.coalesce(1).write.parquet(out)
+        part = _glob.glob(f"{out}/part-*.parquet")[0]
+        dst = f"{stage}/{i}.parquet"
+        _shutil.move(part, dst)
+        # file source processes oldest-mtime first: force the batch order
+        _os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    stream = (spark.readStream.schema(ev.schema)
+                   .option("maxFilesPerTrigger", "1").parquet(stage))
+    result = stream_map_reduce(
+        stream, _noop(), keys=["event_type"],
+        fold=folds.count_star("n")
+             & folds.of(F.round(F.sum("value"), 2), "sum_value"),
+        ts_col="ts", window="1 hour", slide="30 minutes",
+        watermark="30 minutes")
+    name = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+    q = stream_to_memory(result, name, output_mode="append")
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("window.start").alias("window_start"),
+        "event_type", "n", "sum_value")
+
+
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File stream over events.parquet (shared by the streaming driver
     queries), with the same nanos-vs-micros schema adaptation as
@@ -1412,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "stream_hourly": q_stream_hourly,
         "stream_sessions": q_stream_sessions,
+        "stream_sliding": q_stream_sliding,  # r3: late-data watermark-drop parity
         "stream_stateful": q_stream_stateful,
         # ---------------- 50-row window ends here ----------------------
         # All entries below were hash-green in r1/r2 (or are no_oracle
@@ -1751,6 +1819,27 @@ def oracle_sql() -> dict[str, str]:
         "stream_stateful": """
             SELECT event_type, count(*) AS n
             FROM events GROUP BY event_type""",
+        # batch twin of the sliding-window streaming query: each event
+        # belongs to the two 1h/30m windows starting at bucket(ts) and
+        # bucket(ts)-30m; only windows with end <= max(ts)+1min (the final
+        # watermark the staged 'tick' row produces) are emitted in append
+        # mode, and the staged late rows are watermark-dropped — so the
+        # oracle aggregates the on-time rows only, window-filtered.
+        # DuckDB's time_bucket origin (2000-01-01) and Spark's (epoch) are
+        # both half-hour-aligned, so the grids agree.
+        "stream_sliding": """
+            WITH wm AS (SELECT max(ts) + INTERVAL 1 MINUTE AS w FROM events),
+            expl AS (
+                SELECT event_type, value,
+                       time_bucket(INTERVAL '30 minutes', ts)
+                           - s.i * INTERVAL '30 minutes' AS window_start
+                FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) s
+            )
+            SELECT window_start, event_type, count(*) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM expl, wm
+            WHERE window_start + INTERVAL '1 hour' <= wm.w
+            GROUP BY window_start, event_type""",
         "stream_join": """
             SELECT c.user_id, count(*) AS n_pairs,
                    count(DISTINCT c.event_id) AS n_clicks,

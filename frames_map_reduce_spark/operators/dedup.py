@@ -463,7 +463,12 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
     cands = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands,
                                    shingle_k, seed, with_sig=fused)
     # verify on 64-bit shingle-hash arrays: same Jaccard as string shingles
-    # (collision odds ~1e-14/pair) at a fraction of the compare cost
+    # (collision odds ~1e-14/pair) at a fraction of the compare cost.
+    # No explicit broadcast on the candidate side: AQE converts these joins
+    # to broadcast at runtime when cands is actually small (measured: an
+    # explicit F.broadcast(cands) is within noise at sf0.1), and at 100 TB
+    # the candidate-pair frame can be far past the broadcast threshold —
+    # forcing it would be the silently-wrong choice AQE exists to avoid.
     a = fused.select(F.col(id_col).alias("id_a"), F.col("_sh64").alias("_sh_a"))
     b = fused.select(F.col(id_col).alias("id_b"), F.col("_sh64").alias("_sh_b"))
     return (

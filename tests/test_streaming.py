@@ -156,3 +156,72 @@ def test_stream_dedup_within_watermark(spark, events_dir):
 
     with pytest.raises(ValueError):
         stream_dedup(stream, ["event_type"], watermark="1 hour")
+
+
+def test_sliding_window_late_drop(spark, tmp_path):
+    """Pins the late-data contract the stream_sliding driver query builds
+    on: with maxFilesPerTrigger=1 + availableNow (one micro-batch per
+    staged file, oldest mtime first),
+
+    1. append mode emits exactly the windows with end <= watermark,
+       INCLUDING the end == watermark boundary;
+    2. a row arriving after its windows were evicted is dropped, not
+       re-aggregated — the watermark-drop semantics;
+    3. a row arriving in the very next batch after its window data (state
+       not yet evicted) is still MERGED: the drop guarantee needs the
+       eviction batch in between, which is why the driver query stages a
+       separate 'tick' file before the late file.
+    """
+    import os
+    import uuid
+
+    rows_on_time = [(i, f"2024-01-01 0{h}:{m:02d}:00", "click", 1.0)
+                    for i, (h, m) in enumerate(
+                        [(0, 5), (0, 35), (1, 5), (1, 35),
+                         (2, 5), (2, 35), (3, 5), (3, 30)])]
+    # max on-time ts 03:30 → watermark = 03:00 == end of [02:00, 03:00)
+    rows_tick = [(50, "2024-01-01 03:30:00", "tick", 0.0)]
+    rows_late = [(100, "2024-01-01 00:10:00", "click", 1.0)]
+    schema = "event_id long, ts_s string, event_type string, value double"
+
+    base = tmp_path / "sliding"
+    stage = base / "in"
+    os.makedirs(stage)
+    for i, rows in enumerate((rows_on_time, rows_tick, rows_late)):
+        df = (spark.createDataFrame(rows, schema)
+                   .select("event_id", F.to_timestamp("ts_s").alias("ts"),
+                           "event_type", "value"))
+        out = str(base / f"f{i}")
+        df.coalesce(1).write.parquet(out)
+        part = next(p for p in os.listdir(out) if p.endswith(".parquet"))
+        dst = str(stage / f"{i}.parquet")
+        os.rename(os.path.join(out, part), dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    ref = (spark.createDataFrame(rows_on_time, schema)
+                .select(F.to_timestamp("ts_s").alias("ts")))
+    stream = (spark.readStream.schema(
+                  "event_id long, ts timestamp, event_type string, value double")
+                   .option("maxFilesPerTrigger", "1").parquet(str(stage)))
+    result = stream_map_reduce(
+        stream, unpack_no_op(), keys=["event_type"],
+        fold=folds.count_star("n"),
+        ts_col="ts", window="1 hour", slide="30 minutes",
+        watermark="30 minutes")
+    name = f"t_sliding_{uuid.uuid4().hex[:8]}"
+    q = (result.writeStream.format("memory").queryName(name)
+               .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["window"]["start"].isoformat(), r["event_type"]): r["n"]
+           for r in spark.table(name).collect()}
+    # watermark 03:00: emitted = click windows ending <= 03:00, late row
+    # (00:10, arriving after eviction) dropped; the == boundary window
+    # [02:00, 03:00) IS emitted; tick windows end past the mark.
+    assert got == {
+        ("2023-12-31T23:30:00", "click"): 1,   # 00:05 only — late 00:10 dropped
+        ("2024-01-01T00:00:00", "click"): 2,   # 00:05, 00:35
+        ("2024-01-01T00:30:00", "click"): 2,   # 00:35, 01:05
+        ("2024-01-01T01:00:00", "click"): 2,
+        ("2024-01-01T01:30:00", "click"): 2,
+        ("2024-01-01T02:00:00", "click"): 2,   # end == watermark: emitted
+    }
