@@ -1234,16 +1234,18 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel/sample decode: PNG payloads through the pure-Python
     zlib codec (functions/media.py png_decode → 4×4 mean-pooled
-    luminance), WAV payloads through np.frombuffer PCM16 → band RMS.
-    Per-doc feature mean must round-match the float64 ground truth
-    computed from the source arrays before encoding — an
-    encode→decode→featurize roundtrip proof."""
+    luminance), baseline JPEG through the pure-numpy Huffman + DC-only
+    decoder (jpeg_dc_luma → 8×-downsampled luma map, pooled the same
+    way), WAV through np.frombuffer PCM16 → band RMS.  Per-doc feature
+    mean must round-match the float64 ground truth computed from the
+    source arrays before encoding — an encode→decode→featurize
+    roundtrip proof (for JPEG, against the quantization formula)."""
     from frames_map_reduce_spark.operators.multimodal import (
         decode_image_features, extract_audio_features)
     media = spark.read.parquet(MEDIA_PARQUET).filter(F.col("feat_check"))
-    png = media.filter(F.col("true_mime") == "image/png")
+    img = media.filter(F.col("true_mime").isin("image/png", "image/jpeg"))
     wav = media.filter(F.col("true_mime") == "audio/wav")
-    feats = decode_image_features(png, "doc_id", "payload").unionByName(
+    feats = decode_image_features(img, "doc_id", "payload").unionByName(
         extract_audio_features(wav, "doc_id", "payload"))
     mean_expr = F.expr(
         "aggregate(feature, 0D, (acc, x) -> acc + CAST(x AS DOUBLE))"

@@ -283,3 +283,391 @@ def wav_features(b: bytes, n_bands: int = 16) -> list[float] | None:
         seg = pcm[bounds[k]:max(bounds[k + 1], bounds[k] + 1)].astype(np.float64)
         out.append(float(np.sqrt(np.mean(seg * seg))) / 32768.0)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG: pure-numpy grayscale encoder + DC-only decoder
+# ---------------------------------------------------------------------------
+# Full inverse-DCT decode is out of scope without a codec library, but the
+# DC coefficient of each 8x8 block IS its pixel mean — so Huffman-decoding
+# the entropy stream and keeping only (dequantized) DC terms yields an
+# 8x-downsampled luma map: exactly what grid-pooled feature extraction
+# needs.  This makes `decode_image_features` REAL for baseline JPEG.
+#
+# The encoder exists so fixtures can carry genuine scan data (this
+# container has no JPEG writer either) and so the decoder is provable by
+# roundtrip against the quantization formula, not just "doesn't crash".
+
+def _zigzag() -> np.ndarray:
+    """Raster index for each of the 64 zigzag positions."""
+    idx = []
+    for s in range(15):
+        if s % 2 == 0:   # traverse the anti-diagonal upward
+            for y in range(min(s, 7), max(0, s - 7) - 1, -1):
+                idx.append(y * 8 + (s - y))
+        else:            # downward
+            for x in range(min(s, 7), max(0, s - 7) - 1, -1):
+                idx.append((s - x) * 8 + x)
+    return np.array(idx, dtype=np.int64)
+
+
+_ZZ = _zigzag()
+
+# ITU T.81 Annex K luminance quantization table (raster order)
+JPEG_QL = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.float64).reshape(8, 8)
+
+# Annex K Huffman specs: (bits[1..16] counts, symbol values)
+_DC_LUMA_SPEC = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA_SPEC = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+     0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+     0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+     0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+     0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+     0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+     0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+     0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+     0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+     0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+     0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA],
+)
+
+
+def _canonical_codes(bits, values):
+    """symbol -> (code, length) canonical Huffman assignment (T.81 C.2)."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits, values):
+    """(length, code) -> symbol for bit-serial Huffman decoding."""
+    return {(ln, code): sym
+            for sym, (code, ln) in _canonical_codes(bits, values).items()}
+
+
+_DCT = np.array([[np.cos((2 * x + 1) * u * np.pi / 16) *
+                  (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+                  for x in range(8)] for u in range(8)])
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size category, appended bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    s = int(abs(v)).bit_length()
+    return s, (v if v > 0 else v + (1 << s) - 1)
+
+
+def jpeg_encode_gray(arr: np.ndarray, quant: np.ndarray | None = None) -> bytes:
+    """Encode a 2-D uint8 array as a baseline grayscale JPEG (SOF0, Annex K
+    tables, no restart markers).  Spec-valid — any standard viewer decodes
+    it.  Blocks are padded by edge replication to 8x8 multiples."""
+    if arr.ndim != 2:
+        raise ValueError("jpeg_encode_gray takes a 2-D grayscale array")
+    q = JPEG_QL if quant is None else np.asarray(quant, dtype=np.float64)
+    h, w = arr.shape
+    bh, bw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    img = np.pad(arr, ((0, bh - h), (0, bw - w)), mode="edge") \
+        .astype(np.float64) - 128.0
+    blocks = img.reshape(bh // 8, 8, bw // 8, 8).transpose(0, 2, 1, 3)
+    coeffs = _DCT[None, None] @ blocks @ _DCT.T[None, None]
+    quantized = np.rint(coeffs / q).astype(np.int64)
+    zz = quantized.reshape(bh // 8, bw // 8, 64)[:, :, _ZZ]
+
+    dc_codes = _canonical_codes(*_DC_LUMA_SPEC)
+    ac_codes = _canonical_codes(*_AC_LUMA_SPEC)
+    wtr = _BitWriter()
+    pred = 0
+    for by in range(zz.shape[0]):
+        for bx in range(zz.shape[1]):
+            blk = zz[by, bx]
+            diff = int(blk[0]) - pred
+            pred = int(blk[0])
+            s, mag = _magnitude(diff)
+            code, ln = dc_codes[s]
+            wtr.put(code, ln)
+            wtr.put(mag, s)
+            run = 0
+            for k in range(1, 64):
+                v = int(blk[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]  # ZRL: 16 zeros
+                    wtr.put(code, ln)
+                    run -= 16
+                s, mag = _magnitude(v)
+                code, ln = ac_codes[(run << 4) | s]
+                wtr.put(code, ln)
+                wtr.put(mag, s)
+                run = 0
+            if run:
+                code, ln = ac_codes[0x00]  # EOB
+                wtr.put(code, ln)
+    wtr.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    qz = np.rint(q).astype(np.int64).reshape(64)[_ZZ]
+    dqt = seg(0xDB, b"\x00" + bytes(int(x) for x in qz))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = (seg(0xC4, b"\x00" + bytes(_DC_LUMA_SPEC[0]) + bytes(_DC_LUMA_SPEC[1]))
+           + seg(0xC4, b"\x10" + bytes(_AC_LUMA_SPEC[0]) + bytes(_AC_LUMA_SPEC[1])))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (b"\xff\xd8" + dqt + sof + dht + sos + bytes(wtr.buf) + b"\xff\xd9")
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; surfaces restart markers to the caller."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.d = data
+        self.i = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            byte = self.d[self.i]
+            self.i += 1
+            if byte == 0xFF:
+                nxt = self.d[self.i]
+                if nxt == 0x00:
+                    self.i += 1
+                else:
+                    raise ValueError(f"marker 0xFF{nxt:02X} inside entropy data")
+            self.acc = byte
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, count: int) -> int:
+        v = 0
+        for _ in range(count):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_restart(self) -> None:
+        """Byte-align and consume an RSTn marker."""
+        self.n = 0
+        while self.d[self.i] == 0xFF and 0xD0 <= self.d[self.i + 1] <= 0xD7:
+            self.i += 2
+            return
+        raise ValueError("expected restart marker")
+
+
+def _huff_decode(rd: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | rd.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def jpeg_dc_luma(b: bytes) -> np.ndarray:
+    """DC-only decode of a baseline JPEG: Huffman-decode the entropy
+    stream (AC coefficients are decoded to advance the bit position, then
+    discarded) and return the dequantized DC terms of component 0 as a
+    float64 array of 8x8-block means in [0, 255] — an 8x-downsampled luma
+    map of shape (ceil(h/8), ceil(w/8)) for full-resolution luma.
+
+    Supports baseline/extended-sequential (SOF0/SOF1) single-scan streams,
+    arbitrary component sampling factors, and restart intervals; raises
+    ValueError on progressive (SOF2) or other unsupported variants."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps = None
+    height = width = None
+    restart = 0
+    i = 2
+    while True:
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:
+            raise ValueError("reached EOI without scan data")
+        length = struct.unpack(">H", b[i + 2:i + 4])[0]
+        seg = b[i + 4:i + 2 + length]
+        if marker == 0xDB:                       # DQT (may hold several)
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 15
+                if pq == 0:
+                    qts[tq] = np.frombuffer(seg[j + 1:j + 65], np.uint8) \
+                        .astype(np.float64)
+                    j += 65
+                else:
+                    qts[tq] = np.frombuffer(seg[j + 1:j + 129], ">u2") \
+                        .astype(np.float64)
+                    j += 129
+        elif marker == 0xC4:                     # DHT (may hold several)
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 15
+                bits = list(seg[j + 1:j + 17])
+                n = sum(bits)
+                values = list(seg[j + 17:j + 17 + n])
+                huff[(tc, th)] = _decode_table(bits, values)
+                j += 17 + n
+        elif marker in (0xC0, 0xC1):             # SOF0/SOF1
+            _prec, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+        elif marker == 0xC2:
+            raise ValueError("progressive JPEG (SOF2) not supported")
+        elif marker == 0xDD:                     # DRI
+            restart = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:                     # SOS — scan starts after
+            if comps is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                comp = next(x for x in comps if x["id"] == cid)
+                scan.append({**comp, "dc": tabs >> 4, "ac": tabs & 15})
+            if scan[0]["id"] != comps[0]["id"]:
+                raise ValueError("first scan does not cover component 0")
+            data_start = i + 2 + length
+            break
+        i += 2 + length
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if len(scan) == 1:                           # non-interleaved: MCU = 1 block
+        c0 = scan[0]
+        bx = -(-width * c0["h"] // (8 * hmax))
+        by = -(-height * c0["v"] // (8 * vmax))
+        mcus_x, mcus_y = bx, by
+        layout = [(0, 1, 1)]                     # (scan idx, H, V) per MCU
+        gw, gh = bx, by
+    else:
+        mcus_x = -(-width // (8 * hmax))
+        mcus_y = -(-height // (8 * vmax))
+        layout = [(ci, c["h"], c["v"]) for ci, c in enumerate(scan)]
+        gw, gh = mcus_x * scan[0]["h"], mcus_y * scan[0]["v"]
+
+    grid = np.zeros((gh, gw), dtype=np.float64)
+    q00 = qts[scan[0]["tq"]][0]
+    rd = _BitReader(b, data_start)
+    preds = [0] * len(scan)
+    mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and mcu and mcu % restart == 0:
+                rd.align_restart()
+                preds = [0] * len(scan)
+            for ci, ch, cv in layout:
+                comp = scan[ci]
+                for v in range(cv):
+                    for hh in range(ch):
+                        s = _huff_decode(rd, huff[(0, comp["dc"])])
+                        diff = _extend(rd.bits(s), s) if s else 0
+                        preds[ci] += diff
+                        if ci == 0:
+                            gy, gx = my * cv + v, mx * ch + hh
+                            if gy < gh and gx < gw:
+                                grid[gy, gx] = preds[ci]
+                        k = 1
+                        while k < 64:            # AC: decode to skip
+                            sym = _huff_decode(rd, huff[(1, comp["ac"])])
+                            if sym == 0x00:      # EOB
+                                break
+                            if sym == 0xF0:      # ZRL
+                                k += 16
+                                continue
+                            k += (sym >> 4) + 1
+                            rd.bits(sym & 15)
+            mcu += 1
+    luma = grid * q00 / 8.0 + 128.0
+    return np.clip(luma, 0.0, 255.0)
+
+
+def jpeg_dc_features(b: bytes, grid: int = 4) -> list[float]:
+    """Grid-pooled features from the DC-only luma map, same contract as
+    :func:`png_features` (grid x grid means scaled to [0, 1]) — the block
+    means stand in for pixels at 1/8 resolution."""
+    luma = jpeg_dc_luma(b)
+    h, w = luma.shape
+    ys = np.linspace(0, h, grid + 1).astype(int)
+    xs = np.linspace(0, w, grid + 1).astype(int)
+    return [float(luma[ys[i]:max(ys[i + 1], ys[i] + 1),
+                       xs[j]:max(xs[j + 1], xs[j] + 1)].mean()) / 255.0
+            for i in range(grid) for j in range(grid)]

@@ -123,10 +123,12 @@ def decode_image_features(df: DataFrame, id_col: str, binary_col: str,
                           fake: bool = False, batch_hint: int = 1024) -> DataFrame:
     """binary payload → feature vector via Arrow-batched mapInPandas.
 
-    REAL for PNG payloads: decode (functions/media.py png_decode) then
-    4×4 mean-pooled luminance grid → 16 floats in [0, 1].  JPEG/GIF
-    pixel decode needs a DCT/LZW codec this container lacks, so those
-    raise ``NotImplementedError`` unless ``fake=True`` (deterministic
+    REAL for PNG payloads (functions/media.py png_decode → 4×4
+    mean-pooled luminance grid → 16 floats in [0, 1]) and for baseline
+    JPEG (pure-numpy Huffman + DC-coefficient decode → 8×-downsampled
+    luma map, pooled the same way — media.py jpeg_dc_features).  GIF
+    pixel decode needs an LZW codec, so it raises
+    ``NotImplementedError`` unless ``fake=True`` (deterministic
     hash-derived vector, plumbing-only).
     """
     require_columns(df, [id_col, binary_col])
@@ -141,11 +143,13 @@ def decode_image_features(df: DataFrame, id_col: str, binary_col: str,
                     feats.append(_fake_features(b))
                 elif b[:8] == MEDIA.PNG_SIG:
                     feats.append(MEDIA.png_features(b, grid=4))
+                elif b[:2] == b"\xff\xd8":
+                    feats.append(MEDIA.jpeg_dc_features(b, grid=4))
                 else:
                     raise NotImplementedError(
-                        "real pixel decode implemented for PNG only (pure "
-                        "stdlib); JPEG/GIF need a codec library — use "
-                        "fake=True for plumbing tests")
+                        "real pixel decode implemented for PNG and baseline "
+                        "JPEG (pure stdlib/numpy); GIF needs an LZW codec — "
+                        "use fake=True for plumbing tests")
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
 
     return narrow.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)

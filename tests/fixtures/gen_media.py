@@ -35,7 +35,8 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
-from frames_map_reduce_spark.functions.media import png_encode  # noqa: E402
+from frames_map_reduce_spark.functions.media import (  # noqa: E402
+    _DCT, JPEG_QL, jpeg_encode_gray, png_encode)
 
 OUT = os.path.join(os.path.dirname(__file__), "media.parquet")
 
@@ -46,6 +47,30 @@ def make_jpeg(width: int, height: int) -> bytes:
     sof = struct.pack(">HBHHB", 17, 8, height, width, 3)
     sof += bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
     return b"\xff\xd8" + b"\xff\xc0" + sof + b"\xff\xd9"
+
+
+def make_jpeg_real(rng: np.random.Generator, width: int,
+                   height: int) -> tuple[bytes, float]:
+    """Real baseline grayscale JPEG (this repo's own pure-numpy encoder)
+    + the float64 ground-truth mean of the 16 pooled DC-luma features,
+    computed from the SOURCE array through the quantization formula —
+    pre-encode, so the oracle proves the Huffman+DC decode byte-level."""
+    img = rng.integers(0, 256, size=(height, width), dtype=np.uint8)
+    payload = jpeg_encode_gray(img)
+    bh, bw = (height + 7) // 8 * 8, (width + 7) // 8 * 8
+    pad = np.pad(img, ((0, bh - height), (0, bw - width)), mode="edge") \
+        .astype(np.float64) - 128.0
+    blocks = pad.reshape(bh // 8, 8, bw // 8, 8).transpose(0, 2, 1, 3)
+    dc = (_DCT[None, None] @ blocks @ _DCT.T[None, None])[:, :, 0, 0]
+    luma = np.clip(np.rint(dc / JPEG_QL[0, 0]) * JPEG_QL[0, 0] / 8.0 + 128.0,
+                   0.0, 255.0)
+    gh, gw = luma.shape
+    ys = np.linspace(0, gh, 5).astype(int)
+    xs = np.linspace(0, gw, 5).astype(int)
+    feats = [luma[ys[i]:max(ys[i + 1], ys[i] + 1),
+                  xs[j]:max(xs[j + 1], xs[j] + 1)].mean() / 255.0
+             for i in range(4) for j in range(4)]
+    return payload, float(np.mean(feats))
 
 
 def make_gif(width: int, height: int) -> bytes:
@@ -99,6 +124,14 @@ def main() -> None:
 
     for w, h in [(640, 480), (1920, 1080), (31, 97), (12, 300)]:
         rows.append((did, make_jpeg(w, h), "image/jpeg", w, h, None, False, None))
+        did += 1
+
+    # Real baseline grayscale JPEGs (repo encoder, Annex K tables): the
+    # DC-only decoder must reproduce the quantization-formula ground truth
+    # exactly.  Sizes chosen to cover block-aligned, padded, and tiny.
+    for w, h in [(64, 48), (56, 40), (17, 23), (8, 8), (129, 65)]:
+        payload, feat_mean = make_jpeg_real(rng, w, h)
+        rows.append((did, payload, "image/jpeg", w, h, None, True, feat_mean))
         did += 1
 
     for w, h in [(100, 50), (256, 256), (7, 9)]:

@@ -204,3 +204,67 @@ def test_resize_real(media_fixture):
         if r["doc_id"] in truth:
             img = MEDIA.png_decode(bytes(r["payload"]))
             assert int(img.min()) == int(img.max())
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG encoder / DC-only decoder
+# ---------------------------------------------------------------------------
+
+def test_jpeg_roundtrip_matches_quantization_formula():
+    """The DC-only decode must equal the block means predicted by the
+    quantization formula EXACTLY — any Huffman/bitstream bug shifts
+    coefficients and breaks this equality, so it is a strong proof."""
+    rng = np.random.default_rng(11)
+    for (h, w) in [(8, 8), (40, 56), (23, 17), (65, 129)]:
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        b = MEDIA.jpeg_encode_gray(img)
+        assert MEDIA.sniff_mime(b) == "image/jpeg"
+        assert MEDIA.parse_dims(b) == (w, h)
+        got = MEDIA.jpeg_dc_luma(b)
+        bh, bw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+        pad = np.pad(img, ((0, bh - h), (0, bw - w)), mode="edge") \
+            .astype(np.float64) - 128.0
+        blocks = pad.reshape(bh // 8, 8, bw // 8, 8).transpose(0, 2, 1, 3)
+        dc = (MEDIA._DCT[None, None] @ blocks @ MEDIA._DCT.T[None, None])[:, :, 0, 0]
+        want = np.clip(np.rint(dc / MEDIA.JPEG_QL[0, 0]) * MEDIA.JPEG_QL[0, 0]
+                       / 8.0 + 128.0, 0, 255)
+        assert got.shape == ((h + 7) // 8, (w + 7) // 8)
+        assert np.abs(got - want).max() < 1e-9, (h, w)
+
+
+def test_jpeg_dc_luma_approximates_downsampled_image():
+    """Sanity beyond the formula: on a smooth image the DC map should be
+    close to the true 8x8 block means (within DC quantization step
+    Q00/8 = 2 gray levels)."""
+    x = np.linspace(0, 255, 64)
+    img = np.tile(x, (48, 1)).astype(np.uint8)
+    b = MEDIA.jpeg_encode_gray(img)
+    got = MEDIA.jpeg_dc_luma(b)
+    true_means = img.astype(np.float64).reshape(6, 8, 8, 8).mean(axis=(1, 3))
+    assert np.abs(got - true_means).max() <= MEDIA.JPEG_QL[0, 0] / 8.0 / 2 + 1e-9
+
+
+def test_jpeg_progressive_rejected():
+    rng = np.random.default_rng(3)
+    b = bytearray(MEDIA.jpeg_encode_gray(
+        rng.integers(0, 256, size=(16, 16), dtype=np.uint8)))
+    i = b.find(b"\xff\xc0")
+    b[i + 1] = 0xC2  # flip SOF0 -> SOF2
+    with pytest.raises(ValueError, match="progressive"):
+        MEDIA.jpeg_dc_luma(bytes(b))
+
+
+def test_jpeg_features_in_decode_pipeline(spark):
+    """decode_image_features routes JPEG payloads through the real DC
+    decoder (not fake, no NotImplementedError)."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+    payload = MEDIA.jpeg_encode_gray(img)
+    df = spark.createDataFrame([(1, bytearray(payload))],
+                               "doc_id long, payload binary")
+    rows = MM.decode_image_features(df, "doc_id", "payload").collect()
+    assert len(rows) == 1
+    feats = rows[0]["feature"]
+    assert len(feats) == MM.FEATURE_DIM
+    want = MEDIA.jpeg_dc_features(payload, grid=4)
+    assert np.allclose(np.float64(feats), want, atol=1e-6)
