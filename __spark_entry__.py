@@ -1232,18 +1232,20 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL pixel/sample decode: PNG payloads through the pure-Python
-    zlib codec (functions/media.py png_decode → 4×4 mean-pooled
+    """REAL pixel/sample decode for every format in the fixture: PNG
+    through the pure-Python zlib codec (png_decode → 4×4 mean-pooled
     luminance), baseline JPEG through the pure-numpy Huffman + DC-only
-    decoder (jpeg_dc_luma → 8×-downsampled luma map, pooled the same
-    way), WAV through np.frombuffer PCM16 → band RMS.  Per-doc feature
-    mean must round-match the float64 ground truth computed from the
-    source arrays before encoding — an encode→decode→featurize
-    roundtrip proof (for JPEG, against the quantization formula)."""
+    decoder (jpeg_dc_luma → 8×-downsampled luma map), GIF through the
+    LZW first-frame decoder (gif_features), WAV through np.frombuffer
+    PCM16 → band RMS.  Per-doc feature mean must round-match the float64
+    ground truth computed from the source arrays before encoding — an
+    encode→decode→featurize roundtrip proof (for JPEG, against the
+    quantization formula; PNG/GIF are lossless so truth is exact)."""
     from frames_map_reduce_spark.operators.multimodal import (
         decode_image_features, extract_audio_features)
     media = spark.read.parquet(MEDIA_PARQUET).filter(F.col("feat_check"))
-    img = media.filter(F.col("true_mime").isin("image/png", "image/jpeg"))
+    img = media.filter(
+        F.col("true_mime").isin("image/png", "image/jpeg", "image/gif"))
     wav = media.filter(F.col("true_mime") == "audio/wav")
     feats = decode_image_features(img, "doc_id", "payload").unionByName(
         extract_audio_features(wav, "doc_id", "payload"))

@@ -48,6 +48,8 @@ def sniff_mime(b: bytes) -> str | None:
         return "image/gif"
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "audio/wav"
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        return "video/x-msvideo"
     return None
 
 
@@ -671,3 +673,292 @@ def jpeg_dc_features(b: bytes, grid: int = 4) -> list[float]:
     return [float(luma[ys[i]:max(ys[i + 1], ys[i] + 1),
                        xs[j]:max(xs[j + 1], xs[j] + 1)].mean()) / 255.0
             for i in range(grid) for j in range(grid)]
+
+
+# ---------------------------------------------------------------------------
+# GIF: pure-Python LZW decoder (first frame) + encoder
+# ---------------------------------------------------------------------------
+# GIF's pixel data is LZW over palette indices — fully tractable with the
+# stdlib.  Decoding the first frame makes `decode_image_features` REAL for
+# GIF; the encoder exists for fixtures and roundtrip proofs (palette =
+# identity grayscale, so ground truth is exact, no quantization loss).
+
+def _lzw_decode_gif(data: bytes, min_code: int, limit: int) -> bytearray:
+    """GIF-variant LZW: variable 3..12-bit codes, LSB-first packing,
+    CLEAR/END control codes, dictionary rebuilt on CLEAR."""
+    clear = 1 << min_code
+    end = clear + 1
+    roots = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(roots)
+    width = min_code + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while bitpos + width <= total_bits and len(out) < limit:
+        byte0 = bitpos // 8
+        chunk = int.from_bytes(data[byte0:byte0 + 4], "little")
+        code = (chunk >> (bitpos % 8)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = list(roots)
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):      # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return out
+
+
+def _lzw_encode_gif(indices: bytes, min_code: int) -> bytes:
+    """GIF-variant LZW encoder, mirror of :func:`_lzw_decode_gif`'s width
+    timing (width grows when the table reaches 2^width entries; dictionary
+    resets via CLEAR at 4096)."""
+    clear = 1 << min_code
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh() -> tuple[dict, int, int]:
+        return ({bytes([i]): i for i in range(clear)}, end + 1, min_code + 1)
+
+    table, next_code, width = fresh()
+    emit(clear, width)
+    s = b""
+    for c in indices:
+        sc = s + bytes([c])
+        if sc in table:
+            s = sc
+            continue
+        emit(table[s], width)
+        table[sc] = next_code
+        next_code += 1
+        # decoder grows width when ITS table hits 2^width; its table is one
+        # entry behind ours at this point, so grow when we pass 2^width
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:
+            emit(clear, width)
+            table, next_code, width = fresh()
+        s = bytes([c])
+    if s:
+        emit(table[s], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def gif_decode_first_frame(b: bytes) -> np.ndarray:
+    """Decode the first image of a GIF87a/GIF89a payload to (H, W, 3)
+    uint8 RGB via the active color table.  Handles local color tables,
+    interlacing, and extension blocks; raises ValueError when corrupt."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    flags = b[10]
+    i = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 ** ((flags & 7) + 1)
+        gct = np.frombuffer(b, np.uint8, 3 * n, i).reshape(n, 3)
+        i += 3 * n
+    while i < len(b):
+        blk = b[i]
+        if blk == 0x21:                    # extension: label + sub-blocks
+            i += 2
+            while b[i] != 0:
+                i += 1 + b[i]
+            i += 1
+        elif blk == 0x2C:                  # image descriptor
+            fw, fh = struct.unpack("<HH", b[i + 5:i + 9])
+            lflags = b[i + 9]
+            i += 10
+            ct = gct
+            if lflags & 0x80:
+                n = 2 ** ((lflags & 7) + 1)
+                ct = np.frombuffer(b, np.uint8, 3 * n, i).reshape(n, 3)
+                i += 3 * n
+            if ct is None:
+                raise ValueError("GIF image without a color table")
+            min_code = b[i]
+            i += 1
+            data = bytearray()
+            while b[i] != 0:
+                sz = b[i]
+                data += b[i + 1:i + 1 + sz]
+                i += 1 + sz
+            i += 1
+            idx = np.frombuffer(
+                bytes(_lzw_decode_gif(bytes(data), min_code, fw * fh)),
+                np.uint8)
+            if len(idx) < fw * fh:
+                raise ValueError("truncated GIF pixel data")
+            img = ct[np.clip(idx[:fw * fh], 0, len(ct) - 1)].reshape(fh, fw, 3)
+            if lflags & 0x40:              # interlaced: 4-pass row order
+                order = np.concatenate([np.arange(0, fh, 8),
+                                        np.arange(4, fh, 8),
+                                        np.arange(2, fh, 4),
+                                        np.arange(1, fh, 2)])
+                img = img[np.argsort(order)]
+            return img
+        elif blk == 0x3B:                  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{blk:02X}")
+    raise ValueError("GIF contains no image data")
+
+
+def gif_encode_gray(arr: np.ndarray) -> bytes:
+    """Encode a 2-D uint8 array as a GIF89a with an identity grayscale
+    palette — lossless, so decode roundtrips exactly."""
+    if arr.ndim != 2:
+        raise ValueError("gif_encode_gray takes a 2-D grayscale array")
+    h, w = arr.shape
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    lzw = _lzw_encode_gif(arr.tobytes(), 8)
+    sub = bytearray()
+    for off in range(0, len(lzw), 255):
+        blockdata = lzw[off:off + 255]
+        sub.append(len(blockdata))
+        sub += blockdata
+    sub.append(0)
+    return (b"GIF89a" + struct.pack("<HH", w, h)
+            + bytes([0xF7, 0, 0])          # GCT present, 256 entries
+            + palette
+            + b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+            + bytes([8]) + bytes(sub) + b"\x3B")
+
+
+def gif_features(b: bytes, grid: int = 4) -> list[float]:
+    """Grid-pooled luminance features of the first GIF frame, same
+    contract as :func:`png_features`."""
+    img = gif_decode_first_frame(b).astype(np.float64)
+    lum = img[:, :, 0] * 0.299 + img[:, :, 1] * 0.587 + img[:, :, 2] * 0.114
+    h, w = lum.shape
+    ys = np.linspace(0, h, grid + 1).astype(int)
+    xs = np.linspace(0, w, grid + 1).astype(int)
+    return [float(lum[ys[i]:max(ys[i + 1], ys[i] + 1),
+                      xs[j]:max(xs[j + 1], xs[j] + 1)].mean()) / 255.0
+            for i in range(grid) for j in range(grid)]
+
+
+# ---------------------------------------------------------------------------
+# AVI (MJPEG): RIFF container parsing + minimal writer
+# ---------------------------------------------------------------------------
+# Motion-JPEG AVI is the one video format tractable without a codec
+# library: the container is RIFF (same chunk walk as WAV) and every frame
+# is a standalone baseline JPEG — which the DC-only decoder above already
+# handles.  This makes video frame sampling REAL end-to-end.
+
+def parse_avi_meta(b: bytes) -> dict | None:
+    """Width/height/frame count/duration from the avih header chunk.
+    O(header): stops before the movi payload."""
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    i = 12
+    try:
+        while i + 8 <= len(b):
+            cid = b[i:i + 4]
+            size = struct.unpack("<I", b[i + 4:i + 8])[0]
+            if cid == b"LIST":
+                ltype = b[i + 8:i + 12]
+                if ltype == b"hdrl":
+                    i += 12           # descend into the header list
+                    continue
+                if ltype == b"movi":
+                    break             # past all headers
+                i += 8 + size + (size & 1)
+                continue
+            if cid == b"avih":
+                (usec_pf, _mbps, _pad, _flags, total,
+                 _init, _streams, _bufsz, w, h) = struct.unpack(
+                    "<IIIIIIIIII", b[i + 8:i + 48])
+                return {"width": w, "height": h, "n_frames": total,
+                        "usec_per_frame": usec_pf,
+                        "duration_ms": total * usec_pf // 1000}
+            i += 8 + size + (size & 1)
+    except struct.error:
+        return None
+    return None
+
+
+def avi_mjpeg_frames(b: bytes):
+    """Yield the JPEG payload of each video frame ('00dc'/'00db' chunks
+    inside LIST movi)."""
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i:i + 4]
+        size = struct.unpack("<I", b[i + 4:i + 8])[0]
+        if cid == b"LIST":
+            ltype = b[i + 8:i + 12]
+            if ltype == b"movi":
+                j = i + 12
+                end = i + 8 + size
+                while j + 8 <= min(end, len(b)):
+                    fid = b[j:j + 4]
+                    fsize = struct.unpack("<I", b[j + 4:j + 8])[0]
+                    if fid[2:4] in (b"dc", b"db"):
+                        yield b[j + 8:j + 8 + fsize]
+                    j += 8 + fsize + (fsize & 1)
+                return
+            if ltype == b"hdrl":
+                i += 12
+                continue
+        i += 8 + size + (size & 1)
+
+
+def avi_encode_mjpeg(frames: list, fps: int = 10) -> bytes:
+    """Write a minimal MJPEG AVI from 2-D uint8 grayscale frames (each
+    encoded with :func:`jpeg_encode_gray`).  Spec-valid RIFF: avih +
+    one 'vids'/'MJPG' stream + LIST movi of '00dc' chunks."""
+    if not frames:
+        raise ValueError("avi_encode_mjpeg needs at least one frame")
+    h, w = frames[0].shape
+    jpegs = [jpeg_encode_gray(f) for f in frames]
+    usec_pf = 1_000_000 // fps
+
+    def chunk(cid: bytes, payload: bytes) -> bytes:
+        return cid + struct.pack("<I", len(payload)) + payload \
+            + (b"\x00" if len(payload) & 1 else b"")
+
+    def lst(ltype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", ltype + payload)
+
+    avih = struct.pack("<IIIIIIIIII", usec_pf, 0, 0, 0, len(jpegs),
+                       0, 1, 0, w, h) + b"\x00" * 16
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0,
+                                            1, fps, 0, len(jpegs), 0, 0, -1)
+            + struct.pack("<HHHH", 0, 0, w, h))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body

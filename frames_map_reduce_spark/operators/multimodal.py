@@ -11,13 +11,15 @@ front so downstream stages remain declarative.
 Codec status (no Pillow/libsndfile in this container, so everything here
 is stdlib + numpy — see functions/media.py):
 
-- REAL: metadata extraction (PNG/JPEG/GIF dimensions, WAV duration) via
-  pure header parsing; PNG decode/encode/resize/feature-extraction
-  (zlib rows + predictor inversion); WAV PCM16 feature extraction.
-- STUBBED: JPEG/GIF pixel decode and video frame sampling (need a
-  DCT/LZW/container codec) — those paths raise ``NotImplementedError``
-  unless ``fake=True``, in which case a deterministic hash-derived
-  vector stands in so the plumbing stays testable.
+- REAL: metadata extraction (PNG/JPEG/GIF dimensions, WAV/AVI duration)
+  via pure header parsing; PNG decode/encode/resize/features (zlib rows
+  + predictor inversion); baseline-JPEG encode + DC-only decode
+  (Huffman + dequantized DC → 8×-downsampled luma); GIF LZW
+  encode/first-frame decode; WAV PCM16 features; MJPEG-AVI frame
+  sampling (RIFF walk + per-frame JPEG DC decode).
+- STUBBED: every other codec/container (``fake=True`` substitutes a
+  deterministic hash-derived vector so the plumbing stays testable;
+  without it those payloads raise ``NotImplementedError``).
 """
 
 from __future__ import annotations
@@ -89,11 +91,16 @@ def extract_media_meta(df: DataFrame, id_col: str, binary_col: str,
                 mime = MEDIA.sniff_mime(b)
                 dims = MEDIA.parse_dims(b) if (mime or "").startswith("image/") else None
                 wav = MEDIA.parse_wav_meta(b) if mime == "audio/wav" else None
+                avi = (MEDIA.parse_avi_meta(b)
+                       if mime == "video/x-msvideo" else None)
+                if avi:
+                    dims = (avi["width"], avi["height"])
                 metas.append({
                     "mime": mime,
                     "width": dims[0] if dims else None,
                     "height": dims[1] if dims else None,
-                    "duration_ms": wav["duration_ms"] if wav else None,
+                    "duration_ms": (wav["duration_ms"] if wav
+                                    else avi["duration_ms"] if avi else None),
                     "n_bytes": len(b),
                 })
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media_meta": metas})
@@ -123,13 +130,18 @@ def decode_image_features(df: DataFrame, id_col: str, binary_col: str,
                           fake: bool = False, batch_hint: int = 1024) -> DataFrame:
     """binary payload → feature vector via Arrow-batched mapInPandas.
 
-    REAL for PNG payloads (functions/media.py png_decode → 4×4
-    mean-pooled luminance grid → 16 floats in [0, 1]) and for baseline
-    JPEG (pure-numpy Huffman + DC-coefficient decode → 8×-downsampled
-    luma map, pooled the same way — media.py jpeg_dc_features).  GIF
-    pixel decode needs an LZW codec, so it raises
-    ``NotImplementedError`` unless ``fake=True`` (deterministic
-    hash-derived vector, plumbing-only).
+    REAL for all three image formats this engine meets (pure
+    stdlib/numpy, functions/media.py):
+
+    - PNG: full decode (zlib + predictor inversion) → 4×4 mean-pooled
+      luminance grid → 16 floats in [0, 1];
+    - baseline JPEG: Huffman + DC-coefficient decode → 8×-downsampled
+      luma map, pooled the same way (jpeg_dc_features);
+    - GIF: LZW first-frame decode through the color table
+      (gif_features).
+
+    Unrecognized payloads raise ``NotImplementedError`` unless
+    ``fake=True`` (deterministic hash-derived vector, plumbing-only).
     """
     require_columns(df, [id_col, binary_col])
     narrow = df.select(F.col(id_col).alias("doc_id"), F.col(binary_col).alias("_payload"))
@@ -145,11 +157,12 @@ def decode_image_features(df: DataFrame, id_col: str, binary_col: str,
                     feats.append(MEDIA.png_features(b, grid=4))
                 elif b[:2] == b"\xff\xd8":
                     feats.append(MEDIA.jpeg_dc_features(b, grid=4))
+                elif b[:6] in (b"GIF87a", b"GIF89a"):
+                    feats.append(MEDIA.gif_features(b, grid=4))
                 else:
                     raise NotImplementedError(
-                        "real pixel decode implemented for PNG and baseline "
-                        "JPEG (pure stdlib/numpy); GIF needs an LZW codec — "
-                        "use fake=True for plumbing tests")
+                        "real pixel decode implemented for PNG, baseline "
+                        "JPEG, and GIF; use fake=True for other formats")
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
 
     return narrow.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
@@ -226,9 +239,16 @@ def extract_audio_features(df: DataFrame, id_col: str, binary_col: str,
 
 def sample_frames(df: DataFrame, id_col: str, binary_col: str,
                   every_ms: int = 1000, fake: bool = False) -> DataFrame:
-    """Video frame sampling: one output row per sampled frame.  Stubbed
-    like decode_image_features; the fake path emits hash-derived frames at
-    the requested cadence assuming a fixed fake duration."""
+    """Video frame sampling: one output row per sampled frame.
+
+    REAL for MJPEG AVI (functions/media.py): the RIFF container yields
+    per-frame baseline JPEGs, sampled at the ``every_ms`` cadence
+    (frame index = floor(t / frame_duration), deduplicated, so slow
+    cadences skip frames and fast cadences don't repeat them) and
+    featurized through the DC-only JPEG decoder.  ``frame_idx`` is the
+    SOURCE frame index.  Other containers raise ``NotImplementedError``
+    unless ``fake=True`` (hash-derived frames at the cadence over a fixed
+    3 s fake duration, plumbing-only)."""
     require_columns(df, [id_col, binary_col])
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
@@ -239,17 +259,36 @@ def sample_frames(df: DataFrame, id_col: str, binary_col: str,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real video decoding requires a codec library; use fake=True")
             rows = {"doc_id": [], "frame_idx": [], "frame_feature": []}
             for did, payload in zip(pdf["doc_id"], pdf["_payload"]):
-                fake_duration_ms = 3000
-                for idx in range(fake_duration_ms // every_ms):
+                b = bytes(payload)
+                if fake:
+                    fake_duration_ms = 3000
+                    for idx in range(fake_duration_ms // every_ms):
+                        rows["doc_id"].append(did)
+                        rows["frame_idx"].append(idx)
+                        rows["frame_feature"].append(
+                            _fake_features(b + idx.to_bytes(4, "little")))
+                    continue
+                meta = MEDIA.parse_avi_meta(b)
+                if meta is None:
+                    raise NotImplementedError(
+                        "real video decoding implemented for MJPEG AVI; "
+                        "use fake=True for other containers")
+                frames = list(MEDIA.avi_mjpeg_frames(b))
+                frame_ms = meta["usec_per_frame"] / 1000.0
+                wanted = []
+                t = 0.0
+                while t < meta["duration_ms"]:
+                    idx = int(t // frame_ms)
+                    if idx < len(frames) and (not wanted or wanted[-1] != idx):
+                        wanted.append(idx)
+                    t += every_ms
+                for idx in wanted:
                     rows["doc_id"].append(did)
                     rows["frame_idx"].append(idx)
                     rows["frame_feature"].append(
-                        _fake_features(bytes(payload) + idx.to_bytes(4, "little")))
+                        MEDIA.jpeg_dc_features(frames[idx], grid=4))
             yield pd.DataFrame(rows)
 
     return narrow.mapInPandas(run, schema=schema)

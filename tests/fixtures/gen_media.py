@@ -36,7 +36,8 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 from frames_map_reduce_spark.functions.media import (  # noqa: E402
-    _DCT, JPEG_QL, jpeg_encode_gray, png_encode)
+    _DCT, JPEG_QL, avi_encode_mjpeg, gif_encode_gray, jpeg_encode_gray,
+    png_encode)
 
 OUT = os.path.join(os.path.dirname(__file__), "media.parquet")
 
@@ -136,6 +137,25 @@ def main() -> None:
 
     for w, h in [(100, 50), (256, 256), (7, 9)]:
         rows.append((did, make_gif(w, h), "image/gif", w, h, None, False, None))
+        did += 1
+
+    # Real grayscale GIFs (repo LZW encoder, identity palette): lossless,
+    # so the ground-truth feature mean is the exact float64 pooled mean of
+    # the source array — the oracle proves the LZW decode bit-level.
+    for w, h in [(48, 32), (21, 35), (8, 8)]:
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        # identity palette ⇒ R=G=B=v; replicate gif_features' weighted-sum
+        # EXPRESSION (not the algebraic identity v*1.0) so float64
+        # rounding matches bit-for-bit
+        v = img.astype(np.float64)
+        lum = v * 0.299 + v * 0.587 + v * 0.114
+        ys = np.linspace(0, h, 5).astype(int)
+        xs = np.linspace(0, w, 5).astype(int)
+        feats = [lum[ys[i]:max(ys[i + 1], ys[i] + 1),
+                     xs[j]:max(xs[j + 1], xs[j] + 1)].mean() / 255.0
+                 for i in range(4) for j in range(4)]
+        rows.append((did, gif_encode_gray(img), "image/gif", w, h, None,
+                     True, float(np.mean(feats))))
         did += 1
 
     for rate, n_frames, amp in [(8000, 8000, 0.5), (16000, 4000, 0.25),

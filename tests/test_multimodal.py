@@ -268,3 +268,39 @@ def test_jpeg_features_in_decode_pipeline(spark):
     assert len(feats) == MM.FEATURE_DIM
     want = MEDIA.jpeg_dc_features(payload, grid=4)
     assert np.allclose(np.float64(feats), want, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# GIF LZW encoder / decoder
+# ---------------------------------------------------------------------------
+
+def test_gif_roundtrip_lossless():
+    rng = np.random.default_rng(13)
+    for h, w in [(8, 8), (32, 48), (35, 21), (200, 300)]:
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        b = MEDIA.gif_encode_gray(img)
+        assert MEDIA.sniff_mime(b) == "image/gif"
+        assert MEDIA.parse_dims(b) == (w, h)
+        got = MEDIA.gif_decode_first_frame(b)
+        assert got.shape == (h, w, 3)
+        assert np.array_equal(got[:, :, 0], img), (h, w)
+
+
+def test_gif_lzw_dictionary_reset():
+    """A low-entropy image long enough to force the 4096-entry dictionary
+    reset exercises the CLEAR-code path in both directions."""
+    big = np.tile(np.arange(256, dtype=np.uint8), (256, 4))
+    b = MEDIA.gif_encode_gray(big)
+    assert np.array_equal(MEDIA.gif_decode_first_frame(b)[:, :, 0], big)
+
+
+def test_gif_features_in_decode_pipeline(spark):
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, size=(24, 24), dtype=np.uint8)
+    payload = MEDIA.gif_encode_gray(img)
+    df = spark.createDataFrame([(1, bytearray(payload))],
+                               "doc_id long, payload binary")
+    rows = MM.decode_image_features(df, "doc_id", "payload").collect()
+    assert len(rows) == 1 and len(rows[0]["feature"]) == MM.FEATURE_DIM
+    want = MEDIA.gif_features(payload, grid=4)
+    assert np.allclose(np.float64(rows[0]["feature"]), want, atol=1e-6)
