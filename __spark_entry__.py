@@ -1111,21 +1111,42 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("max_value", 2).alias("max_value"))
 
 
-def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch folds (folds.approx_count_distinct — HyperLogLog++): the
-    fixed-memory cardinality fold next to its exact twin, with the
-    relative error surfaced as a column.  Rows-only check (HLL estimates
-    are implementation-specific, no SQL oracle); tests pin rel_err."""
+#: rsd passed to the HLL++ fold in q_sketch_distinct; the driver-facing
+#: accountability column asserts rel_err <= 3 * rsd.
+_SKETCH_RSD = 0.02
+
+
+def _sketch_distinct_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ estimate + exact twin + rel_err, per event_type.  The raw
+    estimate is implementation-specific (no SQL oracle possible), so the
+    driver-facing q_sketch_distinct projects it down to a deterministic
+    tolerance bit; tests pin the raw rel_err here."""
     ev = _events(spark, sf_dir)
     out = map_reduce(
         ev, unpack_no_op(), split_on_keys(["event_type"]),
         fold_and_add_key(
-            folds.approx_count_distinct("user_id", "approx_users", rsd=0.02)
+            folds.approx_count_distinct("user_id", "approx_users",
+                                        rsd=_SKETCH_RSD)
             & folds.of(F.count_distinct("user_id").cast("bigint"), "exact_users")))
     return out.select(
         "event_type", "approx_users", "exact_users",
         F.round(F.try_divide(F.abs(F.col("approx_users") - F.col("exact_users")),
                              F.col("exact_users")), 6).alias("rel_err"))
+
+
+def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch folds (folds.approx_count_distinct — HyperLogLog++) made
+    oracle-checkable: the exact count_distinct twin is hashed by the
+    driver, and the sketch's accountability is the deterministic
+    `within_tol` bit (rel_err <= 3*rsd), which the DuckDB oracle asserts
+    as the constant 1.  If the HLL estimate ever drifts outside its
+    guaranteed envelope the driver sees a hash mismatch — same pattern as
+    the ANN queries' in-row recall columns.  Raw estimate + rel_err stay
+    visible via _sketch_distinct_full (pinned in tests/test_text.py)."""
+    full = _sketch_distinct_full(spark, sf_dir)
+    return full.select(
+        "event_type", "exact_users",
+        (F.col("rel_err") <= 3 * _SKETCH_RSD).cast("int").alias("within_tol"))
 
 
 # ---------------------------------------------------------------------------
@@ -1898,6 +1919,15 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS sum_value,
                    round(avg(value), 6) AS avg_value,
                    round(max(value), 2) AS max_value
+            FROM events GROUP BY event_type""",
+        # The sketch itself is implementation-specific; what IS exact is
+        # the count_distinct twin and the guarantee that the HLL estimate
+        # sits inside its 3*rsd envelope — encoded as within_tol = 1.
+        # A drifting sketch flips the bit and the driver hash catches it.
+        "sketch_distinct": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS exact_users,
+                   1 AS within_tol
             FROM events GROUP BY event_type""",
         "stream_dedup": """
             SELECT event_type, count(*) AS n_users

@@ -173,10 +173,18 @@ def test_ngram_repetition_stats(spark):
 
 def test_sketch_distinct_rel_err(spark):
     """HLL++ estimate stays within the configured rsd envelope on real
-    cardinalities (the accountability column of q_sketch_distinct)."""
+    cardinalities.  The raw estimate + rel_err live in the _full helper
+    (implementation-specific, so not driver-hashed); the driver-facing
+    query reduces them to the deterministic within_tol bit that the
+    DuckDB oracle asserts as constant 1."""
     import __spark_entry__ as entry_mod
     from tests.conftest import SF_DIR
-    rows = entry_mod.queries()["sketch_distinct"](spark, SF_DIR).collect()
+    rows = entry_mod._sketch_distinct_full(spark, SF_DIR).collect()
     assert rows
     for r in rows:
-        assert r["rel_err"] is not None and r["rel_err"] <= 0.05, dict(r.asDict())
+        # contract bound is 3*rsd = 0.06; observed is comfortably tighter
+        assert r["rel_err"] is not None and r["rel_err"] <= 3 * entry_mod._SKETCH_RSD, \
+            dict(r.asDict())
+    pub = entry_mod.queries()["sketch_distinct"](spark, SF_DIR).collect()
+    assert {r["within_tol"] for r in pub} == {1}
+    assert set(pub[0].asDict()) == {"event_type", "exact_users", "within_tol"}
