@@ -490,9 +490,13 @@ class _BitReader:
 
     def bit(self) -> int:
         if self.n == 0:
+            if self.i >= len(self.d):
+                raise ValueError("truncated JPEG: entropy data exhausted")
             byte = self.d[self.i]
             self.i += 1
             if byte == 0xFF:
+                if self.i >= len(self.d):
+                    raise ValueError("truncated JPEG: entropy data exhausted")
                 nxt = self.d[self.i]
                 if nxt == 0x00:
                     self.i += 1
@@ -512,6 +516,8 @@ class _BitReader:
     def align_restart(self) -> None:
         """Byte-align and consume an RSTn marker."""
         self.n = 0
+        if self.i + 1 >= len(self.d):
+            raise ValueError("truncated JPEG: expected restart marker")
         while self.d[self.i] == 0xFF and 0xD0 <= self.d[self.i + 1] <= 0xD7:
             self.i += 2
             return
@@ -551,6 +557,8 @@ def jpeg_dc_luma(b: bytes) -> np.ndarray:
     restart = 0
     i = 2
     while True:
+        if i + 1 >= len(b):
+            raise ValueError("truncated JPEG: no SOS marker before EOF")
         if b[i] != 0xFF:
             i += 1
             continue
@@ -563,8 +571,12 @@ def jpeg_dc_luma(b: bytes) -> np.ndarray:
             continue
         if marker == 0xD9:
             raise ValueError("reached EOI without scan data")
+        if i + 4 > len(b):
+            raise ValueError("truncated JPEG: segment header cut off")
         length = struct.unpack(">H", b[i + 2:i + 4])[0]
         seg = b[i + 4:i + 2 + length]
+        if len(seg) != length - 2:
+            raise ValueError("truncated JPEG: segment payload cut off")
         if marker == 0xDB:                       # DQT (may hold several)
             j = 0
             while j < len(seg):
@@ -952,8 +964,10 @@ def avi_encode_mjpeg(frames: list, fps: int = 10) -> bytes:
 
     avih = struct.pack("<IIIIIIIIII", usec_pf, 0, 0, 0, len(jpegs),
                        0, 1, 0, w, h) + b"\x00" * 16
-    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0,
-                                            1, fps, 0, len(jpegs), 0, 0, -1)
+    # dwQuality=-1 (driver default), dwSampleSize=0 (required for
+    # variable-size video samples) — the conventional values for vids
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIiI", 0, 0, 0, 0,
+                                            1, fps, 0, len(jpegs), 0, -1, 0)
             + struct.pack("<HHHH", 0, 0, w, h))
     strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
                        w * h * 3, 0, 0, 0, 0)

@@ -16,7 +16,14 @@ from pyspark.sql import functions as F
 # Tokenization
 # ---------------------------------------------------------------------------
 
-WS = r"\s+"
+# Whitespace spelled as an explicit char class instead of \s: the class
+# below is exactly Java-regex \s (what the Spark product path matches),
+# while RE2 — the engine behind the DuckDB oracles — defines \s WITHOUT
+# \x0b.  Sharing one explicit class keeps both engines identical by
+# construction (a vertical tab in future testdata would otherwise break
+# the oracle, not the product path).
+WS_CHARS = " \\t\\n\\x0b\\f\\r"
+WS = f"[{WS_CHARS}]+"
 
 
 def tokens(col: Column, lowercase: bool = True) -> Column:
@@ -42,7 +49,7 @@ def token_count_sql(col: str) -> str:
 # BPE-ish word/punct tokenizer: words of letters+digits OR single
 # non-space-non-word symbols — a common pre-tokenization for byte-pair
 # encoders, cheap enough to run on 100 TB as a pure regex extract.
-WORDISH = "[a-z0-9]+|[^a-z0-9\\s]"
+WORDISH = f"[a-z0-9]+|[^a-z0-9{WS_CHARS}]"
 
 
 def wordish_tokens(col: Column) -> Column:
@@ -61,7 +68,7 @@ def wordish_count_sql(col: str) -> str:
 # Quality scoring
 # ---------------------------------------------------------------------------
 
-PUNCT_CLASS = "[^a-zA-Z0-9\\s]"
+PUNCT_CLASS = f"[^a-zA-Z0-9{WS_CHARS}]"
 DIGIT_CLASS = "[0-9]"
 
 

@@ -577,7 +577,9 @@ _WORDISH_PY = None
 
 def _wordish_tokens_py(s: str) -> list[str]:
     """Python replica of functions/text.wordish_tokens: lowercase, then
-    ``[a-z0-9]+|[^a-z0-9\\s]`` with Java's ASCII ``\\s`` class."""
+    WORDISH with the explicit whitespace class (text.WS_CHARS — Java's
+    ASCII ``\\s``; spelled out so the RE2/DuckDB oracle twin matches it
+    exactly, since RE2's ``\\s`` lacks ``\\x0b``)."""
     global _WORDISH_PY
     if _WORDISH_PY is None:
         import re

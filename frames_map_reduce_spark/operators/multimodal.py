@@ -276,6 +276,10 @@ def sample_frames(df: DataFrame, id_col: str, binary_col: str,
                         "real video decoding implemented for MJPEG AVI; "
                         "use fake=True for other containers")
                 frames = list(MEDIA.avi_mjpeg_frames(b))
+                if meta["usec_per_frame"] <= 0:
+                    raise ValueError(
+                        "AVI without fixed frame rate "
+                        "(dwMicroSecPerFrame <= 0): cannot time-sample")
                 frame_ms = meta["usec_per_frame"] / 1000.0
                 wanted = []
                 t = 0.0

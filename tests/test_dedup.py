@@ -93,6 +93,32 @@ def test_simhash_vectorized_matches_expression(docs):
     assert vec == expr
 
 
+def test_simhash_oracle_whitespace_parity(spark):
+    """The DuckDB simhash oracle must tokenize EXACTLY like the numpy
+    path on exotic whitespace — \\x0b is in Java/Python \\s but not RE2's,
+    which the explicit text.WS_CHARS class papers over (ADVICE r3)."""
+    import duckdb
+    rows = [
+        (1, "alpha\x0bbeta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),   # \x0b == space ⇒ near 1
+        (3, "alpha\x0b\f\rbeta\tgamma  delta epsilon"),
+        (4, "zeta eta theta iota kappa entirely different words"),
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted((r["id_a"], r["id_b"], r["hamming_dist"])
+                 for r in DD.simhash_near_dup_pairs(
+                     sdf, "text", "doc_id",
+                     max_hamming=8, n_bands=9).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    want = sorted(tuple(r) for r in con.sql(
+        DD.simhash_oracle_sql("docs", "text", "doc_id",
+                              max_hamming=8)).fetchall())
+    assert got == want
+    assert (1, 2, 0) in got  # \x0b tokenized as whitespace on BOTH engines
+
+
 def test_ngram_jaccard_pairs(docs):
     out = DD.ngram_jaccard_pairs(docs.withColumn("blk", F.lit(1)),
                                  "text", "doc_id", block_col=F.col("blk"),

@@ -254,6 +254,35 @@ def test_jpeg_progressive_rejected():
         MEDIA.jpeg_dc_luma(bytes(b))
 
 
+def test_jpeg_truncated_raises_value_error():
+    """Corrupt/truncated payloads must surface as the documented
+    ValueError, never raw IndexError from the executor (ADVICE r3)."""
+    rng = np.random.default_rng(7)
+    b = MEDIA.jpeg_encode_gray(
+        rng.integers(0, 256, size=(24, 24), dtype=np.uint8))
+    # cut inside the header segments and inside the entropy stream
+    sos = b.find(b"\xff\xda")
+    for cut in (4, 10, sos - 1, sos + 3, sos + 20, len(b) - 3):
+        with pytest.raises(ValueError, match="truncated|EOI|not a JPEG"):
+            MEDIA.jpeg_dc_luma(b[:cut])
+
+
+def test_avi_zero_frame_rate_rejected(spark):
+    """A malformed AVI with dwMicroSecPerFrame=0 raises a clean
+    ValueError instead of ZeroDivisionError inside the Spark task."""
+    frame = np.full((16, 16), 128, dtype=np.uint8)
+    avi = bytearray(MEDIA.avi_encode_mjpeg([frame], fps=10))
+    i = avi.find(b"avih") + 8          # chunk id + size -> avih payload
+    avi[i:i + 4] = (0).to_bytes(4, "little")   # dwMicroSecPerFrame = 0
+    avi = bytes(avi)
+    assert MEDIA.parse_avi_meta(avi)["usec_per_frame"] == 0
+    df = spark.createDataFrame([(1, bytearray(avi))],
+                               "doc_id long, payload binary")
+    with pytest.raises(Exception, match="fixed frame rate"):
+        MM.sample_frames(df, "doc_id", "payload", every_ms=100,
+                         fake=False).collect()
+
+
 def test_jpeg_features_in_decode_pipeline(spark):
     """decode_image_features routes JPEG payloads through the real DC
     decoder (not fake, no NotImplementedError)."""

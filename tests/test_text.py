@@ -79,6 +79,9 @@ def test_sql_twins_match_spark(spark):
         "the quick brown fox", "", "  ", "UPPER lower MiXeD",
         "numbers 123 and punct !?", "der hund und die katze ist gut",
         "a" * 3, "multi   space\ttab", "le chat est la",
+        # \x0b (vertical tab): Java/Python \s includes it, RE2's does not
+        # — the explicit WS_CHARS class keeps both engines identical
+        "vertical\x0btab", "mixed \x0b\f\r ws\x0brun",
     ]
     sdf = spark.createDataFrame([(s,) for s in samples], "text string")
     srows = sdf.select(
