@@ -666,6 +666,21 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("bigint").alias("rank"))
 
 
+def q_ann_bruteforce_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact top-5 as q_ann_bruteforce through the DISTRIBUTED
+    block-join scorer (brute_force_topk_joined) — the path for query sets
+    beyond the driver-collect cap.  Shares q_ann_bruteforce's oracle:
+    identical results is the whole contract."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 5)
+                  .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = SIM.brute_force_topk_joined(
+        emb.filter(F.col("vec_id") >= 5), queries, k=5,
+        n_corpus_blocks=8, n_query_blocks=2)
+    return out.select("query_id", "vec_id", "cosine_sim",
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup within label blocks: exact cosine ≥ 0.3 pairs
     (blocked brute force — label is a natural blocking key here; the
@@ -1533,6 +1548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ann_bruteforce": q_ann_bruteforce,
+        "ann_bruteforce_joined": q_ann_bruteforce_joined,
         "sample_stratified": q_sample_stratified,
         "mixture_weights": q_mixture_weights,
         "text_quality": q_text_quality,
@@ -1807,6 +1823,20 @@ def oracle_sql() -> dict[str, str]:
                  c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
                  scored AS (
                    SELECT a.query_id, b.vec_id, {cos.replace('a.embedding', 'a.embedding').replace('b.embedding', 'b.embedding')} AS cosine_sim
+                   FROM q a JOIN c b ON true)
+            SELECT query_id, vec_id, cosine_sim, rank FROM (
+              SELECT query_id, vec_id, cosine_sim,
+                     row_number() OVER (PARTITION BY query_id
+                         ORDER BY cosine_sim DESC, vec_id) AS rank
+              FROM scored)
+            WHERE rank <= 5""",
+        # identical by contract to ann_bruteforce (exact top-k, same
+        # rounding/tie-break), just computed via the block-join path
+        "ann_bruteforce_joined": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+                 c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+                 scored AS (
+                   SELECT a.query_id, b.vec_id, {cos} AS cosine_sim
                    FROM q a JOIN c b ON true)
             SELECT query_id, vec_id, cosine_sim, rank FROM (
               SELECT query_id, vec_id, cosine_sim,

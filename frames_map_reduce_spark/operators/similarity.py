@@ -46,7 +46,9 @@ def _collect_queries(queries: DataFrame, cols: list[str]) -> list:
         raise ValueError(
             f"query set exceeds MAX_DRIVER_QUERIES={MAX_DRIVER_QUERIES}; "
             "top-k queries are driver-collected and shipped to every task "
-            "by contract — run in batches (or join against an index) instead")
+            "by contract — use brute_force_topk_joined (fully distributed "
+            "block-join scoring, no driver materialization) for large "
+            "query sets, or join against an index (ivf_index/ivf_probe)")
     return rows
 
 
@@ -157,6 +159,102 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
             yield pd.concat(parts, ignore_index=True)
 
     partial = sub.mapInPandas(run, schema=out_schema)
+    return _rank_topk(partial, k, query_id_col, id_col)
+
+
+def brute_force_topk_joined(corpus: DataFrame, queries: DataFrame, k: int,
+                            id_col: str = "vec_id", vec_col: str = "embedding",
+                            query_id_col: str = "query_id",
+                            round_digits: int | None = 6,
+                            n_corpus_blocks: int = 32,
+                            n_query_blocks: int = 32) -> DataFrame:
+    """Exact cosine top-k for query sets BEYOND the driver-collect cap —
+    the distributed complement of :func:`brute_force_topk` (identical
+    results; that function's contract error points here).
+
+    Block-matrix scoring via a shuffle join, no driver materialization:
+
+    1. corpus and queries are each hash-assigned to blocks
+       (``pmod(xxhash64(id), n_blocks)`` — uniform, no skew) and packed
+       into one array-of-struct row per block;
+    2. the block frames are joined all-pairs (CB × QB fat rows — Spark
+       picks broadcast or shuffle per AQE stats);
+    3. each block pair is scored with ONE float64 numpy matmul and
+       reduced to a per-pair top-k per query, so the merge window sees
+       ≤ n_corpus_blocks × k rows per query — the same partial-then-merge
+       exactness argument as :func:`partial_topk`;
+    4. the usual deterministic merge ranks (sim DESC, id ASC).
+
+    Total work is inherently O(|corpus| × |queries|) for EXACT top-k —
+    what this changes at scale is that no single process ever holds the
+    query set: blocks bound both task memory (block_rows × dim × 8 B per
+    side) and join-row width.  Size blocks so a pair's two arrays fit
+    comfortably in an executor core's memory (defaults: 32×32).
+
+    Semantics match brute_force_topk: HALF_UP rounding before ranking,
+    zero-norm (NULL-cosine) rows excluded.  Returns
+    (query_id, vec_id, cosine_sim, rank)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    require_columns(corpus, [id_col, vec_col])
+    require_columns(queries, [query_id_col, vec_col])
+
+    cblk = (corpus.select(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_corpus_blocks))
+                 .alias("_cb"),
+                F.struct(F.col(id_col).alias("i"),
+                         F.col(vec_col).cast("array<double>").alias("v"))
+                 .alias("_cs"))
+            .groupBy("_cb").agg(F.collect_list("_cs").alias("_cvecs")))
+    qblk = (queries.select(
+                F.pmod(F.xxhash64(F.col(query_id_col)), F.lit(n_query_blocks))
+                 .alias("_qb"),
+                F.struct(F.col(query_id_col).alias("i"),
+                         F.col(vec_col).cast("array<double>").alias("v"))
+                 .alias("_qs"))
+            .groupBy("_qb").agg(F.collect_list("_qs").alias("_qvecs")))
+    pairs = cblk.crossJoin(qblk).select("_cvecs", "_qvecs")
+
+    out_schema = T.StructType([
+        next(f for f in queries.schema.fields if f.name == query_id_col),
+        next(f for f in corpus.schema.fields if f.name == id_col),
+        T.StructField("cosine_sim", T.DoubleType()),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            for cvecs, qvecs in zip(pdf["_cvecs"], pdf["_qvecs"]):
+                if not len(cvecs) or not len(qvecs):
+                    continue
+                ids = np.array([r["i"] for r in cvecs])
+                x = np.array([r["v"] for r in cvecs], dtype=np.float64)
+                # pre-sort the block by id ascending: the stable argsort
+                # below then resolves sim-ties id-ascending for free, so
+                # the partial keeps exactly the rows the merge would
+                order0 = np.argsort(ids, kind="stable")
+                ids, x = ids[order0], x[order0]
+                qids = np.array([r["i"] for r in qvecs])
+                qmat = np.array([r["v"] for r in qvecs], dtype=np.float64)
+                xnorm = np.linalg.norm(x, axis=1)
+                qnorm = np.linalg.norm(qmat, axis=1)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = (x @ qmat.T) / (xnorm[:, None] * qnorm[None, :])
+                if round_digits is not None:
+                    sims = _round_half_up(sims, round_digits)
+                # one vectorized top-k over the whole matrix (NaN — zero
+                # norms — sorts last and is masked out after the take)
+                k_eff = min(k, len(ids))
+                top = np.argsort(-sims, axis=0, kind="stable")[:k_eff]
+                svals = sims[top, np.arange(len(qids))[None, :]].T.ravel()
+                ok = np.isfinite(svals)
+                yield pd.DataFrame({
+                    query_id_col: np.repeat(qids, k_eff)[ok],
+                    id_col: ids[top.T.ravel()][ok],
+                    "cosine_sim": svals[ok]})
+
+    partial = pairs.mapInPandas(run, schema=out_schema)
     return _rank_topk(partial, k, query_id_col, id_col)
 
 

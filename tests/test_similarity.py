@@ -42,6 +42,56 @@ def test_brute_force_topk_known_order(spark):
     assert out[0]["cosine_sim"] == pytest.approx(1.0)
 
 
+def test_brute_force_topk_joined_matches_driver_path(spark, embeddings):
+    """The distributed block-join path must return EXACTLY the driver-
+    collect path's results — same rounding, same tie-break, same
+    zero-norm exclusion."""
+    queries = (embeddings.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    corpus = embeddings.filter(F.col("vec_id") >= 10)
+    a = {tuple(r) for r in
+         SIM.brute_force_topk(corpus, queries, k=5).collect()}
+    b = {tuple(r) for r in
+         SIM.brute_force_topk_joined(corpus, queries, k=5,
+                                     n_corpus_blocks=4,
+                                     n_query_blocks=3).collect()}
+    assert a == b and len(a) == 50
+
+
+def test_brute_force_topk_beyond_cap(spark):
+    """>MAX_DRIVER_QUERIES query rows: the driver path fails loudly and
+    names the joined path; the joined path handles the same frame fully
+    distributed and exactly."""
+    import numpy as np
+    n = SIM.MAX_DRIVER_QUERIES + 1
+    corpus_rows = [(i, [float(i % 4), float((i * 3) % 5), 1.0])
+                   for i in range(10)]
+    corpus = spark.createDataFrame(corpus_rows,
+                                   "vec_id long, embedding array<double>")
+    queries = spark.range(n).select(
+        F.col("id").alias("query_id"),
+        F.array((F.col("id") % 7).cast("double"),
+                (F.col("id") % 5).cast("double"),
+                F.lit(1.0)).alias("embedding"))
+    with pytest.raises(ValueError, match="brute_force_topk_joined"):
+        SIM.brute_force_topk(corpus, queries, k=3)
+    out = SIM.brute_force_topk_joined(corpus, queries, k=3)
+    assert out.count() == 3 * n
+    # value spot-check one query against numpy ground truth
+    qid = 12_345
+    got = sorted(((r["vec_id"], r["cosine_sim"], r["rank"])
+                  for r in out.filter(F.col("query_id") == qid).collect()),
+                 key=lambda t: t[2])
+    q = np.array([qid % 7, qid % 5, 1.0], dtype=np.float64)
+    x = np.array([v for _, v in corpus_rows], dtype=np.float64)
+    sims = SIM._round_half_up(
+        x @ q / (np.linalg.norm(x, axis=1) * np.linalg.norm(q)), 6)
+    want_ids = np.lexsort((np.arange(10), -sims))[:3]
+    assert [g[0] for g in got] == list(want_ids)
+    for g, wid in zip(got, want_ids):
+        assert g[1] == pytest.approx(sims[wid], abs=1e-9)
+
+
 def test_srp_self_retrieval(spark, embeddings):
     """A query present in the corpus must find itself at rank 1 (its own
     bucket always matches)."""
