@@ -672,15 +672,9 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
     # Python stage (measured ~1.5× total job cost).  One eager pass is
     # strictly cheaper than that race at any scale.
     sh.count()
-    # chunk extraction unrolled per band (shift amounts are int literals)
-    chunks = F.array(*[
-        F.concat_ws(":", F.lit(i),
-                    F.shiftrightunsigned(F.col("_sim"), i * chunk)
-                     .bitwiseAND(F.lit((1 << chunk) - 1)))
-        for i in range(n_bands)
-    ])
     banded = sh.select(
-        id_col, "_sim", F.explode(chunks).alias("_bucket"))
+        id_col, "_sim",
+        F.explode(_simhash_chunks(bits, n_bands)).alias("_bucket"))
     sizes = banded.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
     ok = sizes.filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket)) \
               .select("_bucket")
@@ -694,6 +688,41 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
          .filter(F.col("hamming_dist") <= max_hamming)  # before distinct: shuffle only survivors
          .distinct()
     )
+
+
+def _simhash_chunks(bits: int, n_bands: int):
+    """Per-band bucket keys of the ``_sim`` column: "band:chunk-value"
+    strings, chunk extraction unrolled per band (shift amounts must be
+    int literals for shiftrightunsigned)."""
+    chunk = bits // n_bands
+    return F.array(*[
+        F.concat_ws(":", F.lit(i),
+                    F.shiftrightunsigned(F.col("_sim"), i * chunk)
+                     .bitwiseAND(F.lit((1 << chunk) - 1)))
+        for i in range(n_bands)
+    ])
+
+
+def simhash_bucket_stats(df: DataFrame, text_col: str, id_col: str,
+                         bits: int = 63, n_bands: int = 4,
+                         max_bucket: int = 1000) -> DataFrame:
+    """Drop-accountability for the simhash band cap — the exact analogue
+    of :func:`minhash_bucket_stats`: one row (n_buckets, n_multi,
+    n_oversized, max_size) over the bucket-size distribution
+    :func:`simhash_near_dup_pairs` would see with these parameters.
+    ``n_oversized > 0`` means some content class (boilerplate, empties)
+    is being routed out of the banded join by ``max_bucket`` and should
+    be owned by exact dedup instead — monitor this so a corpus change
+    surfaces as a loud stat, not a silent recall loss."""
+    sh = _simhash_from_text_frame(df, text_col, id_col, bits)
+    sizes = (sh.select(F.explode(_simhash_chunks(bits, n_bands))
+                        .alias("_bucket"))
+               .groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n")))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(F.col("_n") > 1, 1).otherwise(0)).alias("n_multi"),
+        F.sum(F.when(F.col("_n") > max_bucket, 1).otherwise(0)).alias("n_oversized"),
+        F.max("_n").alias("max_size"))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,115 @@
+"""End-to-end skew-stress accountability: the documented hot-key story.
+
+One boilerplate document duplicated 10^5× is the canonical pathological
+corpus shape at 100 TB (empty pages, license headers, navigation chrome).
+The engine's contract for it, pinned here end-to-end:
+
+- **exact dedup absorbs it**: the fingerprint groupBy's map-side
+  ``min_by`` partials collapse the duplicates before the shuffle, so the
+  hot content class costs one shuffled row;
+- **minhash/simhash route it through max_bucket**: every band bucket of
+  the duplicated doc holds ~10^5 members; the size-filter drops them
+  BEFORE any pair explosion, and ``*_bucket_stats`` reports
+  ``n_oversized > 0`` so the drop is observable, not silent;
+- **salted aggregation redistributes the hot key**: the stage-1 group
+  count for the hot key equals ``salts`` (the final-merge input was
+  actually split), with results identical to the plain plan.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from frames_map_reduce_spark.operators import dedup as DD
+from frames_map_reduce_spark.skew import salted_aggregate
+
+N_DUP = 100_000
+N_DISTINCT = 500
+BOILER = ("this page is intentionally left blank copyright all rights "
+          "reserved terms of service privacy policy contact us about")
+
+
+@pytest.fixture(scope="module")
+def skewed_corpus(spark):
+    """doc_id 0..N_DUP-1: identical boilerplate; N_DUP..: distinct docs."""
+    dup = spark.range(N_DUP).select(
+        F.col("id").alias("doc_id"), F.lit(BOILER).alias("text"))
+    distinct = spark.range(N_DUP, N_DUP + N_DISTINCT).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("unique document number "), F.col("id").cast("string"),
+                 F.lit(" with its own words "),
+                 F.md5(F.col("id").cast("string"))).alias("text"))
+    return dup.unionByName(distinct)
+
+
+def test_exact_dedup_absorbs_hot_content(skewed_corpus):
+    out = DD.exact_dedup(skewed_corpus, "text", "doc_id")
+    assert out.count() == 1 + N_DISTINCT
+    # deterministic winner: the minimum id of the duplicated class
+    assert out.filter(F.col("text") == BOILER).first()["doc_id"] == 0
+    keys = DD.exact_dedup_keys(skewed_corpus, "text", "doc_id")
+    hot = keys.filter(F.col("dup_count") > 1).collect()
+    assert len(hot) == 1 and hot[0]["dup_count"] == N_DUP
+
+
+def test_minhash_caps_hot_bucket_with_visible_stats(skewed_corpus):
+    stats = DD.minhash_bucket_stats(
+        skewed_corpus, "text", "doc_id", max_bucket=1000).first()
+    assert stats["n_oversized"] > 0          # the cap is doing work...
+    assert stats["max_size"] >= N_DUP        # ...on the duplicated class
+    pairs = DD.minhash_lsh_candidates(
+        skewed_corpus, "text", "doc_id", max_bucket=1000)
+    # every duplicate bucket exceeds the cap, so no candidate pair may
+    # have BOTH ends in the duplicated class — and without the cap this
+    # join would emit ~N_DUP^2/2 = 5e9 rows
+    leaked = pairs.filter((F.col("id_a") < N_DUP) & (F.col("id_b") < N_DUP))
+    assert leaked.count() == 0
+
+
+def test_simhash_caps_hot_bucket_with_visible_stats(skewed_corpus):
+    stats = DD.simhash_bucket_stats(
+        skewed_corpus, "text", "doc_id", n_bands=9, max_bucket=1000).first()
+    assert stats["n_oversized"] > 0
+    assert stats["max_size"] >= N_DUP
+    pairs = DD.simhash_near_dup_pairs(
+        skewed_corpus, "text", "doc_id",
+        max_hamming=8, n_bands=9, max_bucket=1000)
+    leaked = pairs.filter((F.col("id_a") < N_DUP) & (F.col("id_b") < N_DUP))
+    assert leaked.count() == 0
+
+
+def test_salted_aggregate_redistributes_hot_key(spark, skewed_corpus):
+    """The mechanism that makes salting win at scale, asserted
+    structurally: the hot key's stage-1 output occupies exactly ``salts``
+    groups (its final-merge input shrank from 10^5 rows to 16 partials),
+    while results stay identical to the plain plan.  Wall-clock is NOT
+    asserted: at local[*] sizes Spark's map-side partial aggregation
+    already absorbs most of the skew for decomposable folds, so a timing
+    assertion would pin noise, not the mechanism."""
+    df = skewed_corpus.withColumn(
+        "k", F.when(F.col("doc_id") < N_DUP, "hot")
+              .otherwise(F.concat(F.lit("k"), F.col("doc_id"))))
+    salts = 16
+    salted = salted_aggregate(
+        df, ["k"],
+        {"n": ("count_star", ""), "sum_id": ("sum", "doc_id")}, salts=salts)
+    plain = df.groupBy("k").agg(F.count(F.lit(1)).alias("n"),
+                                F.sum("doc_id").alias("sum_id"))
+    t0 = time.monotonic()
+    s = {r["k"]: (r["n"], r["sum_id"]) for r in salted.collect()}
+    t_salted = time.monotonic() - t0
+    t0 = time.monotonic()
+    p = {r["k"]: (r["n"], r["sum_id"]) for r in plain.collect()}
+    t_plain = time.monotonic() - t0
+    assert s == p
+    assert s["hot"] == (N_DUP, N_DUP * (N_DUP - 1) // 2)
+    print(f"salted={t_salted:.2f}s plain={t_plain:.2f}s (informational)")
+    # structural pin of the redistribution itself
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salts))
+    stage1_hot_groups = (df.withColumn("_salt", salt)
+                           .filter(F.col("k") == "hot")
+                           .select("_salt").distinct().count())
+    assert stage1_hot_groups == salts
