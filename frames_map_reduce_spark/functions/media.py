@@ -478,6 +478,90 @@ def jpeg_encode_gray(arr: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     return (b"\xff\xd8" + dqt + sof + dht + sos + bytes(wtr.buf) + b"\xff\xd9")
 
 
+def jpeg_encode_gray_progressive(arr: np.ndarray,
+                                 quant: np.ndarray | None = None,
+                                 al: int = 0) -> bytes:
+    """Encode a 2-D uint8 array as a PROGRESSIVE grayscale JPEG (SOF2):
+    scan 1 is the spec-required initial DC scan (Ss=Se=0, Ah=0, point
+    transform ``al`` — coded values are DC >> al), scan 2 codes all AC
+    coefficients 1..63 in one spectral band.  With per-block EOB (no
+    EOBRUN batching) and Al=0 for AC, the AC coding degenerates to
+    exactly the sequential AC coding, so the encoder reuses the Annex-K
+    tables end-to-end.  Spec-valid per T.81 G.1 — any standard viewer
+    decodes it; exists (like the GIF/AVI encoders) for fixtures with
+    pre-encode ground truth."""
+    if arr.ndim != 2:
+        raise ValueError("jpeg_encode_gray_progressive takes a 2-D array")
+    if not 0 <= al <= 13:
+        raise ValueError("al out of the T.81 successive-approximation range")
+    q = JPEG_QL if quant is None else np.asarray(quant, dtype=np.float64)
+    h, w = arr.shape
+    bh, bw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    img = np.pad(arr, ((0, bh - h), (0, bw - w)), mode="edge") \
+        .astype(np.float64) - 128.0
+    blocks = img.reshape(bh // 8, 8, bw // 8, 8).transpose(0, 2, 1, 3)
+    coeffs = _DCT[None, None] @ blocks @ _DCT.T[None, None]
+    quantized = np.rint(coeffs / q).astype(np.int64)
+    zz = quantized.reshape(bh // 8, bw // 8, 64)[:, :, _ZZ]
+
+    dc_codes = _canonical_codes(*_DC_LUMA_SPEC)
+    ac_codes = _canonical_codes(*_AC_LUMA_SPEC)
+
+    # scan 1: DC only, successive-approximation point transform >> al
+    # (T.81 G.1.2.1: the point transform of DC scans is an arithmetic
+    # shift of the coefficient value; diffs are over shifted values)
+    dc1 = _BitWriter()
+    pred = 0
+    for by in range(zz.shape[0]):
+        for bx in range(zz.shape[1]):
+            v = int(zz[by, bx, 0]) >> al
+            s, mag = _magnitude(v - pred)
+            pred = v
+            code, ln = dc_codes[s]
+            dc1.put(code, ln)
+            dc1.put(mag, s)
+    dc1.flush()
+
+    # scan 2: AC 1..63, Ah=Al=0, per-block EOB == sequential AC coding
+    ac2 = _BitWriter()
+    for by in range(zz.shape[0]):
+        for bx in range(zz.shape[1]):
+            blk = zz[by, bx]
+            run = 0
+            for k in range(1, 64):
+                v = int(blk[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]
+                    ac2.put(code, ln)
+                    run -= 16
+                s, mag = _magnitude(v)
+                code, ln = ac_codes[(run << 4) | s]
+                ac2.put(code, ln)
+                ac2.put(mag, s)
+                run = 0
+            if run:
+                code, ln = ac_codes[0x00]   # EOB (eobrun = 1)
+                ac2.put(code, ln)
+    ac2.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    qz = np.rint(q).astype(np.int64).reshape(64)[_ZZ]
+    dqt = seg(0xDB, b"\x00" + bytes(int(x) for x in qz))
+    sof = seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = (seg(0xC4, b"\x00" + bytes(_DC_LUMA_SPEC[0]) + bytes(_DC_LUMA_SPEC[1]))
+           + seg(0xC4, b"\x10" + bytes(_AC_LUMA_SPEC[0]) + bytes(_AC_LUMA_SPEC[1])))
+    sos1 = seg(0xDA, bytes([1, 1, 0x00, 0, 0, al]))
+    sos2 = seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0]))
+    return (b"\xff\xd8" + dqt + sof + dht
+            + sos1 + bytes(dc1.buf)
+            + sos2 + bytes(ac2.buf) + b"\xff\xd9")
+
+
 class _BitReader:
     """MSB-first bit reader over entropy-coded data with 0xFF00
     unstuffing; surfaces restart markers to the caller."""
@@ -539,15 +623,21 @@ def _extend(v: int, s: int) -> int:
 
 
 def jpeg_dc_luma(b: bytes) -> np.ndarray:
-    """DC-only decode of a baseline JPEG: Huffman-decode the entropy
-    stream (AC coefficients are decoded to advance the bit position, then
-    discarded) and return the dequantized DC terms of component 0 as a
-    float64 array of 8x8-block means in [0, 255] — an 8x-downsampled luma
-    map of shape (ceil(h/8), ceil(w/8)) for full-resolution luma.
+    """DC-only decode of a JPEG: Huffman-decode the entropy stream and
+    return the dequantized DC terms of component 0 as a float64 array of
+    8x8-block means in [0, 255] — an 8x-downsampled luma map of shape
+    (ceil(h/8), ceil(w/8)) for full-resolution luma.
 
-    Supports baseline/extended-sequential (SOF0/SOF1) single-scan streams,
-    arbitrary component sampling factors, and restart intervals; raises
-    ValueError on progressive (SOF2) or other unsupported variants."""
+    Supports baseline/extended-sequential (SOF0/SOF1) single-scan
+    streams (AC coefficients are decoded to advance the bit position,
+    then discarded), arbitrary component sampling factors, and restart
+    intervals — AND progressive (SOF2) files via their FIRST scan, which
+    T.81 G.1.1.1.1 requires to be the DC scan: a progressive DC scan
+    carries no AC coefficients at all, so the DC-only decode is simply
+    that scan with the successive-approximation shift (<< Al) applied.
+    Later AC/refinement scans are ignored (refinements only add ±2^a
+    with a < Al, bounded by the Al quantization this decode reports).
+    Raises ValueError on other variants (hierarchical, arithmetic)."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qts: dict[int, np.ndarray] = {}
@@ -555,6 +645,7 @@ def jpeg_dc_luma(b: bytes) -> np.ndarray:
     comps = None
     height = width = None
     restart = 0
+    progressive = False
     i = 2
     while True:
         if i + 1 >= len(b):
@@ -598,14 +689,18 @@ def jpeg_dc_luma(b: bytes) -> np.ndarray:
                 values = list(seg[j + 17:j + 17 + n])
                 huff[(tc, th)] = _decode_table(bits, values)
                 j += 17 + n
-        elif marker in (0xC0, 0xC1):             # SOF0/SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):       # SOF0/SOF1/SOF2
+            progressive = marker == 0xC2
             _prec, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-        elif marker == 0xC2:
-            raise ValueError("progressive JPEG (SOF2) not supported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"JPEG SOF{marker - 0xC0} (lossless/hierarchical/"
+                f"arithmetic) not supported")
         elif marker == 0xDD:                     # DRI
             restart = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:                     # SOS — scan starts after
@@ -617,6 +712,14 @@ def jpeg_dc_luma(b: bytes) -> np.ndarray:
                 cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
                 comp = next(x for x in comps if x["id"] == cid)
                 scan.append({**comp, "dc": tabs >> 4, "ac": tabs & 15})
+            ss, _se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            if progressive and (ss != 0 or ah != 0):
+                # first scan of a spec-valid progressive stream is the
+                # Ah=0 DC scan; anything else means a corrupt stream
+                raise ValueError(
+                    "progressive JPEG: first scan is not the initial "
+                    "DC scan")
             if scan[0]["id"] != comps[0]["id"]:
                 raise ValueError("first scan does not cover component 0")
             data_start = i + 2 + length
@@ -659,6 +762,8 @@ def jpeg_dc_luma(b: bytes) -> np.ndarray:
                             gy, gx = my * cv + v, mx * ch + hh
                             if gy < gh and gx < gw:
                                 grid[gy, gx] = preds[ci]
+                        if progressive:
+                            continue             # DC scan: no AC present
                         k = 1
                         while k < 64:            # AC: decode to skip
                             sym = _huff_decode(rd, huff[(1, comp["ac"])])
@@ -670,7 +775,9 @@ def jpeg_dc_luma(b: bytes) -> np.ndarray:
                             k += (sym >> 4) + 1
                             rd.bits(sym & 15)
             mcu += 1
-    luma = grid * q00 / 8.0 + 128.0
+    # al: successive-approximation point transform of the (first) DC
+    # scan — coded values are DC >> al, so scale back up (0 for baseline)
+    luma = grid * float(1 << al) * q00 / 8.0 + 128.0
     return np.clip(luma, 0.0, 255.0)
 
 

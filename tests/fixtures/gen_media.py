@@ -37,7 +37,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 from frames_map_reduce_spark.functions.media import (  # noqa: E402
     _DCT, JPEG_QL, avi_encode_mjpeg, gif_encode_gray, jpeg_encode_gray,
-    png_encode)
+    jpeg_encode_gray_progressive, png_encode)
 
 OUT = os.path.join(os.path.dirname(__file__), "media.parquet")
 
@@ -65,6 +65,30 @@ def make_jpeg_real(rng: np.random.Generator, width: int,
     dc = (_DCT[None, None] @ blocks @ _DCT.T[None, None])[:, :, 0, 0]
     luma = np.clip(np.rint(dc / JPEG_QL[0, 0]) * JPEG_QL[0, 0] / 8.0 + 128.0,
                    0.0, 255.0)
+    gh, gw = luma.shape
+    ys = np.linspace(0, gh, 5).astype(int)
+    xs = np.linspace(0, gw, 5).astype(int)
+    feats = [luma[ys[i]:max(ys[i + 1], ys[i] + 1),
+                  xs[j]:max(xs[j + 1], xs[j] + 1)].mean() / 255.0
+             for i in range(4) for j in range(4)]
+    return payload, float(np.mean(feats))
+
+
+def make_jpeg_progressive(rng: np.random.Generator, width: int, height: int,
+                          al: int) -> tuple[bytes, float]:
+    """Real progressive grayscale JPEG (SOF2, initial DC scan with point
+    transform ``al`` + one AC scan) + the pre-encode ground-truth pooled
+    feature mean: the shifted quantization formula ((dc_q >> al) << al)."""
+    img = rng.integers(0, 256, size=(height, width), dtype=np.uint8)
+    payload = jpeg_encode_gray_progressive(img, al=al)
+    bh, bw = (height + 7) // 8 * 8, (width + 7) // 8 * 8
+    pad = np.pad(img, ((0, bh - height), (0, bw - width)), mode="edge") \
+        .astype(np.float64) - 128.0
+    blocks = pad.reshape(bh // 8, 8, bw // 8, 8).transpose(0, 2, 1, 3)
+    dc = (_DCT[None, None] @ blocks @ _DCT.T[None, None])[:, :, 0, 0]
+    q00 = JPEG_QL[0, 0]
+    coded = (np.rint(dc / q00).astype(np.int64) >> al) << al
+    luma = np.clip(coded.astype(np.float64) * q00 / 8.0 + 128.0, 0.0, 255.0)
     gh, gw = luma.shape
     ys = np.linspace(0, gh, 5).astype(int)
     xs = np.linspace(0, gw, 5).astype(int)
@@ -132,6 +156,13 @@ def main() -> None:
     # exactly.  Sizes chosen to cover block-aligned, padded, and tiny.
     for w, h in [(64, 48), (56, 40), (17, 23), (8, 8), (129, 65)]:
         payload, feat_mean = make_jpeg_real(rng, w, h)
+        rows.append((did, payload, "image/jpeg", w, h, None, True, feat_mean))
+        did += 1
+
+    # Real progressive grayscale JPEGs (SOF2): DC-scan decode must equal
+    # the shifted quantization formula — covers Al=0 and Al>0.
+    for (w, h), al in [((48, 32), 0), ((33, 29), 1)]:
+        payload, feat_mean = make_jpeg_progressive(rng, w, h, al)
         rows.append((did, payload, "image/jpeg", w, h, None, True, feat_mean))
         did += 1
 

@@ -244,13 +244,37 @@ def test_jpeg_dc_luma_approximates_downsampled_image():
     assert np.abs(got - true_means).max() <= MEDIA.JPEG_QL[0, 0] / 8.0 / 2 + 1e-9
 
 
-def test_jpeg_progressive_rejected():
+def test_jpeg_progressive_roundtrip_matches_formula():
+    """Progressive (SOF2) DC-scan decode must equal the quantization
+    formula with the successive-approximation shift applied — exact, for
+    Al = 0 (plain spectral selection) and Al > 0 (point transform)."""
+    rng = np.random.default_rng(17)
+    for (h, w), al in [((8, 8), 0), ((40, 56), 0), ((23, 17), 1),
+                       ((65, 129), 2)]:
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        b = MEDIA.jpeg_encode_gray_progressive(img, al=al)
+        assert MEDIA.sniff_mime(b) == "image/jpeg"
+        assert MEDIA.parse_dims(b) == (w, h)
+        got = MEDIA.jpeg_dc_luma(b)
+        bh, bw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+        pad = np.pad(img, ((0, bh - h), (0, bw - w)), mode="edge") \
+            .astype(np.float64) - 128.0
+        blocks = pad.reshape(bh // 8, 8, bw // 8, 8).transpose(0, 2, 1, 3)
+        dc = (MEDIA._DCT[None, None] @ blocks @ MEDIA._DCT.T[None, None])[:, :, 0, 0]
+        q00 = MEDIA.JPEG_QL[0, 0]
+        coded = (np.rint(dc / q00).astype(np.int64) >> al) << al
+        want = np.clip(coded.astype(np.float64) * q00 / 8.0 + 128.0, 0, 255)
+        assert got.shape == ((h + 7) // 8, (w + 7) // 8)
+        assert np.abs(got - want).max() < 1e-9, (h, w, al)
+
+
+def test_jpeg_unsupported_sof_rejected():
     rng = np.random.default_rng(3)
     b = bytearray(MEDIA.jpeg_encode_gray(
         rng.integers(0, 256, size=(16, 16), dtype=np.uint8)))
     i = b.find(b"\xff\xc0")
-    b[i + 1] = 0xC2  # flip SOF0 -> SOF2
-    with pytest.raises(ValueError, match="progressive"):
+    b[i + 1] = 0xC3  # flip SOF0 -> SOF3 (lossless)
+    with pytest.raises(ValueError, match="not supported"):
         MEDIA.jpeg_dc_luma(bytes(b))
 
 
