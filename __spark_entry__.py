@@ -1830,6 +1830,15 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY cosine_sim DESC, vec_id) AS rank
               FROM scored)
             WHERE rank <= 5""",
+        # FULL value oracle for an APPROXIMATE operator: the SRP planes
+        # are deterministic given the seed, so the whole LSH pipeline
+        # (signatures, multiprobe-or-exact bucket match == per-table
+        # Hamming<=1, scoring, tie-breaks, recall) replays in DuckDB from
+        # the same spec constants — the same pattern as the simhash
+        # oracle.  Generated by similarity.srp_ann_oracle_sql.
+        "ann_srp": SIM.srp_ann_oracle_sql(
+            "embeddings", "vec_id", "embedding",
+            query_max_id=5, k=5, dim=64, n_planes=5, n_tables=8),
         # identical by contract to ann_bruteforce (exact top-k, same
         # rounding/tie-break), just computed via the block-join path
         "ann_bruteforce_joined": f"""

@@ -356,6 +356,76 @@ def ann_topk_srp(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
                       k, query_id_col, id_col)
 
 
+def _srp_sig_sql(vec: str, planes: list[list[float]]) -> str:
+    """DuckDB expression for the packed SRP signature of ``vec`` —
+    generated from the SAME plane constants the Spark expression embeds
+    (``srp_signature``), with the same fold shape as the proven
+    ``cosine_sql`` twin so the double arithmetic is bit-identical."""
+    terms = []
+    for i, p in enumerate(planes):
+        lits = ", ".join(repr(float(x)) for x in p)
+        d = (f"list_sum(list_transform(list_zip({vec}, [{lits}]), "
+             f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
+        terms.append(f"(CASE WHEN {d} >= 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def srp_ann_oracle_sql(table: str, id_col: str, vec_col: str,
+                       query_max_id: int, k: int, dim: int,
+                       n_planes: int, n_tables: int, seed: int = 42) -> str:
+    """Exhaustive DuckDB twin of :func:`ann_topk_srp` (+ the recall
+    column of the driver query) — a FULL value oracle for an approximate
+    operator, possible because the approximation is deterministic given
+    the seed: the planes are replayed from the same spec, and
+    "bucket match in table t, exact or multiprobe Hamming-1" is exactly
+    ``bit_count(xor(sig_t(q), sig_t(v))) <= 1``.  Scoring, rounding
+    (6 dp before ranking), tie-breaks (sim DESC, id ASC) and the
+    recall@k arithmetic all mirror the Spark path expression-for-
+    expression."""
+    sigs = []
+    for t in range(n_tables):
+        planes = _random_planes(dim, n_planes, seed + 7919 * t)
+        sigs.append(_srp_sig_sql(vec_col, planes))
+    q_sig = ",\n           ".join(
+        f"{s} AS s{t}" for t, s in enumerate(sigs))
+    match = " OR ".join(
+        f"bit_count(xor(a.s{t}, b.s{t})) <= 1" for t in range(n_tables))
+    cos = (f"round(list_sum(list_transform(list_zip(a.{vec_col}, b.{vec_col}), "
+           f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / nullif("
+           f"sqrt(list_sum(list_transform(a.{vec_col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+           f"sqrt(list_sum(list_transform(b.{vec_col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0.0), 6)")
+    return f"""
+WITH q AS (SELECT {id_col} AS query_id, {vec_col},
+           {q_sig}
+           FROM {table} WHERE {id_col} < {query_max_id}),
+     c AS (SELECT {id_col}, {vec_col},
+           {q_sig}
+           FROM {table} WHERE {id_col} >= {query_max_id}),
+     scored AS (
+        SELECT a.query_id, b.{id_col}, {cos} AS cosine_sim
+        FROM q a JOIN c b ON ({match})),
+     approx AS (
+        SELECT query_id, {id_col}, cosine_sim,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine_sim DESC, {id_col}) AS rank
+        FROM scored QUALIFY rank <= {k}),
+     exact AS (
+        SELECT query_id, {id_col} FROM (
+          SELECT a.query_id, b.{id_col},
+                 row_number() OVER (PARTITION BY a.query_id
+                     ORDER BY {cos} DESC, b.{id_col}) AS rnk
+          FROM q a JOIN c b ON true) WHERE rnk <= {k}),
+     rec AS (
+        SELECT e.query_id,
+               round(CAST(count(ap.{id_col}) AS DOUBLE) / count(*), 6) AS recall
+        FROM exact e LEFT JOIN approx ap USING (query_id, {id_col})
+        GROUP BY e.query_id)
+SELECT approx.query_id, approx.{id_col}, approx.cosine_sim,
+       CAST(approx.rank AS BIGINT) AS rank, rec.recall
+FROM approx JOIN rec USING (query_id)
+"""
+
+
 def train_ivf_centroids(corpus: DataFrame, vec_col: str, n_centroids: int = 16,
                         sample_limit: int = 20_000, iters: int = 10,
                         seed: int = 42):
