@@ -759,7 +759,14 @@ def simhash_oracle_sql(table: str, text_col: str, id_col: str,
     pigeonhole) and the test corpora never trip ``max_bucket``.
 
     Every constant is derived from the same module-level spec the numpy
-    path uses (``_POLY_PRIME``, ``_SM_GAMMA``, ``_SM_M1``, ``_SM_M2``)."""
+    path uses (``_POLY_PRIME``, ``_SM_GAMMA``, ``_SM_M1``, ``_SM_M2``),
+    and the tokenizer's whitespace class is spelled explicitly
+    (text.WS_CHARS) so Java-regex and RE2 semantics coincide.  Known
+    oracle boundary (NOT a product issue): DuckDB ``lower()`` lacks the
+    dotted-İ combining mark and the Greek final-sigma rule, so the twin
+    is exact wherever ``lower()`` agrees across engines — all of ASCII,
+    hence all driver testdata (pinned by
+    tests/test_text.py::test_unicode_lower_product_path_consistency)."""
     from frames_map_reduce_spark.functions.text import WORDISH
     gamma, m1, m2 = int(_SM_GAMMA), int(_SM_M1), int(_SM_M2)
     # list_reduce seeds with the first element == ord(c0) == the Python

@@ -106,6 +106,31 @@ def test_sql_twins_match_spark(spark):
         assert smap[text] == (tc, wc, fp, lang), f"mismatch for {text!r}"
 
 
+def test_unicode_lower_product_path_consistency(spark):
+    """The PRODUCT path (Spark expressions + the numpy replicas in
+    operators/dedup.py) must agree on full-Unicode lowercasing.  DuckDB's
+    lower() is known to diverge on two clusters (dotted-İ keeps no
+    combining dot; no final-sigma rule) — that is an ORACLE boundary, not
+    a product bug: oracles are exact wherever lower() agrees (all of
+    ASCII, hence all driver testdata).  This test pins BOTH facts so a
+    DuckDB upgrade that changes behavior surfaces loudly."""
+    import duckdb
+    samples = ["İstanbul", "ΣΙΣΥΦΟΣ ΤΕΛΟΣ", "Straße", "ǅungla"]
+    rows = (spark.createDataFrame([(s,) for s in samples], "t string")
+                 .select("t", F.lower("t").alias("l")).collect())
+    for r in rows:
+        assert r["l"] == r["t"].lower(), r["t"]  # Spark == Python
+    con = duckdb.connect()
+    duck = {s: con.sql("SELECT lower(?)", params=[s]).fetchone()[0]
+            for s in samples}
+    assert duck["Straße"] == "Straße".lower()
+    assert duck["ǅungla"] == "ǅungla".lower()
+    # the two documented divergences — if these start MATCHING, the
+    # oracle boundary note in simhash_oracle_sql can be retired
+    assert duck["İstanbul"] != "İstanbul".lower()
+    assert duck["ΣΙΣΥΦΟΣ ΤΕΛΟΣ"] != "ΣΙΣΥΦΟΣ ΤΕΛΟΣ".lower()
+
+
 def test_word_ngrams(spark):
     assert _one(spark, "A b c d", TX.word_ngrams(F.col("t"), 2)) == \
         ["a b", "b c", "c d"]
