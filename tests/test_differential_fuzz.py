@@ -169,3 +169,80 @@ def test_range_join_matches_bruteforce(spark, point_rows, iv_rows, bucket):
     exp = {(r.pid, r.iid) for r in merged.itertuples()
            if r.t0 <= r.ts <= r.t1}
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# CDC compaction vs DuckDB row_number twin on arbitrary changelogs
+# ---------------------------------------------------------------------------
+
+cdc_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),     # key
+        st.integers(min_value=0, max_value=20),    # coarse version (ties!)
+        st.integers(min_value=-50, max_value=50),  # payload value
+        st.booleans(),                             # delete marker
+    ),
+    min_size=1, max_size=40)
+
+
+@given(rows=cdc_rows)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cdc_compact_matches_duckdb(spark, rows):
+    """compact_latest ≡ the row_number() DESC twin on random changelogs
+    with version ties (broken by the unique seq), interleaved deletes,
+    and deletes superseded by later upserts."""
+    from frames_map_reduce_spark.operators.cdc import compact_latest
+
+    pdf = pd.DataFrame(rows, columns=["k", "v", "val", "dele"])
+    pdf["seq"] = range(len(pdf))
+    df = spark.createDataFrame(pdf[["k", "v", "seq", "val", "dele"]])
+    out = compact_latest(df, ["k"], ["v", "seq"], tombstone=F.col("dele"))
+    got = {(r["k"], r["v"], r["seq"], r["val"]) for r in
+           out.select("k", "v", "seq", "val").collect()}
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = {tuple(r) for r in con.sql("""
+        SELECT k, v, seq, val FROM (
+          SELECT k, v, seq, val, dele,
+                 row_number() OVER (PARTITION BY k
+                     ORDER BY v DESC, seq DESC) AS rn
+          FROM t) WHERE rn = 1 AND NOT dele""").fetchall()}
+    con.close()
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash splits vs the generated SQL twin
+# ---------------------------------------------------------------------------
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=10**9),
+                  min_size=1, max_size=50, unique=True),
+    w=st.tuples(st.integers(min_value=1, max_value=10),
+                st.integers(min_value=1, max_value=10),
+                st.integers(min_value=1, max_value=10)),
+    salt=st.sampled_from(["", "s1", "round4"]),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_hash_split_matches_duckdb(spark, keys, w, salt):
+    """hash_split ≡ its generated DuckDB CASE twin for arbitrary keys,
+    weights, and salts — every row in exactly one named split."""
+    from frames_map_reduce_spark.operators import sampling as SMP
+
+    weights = {"train": float(w[0]), "val": float(w[1]), "test": float(w[2])}
+    df = spark.createDataFrame([(k,) for k in keys], "id long")
+    got = {r["id"]: r["split"]
+           for r in SMP.hash_split(df, "id", weights, salt).collect()}
+    assert set(got) == set(keys)            # total: every key assigned
+    assert set(got.values()) <= set(weights)
+
+    con = duckdb.connect()
+    case = SMP.hash_split_sql_case("id", weights, salt)
+    vals = ", ".join(f"({k})" for k in keys)
+    want = dict(con.sql(
+        f"SELECT id, {case} AS s FROM (VALUES {vals}) AS t(id)").fetchall())
+    con.close()
+    assert got == want
