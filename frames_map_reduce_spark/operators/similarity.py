@@ -436,6 +436,12 @@ def train_ivf_centroids(corpus: DataFrame, vec_col: str, n_centroids: int = 16,
     import numpy as np
     rows = (corpus.select(vec_col).limit(sample_limit).collect())
     x = np.array([r[0] for r in rows], dtype=np.float64)
+    # order-insensitive training: `limit` fixes the SET but not the ORDER
+    # of the sample (task completion order varies run-to-run), and the
+    # k-means init indexes into it — canonicalize so identical sample
+    # sets always train identical centroids.  Driver-side lexsort of
+    # ≤ sample_limit rows: trivial next to the collect itself.
+    x = x[np.lexsort(x.T[::-1])]
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
     for _ in range(iters):

@@ -90,6 +90,22 @@ def test_brute_force_topk_plan_shape(spark, embeddings):
     assert "Join" not in explain_formatted(out)
 
 
+def test_brute_force_topk_joined_plan_shape(spark, embeddings):
+    """The beyond-the-cap block-join path must be fully distributed: no
+    LocalTableScan of collected queries anywhere in the plan (both sides
+    come from real scans), and the block pairing is a join of two
+    one-row-per-block aggregates — so exchanges stay bounded by the
+    block groupings + the final merge, independent of query count."""
+    from frames_map_reduce_spark.operators.similarity import brute_force_topk_joined
+    from frames_map_reduce_spark.plans import count_exchanges, explain_formatted
+    queries = embeddings.select(F.col("vec_id").alias("query_id"), "embedding")
+    out = brute_force_topk_joined(embeddings, queries, k=3,
+                                  n_corpus_blocks=4, n_query_blocks=4)
+    plan = explain_formatted(out)
+    assert "LocalTableScan" not in plan     # nothing driver-materialized
+    assert count_exchanges(out) <= 4        # 2 block aggs + join + merge
+
+
 def test_whole_stage_codegen_covers_agg(flagship):
     from frames_map_reduce_spark.plans import has_whole_stage_codegen
     assert has_whole_stage_codegen(flagship)
