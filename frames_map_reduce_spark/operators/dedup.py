@@ -676,11 +676,19 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
         id_col, "_sim",
         F.explode(_simhash_chunks(bits, n_bands)).alias("_bucket"))
     sizes = banded.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
+    # surviving-bucket list is bounded by the band space (n_bands * 2^chunk
+    # ≤ a few thousand rows) — broadcast it and prune BOTH self-join sides
+    # map-side, so rows in oversized buckets never reach the join shuffle
+    # (they can only pair inside their dropped bucket, so pruning the b
+    # side too loses nothing).  At sf1.0 the measured oversized buckets
+    # hold most of a boilerplate corpus's entries; one-sided pruning
+    # shuffled all of them for zero matches.
     ok = sizes.filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket)) \
               .select("_bucket")
-    a = banded.join(ok, "_bucket").select(
+    pruned = banded.join(F.broadcast(ok), "_bucket")
+    a = pruned.select(
         "_bucket", F.col(id_col).alias("id_a"), F.col("_sim").alias("_sim_a"))
-    b = banded.select(F.col("_bucket").alias("_bucket_b"), F.col(id_col).alias("id_b"),
+    b = pruned.select(F.col("_bucket").alias("_bucket_b"), F.col(id_col).alias("id_b"),
                       F.col("_sim").alias("_sim_b"))
     return (
         a.join(b, (F.col("_bucket") == F.col("_bucket_b")) & (F.col("id_a") < F.col("id_b")))
