@@ -583,11 +583,16 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     b = srp_bucketed(df, vec_col, dim, n_planes, seed).select(
         "_bucket", F.col(id_col), F.col(vec_col))
     sizes = b.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
+    # surviving buckets ≤ 2^n_planes rows: broadcast and prune BOTH join
+    # sides map-side — dropped-bucket rows can only pair inside their own
+    # bucket, so the rhs prune loses nothing and keeps those rows (the
+    # bulk of a skewed corpus) out of the join shuffle entirely
     ok = sizes.filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket)).select("_bucket")
-    lhs = b.join(F.broadcast(ok), "_bucket").select(
+    pruned = b.join(F.broadcast(ok), "_bucket")
+    lhs = pruned.select(
         "_bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    rhs = b.select(F.col("_bucket").alias("_bucket_b"),
-                   F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    rhs = pruned.select(F.col("_bucket").alias("_bucket_b"),
+                        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
         lhs.join(rhs, (F.col("_bucket") == F.col("_bucket_b")) & (F.col("id_a") < F.col("id_b")))
            .select("id_a", "id_b",
