@@ -1438,6 +1438,19 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.round(F.avg(delay), 6).alias("avg_delay_s")))
 
 
+def q_shuffle_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle
+    (sampling.deterministic_shuffle): every document gets its 0-based
+    position in a fixed pseudo-random permutation — the scalable
+    zipWithIndex (range buckets = top bits of the uniform hash; global
+    pos = broadcast bucket offset + within-bucket rank; no single-task
+    sort).  Oracle: the plain global row_number twin."""
+    docs = _docs(spark, sf_dir)
+    out = SMP.deterministic_shuffle(docs, "doc_id", salt="epoch0",
+                                    n_buckets=64)
+    return out.select("doc_id", "shuffle_pos")
+
+
 def q_percentile_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact grouped percentiles on the JVM path (`percentile` with
     linear interpolation — the scale alternative to the grouped-map
@@ -1549,6 +1562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_bruteforce_joined": q_ann_bruteforce_joined,
+        "shuffle_pos": q_shuffle_pos,
         "sample_stratified": q_sample_stratified,
         "mixture_weights": q_mixture_weights,
         "text_quality": q_text_quality,
@@ -2039,6 +2053,9 @@ def oracle_sql() -> dict[str, str]:
                       + SMP.hash_split_sql_case("doc_id", _CONT_WEIGHTS,
                                                 _CONT_SALT) + " = 'eval'"),
             text_col="text", id_col="doc_id", n=5),
+        "shuffle_pos": "SELECT doc_id, shuffle_pos FROM ("
+                       + SMP.deterministic_shuffle_sql(
+                           "documents", "doc_id", salt="epoch0") + ")",
         "percentile_native": """
             SELECT event_type,
                    round(CAST(q[1] AS DOUBLE), 6) AS p50,

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from frames_map_reduce_spark.schema import require_columns
@@ -156,3 +156,50 @@ def weighted_mixture_sql_pred(source_col: str, rates: Mapping[str, float],
         f"WHEN {source_col} = '{s}' THEN {int(r * _SCALE)}"
         for s, r in rates.items())
     return f"{h} < (CASE {arms} ELSE {int(default_rate * _SCALE)} END)"
+
+
+def deterministic_shuffle(df: DataFrame, key_col: str, salt: str = "",
+                          n_buckets: int = 256,
+                          out: str = "shuffle_pos") -> DataFrame:
+    """Deterministic pseudo-random global permutation index — the
+    training-order shuffle: ``out`` is the 0-based position of each row
+    in ascending ``(hash_unit(key, salt), key)`` order, a fixed uniform
+    permutation per salt (re-runs and retries see the same order; change
+    the salt to reshuffle).
+
+    Scalable rendering of the classic zipWithIndex: the hash is uniform
+    on [0, 2^32), so RANGE buckets are just its top bits — a monotone
+    function of the sort key, no boundary sampling.  Global position =
+    (broadcast) cumulative bucket offset + within-bucket rank; the only
+    non-distributed step is a window over ``n_buckets`` count rows.
+    Size ``n_buckets`` so a bucket (~rows/n_buckets) sorts comfortably
+    in one task — at 100 TB raise it to 2^14+ (it only costs count
+    rows), keeping per-task sorts in the tens of millions."""
+    require_columns(df, [key_col])
+    if n_buckets & (n_buckets - 1) or not 0 < n_buckets <= (1 << 30):
+        raise ValueError("n_buckets must be a power of two")
+    shift = 32 - n_buckets.bit_length() + 1
+    h = hash_unit(F.col(key_col), salt)
+    with_h = df.withColumn("_h", h).withColumn(
+        "_hb", F.shiftrightunsigned(F.col("_h"), shift).cast("int"))
+    counts = with_h.groupBy("_hb").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = counts.select(
+        "_hb",
+        (F.sum("_n").over(
+            Window.orderBy("_hb")
+                  .rowsBetween(Window.unboundedPreceding, -1))).alias("_off"))
+    offsets = offsets.fillna(0, subset=["_off"])
+    w = Window.partitionBy("_hb").orderBy("_h", key_col)
+    return (with_h.join(F.broadcast(offsets), "_hb")
+                  .withColumn(out, (F.col("_off")
+                                    + F.row_number().over(w) - 1).cast("bigint"))
+                  .drop("_h", "_hb", "_off"))
+
+
+def deterministic_shuffle_sql(table: str, key_col: str, salt: str = "",
+                              out: str = "shuffle_pos") -> str:
+    """DuckDB twin of ``deterministic_shuffle``: the straightforward
+    global row_number over the same generated hash expression."""
+    h = hash_unit_sql(key_col, salt)
+    return (f"SELECT *, CAST(row_number() OVER (ORDER BY {h}, {key_col})"
+            f" - 1 AS BIGINT) AS {out} FROM {table}")

@@ -126,3 +126,22 @@ def test_pack_shards_validation(spark, documents):
         pack_shards(documents, "n_chars", 0, order_by=["doc_id"])
     with pytest.raises(ValueError):
         pack_shards(documents, "n_chars", 10, order_by=[])
+
+
+def test_deterministic_shuffle_is_stable_permutation(spark):
+    """shuffle_pos is a 0-based permutation, identical across re-runs
+    and across n_buckets choices (bucketing is structural, never
+    semantic), and reshuffled by a salt change."""
+    from frames_map_reduce_spark.operators.sampling import deterministic_shuffle
+    df = spark.range(300).select(F.col("id").alias("k"))
+    a = {r["k"]: r["shuffle_pos"] for r in
+         deterministic_shuffle(df, "k", salt="s", n_buckets=16).collect()}
+    assert sorted(a.values()) == list(range(300))
+    b = {r["k"]: r["shuffle_pos"] for r in
+         deterministic_shuffle(df, "k", salt="s", n_buckets=128).collect()}
+    assert a == b
+    c = {r["k"]: r["shuffle_pos"] for r in
+         deterministic_shuffle(df, "k", salt="other", n_buckets=16).collect()}
+    assert sorted(c.values()) == list(range(300)) and a != c
+    with pytest.raises(ValueError, match="power of two"):
+        deterministic_shuffle(df, "k", n_buckets=48)
