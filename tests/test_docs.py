@@ -25,3 +25,12 @@ def test_porting_example_runs(spark, idx):
     ns = {"spark": spark, "SF": SF}
     exec(compile(_BLOCKS[idx], f"PORTING.md block {idx}", "exec"), ns)
     assert ns.get("result"), f"block {idx} did not produce a truthy `result`"
+
+
+def test_bench_headline_queries_exist():
+    """bench.py's HEADLINE list must stay in sync with the registry —
+    a renamed query would otherwise only fail at driver bench time."""
+    import __spark_entry__ as entry_mod
+    import bench
+    missing = [n for n in bench.HEADLINE if n not in entry_mod.queries()]
+    assert not missing, missing
