@@ -1438,6 +1438,36 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.round(F.avg(delay), 6).alias("avg_delay_s")))
 
 
+#: One SQL text, two engines: q_sql_revenue runs this VERBATIM through
+#: spark.sql over registered views, and the oracle runs the same string
+#: in DuckDB — written in the shared dialect subset, so the proof is
+#: that the engine's SQL surface needs no translation layer at all.
+_SQL_REVENUE = """
+SELECT n.n_name AS nation,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY n.n_name
+"""
+
+
+def q_sql_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL surface (sources.register_views + spark.sql):
+    per-nation revenue over the 4-table star join, written ONCE in the
+    shared SQL dialect and executed verbatim by both Spark and the
+    DuckDB oracle.  Catalyst plans the view-based SQL exactly like the
+    DataFrame combinators — broadcast dims, pushed filter, two-phase
+    agg."""
+    from frames_map_reduce_spark.sources import register_views
+    register_views(spark, sf_dir,
+                   ("lineitem", "orders", "customer", "nation"))
+    return spark.sql(_SQL_REVENUE)
+
+
 def q_shuffle_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global training-order shuffle
     (sampling.deterministic_shuffle): every document gets its 0-based
@@ -1563,6 +1593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "ann_bruteforce_joined": q_ann_bruteforce_joined,
         "shuffle_pos": q_shuffle_pos,
+        "sql_revenue": q_sql_revenue,
         "sample_stratified": q_sample_stratified,
         "mixture_weights": q_mixture_weights,
         "text_quality": q_text_quality,
@@ -2056,6 +2087,7 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_pos": "SELECT doc_id, shuffle_pos FROM ("
                        + SMP.deterministic_shuffle_sql(
                            "documents", "doc_id", salt="epoch0") + ")",
+        "sql_revenue": _SQL_REVENUE,  # the SAME text Spark executes
         "percentile_native": """
             SELECT event_type,
                    round(CAST(q[1] AS DOUBLE), 6) AS p50,

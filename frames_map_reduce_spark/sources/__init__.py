@@ -40,6 +40,19 @@ def read_tables(spark: SparkSession, sf_dir: str,
     return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in tables}
 
 
+def register_views(spark: SparkSession, sf_dir: str,
+                   tables: Sequence[str] = STAR_TABLES) -> dict[str, DataFrame]:
+    """Register the star tables as temp views — the SQL surface of the
+    engine: after this, ``spark.sql("SELECT ... FROM lineitem ...")``
+    works alongside the DataFrame combinators, and Catalyst plans both
+    identically (views are just named logical plans, so pushdown,
+    pruning, and broadcast decisions are unchanged)."""
+    out = read_tables(spark, sf_dir, tables)
+    for t, df in out.items():
+        df.createOrReplaceTempView(t)
+    return out
+
+
 def read_csv_permissive(spark: SparkSession, path: str, schema: T.StructType,
                         header: bool = True) -> DataFrame:
     """Per-cell-failure CSV read: read as string, then try-cast each column,
