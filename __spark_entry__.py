@@ -1310,6 +1310,27 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RET.chunk_by_tokens(docs, "text", "doc_id", size=64, stride=48)
 
 
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup stats — the boilerplate-detection shape of a
+    real pretraining pipeline, composed from existing operators:
+    non-overlapping 32-token chunks (chunk_by_tokens with stride=size),
+    chunk identity by md5, per-source duplication accounting.  A high
+    dup_frac for a source flags template/boilerplate content that
+    document-level dedup can't see.  All-JVM: explode → join → two
+    aggregations."""
+    docs = _docs(spark, sf_dir)
+    chunks = RET.chunk_by_tokens(docs, "text", "doc_id", size=32, stride=32)
+    j = chunks.join(docs.select("doc_id", "source"), "doc_id")
+    per_chunk = j.groupBy("source", "chunk_md5") \
+                 .agg(F.count(F.lit(1)).alias("_n"))
+    return per_chunk.groupBy("source").agg(
+        F.sum("_n").alias("total_chunks"),
+        F.count(F.lit(1)).alias("distinct_chunks"),
+        (F.sum("_n") - F.count(F.lit(1))).alias("dup_chunks"),
+        F.round(F.try_divide(F.sum("_n") - F.count(F.lit(1)),
+                             F.sum("_n")), 6).alias("dup_frac"))
+
+
 BM25_TERMS = ("spark", "hash", "vector", "customer")
 
 
@@ -1594,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce_joined": q_ann_bruteforce_joined,
         "shuffle_pos": q_shuffle_pos,
         "sql_revenue": q_sql_revenue,
+        "chunk_dedup": q_chunk_dedup,
         "sample_stratified": q_sample_stratified,
         "mixture_weights": q_mixture_weights,
         "text_quality": q_text_quality,
@@ -2088,6 +2110,20 @@ def oracle_sql() -> dict[str, str]:
                        + SMP.deterministic_shuffle_sql(
                            "documents", "doc_id", salt="epoch0") + ")",
         "sql_revenue": _SQL_REVENUE,  # the SAME text Spark executes
+        "chunk_dedup": f"""
+            WITH chunks AS ({RET.chunk_by_tokens_sql_select(
+                "documents", "text", "doc_id", size=32, stride=32)}),
+                 per_chunk AS (
+                   SELECT d.source, c.chunk_md5, count(*) AS _n
+                   FROM chunks c JOIN documents d USING (doc_id)
+                   GROUP BY d.source, c.chunk_md5)
+            SELECT source,
+                   CAST(sum(_n) AS BIGINT) AS total_chunks,
+                   count(*) AS distinct_chunks,
+                   CAST(sum(_n) - count(*) AS BIGINT) AS dup_chunks,
+                   round(CAST(sum(_n) - count(*) AS DOUBLE)
+                         / nullif(sum(_n), 0), 6) AS dup_frac
+            FROM per_chunk GROUP BY source""",
         "percentile_native": """
             SELECT event_type,
                    round(CAST(q[1] AS DOUBLE), 6) AS p50,
