@@ -116,10 +116,11 @@ def parse_wav_meta(b: bytes) -> dict | None:
         while i + 8 <= len(b):
             cid, size = b[i:i + 4], struct.unpack("<I", b[i + 4:i + 8])[0]
             if cid == b"fmt ":
-                (_audio_fmt, n_ch, rate, byte_rate,
+                (audio_fmt, n_ch, rate, byte_rate,
                  _block, bits) = struct.unpack("<HHIIHH", b[i + 8:i + 24])
-                fmt = {"channels": n_ch, "sample_rate": rate,
-                       "byte_rate": byte_rate, "bits": bits}
+                fmt = {"format": audio_fmt, "channels": n_ch,
+                       "sample_rate": rate, "byte_rate": byte_rate,
+                       "bits": bits}
             elif cid == b"data":
                 data_size = size
             i += 8 + size + (size & 1)  # chunks are word-aligned
@@ -261,18 +262,100 @@ def png_features(b: bytes, grid: int = 4) -> list[float]:
     return feats
 
 
+# -- G.711 companded audio (WAV format tags 6 = A-law, 7 = mu-law) ----------
+# Pure-formula codecs (ITU-T G.711 via the classic Sun reference
+# expansion): a 256-entry decode table per law, and encoding as the
+# nearest-code quantizer over that table — correct by construction, no
+# codec library.  Makes `extract_audio_features` REAL for telephony-style
+# corpora, not just PCM16.
+
+WAV_FMT_PCM, WAV_FMT_ALAW, WAV_FMT_ULAW = 1, 6, 7
+_ULAW_BIAS = 0x84
+
+
+def _build_g711_tables() -> dict[int, np.ndarray]:
+    ulaw = np.empty(256, dtype=np.int16)
+    for code in range(256):
+        u = ~code & 0xFF
+        t = ((u & 0x0F) << 3) + _ULAW_BIAS
+        t <<= (u & 0x70) >> 4
+        ulaw[code] = (_ULAW_BIAS - t) if (u & 0x80) else (t - _ULAW_BIAS)
+    alaw = np.empty(256, dtype=np.int16)
+    for code in range(256):
+        a = code ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t += 0x108
+            t <<= seg - 1
+        alaw[code] = t if (a & 0x80) else -t
+    return {WAV_FMT_ULAW: ulaw, WAV_FMT_ALAW: alaw}
+
+
+_G711_TABLES = _build_g711_tables()
+
+
+def g711_decode(data: np.ndarray, fmt: int) -> np.ndarray:
+    """uint8 code array → int16 samples (vectorized table gather)."""
+    return _G711_TABLES[fmt][np.asarray(data, dtype=np.uint8)]
+
+
+def g711_encode(samples: np.ndarray, fmt: int) -> np.ndarray:
+    """int16 samples → uint8 codes: the NEAREST-code quantizer over the
+    decode table (ties to the lower decoded value).  Inverting the table
+    instead of re-deriving the segmented encoder formula guarantees
+    encode/decode consistency by construction."""
+    table = _G711_TABLES[fmt]
+    order = np.argsort(table, kind="stable")
+    vals = table[order].astype(np.int32)
+    x = np.asarray(samples, dtype=np.int32)
+    idx = np.clip(np.searchsorted(vals, x), 1, len(vals) - 1)
+    left = vals[idx - 1]
+    right = vals[idx]
+    pick = np.where(np.abs(x - left) <= np.abs(right - x), idx - 1, idx)
+    return order[pick].astype(np.uint8)
+
+
+def wav_encode_g711(samples: np.ndarray, rate: int, fmt: int) -> bytes:
+    """Minimal mono G.711 WAV (format tag 6/7, 8 bits/sample)."""
+    if fmt not in (WAV_FMT_ALAW, WAV_FMT_ULAW):
+        raise ValueError("fmt must be WAV_FMT_ALAW or WAV_FMT_ULAW")
+    codes = g711_encode(np.asarray(samples, dtype=np.int16), fmt).tobytes()
+    hdr = struct.pack("<HHIIHH", fmt, 1, rate, rate, 1, 8)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(hdr)) + hdr
+            + b"data" + struct.pack("<I", len(codes)) + codes
+            + (b"\x00" if len(codes) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def wav_features(b: bytes, n_bands: int = 16) -> list[float] | None:
-    """Real audio features from PCM16 WAV: RMS energy over ``n_bands``
-    equal time slices, normalized to [0, 1]."""
+    """Real audio features from WAV: RMS energy over ``n_bands`` equal
+    time slices, normalized to [0, 1].  PCM16 (format 1) decodes via
+    frombuffer; G.711 A-law/mu-law (formats 6/7, 8-bit) expand through
+    the table codec — other formats return None (callers raise)."""
     meta = parse_wav_meta(b)
-    if meta is None or meta["bits"] != 16:
+    fmt = meta.get("format", WAV_FMT_PCM) if meta else None
+    if meta is None or not (
+            (fmt == WAV_FMT_PCM and meta["bits"] == 16)
+            or (fmt in (WAV_FMT_ALAW, WAV_FMT_ULAW) and meta["bits"] == 8)):
         return None
     # data chunk payload: find it again (cheap; headers are tiny)
     i = 12
     while i + 8 <= len(b):
         cid, size = b[i:i + 4], struct.unpack("<I", b[i + 4:i + 8])[0]
         if cid == b"data":
-            pcm = np.frombuffer(b, dtype="<i2", count=size // 2, offset=i + 8)
+            if fmt == WAV_FMT_PCM:
+                pcm = np.frombuffer(b, dtype="<i2", count=size // 2,
+                                    offset=i + 8)
+            else:
+                codes = np.frombuffer(b, dtype=np.uint8, count=size,
+                                      offset=i + 8)
+                pcm = g711_decode(codes, fmt)
             break
         i += 8 + size + (size & 1)
     else:

@@ -212,9 +212,10 @@ def extract_audio_features(df: DataFrame, id_col: str, binary_col: str,
     """Audio feature extraction: binary → array<float> (16 bands), same
     mapInPandas plumbing as images.
 
-    REAL for PCM16 WAV: band-wise RMS energy over 16 equal time slices
-    (functions/media.py wav_features — ``np.frombuffer`` sample decode,
-    no codec needed).  Compressed formats raise unless ``fake=True``."""
+    REAL for PCM16 WAV (``np.frombuffer`` sample decode) AND for G.711
+    mu-law/A-law WAV (format tags 7/6 — table-codec expansion, see
+    functions/media.py g711_decode): band-wise RMS energy over 16 equal
+    time slices.  Other compressed formats raise unless ``fake=True``."""
     require_columns(df, [id_col, binary_col])
     narrow = df.select(F.col(id_col).alias("doc_id"), F.col(binary_col).alias("_payload"))
 

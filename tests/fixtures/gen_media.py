@@ -36,8 +36,9 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 from frames_map_reduce_spark.functions.media import (  # noqa: E402
-    _DCT, JPEG_QL, avi_encode_mjpeg, gif_encode_gray, jpeg_encode_gray,
-    jpeg_encode_gray_progressive, png_encode)
+    _DCT, JPEG_QL, WAV_FMT_ALAW, WAV_FMT_ULAW, avi_encode_mjpeg,
+    g711_decode, g711_encode, gif_encode_gray, jpeg_encode_gray,
+    jpeg_encode_gray_progressive, png_encode, wav_encode_g711)
 
 OUT = os.path.join(os.path.dirname(__file__), "media.parquet")
 
@@ -126,6 +127,23 @@ def make_wav(rng: np.random.Generator, rate: int, n_frames: int,
     return buf.getvalue(), float(np.mean(bands))
 
 
+def make_wav_g711(rng: np.random.Generator, rate: int, n_frames: int,
+                  amp: float, fmt: int) -> tuple[bytes, float]:
+    """G.711 companded WAV (mu-law or A-law) + ground-truth band-RMS of
+    the DECODED (quantized) samples — what a correct expander must see."""
+    t = np.arange(n_frames, dtype=np.float64)
+    sig = amp * 32767.0 * np.sin(2 * np.pi * 330.0 * t / rate)
+    sig += rng.normal(0, 250.0, n_frames)
+    pcm = np.clip(sig, -32768, 32767).astype(np.int16)
+    payload = wav_encode_g711(pcm, rate, fmt)
+    dec = g711_decode(g711_encode(pcm, fmt), fmt)
+    bounds = np.linspace(0, len(dec), 17).astype(int)
+    bands = [float(np.sqrt(np.mean(dec[bounds[k]:max(bounds[k + 1], bounds[k] + 1)]
+                                   .astype(np.float64) ** 2))) / 32768.0
+             for k in range(16)]
+    return payload, float(np.mean(bands))
+
+
 def main() -> None:
     rng = np.random.default_rng(20260813)
     rows = []
@@ -192,6 +210,15 @@ def main() -> None:
     for rate, n_frames, amp in [(8000, 8000, 0.5), (16000, 4000, 0.25),
                                 (44100, 22050, 0.8), (8000, 12345, 0.1)]:
         payload, feat_mean = make_wav(rng, rate, n_frames, amp)
+        dur = n_frames * 1000 // rate
+        rows.append((did, payload, "audio/wav", None, None, dur, True, feat_mean))
+        did += 1
+
+    # G.711 companded WAVs (format tags 7 = mu-law, 6 = A-law): the
+    # expander must reproduce the decoded-sample band-RMS exactly.
+    for rate, n_frames, amp, fmt in [(8000, 6000, 0.4, WAV_FMT_ULAW),
+                                     (8000, 9000, 0.15, WAV_FMT_ALAW)]:
+        payload, feat_mean = make_wav_g711(rng, rate, n_frames, amp, fmt)
         dur = n_frames * 1000 // rate
         rows.append((did, payload, "audio/wav", None, None, dur, True, feat_mean))
         did += 1

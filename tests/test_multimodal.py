@@ -357,3 +357,57 @@ def test_gif_features_in_decode_pipeline(spark):
     assert len(rows) == 1 and len(rows[0]["feature"]) == MM.FEATURE_DIM
     want = MEDIA.gif_features(payload, grid=4)
     assert np.allclose(np.float64(rows[0]["feature"]), want, atol=1e-6)
+
+
+def test_g711_tables_spec_anchors():
+    """Published G.711 anchor values: the mu-law silence byte 0xFF
+    decodes to 0, the A-law silence byte 0xD5 to +8 (A-law has no exact
+    zero), and the extrema are +-32124 (mu) / +-32256 (A)."""
+    dec = MEDIA.g711_decode
+    assert dec(np.array([0xFF]), MEDIA.WAV_FMT_ULAW)[0] == 0
+    assert dec(np.array([0x00]), MEDIA.WAV_FMT_ULAW)[0] == -32124
+    assert dec(np.array([0x80]), MEDIA.WAV_FMT_ULAW)[0] == 32124
+    assert dec(np.array([0xD5]), MEDIA.WAV_FMT_ALAW)[0] == 8
+    assert int(np.abs(MEDIA._G711_TABLES[MEDIA.WAV_FMT_ULAW]).max()) == 32124
+    assert int(np.abs(MEDIA._G711_TABLES[MEDIA.WAV_FMT_ALAW]).max()) == 32256
+
+
+def test_g711_roundtrip_quantization_bound():
+    """decode(encode(x)) stays within the companding quantization error:
+    ~3-4% relative in-segment (half of the largest step), plus the
+    small-signal floor and top-end clipping."""
+    x = np.arange(-32768, 32768, 7, dtype=np.int16)
+    for fmt, rel, floor in ((MEDIA.WAV_FMT_ULAW, 0.04, 16),
+                            (MEDIA.WAV_FMT_ALAW, 0.04, 8)):
+        y = MEDIA.g711_decode(MEDIA.g711_encode(x, fmt), fmt)
+        err = np.abs(y.astype(np.int32) - x.astype(np.int32))
+        clip = 32768 - np.abs(MEDIA._G711_TABLES[fmt]).max()
+        bound = np.maximum(0.04 * np.abs(x.astype(np.int32)), floor) + clip
+        assert np.all(err <= bound), (fmt, int(err.max()))
+        # monotone: decode order must follow sample order per sign branch
+        assert np.all(np.diff(y.astype(np.int32)) >= 0)
+
+
+def test_g711_wav_features_real_path(spark):
+    """A mu-law WAV flows through extract_audio_features WITHOUT
+    fake=True, and the features equal the band-RMS of the decoded
+    (quantized) samples computed independently in numpy."""
+    from frames_map_reduce_spark.operators import multimodal as MM2
+    rng = np.random.default_rng(99)
+    t = np.arange(4000, dtype=np.float64)
+    sig = 9000.0 * np.sin(2 * np.pi * 440.0 * t / 8000.0) \
+        + rng.normal(0, 200.0, len(t))
+    pcm = np.clip(sig, -32768, 32767).astype(np.int16)
+    wav = MEDIA.wav_encode_g711(pcm, 8000, MEDIA.WAV_FMT_ULAW)
+    meta = MEDIA.parse_wav_meta(wav)
+    assert meta["format"] == MEDIA.WAV_FMT_ULAW and meta["duration_ms"] == 500
+    dec = MEDIA.g711_decode(
+        MEDIA.g711_encode(pcm, MEDIA.WAV_FMT_ULAW), MEDIA.WAV_FMT_ULAW)
+    bounds = np.linspace(0, len(dec), 17).astype(int)
+    want = [float(np.sqrt(np.mean(dec[bounds[k]:bounds[k + 1]]
+                                  .astype(np.float64) ** 2))) / 32768.0
+            for k in range(16)]
+    df = spark.createDataFrame([(1, bytearray(wav))],
+                               "doc_id long, payload binary")
+    row = MM2.extract_audio_features(df, "doc_id", "payload").first()
+    assert row["feature"] == pytest.approx(want, abs=1e-6)
