@@ -243,6 +243,35 @@ def png_resize_nearest(b: bytes, width: int, height: int) -> bytes:
     return png_encode(img[ys][:, xs])
 
 
+def _resample_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    ys = (np.arange(height) * h // height).clip(0, h - 1)
+    xs = (np.arange(width) * w // width).clip(0, w - 1)
+    return img[ys][:, xs]
+
+
+def image_thumbnail_png(b: bytes, width: int, height: int) -> bytes:
+    """Resize ANY decodable image payload to a PNG thumbnail:
+
+    - PNG: full-resolution decode → nearest-neighbor resample;
+    - GIF: first-frame LZW decode (RGB) → resample;
+    - JPEG (baseline or progressive): the DC luma map — already the 8×
+      thumbnail JPEG stores for free — resampled to the target, i.e.
+      standard DCT-domain thumbnailing (grayscale).
+
+    Output is always PNG (this repo's only encoder with full fidelity);
+    raises ValueError for undecodable payloads."""
+    if b[:8] == PNG_SIG:
+        img = png_decode(b)
+    elif b[:6] in (b"GIF87a", b"GIF89a"):
+        img = gif_decode_first_frame(b)
+    elif b[:2] == b"\xff\xd8":
+        img = np.clip(np.rint(jpeg_dc_luma(b)), 0, 255).astype(np.uint8)
+    else:
+        raise ValueError("image_thumbnail_png: unrecognized image payload")
+    return png_encode(_resample_nearest(img, width, height))
+
+
 def png_features(b: bytes, grid: int = 4) -> list[float]:
     """Deterministic real image features: mean-pool luminance over a
     ``grid``×``grid`` spatial grid, scaled to [0, 1].  Runs entirely in

@@ -172,8 +172,11 @@ def resize_images(df: DataFrame, id_col: str, binary_col: str,
                   width: int, height: int, fake: bool = False) -> DataFrame:
     """Resize stage: binary → binary with updated metadata.
 
-    REAL for PNG: decode → nearest-neighbor resample → re-encode (pure
-    numpy index-gather; functions/media.py).  Other formats raise unless
+    REAL for all three image formats (functions/media.py
+    ``image_thumbnail_png``): PNG full decode, GIF first-frame LZW
+    decode, JPEG via its DC luma map (DCT-domain thumbnailing — the 8×
+    reduction JPEG stores for free, grayscale); nearest-neighbor
+    resample, re-encoded as PNG.  Unrecognized payloads raise unless
     ``fake=True`` (deterministic truncated payload stand-in)."""
     require_columns(df, [id_col, binary_col])
     schema = T.StructType([
@@ -190,11 +193,13 @@ def resize_images(df: DataFrame, id_col: str, binary_col: str,
                 b = bytes(p)
                 if fake:
                     payloads.append(b[: max(16, width * height // 64)])
-                elif b[:8] == MEDIA.PNG_SIG:
-                    payloads.append(MEDIA.png_resize_nearest(b, width, height))
+                elif (b[:8] == MEDIA.PNG_SIG or b[:2] == b"\xff\xd8"
+                        or b[:6] in (b"GIF87a", b"GIF89a")):
+                    payloads.append(MEDIA.image_thumbnail_png(b, width, height))
                 else:
                     raise NotImplementedError(
-                        "real resize implemented for PNG only; use fake=True")
+                        "real resize implemented for PNG/JPEG/GIF; "
+                        "use fake=True for other formats")
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "payload": payloads,

@@ -411,3 +411,35 @@ def test_g711_wav_features_real_path(spark):
                                "doc_id long, payload binary")
     row = MM2.extract_audio_features(df, "doc_id", "payload").first()
     assert row["feature"] == pytest.approx(want, abs=1e-6)
+
+
+def test_resize_real_jpeg_and_gif(spark):
+    """resize_images is real for JPEG (DC-domain thumbnail) and GIF
+    (LZW decode) too — pixel-exact against independently computed
+    resamples of the respective decodes."""
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, size=(40, 56), dtype=np.uint8)
+    jpeg = MEDIA.jpeg_encode_gray(img)
+    gif = MEDIA.gif_encode_gray(img)
+    df = spark.createDataFrame(
+        [(1, bytearray(jpeg)), (2, bytearray(gif))],
+        "doc_id long, payload binary")
+    out = {r["doc_id"]: bytes(r["payload"])
+           for r in MM.resize_images(df, "doc_id", "payload", 10, 7).collect()}
+
+    def resample(a, w, h):
+        ys = (np.arange(h) * a.shape[0] // h).clip(0, a.shape[0] - 1)
+        xs = (np.arange(w) * a.shape[1] // w).clip(0, a.shape[1] - 1)
+        return a[ys][:, xs]
+
+    dc = np.clip(np.rint(MEDIA.jpeg_dc_luma(jpeg)), 0, 255).astype(np.uint8)
+    want_j = resample(dc, 10, 7)
+    got_j = MEDIA.png_decode(out[1])[:, :, 0]
+    assert np.array_equal(got_j, want_j)
+
+    rgb = MEDIA.gif_decode_first_frame(gif)
+    want_g = resample(rgb, 10, 7)
+    got_g = MEDIA.png_decode(out[2])
+    assert np.array_equal(got_g, want_g)
+    for p in out.values():
+        assert MEDIA.parse_dims(p) == (10, 7)
