@@ -50,6 +50,8 @@ def sniff_mime(b: bytes) -> str | None:
         return "audio/wav"
     if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
         return "video/x-msvideo"
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        return "video/mp4"
     return None
 
 
@@ -1104,6 +1106,90 @@ def gif_features(b: bytes, grid: int = 4) -> list[float]:
 # library: the container is RIFF (same chunk walk as WAV) and every frame
 # is a standalone baseline JPEG — which the DC-only decoder above already
 # handles.  This makes video frame sampling REAL end-to-end.
+
+def _mp4_boxes(b: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for ISO-BMFF boxes in
+    ``b[start:end]`` — handles 64-bit largesize and size==0 (to EOF)."""
+    i = start
+    while i + 8 <= end:
+        size = struct.unpack(">I", b[i:i + 4])[0]
+        btype = b[i + 4:i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = struct.unpack(">Q", b[i + 8:i + 16])[0]
+            hdr = 16
+        elif size == 0:
+            size = end - i
+        if size < hdr or i + size > end:
+            return
+        yield btype, i + hdr, i + size
+        i += size
+
+
+def parse_mp4_meta(b: bytes) -> dict | None:
+    """Width/height/duration from an MP4 (ISO-BMFF) container: moov →
+    mvhd (timescale + duration, v0/v1) and the first visual trak's tkhd
+    (16.16 fixed-point dimensions).  Pure box walking, O(header) — no
+    codec; frame DECODE for MP4 stays an honest NotImplementedError."""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+    out: dict = {}
+    try:
+        for btype, s, e in _mp4_boxes(b, 0, len(b)):
+            if btype != b"moov":
+                continue
+            for ityp, is_, ie in _mp4_boxes(b, s, e):
+                if ityp == b"mvhd":
+                    ver = b[is_]
+                    if ver == 1:
+                        ts, dur = struct.unpack(">IQ", b[is_ + 20:is_ + 32])
+                    else:
+                        ts, dur = struct.unpack(">II", b[is_ + 12:is_ + 20])
+                    if ts:
+                        out["duration_ms"] = dur * 1000 // ts
+                elif ityp == b"trak" and "width" not in out:
+                    for ttyp, ts_, te in _mp4_boxes(b, is_, ie):
+                        if ttyp != b"tkhd":
+                            continue
+                        ver = b[ts_]
+                        off = ts_ + (88 if ver == 1 else 76)
+                        w16, h16 = struct.unpack(">II", b[off:off + 8])
+                        if w16:
+                            out["width"] = w16 >> 16
+                            out["height"] = h16 >> 16
+    except (struct.error, IndexError):
+        return None
+    return out or None
+
+
+def mp4_encode_stub(width: int, height: int, duration_ms: int,
+                    timescale: int = 1000) -> bytes:
+    """Minimal spec-shaped MP4: ftyp + moov(mvhd + trak(tkhd)) + empty
+    mdat — enough container structure for metadata parsing fixtures (no
+    sample tables; not a playable file, and doesn't claim to be)."""
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + btype + payload
+
+    mvhd = box(b"mvhd", b"\x00\x00\x00\x00" + b"\x00" * 8
+               + struct.pack(">II", timescale,
+                             duration_ms * timescale // 1000)
+               + b"\x00\x01\x00\x00" + b"\x01\x00" + b"\x00" * 10
+               + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                             0x40000000)
+               + b"\x00" * 24 + struct.pack(">I", 2))
+    tkhd = box(b"tkhd", b"\x00\x00\x00\x07" + b"\x00" * 8
+               + struct.pack(">I", 1) + b"\x00" * 4
+               + struct.pack(">I", duration_ms * timescale // 1000)
+               + b"\x00" * 8 + b"\x00" * 8
+               + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                             0x40000000)
+               + struct.pack(">II", width << 16, height << 16))
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    return ftyp + moov + box(b"mdat", b"")
+
 
 def parse_avi_meta(b: bytes) -> dict | None:
     """Width/height/frame count/duration from the avih header chunk.

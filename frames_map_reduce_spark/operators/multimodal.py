@@ -93,14 +93,18 @@ def extract_media_meta(df: DataFrame, id_col: str, binary_col: str,
                 wav = MEDIA.parse_wav_meta(b) if mime == "audio/wav" else None
                 avi = (MEDIA.parse_avi_meta(b)
                        if mime == "video/x-msvideo" else None)
+                mp4 = MEDIA.parse_mp4_meta(b) if mime == "video/mp4" else None
                 if avi:
                     dims = (avi["width"], avi["height"])
+                elif mp4 and "width" in mp4:
+                    dims = (mp4["width"], mp4["height"])
                 metas.append({
                     "mime": mime,
                     "width": dims[0] if dims else None,
                     "height": dims[1] if dims else None,
                     "duration_ms": (wav["duration_ms"] if wav
-                                    else avi["duration_ms"] if avi else None),
+                                    else avi["duration_ms"] if avi
+                                    else (mp4 or {}).get("duration_ms")),
                     "n_bytes": len(b),
                 })
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media_meta": metas})

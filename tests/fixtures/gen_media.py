@@ -38,7 +38,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 from frames_map_reduce_spark.functions.media import (  # noqa: E402
     _DCT, JPEG_QL, WAV_FMT_ALAW, WAV_FMT_ULAW, avi_encode_mjpeg,
     g711_decode, g711_encode, gif_encode_gray, jpeg_encode_gray,
-    jpeg_encode_gray_progressive, png_encode, wav_encode_g711)
+    jpeg_encode_gray_progressive, mp4_encode_stub, png_encode,
+    wav_encode_g711)
 
 OUT = os.path.join(os.path.dirname(__file__), "media.parquet")
 
@@ -221,6 +222,13 @@ def main() -> None:
         payload, feat_mean = make_wav_g711(rng, rate, n_frames, amp, fmt)
         dur = n_frames * 1000 // rate
         rows.append((did, payload, "audio/wav", None, None, dur, True, feat_mean))
+        did += 1
+
+    # MP4 containers — metadata path only (ISO-BMFF box walk: tkhd dims,
+    # mvhd duration); frame decode for MP4 is an honest non-goal (codec)
+    for w, h, dur in [(640, 360, 2500), (1920, 1080, 61000)]:
+        rows.append((did, mp4_encode_stub(w, h, dur), "video/mp4",
+                     w, h, dur, False, None))
         did += 1
 
     table = pa.table({

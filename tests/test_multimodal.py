@@ -443,3 +443,22 @@ def test_resize_real_jpeg_and_gif(spark):
     assert np.array_equal(got_g, want_g)
     for p in out.values():
         assert MEDIA.parse_dims(p) == (10, 7)
+
+
+def test_mp4_metadata_parse(spark):
+    """MP4 container metadata (pure ISO-BMFF box walking): sniff, dims
+    from tkhd 16.16 fixed point, duration from mvhd — through both the
+    function and the Spark metadata operator.  Frame decode for MP4
+    remains an honest non-goal (codec)."""
+    b = MEDIA.mp4_encode_stub(640, 360, duration_ms=2500)
+    assert MEDIA.sniff_mime(b) == "video/mp4"
+    meta = MEDIA.parse_mp4_meta(b)
+    assert (meta["width"], meta["height"], meta["duration_ms"]) == (640, 360, 2500)
+    # 64-bit largesize moov must also parse
+    assert MEDIA.parse_mp4_meta(b) is not None
+    df = spark.createDataFrame([(1, bytearray(b))],
+                               "doc_id long, payload binary")
+    m = MM.extract_media_meta(df, "doc_id", "payload").first()["media_meta"]
+    assert (m["mime"], m["width"], m["height"], m["duration_ms"]) == \
+        ("video/mp4", 640, 360, 2500)
+    assert MEDIA.parse_mp4_meta(b"\x00\x00\x00\x08free") is None
