@@ -1459,6 +1459,24 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.round(F.avg(delay), 6).alias("avg_delay_s")))
 
 
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users are assigned to the day of their
+    FIRST event (one min-aggregation — no window over the whole log),
+    then distinct-user counts per (cohort_day, age_days).  Two shuffles:
+    the cohort min groupBy on user_id and the final count_distinct; the
+    cohort frame is a skinny (user_id, cohort) join side.  The classic
+    activation/retention analysis over the events table."""
+    ev = _events(spark, sf_dir)
+    first = (ev.groupBy("user_id")
+               .agg(F.to_date(F.min("ts")).alias("cohort_day")))
+    j = ev.join(first, "user_id").select(
+        "user_id", "cohort_day",
+        F.datediff(F.to_date(F.col("ts")),
+                   F.col("cohort_day")).alias("age_days"))
+    return (j.groupBy("cohort_day", "age_days")
+             .agg(F.count_distinct("user_id").alias("n_users")))
+
+
 #: One SQL text, two engines: q_sql_revenue runs this VERBATIM through
 #: spark.sql over registered views, and the oracle runs the same string
 #: in DuckDB — written in the shared dialect subset, so the proof is
@@ -1616,6 +1634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_pos": q_shuffle_pos,
         "sql_revenue": q_sql_revenue,
         "chunk_dedup": q_chunk_dedup,
+        "retention": q_retention,
         "sample_stratified": q_sample_stratified,
         "mixture_weights": q_mixture_weights,
         "text_quality": q_text_quality,
@@ -2110,6 +2129,16 @@ def oracle_sql() -> dict[str, str]:
                        + SMP.deterministic_shuffle_sql(
                            "documents", "doc_id", salt="epoch0") + ")",
         "sql_revenue": _SQL_REVENUE,  # the SAME text Spark executes
+        "retention": """
+            WITH first AS (
+              SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+              FROM events GROUP BY user_id)
+            SELECT f.cohort_day,
+                   CAST(date_diff('day', f.cohort_day,
+                                  CAST(e.ts AS DATE)) AS INT) AS age_days,
+                   count(DISTINCT e.user_id) AS n_users
+            FROM events e JOIN first f USING (user_id)
+            GROUP BY f.cohort_day, age_days""",
         "chunk_dedup": f"""
             WITH chunks AS ({RET.chunk_by_tokens_sql_select(
                 "documents", "text", "doc_id", size=32, stride=32)}),
