@@ -1459,6 +1459,45 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.round(F.avg(delay), 6).alias("avg_delay_s")))
 
 
+def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup firewall (streaming.stream_near_dup): incoming
+    documents (doc_id % 4 != 0), arriving through a file stream, are
+    checked against the static reference quarter (doc_id % 4 == 0) by
+    minhash bucket collision + exact-Jaccard verify — the contamination
+    guard at ingestion time.  Stream-static joins only (stateless;
+    the one stateful op is the final matched-pair dedup).  Oracle:
+    exhaustive cross-corpus Jaccard — exact for the same reason as
+    dedup_minhash (corpus pairs sit at J >= 0.93 or < 0.32; 16x8 banding
+    misses a J=0.93 pair with p ~ 2e-6)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import uuid
+
+    from frames_map_reduce_spark.streaming import (
+        stream_near_dup, stream_to_memory)
+
+    docs = _docs(spark, sf_dir)
+    ref = docs.filter(F.col("doc_id") % 4 == 0)
+    inc = docs.filter(F.col("doc_id") % 4 != 0)
+    base = f"/tmp/fmr_stream_neardup_{uuid.uuid4().hex[:12]}"
+    try:
+        stage = f"{base}/in"
+        _os.makedirs(stage)
+        inc.coalesce(1).write.parquet(f"{base}/f0")
+        _shutil.move(_glob.glob(f"{base}/f0/part-*.parquet")[0],
+                     f"{stage}/0.parquet")
+        stream = spark.readStream.schema(inc.schema).parquet(stage)
+        out = stream_near_dup(stream, ref, "text", "doc_id", threshold=0.6)
+        name = f"stream_neardup_{uuid.uuid4().hex[:8]}"
+        q = stream_to_memory(out, name, output_mode="append")
+        q.awaitTermination()
+        return spark.table(name).select(
+            F.col("doc_id").alias("id_in"), "ref_id", "jaccard")
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
+
+
 def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users are assigned to the day of their
     FIRST event (one min-aggregation — no window over the whole log),
@@ -1635,6 +1674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_revenue": q_sql_revenue,
         "chunk_dedup": q_chunk_dedup,
         "retention": q_retention,
+        "stream_near_dup": q_stream_near_dup,
         "sample_stratified": q_sample_stratified,
         "mixture_weights": q_mixture_weights,
         "text_quality": q_text_quality,
@@ -1849,6 +1889,15 @@ def oracle_sql() -> dict[str, str]:
             WITH sh AS (SELECT doc_id, {shingle5} AS sh FROM documents)
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, {jaccard5} AS jaccard_sim
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE {jaccard5} >= 0.6""",
+        # exhaustive cross-corpus twin of the streaming firewall — exact
+        # for the same banding-losslessness reason as dedup_minhash
+        "stream_near_dup": f"""
+            WITH sh AS (SELECT doc_id, {shingle5} AS sh FROM documents)
+            SELECT a.doc_id AS id_in, b.doc_id AS ref_id,
+                   {jaccard5} AS jaccard
+            FROM sh a JOIN sh b
+              ON (a.doc_id % 4 <> 0) AND (b.doc_id % 4 = 0)
             WHERE {jaccard5} >= 0.6""",
         "dedup_ngram_jaccard": f"""
             WITH sh AS (SELECT doc_id, source, {shingle3} AS sh FROM documents)

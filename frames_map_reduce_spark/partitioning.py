@@ -44,6 +44,10 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     """Round-robin repartition up to the session's default parallelism if
     the current partitioning is narrower.  Never shrinks (that's AQE's
     job), never repartitions an already-wide plan."""
+    if df.isStreaming:
+        # partition probing is meaningless pre-execution on a stream;
+        # micro-batch parallelism comes from the source's own splits
+        return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if _current_partitions(df) >= target:
         return df

@@ -146,6 +146,77 @@ def stream_stream_join(left: DataFrame, right: DataFrame,
     return out
 
 
+def stream_near_dup(stream: DataFrame, static_corpus: DataFrame,
+                    text_col: str, id_col: str, threshold: float = 0.8,
+                    num_perm: int = 128, bands: int = 16, shingle_k: int = 5,
+                    seed: int = 42, max_bucket: int = 1000) -> DataFrame:
+    """Streaming near-dup firewall: flag incoming documents whose text
+    near-duplicates a STATIC reference corpus (e.g. an eval/benchmark
+    set, or yesterday's accepted batch) — the contamination guard at
+    ingestion time.
+
+    Same minhash spec as the batch operator (operators/dedup.py), split
+    stream/static:
+
+    - the static side is prepared ONCE as batch frames: fused
+      shingle+signature pass → banded bucket keys (size-capped — a
+      boilerplate bucket is exact-dedup's job, and max_bucket keeps one
+      hot bucket from amplifying every micro-batch) and a skinny
+      (ref_id, shingles) verify side, both persisted;
+    - the stream side runs the SAME fused Arrow-batched stage
+      (stateless ``mapInPandas`` — streaming-safe) and the same JVM
+      banding expressions;
+    - candidates come from a STREAM-STATIC equi-join on the bucket key
+      (stateless: no watermark, no join state), then exact Jaccard on
+      the int64 shingle sets filters to ``>= threshold``.
+
+    A pair matching in several bands emits one row per band before the
+    final ``dropDuplicates`` on (id, ref_id); that dedup keeps all-time
+    state keyed by matched PAIRS — tiny by construction (matches are the
+    rare event), but bound it with a watermark upstream for unbounded
+    runs.  Returns a streaming frame (id, ref_id, jaccard)."""
+    from pyspark import StorageLevel
+
+    from frames_map_reduce_spark.operators.dedup import (
+        _minhash_banded, _shingle_sig_frame, jaccard)
+
+    require_columns(stream, [text_col, id_col])
+    sid = f"{id_col}"
+    static_sig = _shingle_sig_frame(static_corpus, text_col, id_col,
+                                    shingle_k, num_perm, seed) \
+        .withColumnRenamed(id_col, "ref_id") \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    banded_ref = _minhash_banded(static_sig, "ref_id", num_perm, bands)
+    sizes = banded_ref.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
+    ok = sizes.filter(F.col("_n") <= max_bucket).select("_bucket")
+    banded_ref = banded_ref.join(F.broadcast(ok), "_bucket") \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    ref_shingles = static_sig.select("ref_id",
+                                     F.col("_sh64").alias("_sh64_ref"))
+
+    stream_sig = _shingle_sig_frame(stream, text_col, id_col,
+                                    shingle_k, num_perm, seed)
+    # band via pure projection, carrying the shingle set along — joining
+    # the banded frame back to stream_sig would be a stream-STREAM
+    # self-join (stateful); this stays a stateless narrow pipeline
+    rpb = num_perm // bands
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("_band")
+    stream_banded = stream_sig.select(sid, "_sh64", "_sig", band_idx).select(
+        sid, "_sh64",
+        F.xxhash64(F.col("_band"),
+                   F.slice(F.col("_sig"), F.col("_band") * rpb + 1, rpb))
+         .alias("_bucket"))
+    cand = stream_banded.join(banded_ref, "_bucket") \
+                        .select(sid, "ref_id", "_sh64")
+    verified = (cand.join(ref_shingles, "ref_id")
+                    .select(sid, "ref_id",
+                            F.round(jaccard(F.col("_sh64"),
+                                            F.col("_sh64_ref")), 6)
+                             .alias("jaccard"))
+                    .filter(F.col("jaccard") >= threshold))
+    return verified.dropDuplicates([sid, "ref_id"])
+
+
 def stream_to_memory(result: DataFrame, name: str, output_mode: str = "complete"):
     """Test sink: run the streaming query into an in-memory table with
     availableNow (process everything currently available, then stop)."""

@@ -225,3 +225,46 @@ def test_sliding_window_late_drop(spark, tmp_path):
         ("2024-01-01T01:30:00", "click"): 2,
         ("2024-01-01T02:00:00", "click"): 2,   # end == watermark: emitted
     }
+
+
+def test_stream_near_dup_firewall(spark, tmp_path):
+    """Streaming near-dup firewall vs a static reference corpus: exact
+    copies and near-dups of reference docs are flagged with the right
+    Jaccard, unrelated docs pass — and the streaming result equals the
+    SAME operator run on the identical data as a batch frame (full value
+    parity; the only streaming-specific op is the final pair-dedup)."""
+    from frames_map_reduce_spark.streaming import stream_near_dup
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest to find food for the winter")
+    ref = spark.createDataFrame(
+        [(100, base),
+         (101, "completely different reference text about query engines "
+               "and distributed aggregation pipelines at massive scale")],
+        "ref_id long, text string").withColumnRenamed("ref_id", "doc_id")
+
+    incoming = [
+        (1, base),                                   # exact copy of 100
+        (2, base.replace("winter", "summer")),       # near-dup of 100
+        (3, "totally unrelated incoming document discussing cooking "
+            "recipes and the best way to bake sourdough bread at home"),
+    ]
+    inc_df = spark.createDataFrame(incoming, "doc_id long, text string")
+    path = str(tmp_path / "incoming")
+    inc_df.coalesce(1).write.parquet(path)
+
+    stream = spark.readStream.schema(inc_df.schema).parquet(path)
+    out = stream_near_dup(stream, ref, "text", "doc_id", threshold=0.5)
+    q = stream_to_memory(out, "near_dup_fw", output_mode="append")
+    q.awaitTermination(120)
+    got = {(r["doc_id"], r["ref_id"]): r["jaccard"]
+           for r in spark.sql("SELECT * FROM near_dup_fw").collect()}
+
+    assert got[(1, 100)] == 1.0
+    assert 0.5 <= got[(2, 100)] < 1.0
+    assert all(k[0] != 3 for k in got), got
+
+    batch = {(r["doc_id"], r["ref_id"]): r["jaccard"]
+             for r in stream_near_dup(inc_df, ref, "text", "doc_id",
+                                      threshold=0.5).collect()}
+    assert got == batch
