@@ -217,6 +217,49 @@ def stream_near_dup(stream: DataFrame, static_corpus: DataFrame,
     return verified.dropDuplicates([sid, "ref_id"])
 
 
+def stream_embedding_near_dup(stream: DataFrame, static_corpus: DataFrame,
+                              vec_col: str, id_col: str,
+                              threshold: float = 0.95, dim: int = 0,
+                              n_planes: int = 10, seed: int = 42,
+                              max_bucket: int = 5000) -> DataFrame:
+    """Embedding-space analog of :func:`stream_near_dup`: flag streamed
+    vectors whose cosine similarity to a static reference corpus crosses
+    ``threshold``, candidates via SRP-bucket collision.  Entirely
+    expression-based on the stream side (srp_signature is a pure
+    projection), one stream-static equi-join, exact-cosine verify;
+    the static side is bucketed + size-capped + persisted once.  Returns
+    a streaming frame (id, ref_id, cosine_sim); the final matched-pair
+    dedup is the only stateful op (multiprobe-free: one bucket per row,
+    so a pair can match at most once — dedup kept for safety under
+    replays)."""
+    from pyspark import StorageLevel
+
+    from frames_map_reduce_spark.functions.vectors import cosine
+    from frames_map_reduce_spark.operators.similarity import srp_bucketed
+
+    require_columns(stream, [vec_col, id_col])
+    if dim <= 0:
+        dim = static_corpus.select(
+            F.size(F.col(vec_col)).alias("d")).first()["d"]
+    ref = srp_bucketed(static_corpus, vec_col, dim, n_planes, seed).select(
+        "_bucket", F.col(id_col).alias("ref_id"),
+        F.col(vec_col).alias("_vref"))
+    sizes = ref.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
+    ok = sizes.filter(F.col("_n") <= max_bucket).select("_bucket")
+    ref = ref.join(F.broadcast(ok), "_bucket") \
+             .persist(StorageLevel.MEMORY_AND_DISK)
+
+    probe = srp_bucketed(stream, vec_col, dim, n_planes, seed).select(
+        "_bucket", F.col(id_col), F.col(vec_col).alias("_vin"))
+    out = (probe.join(ref, "_bucket")
+                .select(id_col, "ref_id",
+                        F.round(cosine(F.col("_vin").cast("array<double>"),
+                                       F.col("_vref").cast("array<double>")),
+                                6).alias("cosine_sim"))
+                .filter(F.col("cosine_sim") >= threshold))
+    return out.dropDuplicates([id_col, "ref_id"])
+
+
 def stream_to_memory(result: DataFrame, name: str, output_mode: str = "complete"):
     """Test sink: run the streaming query into an in-memory table with
     availableNow (process everything currently available, then stop)."""

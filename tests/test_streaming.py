@@ -268,3 +268,36 @@ def test_stream_near_dup_firewall(spark, tmp_path):
              for r in stream_near_dup(inc_df, ref, "text", "doc_id",
                                       threshold=0.5).collect()}
     assert got == batch
+
+
+def test_stream_embedding_firewall(spark, tmp_path):
+    """Embedding-space firewall: a streamed vector identical to a
+    reference vector is flagged at cosine 1.0; orthogonal vectors pass.
+    Streaming result equals the batch run of the same operator."""
+    from frames_map_reduce_spark.streaming import stream_embedding_near_dup
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    ref = spark.createDataFrame(
+        [(100, v), (101, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    incoming = [(1, v), (2, [0.9, 0.1, 0.0, 0.0]), (3, [0.0, 0.0, 1.0, 0.0])]
+    inc_df = spark.createDataFrame(incoming,
+                                   "vec_id long, embedding array<float>")
+    path = str(tmp_path / "vec_in")
+    inc_df.coalesce(1).write.parquet(path)
+
+    stream = spark.readStream.schema(inc_df.schema).parquet(path)
+    out = stream_embedding_near_dup(stream, ref, "embedding", "vec_id",
+                                    threshold=0.9, n_planes=3)
+    q = stream_to_memory(out, "vec_fw", output_mode="append")
+    q.awaitTermination(120)
+    got = {(r["vec_id"], r["ref_id"]): r["cosine_sim"]
+           for r in spark.sql("SELECT * FROM vec_fw").collect()}
+    assert got.get((1, 100)) == 1.0
+    assert all(k[0] != 3 for k in got), got
+
+    batch = {(r["vec_id"], r["ref_id"]): r["cosine_sim"]
+             for r in stream_embedding_near_dup(
+                 inc_df, ref, "embedding", "vec_id",
+                 threshold=0.9, n_planes=3).collect()}
+    assert got == batch
