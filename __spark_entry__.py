@@ -1459,6 +1459,30 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.round(F.avg(delay), 6).alias("avg_delay_s")))
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus health report — the observability pass a data pipeline
+    runs per ingestion batch, composed from the shared text specs in ONE
+    aggregation over one projection: per source, document and token
+    volume, mean quality, English fraction numerator, and the exact-dup
+    rate via fingerprint cardinality.  All JVM; one shuffle."""
+    docs = _docs(spark, sf_dir)
+    enriched = docs.select(
+        "source",
+        TX.token_count(F.col("text")).alias("_tok"),
+        TX.quality_score(F.col("text")).alias("_q"),
+        TX.lang_id(F.col("text")).alias("_lang"),
+        TX.fingerprint(F.col("text")).alias("_fp"))
+    n = F.count(F.lit(1))
+    nd = F.count_distinct("_fp")
+    return (enriched.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.sum("_tok").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("_q"), 6).alias("avg_quality"),
+        F.sum((F.col("_lang") == "en").cast("int")).cast("bigint").alias("n_en"),
+        nd.alias("distinct_docs"),
+        F.round(F.lit(1.0) - F.try_divide(nd, n), 6).alias("dup_frac")))
+
+
 def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-dup firewall (streaming.stream_near_dup): incoming
     documents (doc_id % 4 != 0), arriving through a file stream, are
@@ -1675,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": q_chunk_dedup,
         "retention": q_retention,
         "stream_near_dup": q_stream_near_dup,
+        "corpus_report": q_corpus_report,
         "sample_stratified": q_sample_stratified,
         "mixture_weights": q_mixture_weights,
         "text_quality": q_text_quality,
@@ -2178,6 +2203,17 @@ def oracle_sql() -> dict[str, str]:
                        + SMP.deterministic_shuffle_sql(
                            "documents", "doc_id", salt="epoch0") + ")",
         "sql_revenue": _SQL_REVENUE,  # the SAME text Spark executes
+        "corpus_report": f"""
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum({TX.token_count_sql('text')}) AS BIGINT) AS total_tokens,
+                   round(avg({TX.quality_score_sql('text')}), 6) AS avg_quality,
+                   CAST(sum(CASE WHEN {TX.lang_id_sql('text')} = 'en'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+                   count(DISTINCT {TX.fingerprint_sql('text')}) AS distinct_docs,
+                   round(1.0 - CAST(count(DISTINCT {TX.fingerprint_sql('text')})
+                                    AS DOUBLE) / count(*), 6) AS dup_frac
+            FROM documents GROUP BY source""",
         "retention": """
             WITH first AS (
               SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day

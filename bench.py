@@ -46,6 +46,11 @@ HEADLINE = [
     "clean_corpus",       # composed cleaning pipeline (2-shuffle end-to-end)
     "cdc_compact",        # changelog compaction via 2-phase max_by
     "funnel",             # conditional frame-bounded window funnel
+    # round-4 additions
+    "retention",          # cohort matrix: min-agg + skinny join
+    "sql_revenue",        # SQL surface: verbatim shared-dialect star join
+    "chunk_dedup",        # chunk-level boilerplate stats (explode + 2 aggs)
+    "shuffle_pos",        # scalable global permutation index
 ]
 
 
