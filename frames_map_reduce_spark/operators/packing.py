@@ -72,3 +72,25 @@ def pack_shards_sql(size_expr: str, budget: int, order_by: Sequence[str],
     cum = (f"sum({size_expr}) OVER ({part}ORDER BY {order} "
            f"ROWS UNBOUNDED PRECEDING)")
     return f"CAST(floor(({cum} - {size_expr}) / {budget}) AS BIGINT)"
+
+
+def write_packed_shards(df: DataFrame, path: str, size_col: Column | str,
+                        budget: int, order_by: Sequence[str],
+                        by: Sequence[str] = (),
+                        fmt: str = "parquet") -> None:
+    """Materialize offset-packed shards as ONE FILE PER SHARD — the
+    output stage of a training-data pipeline: each file's total
+    ``size_col`` (tokens, bytes, …) stays within ``budget`` (single
+    oversized rows excepted, as in :func:`pack_shards`).
+
+    Plan: assign shard ids (:func:`pack_shards`, one window pass) →
+    hash-repartition on the shard keys so each shard's rows co-locate in
+    one task → partitioned write with one file per (by…, shard_id)
+    directory.  The repartition is the only added shuffle, and its key
+    count equals the shard count, which packing already bounded to
+    ~total_size/budget — there is no small-files problem and no
+    driver-side loop at any scale."""
+    packed = pack_shards(df, size_col, budget, order_by, by)
+    keys = [*by, "shard_id"]
+    out = packed.repartition(*[F.col(k) for k in keys])
+    (out.write.mode("overwrite").partitionBy(*keys).format(fmt).save(path))

@@ -145,3 +145,27 @@ def test_deterministic_shuffle_is_stable_permutation(spark):
     assert sorted(c.values()) == list(range(300)) and a != c
     with pytest.raises(ValueError, match="power of two"):
         deterministic_shuffle(df, "k", n_buckets=48)
+
+
+def test_write_packed_shards_budget_on_disk(spark, tmp_path):
+    """Each shard directory on disk holds rows whose sizes sum within
+    the budget (oversized single rows excepted), and the union of all
+    shards round-trips the input exactly."""
+    from frames_map_reduce_spark.operators.packing import write_packed_shards
+    rows = [(i, f"doc {i}", (i * 37) % 90 + 10) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_tok int")
+    path = str(tmp_path / "shards")
+    write_packed_shards(df, path, "n_tok", budget=500, order_by=["doc_id"])
+    back = spark.read.parquet(path)
+    assert back.count() == 200
+    assert {tuple(r) for r in back.select("doc_id", "text", "n_tok").collect()} \
+        == set(rows)
+    sums = {r["shard_id"]: r["s"] for r in
+            back.groupBy("shard_id").agg(F.sum("n_tok").alias("s")).collect()}
+    assert all(s <= 500 + 99 for s in sums.values())  # budget + max row slack
+    import os
+    for d in os.listdir(path):
+        if d.startswith("shard_id="):
+            files = [f for f in os.listdir(os.path.join(path, d))
+                     if f.endswith(".parquet")]
+            assert len(files) == 1, d  # one file per shard
