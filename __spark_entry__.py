@@ -1459,6 +1459,17 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.round(F.avg(delay), 6).alias("avg_delay_s")))
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring spans (operators/dedup.duplicated_spans):
+    maximal runs of token 8-grams occurring >= 2 times corpus-wide —
+    the span-level dedup that whole-document methods miss (license
+    headers, boilerplate chrome).  Posting-list count on the gram hash,
+    flagged positions joined back, island merge per doc.  Full oracle:
+    the same spec replayed in DuckDB."""
+    docs = _docs(spark, sf_dir)
+    return DD.duplicated_spans(docs, "text", "doc_id", k=8, min_count=2)
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus health report — the observability pass a data pipeline
     runs per ingestion batch, composed from the shared text specs in ONE
@@ -1700,6 +1711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention": q_retention,
         "stream_near_dup": q_stream_near_dup,
         "corpus_report": q_corpus_report,
+        "dup_spans": q_dup_spans,
         "sample_stratified": q_sample_stratified,
         "mixture_weights": q_mixture_weights,
         "text_quality": q_text_quality,
@@ -2203,6 +2215,8 @@ def oracle_sql() -> dict[str, str]:
                        + SMP.deterministic_shuffle_sql(
                            "documents", "doc_id", salt="epoch0") + ")",
         "sql_revenue": _SQL_REVENUE,  # the SAME text Spark executes
+        "dup_spans": DD.duplicated_spans_sql(
+            "documents", "text", "doc_id", k=8, min_count=2),
         "corpus_report": f"""
             SELECT source,
                    count(*) AS n_docs,

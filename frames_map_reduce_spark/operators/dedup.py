@@ -827,3 +827,95 @@ SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
 FROM sig a JOIN sig b ON a.{id_col} < b.{id_col}
 WHERE bit_count(xor(a.sim::UBIGINT, b.sim::UBIGINT)) <= {max_hamming}
 """
+
+
+# ---------------------------------------------------------------------------
+# 5. Exact repeated-substring spans (token granularity)
+# ---------------------------------------------------------------------------
+# Whole-document dedup misses REPEATED SPANS inside otherwise-unique
+# documents (license headers, navigation chrome, quoted boilerplate) —
+# the failure mode the exact-substring dedup literature targets.  The
+# suffix-array construction used there doesn't distribute naturally;
+# this is the Spark-shaped equivalent: every duplicated token k-gram is
+# found via a posting-list count on its hash, flagged positions are
+# joined back, and runs of adjacent duplicated positions merge into
+# maximal spans per document with one window.
+
+def duplicated_spans(df: DataFrame, text_col: str, id_col: str,
+                     k: int = 8, min_count: int = 2) -> DataFrame:
+    """Maximal duplicated token spans: every position whose k-gram
+    occurs >= ``min_count`` times corpus-wide (within- or cross-doc),
+    with adjacent positions merged into islands.
+
+    Returns (id, span_start, span_end, span_tokens, n_dup_grams) with
+    1-based inclusive token indices.
+
+    Scale shape: the k-gram hash is a uniform high-cardinality key, so
+    the posting count is a clean 2-phase aggregation; the duplicated-
+    gram set is skinny (hash only) and joins back on the same key; the
+    island merge windows only over FLAGGED positions per doc (bounded by
+    the duplication actually present, not document length)."""
+    from frames_map_reduce_spark.functions.text import tokens
+    from pyspark.sql import Window
+
+    require_columns(df, [text_col, id_col])
+    base = (df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+              .filter(F.size("_t") >= k))   # sequence(1, n-k+1) needs n >= k
+    grams = base.select(
+        id_col,
+        F.explode(F.sequence(F.lit(1), F.size("_t") - k + 1)).alias("_p"),
+        "_t",
+    ).select(
+        id_col, F.col("_p").cast("bigint").alias("_p"),
+        F.md5(F.encode(F.concat_ws(" ", F.slice(F.col("_t"), F.col("_p"), k)),
+                       "UTF-8")).alias("_g"))
+    dup = (grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") >= min_count).select("_g"))
+    flagged = grams.join(dup, "_g").select(id_col, "_p")
+    w = Window.partitionBy(id_col).orderBy("_p")
+    prev = F.lag("_p").over(w)
+    new_island = F.when(F.col("_p") - prev == 1, F.lit(0)).otherwise(F.lit(1))
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    isl = flagged.withColumn("_island", F.sum(new_island).over(wc))
+    return (isl.groupBy(id_col, "_island")
+               .agg(F.min("_p").alias("span_start"),
+                    (F.max("_p") + (k - 1)).alias("span_end"),
+                    F.count(F.lit(1)).alias("n_dup_grams"))
+               .select(id_col, "span_start", "span_end",
+                       (F.col("span_end") - F.col("span_start") + 1)
+                        .alias("span_tokens"),
+                       "n_dup_grams"))
+
+
+def duplicated_spans_sql(table: str, text_col: str, id_col: str,
+                         k: int = 8, min_count: int = 2) -> str:
+    """DuckDB twin of :func:`duplicated_spans` — same tokenization spec
+    (text.tokens_sql), same md5 gram keys, same island arithmetic."""
+    from frames_map_reduce_spark.functions.text import tokens_sql
+    toks = tokens_sql(text_col)
+    return f"""
+WITH toks AS (SELECT {id_col}, {toks} AS t FROM {table}),
+     grams AS (
+       SELECT {id_col}, CAST(p AS BIGINT) AS p,
+              md5(array_to_string(t[p:p+{k - 1}], ' ')) AS g
+       FROM (SELECT {id_col}, t,
+                    unnest(range(1, len(t) - {k} + 2)) AS p
+             FROM toks WHERE len(t) >= {k})),
+     dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= {min_count}),
+     flagged AS (SELECT {id_col}, p FROM grams JOIN dup USING (g)),
+     steps AS (
+       SELECT {id_col}, p,
+              CASE WHEN p - lag(p) OVER (PARTITION BY {id_col} ORDER BY p) = 1
+                   THEN 0 ELSE 1 END AS step
+       FROM flagged),
+     isl AS (
+       SELECT {id_col}, p,
+              sum(step) OVER (PARTITION BY {id_col} ORDER BY p
+                              ROWS UNBOUNDED PRECEDING) AS island
+       FROM steps)
+SELECT {id_col}, span_start, span_end,
+       span_end - span_start + 1 AS span_tokens, n_dup_grams
+FROM (SELECT {id_col}, island, min(p) AS span_start,
+             max(p) + {k - 1} AS span_end, count(*) AS n_dup_grams
+      FROM isl GROUP BY {id_col}, island)
+"""

@@ -156,3 +156,31 @@ def test_fixture_parity_preconditions(documents):
             .select(DD.jaccard(F.col("_sh_a"), F.col("_sh_b")).alias("j"))
             .filter((F.col("j") >= 0.4) & (F.col("j") < 0.9)))
     assert gap.count() == 0, "fixture Jaccard gap [0.4, 0.9) is no longer empty"
+
+
+def test_duplicated_spans_known_answer(spark):
+    """Span-level dedup on a crafted corpus: the shared 8-token prefix
+    merges into ONE maximal span per doc (not per gram), within-doc
+    repetition is caught too, and a unique doc emits nothing.  Spark and
+    the DuckDB twin agree exactly."""
+    import duckdb
+    shared = "one two three four five six seven eight"
+    rows = [
+        (1, shared + " unique tail of the first document here"),
+        (2, "prefix words " + shared + " and a different ending"),
+        (3, "no repeats in this entirely distinct document text at all"),
+        (4, "x " + shared + " middle filler " + shared + " y"),  # twice
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in
+                 DD.duplicated_spans(df, "text", "doc_id", k=8).collect())
+    assert all(r[0] != 3 for r in got)
+    # doc 1: tokens 1-8; doc 2: tokens 3-10
+    assert (1, 1, 8, 8, 1) in got and (2, 3, 10, 8, 1) in got
+    assert sum(1 for r in got if r[0] == 4) == 2  # two separate islands
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    want = sorted(tuple(r) for r in con.sql(
+        DD.duplicated_spans_sql("docs", "text", "doc_id", k=8)).fetchall())
+    assert got == want
