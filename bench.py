@@ -51,6 +51,7 @@ HEADLINE = [
     "sql_revenue",        # SQL surface: verbatim shared-dialect star join
     "chunk_dedup",        # chunk-level boilerplate stats (explode + 2 aggs)
     "shuffle_pos",        # scalable global permutation index
+    "dup_spans",          # exact repeated-substring spans (posting lists)
 ]
 
 
