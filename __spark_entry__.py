@@ -1419,6 +1419,76 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("current_value")))
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE INTO (operators/cdc.py merge_upsert): the first-half
+    changelog is compacted into a snapshot, then the second-half
+    changelog is MERGEd into it — latest change per user wins, 'error'
+    tombstones delete.  The oracle is the FULL-log compaction SQL: the
+    incremental path (compact prefix → merge suffix) must equal the
+    batch recompute at any cutoff, which is exactly the contract that
+    makes daily snapshot maintenance sound at 100 TB (shuffle the delta,
+    scan — never shuffle — the big target; AQE broadcasts the delta's
+    key set into the left_anti)."""
+    ev = _events(spark, sf_dir)
+    cutoff = F.to_timestamp(F.lit("2024-01-16 00:00:00"))
+    tomb = F.col("event_type") == "error"
+    snap = CDC.compact_latest(
+        ev.filter(F.col("ts") < cutoff), keys=["user_id"],
+        version=["ts", "event_id"],
+        payload=["event_type", "value", "event_id"], tombstone=tomb)
+    merged = CDC.merge_upsert(
+        snap, ev.filter(F.col("ts") >= cutoff),
+        keys=["user_id"], version=["ts", "event_id"], tombstone=tomb)
+    return merged.select(
+        "user_id", F.col("event_type").alias("last_type"),
+        F.round("value", 6).alias("last_value"),
+        F.col("event_id").alias("last_event_id"))
+
+
+#: accuracy for the GK quantile sketch in q_sketch_quantiles → rank
+#: error eps = 1/accuracy; the accountability bound is p ± 3*eps.
+_SKETCH_Q_ACC = 100
+
+
+def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch accountability (folds.approx_quantiles — the GK
+    sketch, Spark's percentile_approx): same pattern as
+    q_sketch_distinct.  The sketch's guarantee is a RANK error ≤
+    eps = 1/accuracy, so the deterministic accountability bit is
+    "approx value lies between the EXACT quantiles at p−3eps and
+    p+3eps" — both endpoints computed by the exact JVM percentile in
+    the same single .agg() pass.  The driver hashes the exact p50/p90
+    twins plus the two bits; the DuckDB oracle computes the exact
+    quantiles (quantile_cont — interpolation proven identical by
+    q_percentile_native) and asserts the bits as constant 1.  A sketch
+    estimate drifting outside its guaranteed envelope flips a bit and
+    fails the hash.  At 100 TB the sketch is the only viable path:
+    bounded memory per group and mergeable partials, vs exact
+    percentile's full per-group sort."""
+    ev = _events(spark, sf_dir)
+    eps = 1.0 / _SKETCH_Q_ACC
+    qs = folds.approx_quantiles(
+        "value", [0.5, 0.9], "approx_q", accuracy=_SKETCH_Q_ACC)
+    lo_hi = F.expr(
+        "percentile(value, array({:.6f}D, {:.6f}D, {:.6f}D, {:.6f}D))"
+        .format(0.5 - 3 * eps, 0.5 + 3 * eps, 0.9 - 3 * eps, 0.9 + 3 * eps))
+    exact = F.expr("percentile(value, array(0.5D, 0.9D))")
+    out = map_reduce(
+        ev, unpack_no_op(), split_on_keys(["event_type"]),
+        fold_and_add_key(
+            qs & folds.of(lo_hi, "bounds") & folds.of(exact, "exact")))
+    return out.select(
+        "event_type",
+        F.round(F.element_at("exact", 1), 6).alias("exact_p50"),
+        F.round(F.element_at("exact", 2), 6).alias("exact_p90"),
+        F.element_at("approx_q", 1).between(
+            F.element_at("bounds", 1), F.element_at("bounds", 2))
+         .cast("int").alias("within_tol_p50"),
+        F.element_at("approx_q", 2).between(
+            F.element_at("bounds", 3), F.element_at("bounds", 4))
+         .cast("int").alias("within_tol_p90"))
+
+
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti join (customers with no high-value order, per nation):
     left_anti against the filtered fact table — the filter prunes the
@@ -1625,9 +1695,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     including ann_srp's retuned ≈0.96-recall config; (2) sketch_distinct,
     newly oracle-checkable this round (within_tol bit); (3) one
     representative per SURVEY §2 family; (4) the LLM-pipeline headliners;
-    (5) fillers from r3's freshly-proven set whose only driver proof is
-    r3.  The 25 queries rotated out are all doubly-proven (green in at
-    least two rounds) and covered by the local parity suite."""
+    (5) every round-4 addition — these have never been driver-proven, so
+    they outrank re-proving r3 greens; (6) fillers from r3's
+    freshly-proven set.  Queries rotated out are all driver-proven in
+    earlier rounds and covered by the local parity suite."""
     return {
         # -- (1) outside r3's window — rotate back in for re-proof ------
         "stream_join": q_stream_join,
@@ -1667,13 +1738,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "media_features": q_media_features,
-        # -- (5) fillers: only driver proof is r3 -----------------------
+        # -- (5) round-4 additions: never driver-proven — first priority
+        #       for window slots (everything they displaced is r3-green
+        #       and parity-suite-covered) --------------------------------
+        "ann_bruteforce_joined": q_ann_bruteforce_joined,
+        "shuffle_pos": q_shuffle_pos,
+        "sql_revenue": q_sql_revenue,
+        "chunk_dedup": q_chunk_dedup,
+        "retention": q_retention,
+        "stream_near_dup": q_stream_near_dup,
+        "corpus_report": q_corpus_report,
+        "dup_spans": q_dup_spans,
+        "merge_upsert": q_merge_upsert,
+        "sketch_quantiles": q_sketch_quantiles,
+        # -- (6) fillers: only driver proof is r3 -----------------------
         "media_meta": q_media_meta,
         "clean_corpus": q_clean_corpus,
         "stream_sliding": q_stream_sliding,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "cdc_compact": q_cdc_compact,
+        # ---------------- 50-row window ends here ----------------------
+        # All entries below are driver-proven in earlier rounds (most in
+        # ≥2) and covered by the local oracle-parity suite; they rotate
+        # back into the window in later rounds.
         "scd2": q_scd2,
         "bm25": q_bm25,
         "contamination": q_contamination,
@@ -1684,10 +1772,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_test_split": q_train_test_split,
         "salted_agg": q_salted_agg,
         "events_json": q_events_json,
-        # ---------------- 50-row window ends here ----------------------
-        # All entries below are doubly driver-proven (green in ≥2 rounds)
-        # and covered by the local oracle-parity suite; they rotate back
-        # into the window in later rounds.
         "mr_sum_by_flag": q_mr_sum_by_flag,
         "topk_per_group": q_topk_per_group,
         "topk_native": q_topk_native,
@@ -1704,14 +1788,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ann_bruteforce": q_ann_bruteforce,
-        "ann_bruteforce_joined": q_ann_bruteforce_joined,
-        "shuffle_pos": q_shuffle_pos,
-        "sql_revenue": q_sql_revenue,
-        "chunk_dedup": q_chunk_dedup,
-        "retention": q_retention,
-        "stream_near_dup": q_stream_near_dup,
-        "corpus_report": q_corpus_report,
-        "dup_spans": q_dup_spans,
         "sample_stratified": q_sample_stratified,
         "mixture_weights": q_mixture_weights,
         "text_quality": q_text_quality,
@@ -2269,6 +2345,29 @@ def oracle_sql() -> dict[str, str]:
                              ORDER BY ts DESC, event_id DESC) AS rn
                   FROM events)
             WHERE rn = 1 AND event_type <> 'error'""",
+        # The MERGE oracle is the BATCH recompute: incremental
+        # (compact prefix -> merge suffix) must equal full-log
+        # compaction at any cutoff — identical SQL to cdc_compact by
+        # design; the Spark side takes the incremental path.
+        "merge_upsert": """
+            SELECT user_id, event_type AS last_type,
+                   round(value, 6) AS last_value,
+                   event_id AS last_event_id
+            FROM (SELECT user_id, event_type, value, event_id,
+                         row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1 AND event_type <> 'error'""",
+        # Exact-quantile twins hashed; the sketch's accountability bits
+        # are asserted as the constant 1 (the GK rank-error guarantee,
+        # checked Spark-side against exact percentiles at p +/- 3*eps).
+        "sketch_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS exact_p50,
+                   round(quantile_cont(value, 0.9), 6) AS exact_p90,
+                   1 AS within_tol_p50,
+                   1 AS within_tol_p90
+            FROM events GROUP BY event_type""",
         "clean_corpus": f"""
             WITH scored AS (
               SELECT doc_id, source,

@@ -5,7 +5,11 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from frames_map_reduce_spark.operators.cdc import compact_latest, scd2_intervals
+from frames_map_reduce_spark.operators.cdc import (
+    compact_latest,
+    merge_upsert,
+    scd2_intervals,
+)
 from frames_map_reduce_spark.plans import executed_plan
 
 
@@ -81,6 +85,43 @@ def test_scd2_latest_delete_means_no_current(spark):
                          tombstone=F.col("op") == "delete")
     rows = out.collect()
     assert len(rows) == 1 and not rows[0]["is_current"]
+
+
+def test_merge_upsert_semantics(spark, log):
+    """Insert, replace, delete, and in-batch supersession in one MERGE."""
+    target = spark.createDataFrame(
+        [("a", "upsert", 5.0), ("b", "upsert", 6.0), ("z", "upsert", 9.0)],
+        "k string, op string, val double")
+    out = merge_upsert(target, log, ["k"], ["v", "seq"],
+                       tombstone=F.col("op") == "delete")
+    assert out.columns == target.columns
+    got = {r["k"]: r["val"] for r in out.collect()}
+    # a replaced (20.0), b deleted, c inserted (delete superseded in-batch),
+    # d inserted (version tie broken by seq), z untouched.
+    assert got == {"a": 20.0, "c": 60.0, "d": 71.0, "z": 9.0}
+
+
+def test_merge_incremental_equals_batch_recompute(spark):
+    """The maintenance contract: merging a suffix changelog into the
+    compacted prefix equals compacting the full log — at EVERY cutoff."""
+    rows = [("k%d" % (i % 7), i, "delete" if i % 5 == 4 else "upsert",
+             float(i)) for i in range(40)]
+    logf = spark.createDataFrame(rows, "k string, v long, op string, val double")
+    tomb = F.col("op") == "delete"
+    full = compact_latest(logf, ["k"], ["v"], tombstone=tomb)
+    for cutoff in (0, 13, 39, 40):
+        snap = compact_latest(logf.filter(F.col("v") < cutoff), ["k"], ["v"],
+                              tombstone=tomb)
+        merged = merge_upsert(snap, logf.filter(F.col("v") >= cutoff),
+                              ["k"], ["v"], tombstone=tomb)
+        assert sorted(map(tuple, merged.collect())) \
+            == sorted(map(tuple, full.collect())), f"cutoff={cutoff}"
+
+
+def test_merge_missing_payload_column_raises(spark, log):
+    target = spark.createDataFrame([("a", 1.0)], "k string, extra double")
+    with pytest.raises(ValueError, match="missing target columns"):
+        merge_upsert(target, log, ["k"], ["v"])
 
 
 def test_plan_is_two_phase_agg_no_window(log):
