@@ -1,0 +1,152 @@
+"""Data layout for scan pruning: Z-order clustered parquet writes.
+
+At 100 TB the cheapest query is the one that never reads most of the
+files.  Parquet footers carry per-column min/max for every file and row
+group; engines (Spark, Trino, DuckDB) prune scans against them — but the
+stats only help if rows are CLUSTERED so each file covers a narrow range
+of the filter columns.  Sorting clusters one column perfectly and the
+rest not at all; interleaving the bits of several columns (a Z-order /
+Morton curve — the technique behind Delta Lake's ``OPTIMIZE ZORDER BY``
+and ClickHouse/Databricks layout tooling) keeps EVERY indexed column's
+per-file extent near ``global_extent / n_files^(1/d)``, so selective
+filters on any of them skip most files.
+
+Spark-first shape: the Z-value is a pure JVM bitwise expression (no
+Python in the row path), the clustering is one ``repartitionByRange`` on
+that value (a single shuffle — exactly what any global sort costs)
+followed by a within-partition sort, and the write is a plain parquet
+sink.  Bounds for normalization come from one aggregate over the input
+(a scan, no shuffle) or are caller-provided when known (e.g. from table
+metadata on a maintained table).
+
+The reference has no storage layer at all (SURVEY §2.1 — frames are
+in-memory Foldables); this is scale-extension surface, the write-side
+dual of the bucketed-join sink in ``sources.write_bucketed``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from frames_map_reduce_spark.schema import require_columns
+
+__all__ = ["z_value", "write_zordered", "file_column_stats"]
+
+
+def z_value(df: DataFrame, cols: Sequence[str], bits: int = 12,
+            bounds: Mapping[str, tuple[float, float]] | None = None,
+            out: str = "_z") -> DataFrame:
+    """Append a Z-order (Morton) key over ``cols``.
+
+    Each column is min/max-normalized to a ``bits``-bit integer rank and
+    the ranks' bits are interleaved — all as one JVM expression tree
+    (``bits × len(cols)`` shift/mask/or terms, no UDF).  ``bounds`` maps
+    column → (min, max); omitted columns get their bounds from ONE
+    aggregate over ``df`` (scan-only, no shuffle).  Constant columns
+    (min == max) rank as 0 via ``try_divide``.
+
+    ``bits × len(cols)`` must be ≤ 62 (the key lives in a signed long;
+    ANSI mode would throw on overflow rather than wrap).
+
+    Caveat the Delta docs also carry: linear min/max normalization keys
+    skew — a heavy-hitter value concentrates rank space.  The clustering
+    property (narrow per-file extents) degrades gracefully; for heavily
+    skewed columns, pre-bucket to ranks upstream.
+    """
+    cols = list(cols)
+    require_columns(df, cols)
+    if not cols:
+        raise ValueError("z_value over zero columns")
+    if bits * len(cols) > 62:
+        raise ValueError(
+            f"bits*len(cols) = {bits * len(cols)} exceeds 62; the Z key "
+            "must fit a signed long")
+    bounds = dict(bounds or {})
+    missing = [c for c in cols if c not in bounds]
+    if missing:
+        row = df.agg(*[e for c in missing
+                       for e in (F.min(c).alias(f"lo_{c}"),
+                                 F.max(c).alias(f"hi_{c}"))]).first()
+        for c in missing:
+            bounds[c] = (row[f"lo_{c}"], row[f"hi_{c}"])
+
+    top = (1 << bits) - 1
+    ranks: list[Column] = []
+    for c in cols:
+        lo, hi = bounds[c]
+        if lo is None or hi is None:
+            raise ValueError(f"column {c} is all-NULL; cannot Z-order on it")
+        # NULLs sort to rank 0 (start of the curve) — deterministic, and
+        # footer stats still prune on the non-null range.
+        frac = F.try_divide(F.col(c).cast("double") - F.lit(float(lo)),
+                            F.lit(float(hi) - float(lo)))
+        rank = F.floor(F.coalesce(frac, F.lit(0.0)) * top).cast("long")
+        ranks.append(F.greatest(F.lit(0), F.least(F.lit(top), rank)))
+
+    d = len(cols)
+    z: Column = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, rank in enumerate(ranks):
+            # bit i of rank j lands at interleaved position i*d + j.
+            # shiftleft/shiftright take Python ints (not Columns) —
+            # unrolled here, which also keeps the whole tree codegen-able.
+            bit = F.shiftright(rank, i).bitwiseAND(F.lit(1).cast("long"))
+            z = z.bitwiseOR(F.shiftleft(bit, i * d + j))
+    return df.withColumn(out, z)
+
+
+def write_zordered(df: DataFrame, path: str, cols: Sequence[str],
+                   bits: int = 12, num_files: int | None = None,
+                   bounds: Mapping[str, tuple[float, float]] | None = None,
+                   mode: str = "error") -> None:
+    """Write ``df`` as parquet clustered on the Z-order curve of ``cols``.
+
+    ONE range shuffle on the Z key (`repartitionByRange` — the same cost
+    as any global sort) + a within-partition sort, so each output file
+    covers a contiguous curve segment and its footer min/max for every
+    ``cols`` member is tight.  The Z key itself is dropped before the
+    write — it is a layout device, not data.
+
+    ``num_files`` defaults to the session shuffle parallelism; at scale
+    pick it so files land near your target size (the
+    ``write_packed_shards`` sizing notes apply).
+    """
+    zdf = z_value(df, cols, bits=bits, bounds=bounds, out="_z")
+    n = num_files or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    (zdf.repartitionByRange(n, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode).parquet(path))
+
+
+def file_column_stats(path: str, cols: Sequence[str]) -> list[dict]:
+    """Per-file min/max from parquet footers — the audit view of what a
+    stats-pruning scan would see.  Driver-side utility (reads footers
+    only, never data pages); one dict per data file:
+    ``{"file": ..., "num_rows": ..., "<col>_min": ..., "<col>_max": ...}``.
+    """
+    import pyarrow.dataset as ds
+
+    out: list[dict] = []
+    dataset = ds.dataset(path, format="parquet")
+    for frag in dataset.get_fragments():
+        meta = frag.metadata
+        names = {c: i for i, c in enumerate(frag.physical_schema.names)}
+        rec: dict = {"file": frag.path, "num_rows": meta.num_rows}
+        for c in cols:
+            lo = hi = None
+            idx = names[c]
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    lo = hi = None
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            rec[f"{c}_min"], rec[f"{c}_max"] = lo, hi
+        out.append(rec)
+    return out

@@ -1,0 +1,114 @@
+"""Z-order clustered writes (operators/layout.py): key correctness,
+and the property that pays for itself at 100 TB — per-file footer
+min/max extents tight enough on EVERY indexed column that a selective
+filter skips most files.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from frames_map_reduce_spark.operators.layout import (
+    file_column_stats,
+    write_zordered,
+    z_value,
+)
+
+
+def _morton2(x: int, y: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_z_value_matches_reference_interleave(spark):
+    rows = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    # bounds pinned to the rank domain so rank == raw value exactly
+    out = z_value(df, ["x", "y"], bits=3, bounds={"x": (0, 7), "y": (0, 7)})
+    got = {(r["x"], r["y"]): r["_z"] for r in out.collect()}
+    for (x, y), zv in got.items():
+        assert zv == _morton2(x, y, 3), (x, y)
+
+
+def test_z_value_guards(spark):
+    df = spark.createDataFrame([(1, 2)], "x long, y long")
+    with pytest.raises(ValueError, match="exceeds 62"):
+        z_value(df, ["x", "y"], bits=32)
+    with pytest.raises(ValueError, match="zero columns"):
+        z_value(df, [])
+    allnull = spark.createDataFrame([(None,)], "x double")
+    with pytest.raises(ValueError, match="all-NULL"):
+        z_value(allnull, ["x"])
+
+
+def test_constant_column_ranks_zero(spark):
+    df = spark.createDataFrame([(5, i) for i in range(4)], "c long, y long")
+    out = z_value(df, ["c", "y"], bits=2)   # c: min==max -> try_divide NULL -> 0
+    assert all(r["_z"] == _morton2(0, r["y"], 2) for r in out.collect())
+
+
+@pytest.fixture(scope="module")
+def grid_paths(spark, tmp_path_factory):
+    """40k-point 2-D grid written twice: Z-ordered vs hash-scattered."""
+    base = tmp_path_factory.mktemp("layout")
+    n_side = 200
+    df = (spark.range(n_side * n_side)
+               .select((F.col("id") % n_side).alias("x"),
+                       (F.col("id") / n_side).cast("long").alias("y"),
+                       F.col("id").alias("payload")))
+    zpath = str(base / "zordered")
+    rpath = str(base / "scattered")
+    write_zordered(df, zpath, ["x", "y"], bits=8, num_files=16)
+    df.repartition(16).write.parquet(rpath)
+    return zpath, rpath
+
+
+def test_zorder_tightens_per_file_extents(grid_paths):
+    zpath, rpath = grid_paths
+    zstats = file_column_stats(zpath, ["x", "y"])
+    rstats = file_column_stats(rpath, ["x", "y"])
+    assert len(zstats) == 16
+
+    def mean_extent(stats, col):
+        spans = [s[f"{col}_max"] - s[f"{col}_min"] for s in stats]
+        return sum(spans) / len(spans)
+
+    for col in ("x", "y"):
+        # 16 files on a 2-D curve ~ 4x4 tiles: extent ~ 1/4 of global.
+        # Random placement puts ~the whole range in every file.
+        assert mean_extent(zstats, col) < 0.55 * 199, col
+        assert mean_extent(rstats, col) > 0.9 * 199, col
+        assert mean_extent(zstats, col) < 0.6 * mean_extent(rstats, col), col
+
+
+def test_zorder_skips_files_for_box_query(grid_paths):
+    """The pruning a stats-aware scan performs: a 15%x15% box query
+    must intersect only a minority of Z-ordered files but every
+    scattered file."""
+    zpath, rpath = grid_paths
+
+    def files_hit(stats, box):
+        (x0, x1), (y0, y1) = box
+        return sum(1 for s in stats
+                   if s["x_min"] <= x1 and s["x_max"] >= x0
+                   and s["y_min"] <= y1 and s["y_max"] >= y0)
+
+    box = ((10, 40), (10, 40))
+    zhit = files_hit(file_column_stats(zpath, ["x", "y"]), box)
+    rhit = files_hit(file_column_stats(rpath, ["x", "y"]), box)
+    assert rhit == 16
+    assert zhit <= 8
+
+
+def test_zordered_roundtrip_preserves_rows(spark, grid_paths):
+    zpath, _ = grid_paths
+    back = spark.read.parquet(zpath)
+    assert back.count() == 200 * 200
+    agg = back.agg(F.sum("payload").alias("s"),
+                   F.count_distinct("x", "y").alias("d")).first()
+    assert agg["s"] == (200 * 200) * (200 * 200 - 1) // 2
+    assert agg["d"] == 200 * 200
