@@ -1445,6 +1445,21 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("last_event_id"))
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (operators/sampling.py
+    weighted_sample — Efraimidis–Spirakis): 60 documents drawn with
+    inclusion odds ∝ n_chars, deterministic from the salted md5 uniform
+    (same hash spec as every sampler here), so re-runs pick the same
+    subset and the DuckDB twin replays the identical variate.  The
+    global "n smallest priorities" lowers to TakeOrderedAndProject —
+    per-partition partial top-n, never a full sort."""
+    docs = _docs(spark, sf_dir)
+    out = SMP.weighted_sample(docs, 60, "n_chars", "doc_id", salt="r4",
+                              priority_col="pri")
+    return out.select("doc_id", "source", "n_chars",
+                      F.round("pri", 6).alias("priority"))
+
+
 #: accuracy for the GK quantile sketch in q_sketch_quantiles → rank
 #: error eps = 1/accuracy; the accountability bound is p ± 3*eps.
 _SKETCH_Q_ACC = 100
@@ -1751,17 +1766,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "merge_upsert": q_merge_upsert,
         "sketch_quantiles": q_sketch_quantiles,
+        "weighted_sample": q_weighted_sample,
         # -- (6) fillers: only driver proof is r3 -----------------------
+        # (cdc_compact rotated out: merge_upsert drives the same operator
+        # family against the same oracle SQL)
         "media_meta": q_media_meta,
         "clean_corpus": q_clean_corpus,
         "stream_sliding": q_stream_sliding,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
-        "cdc_compact": q_cdc_compact,
         # ---------------- 50-row window ends here ----------------------
         # All entries below are driver-proven in earlier rounds (most in
         # ≥2) and covered by the local oracle-parity suite; they rotate
         # back into the window in later rounds.
+        "cdc_compact": q_cdc_compact,
         "scd2": q_scd2,
         "bm25": q_bm25,
         "contamination": q_contamination,
@@ -2345,6 +2363,15 @@ def oracle_sql() -> dict[str, str]:
                              ORDER BY ts DESC, event_id DESC) AS rn
                   FROM events)
             WHERE rn = 1 AND event_type <> 'error'""",
+        # Generated from the same E-S variate spec as the Spark side
+        # (operators/sampling.py weighted_sample_sql) — identical hash,
+        # identical -ln(u)/w priority, identical tie-break.
+        "weighted_sample": """
+            SELECT doc_id, source, n_chars, round(pri, 6) AS priority
+            FROM ({inner})
+        """.format(inner=SMP.weighted_sample_sql(
+            "documents", 60, "n_chars", "doc_id", salt="r4",
+            priority_col="pri")),
         # The MERGE oracle is the BATCH recompute: incremental
         # (compact prefix -> merge suffix) must equal full-log
         # compaction at any cutoff — identical SQL to cdc_compact by

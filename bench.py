@@ -52,6 +52,7 @@ HEADLINE = [
     "chunk_dedup",        # chunk-level boilerplate stats (explode + 2 aggs)
     "shuffle_pos",        # scalable global permutation index
     "dup_spans",          # exact repeated-substring spans (posting lists)
+    "merge_upsert",       # incremental MERGE: delta compaction + anti join
 ]
 
 

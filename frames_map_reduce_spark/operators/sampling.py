@@ -41,6 +41,7 @@ from frames_map_reduce_spark.schema import require_columns
 __all__ = [
     "hash_unit", "hash_unit_sql", "hash_split", "hash_split_sql_case",
     "stratified_sample", "weighted_mixture", "weighted_mixture_sql_pred",
+    "weighted_sample", "weighted_sample_sql",
 ]
 
 _SCALE = 1 << 32  # 8 hex chars
@@ -156,6 +157,66 @@ def weighted_mixture_sql_pred(source_col: str, rates: Mapping[str, float],
         f"WHEN {source_col} = '{s}' THEN {int(r * _SCALE)}"
         for s, r in rates.items())
     return f"{h} < (CASE {arms} ELSE {int(default_rate * _SCALE)} END)"
+
+
+def _es_priority(key_col: str, weight_col: str, salt: str) -> Column:
+    """Efraimidis–Spirakis exponential race variate: E = -ln(u) / w with
+    u the deterministic salted uniform.  u = (h + 0.5) / 2^32 keeps u in
+    (0, 1) exactly (h + 0.5 and the power-of-two division are both exact
+    in double), so ln never sees 0."""
+    u = (hash_unit(F.col(key_col), salt) + F.lit(0.5)) / F.lit(float(_SCALE))
+    return -F.log(u) / F.col(weight_col).cast("double")
+
+
+def weighted_sample(df: DataFrame, n: int, weight_col: str, key_col: str,
+                    salt: str = "", priority_col: str | None = None) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: ``n`` rows
+    with inclusion driven by ``weight_col`` (w_i / Σw odds, the
+    Efraimidis–Spirakis A-ES scheme) — quality- or length-weighted corpus
+    selection that re-runs to the same subset.
+
+    Each row gets an exponential race variate ``-ln(u)/w`` with ``u``
+    the salted md5 uniform of ``key_col`` (same spec as every sampler
+    here: reproducible from the row alone, change the salt to redraw);
+    the sample is the ``n`` smallest.  Rows with weight ≤ 0 or NULL are
+    excluded (they have no mass).
+
+    Scale: the global "n smallest" lowers to TakeOrderedAndProject —
+    per-partition partial top-n, merge of ≤ partitions×n rows — NOT a
+    global sort.  Keep ``n`` driver-sized (it is a sample); for
+    rate-based selection at corpus scale use ``weighted_mixture``.
+    """
+    require_columns(df, [weight_col, key_col])
+    if n <= 0:
+        raise ValueError(f"sample size must be positive, got {n}")
+    pri = _es_priority(key_col, weight_col, salt)
+    out = (df.filter(F.col(weight_col).isNotNull()
+                     & (F.col(weight_col) > 0))
+             .withColumn("_pri", pri)
+             .orderBy(F.col("_pri"), F.col(key_col))
+             .limit(n))
+    if priority_col is None:
+        return out.drop("_pri")
+    return out.withColumnRenamed("_pri", priority_col)
+
+
+def es_priority_sql(key_col: str, weight_col: str, salt: str = "") -> str:
+    """DuckDB twin of ``_es_priority`` (generated from the same spec):
+    identical hash, identical -ln(u)/w variate."""
+    h = hash_unit_sql(key_col, salt)
+    return (f"-ln(({h} + 0.5) / {float(_SCALE)}) "
+            f"/ CAST({weight_col} AS DOUBLE)")
+
+
+def weighted_sample_sql(table: str, n: int, weight_col: str, key_col: str,
+                        salt: str = "", priority_col: str | None = None) -> str:
+    """DuckDB twin of ``weighted_sample``: identical variate, identical
+    tie-break, identical exclusion of non-positive mass."""
+    pri = es_priority_sql(key_col, weight_col, salt)
+    proj = "*" if priority_col is None else f"*, {pri} AS {priority_col}"
+    return (f"SELECT {proj} FROM {table} "
+            f"WHERE {weight_col} IS NOT NULL AND {weight_col} > 0 "
+            f"ORDER BY {pri}, {key_col} LIMIT {n}")
 
 
 def deterministic_shuffle(df: DataFrame, key_col: str, salt: str = "",

@@ -10,6 +10,7 @@ from frames_map_reduce_spark.operators.sampling import (
     hash_split,
     stratified_sample,
     weighted_mixture,
+    weighted_sample,
 )
 from tests.conftest import rows_sorted
 
@@ -87,6 +88,37 @@ def _pack_rows(spark, sizes, budget, by_groups=1):
     df = spark.createDataFrame(rows, "g int, id int, size int")
     out = pack_shards(df, "size", budget, order_by=["id"], by=["g"])
     return {(r["g"], r["id"]): r["shard_id"] for r in out.collect()}
+
+
+def test_weighted_sample_deterministic_and_excludes_nonpositive(spark):
+    rows = [(i, float((i % 5) + 1)) for i in range(100)] \
+        + [(100, 0.0), (101, -1.0), (102, None)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    a = {r["k"] for r in weighted_sample(df, 20, "w", "k", salt="s").collect()}
+    b = {r["k"] for r in weighted_sample(df, 20, "w", "k", salt="s").collect()}
+    c = {r["k"] for r in weighted_sample(df, 20, "w", "k", salt="t").collect()}
+    assert a == b and len(a) == 20
+    assert a != c                       # new salt redraws
+    assert not {100, 101, 102} & (a | c)  # zero/negative/NULL mass excluded
+    with pytest.raises(ValueError, match="positive"):
+        weighted_sample(df, 0, "w", "k")
+
+
+def test_weighted_sample_follows_weights(spark):
+    """Statistical sanity over 30 salts: one item with 50x the weight of
+    its 199 peers must be included far more often (p_heavy ~ 1 against
+    ~n*w/total ~ 0.08 per light item)."""
+    rows = [(i, 50.0 if i == 0 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, w double").cache()
+    heavy = light0 = 0
+    for s in range(30):
+        got = {r["k"] for r in
+               weighted_sample(df, 20, "w", "k", salt=f"s{s}").collect()}
+        assert len(got) == 20
+        heavy += 0 in got
+        light0 += 1 in got
+    assert heavy >= 27      # ~P=1-(1-50/249)^20 ≈ 0.99 per draw
+    assert light0 <= 12     # ~P≈0.15 per draw for a unit-weight item
 
 
 def test_pack_shards_offset_semantics(spark):
