@@ -1445,6 +1445,24 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("last_event_id"))
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split (operators/clusters.py
+    leakage_safe_split): hash-split on the near-dup CLUSTER id so a
+    document and its paraphrase/boilerplate copies always land in the
+    same split — the defense against eval contamination that a plain
+    per-doc split cannot give.  The oracle replays the whole chain:
+    exact-Jaccard transitive closure (recursive CTE, as dedup_clusters)
+    → min-id cluster → the shared hash_split CASE on the cluster id."""
+    docs = _docs(spark, sf_dir)
+    pairs = DD.minhash_near_dup_pairs(
+        docs, "text", "doc_id", threshold=0.6, num_perm=128, bands=16,
+        shingle_k=5)
+    out = CL.leakage_safe_split(
+        docs.select("doc_id", "source"), "doc_id", _SPLIT_WEIGHTS,
+        pairs=pairs, salt="ls1")
+    return out.select("doc_id", "source", "split_key", "split")
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (operators/sampling.py
     weighted_sample — Efraimidis–Spirakis): 60 documents drawn with
@@ -1767,18 +1785,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "sketch_quantiles": q_sketch_quantiles,
         "weighted_sample": q_weighted_sample,
+        "leakage_safe_split": q_leakage_safe_split,
         # -- (6) fillers: only driver proof is r3 -----------------------
         # (cdc_compact rotated out: merge_upsert drives the same operator
-        # family against the same oracle SQL)
+        # family against the same oracle; range_join rotated out with
+        # asof_join staying as the temporal-join representative)
         "media_meta": q_media_meta,
         "clean_corpus": q_clean_corpus,
         "stream_sliding": q_stream_sliding,
         "asof_join": q_asof_join,
-        "range_join": q_range_join,
         # ---------------- 50-row window ends here ----------------------
         # All entries below are driver-proven in earlier rounds (most in
         # ≥2) and covered by the local oracle-parity suite; they rotate
         # back into the window in later rounds.
+        "range_join": q_range_join,
         "cdc_compact": q_cdc_compact,
         "scd2": q_scd2,
         "bm25": q_bm25,
@@ -2084,6 +2104,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, cluster_id,
                    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
             FROM comp""",
+        # Same transitive-closure CTE as dedup_clusters, then the shared
+        # hash_split CASE drawn on the CLUSTER id — near-dups provably
+        # land in one split because they share the hash input.
+        "leakage_safe_split": f"""
+            WITH RECURSIVE
+            sh AS (SELECT doc_id, {shingle5} AS sh FROM documents),
+            p AS (SELECT a.doc_id AS u, b.doc_id AS v
+                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                  WHERE {jaccard5} >= 0.6),
+            e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+            reach(id, r) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.id),
+            comp AS (SELECT id AS doc_id, min(r) AS split_key
+                     FROM reach GROUP BY id)
+            SELECT d.doc_id, d.source, comp.split_key,
+                   {SMP.hash_split_sql_case('split_key', _SPLIT_WEIGHTS,
+                                            'ls1')} AS split
+            FROM comp JOIN documents d ON comp.doc_id = d.doc_id""",
         "ann_bruteforce": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
                  c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),

@@ -40,7 +40,8 @@ from pyspark.sql import functions as F
 
 from frames_map_reduce_spark.schema import require_columns
 
-__all__ = ["connected_components", "attach_components", "dedup_clusters"]
+__all__ = ["connected_components", "attach_components", "dedup_clusters",
+           "leakage_safe_split"]
 
 
 def _canon(edges: DataFrame) -> DataFrame:
@@ -169,3 +170,38 @@ def dedup_clusters(df: DataFrame, text_col: str, id_col: str,
                    .agg(F.count(F.lit(1)).alias("cluster_size"))
     return labeled.join(sizes, "cluster_id") \
                   .select(id_col, "cluster_id", "cluster_size")
+
+
+def leakage_safe_split(df: DataFrame, id_col: str, weights,
+                       pairs: DataFrame | None = None,
+                       components: DataFrame | None = None,
+                       src: str = "id_a", dst: str = "id_b",
+                       salt: str = "", split_col: str = "split",
+                       key_out: str = "split_key") -> DataFrame:
+    """Near-dup-aware train/val/test split: hash-split on the near-dup
+    CLUSTER id instead of the document id, so a document and all of its
+    near-duplicates land in the SAME split — the standard defense
+    against eval contamination through paraphrase/boilerplate copies
+    that a plain per-document split sprays across train and test.
+
+    Pass either ``pairs`` (a verified near-dup edge list, e.g. from
+    ``minhash_near_dup_pairs``) or a precomputed ``components`` table
+    from ``connected_components``.  Documents with no near-dups are
+    singleton clusters (their own id).  ``weights``/``salt`` follow
+    ``sampling.hash_split`` — deterministic, rerun- and growth-stable.
+
+    Scale: components run over the EDGE list (tiny next to the corpus);
+    labeling is one join on ``id_col``; the split itself stays map-side.
+    Output adds ``key_out`` (the cluster id the hash was drawn from) and
+    ``split_col``.
+    """
+    from frames_map_reduce_spark.operators.sampling import hash_split
+
+    if (pairs is None) == (components is None):
+        raise ValueError("pass exactly one of pairs= or components=")
+    if components is None:
+        components = connected_components(pairs, src=src, dst=dst)
+    labeled = attach_components(df, components, id_col) \
+        .withColumnRenamed("component", key_out)
+    return hash_split(labeled, key_out, weights, salt=salt,
+                      split_col=split_col)

@@ -113,3 +113,32 @@ def test_dedup_clusters_matches_pairwise_union_find(spark, documents):
         assert size == label_counts[label]
     # there is at least one real multi-doc cluster in the fixture
     assert max(label_counts.values()) >= 2
+
+
+def test_leakage_safe_split_coclusters_share_split(spark):
+    """Every member of a near-dup cluster draws the same split; isolated
+    docs split as singletons on their own id (== plain hash_split)."""
+    from frames_map_reduce_spark.operators.clusters import leakage_safe_split
+    from frames_map_reduce_spark.operators.sampling import hash_split
+    import pytest as _pt
+
+    docs = spark.createDataFrame([(i, f"s{i % 3}") for i in range(30)],
+                                 "doc_id long, source string")
+    # two clusters: {0,1,2} (a chain) and {10,11}
+    edges = spark.createDataFrame([(0, 1), (1, 2), (10, 11)],
+                                  "id_a long, id_b long")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = leakage_safe_split(docs, "doc_id", w, pairs=edges, salt="t")
+    got = {r["doc_id"]: (r["split_key"], r["split"]) for r in out.collect()}
+    assert len(got) == 30
+    assert got[0] == got[1] == got[2] and got[0][0] == 0
+    assert got[10] == got[11] and got[10][0] == 10
+    # singletons match a plain per-doc hash_split with the same salt
+    plain = {r["doc_id"]: r["split"]
+             for r in hash_split(docs, "doc_id", w, salt="t").collect()}
+    clustered = {0, 1, 2, 10, 11}
+    for d, (key, split) in got.items():
+        if d not in clustered:
+            assert key == d and split == plain[d], d
+    with _pt.raises(ValueError, match="exactly one"):
+        leakage_safe_split(docs, "doc_id", w)
