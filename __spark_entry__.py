@@ -1050,6 +1050,39 @@ def q_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.count(F.lit(1)).alias("n_lineitems")))
 
 
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping-priority) adapted to the fixture schema (no
+    o_shippriority column — o_orderpriority stands in): top-10 unshipped
+    orders of one market segment by revenue.  Scale shape: every filter
+    applied BEFORE its join (segment prunes customer ahead of the
+    broadcast; both date filters reach the parquet scans), fact tables
+    shuffle once on o_orderkey, and the global top-10 on the rounded
+    revenue lowers to TakeOrderedAndProject — partial top-k per
+    partition, never a full sort.  Ordering ties break on (date, key)
+    so the limit is deterministic and engine-stable."""
+    cutoff = F.to_timestamp(F.lit("1995-03-15 00:00:00"))
+    cust = _t(spark, sf_dir, "customer") \
+        .filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderdate") < cutoff) \
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem") \
+        .filter(F.col("l_shipdate") > cutoff) \
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+           .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey))
+    agg = map_reduce(
+        j.select("l_orderkey", "o_orderdate", "o_orderpriority",
+                 "l_extendedprice", "l_discount"),
+        unpack_no_op(),
+        split_on_keys(["l_orderkey", "o_orderdate", "o_orderpriority"]),
+        fold_and_add_key(folds.of(
+            F.round(F.sum(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount"))), 2), "revenue")))
+    return (agg.orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+               .limit(10))
+
+
 def q_topk_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native top-k per group (operators.topk): same semantics as
     q_topk_per_group but pure JVM window — the scale path; the grouped-map
@@ -1826,6 +1859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ann_bruteforce": q_ann_bruteforce,
+        "tpch_q3": q_tpch_q3,
         "sample_stratified": q_sample_stratified,
         "mixture_weights": q_mixture_weights,
         "text_quality": q_text_quality,
@@ -2239,6 +2273,19 @@ def oracle_sql() -> dict[str, str]:
                               THEN 1 ELSE 0 END AS new_session
                   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
             GROUP BY user_id""",
+        "tpch_q3": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+              AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderdate, l_orderkey
+            LIMIT 10""",
         "join_revenue": """
             SELECT n_name,
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

@@ -124,6 +124,21 @@ def test_merge_missing_payload_column_raises(spark, log):
         merge_upsert(target, log, ["k"], ["v"])
 
 
+def test_merge_plan_broadcasts_delta_keys(spark):
+    """The 100 TB contract: the big target is scanned, never shuffled —
+    the compacted delta's key set broadcasts into the left_anti (AQE
+    resolves it at runtime, so assert on the executed plan)."""
+    target = spark.range(20000).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("val"))
+    changes = spark.range(50).select(
+        F.col("id").alias("k"), F.lit(1).alias("v"),
+        (F.col("id") * 3.0).alias("val"))
+    out = merge_upsert(target, changes, ["k"], ["v"])
+    out.collect()
+    plan = executed_plan(out)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:2000]
+
+
 def test_plan_is_two_phase_agg_no_window(log):
     """The scale contract: compaction is a partial-aggregated max_by
     (one shuffle carrying ≤ |keys| rows per task), NOT a window sort

@@ -109,3 +109,20 @@ def test_brute_force_topk_joined_plan_shape(spark, embeddings):
 def test_whole_stage_codegen_covers_agg(flagship):
     from frames_map_reduce_spark.plans import has_whole_stage_codegen
     assert has_whole_stage_codegen(flagship)
+
+
+def test_tpch_q3_plan_shape(spark):
+    """Q3's scale contract: date filters reach the parquet scans, the
+    pruned customer dim broadcasts, and the global top-10 lowers to
+    TakeOrderedAndProject (partial per-partition top-k, no full sort)."""
+    import __spark_entry__ as E
+    from frames_map_reduce_spark.plans import (
+        executed_plan, has_broadcast_join, pushed_filters)
+    from tests.conftest import SF_DIR
+
+    df = E.q_tpch_q3(spark, SF_DIR)
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pushed and "l_shipdate" in pushed
+    assert has_broadcast_join(df)
+    df.collect()
+    assert "TakeOrderedAndProject" in executed_plan(df)
