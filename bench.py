@@ -53,6 +53,7 @@ HEADLINE = [
     "shuffle_pos",        # scalable global permutation index
     "dup_spans",          # exact repeated-substring spans (posting lists)
     "merge_upsert",       # incremental MERGE: delta compaction + anti join
+    "tpch_q3",            # classic star join + pushed dates + top-10
 ]
 
 
