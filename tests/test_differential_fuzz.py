@@ -246,3 +246,36 @@ def test_hash_split_matches_duckdb(spark, keys, w, salt):
         f"SELECT id, {case} AS s FROM (VALUES {vals}) AS t(id)").fetchall())
     con.close()
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),    # key
+            st.integers(min_value=0, max_value=60),   # version (may tie)
+            st.booleans(),                            # tombstone?
+            st.integers(min_value=-50, max_value=50), # payload
+        ),
+        min_size=1, max_size=50),
+    cutoff=st.integers(min_value=0, max_value=61),
+)
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_merge_upsert_incremental_equals_batch(spark, rows, cutoff):
+    """For ANY log and ANY cutoff: merge(compact(prefix), suffix) ==
+    compact(full log).  seq (row index) breaks version ties so both
+    paths pick the same winner."""
+    from frames_map_reduce_spark.operators.cdc import compact_latest, merge_upsert
+
+    data = [(k, v, i, "delete" if d else "upsert", float(p))
+            for i, (k, v, d, p) in enumerate(rows)]
+    log = spark.createDataFrame(
+        data, "k long, v long, seq long, op string, val double")
+    tomb = F.col("op") == "delete"
+    full = compact_latest(log, ["k"], ["v", "seq"], tombstone=tomb)
+    snap = compact_latest(log.filter(F.col("v") < cutoff), ["k"],
+                          ["v", "seq"], tombstone=tomb)
+    merged = merge_upsert(snap, log.filter(F.col("v") >= cutoff),
+                          ["k"], ["v", "seq"], tombstone=tomb)
+    assert sorted(map(tuple, merged.collect())) \
+        == sorted(map(tuple, full.collect()))
