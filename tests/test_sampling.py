@@ -121,6 +121,17 @@ def test_weighted_sample_follows_weights(spark):
     assert light0 <= 12     # ~P≈0.15 per draw for a unit-weight item
 
 
+def test_weighted_sample_plan_is_partial_topk(spark):
+    """The global n-smallest lowers to TakeOrderedAndProject (partial
+    per-partition top-n), never a full Sort+Exchange."""
+    from frames_map_reduce_spark.plans import executed_plan
+    df = spark.range(5000).select(
+        F.col("id").alias("k"), (F.col("id") % 7 + 1.0).alias("w"))
+    out = weighted_sample(df, 25, "w", "k", salt="p")
+    assert out.count() == 25
+    assert "TakeOrderedAndProject" in executed_plan(out)
+
+
 def test_pack_shards_offset_semantics(spark):
     # sizes 4,4,4 budget 8: offsets 0,4,8 → shards 0,0,1
     got = _pack_rows(spark, [4, 4, 4], budget=8)
