@@ -301,3 +301,48 @@ def test_stream_embedding_firewall(spark, tmp_path):
                  inc_df, ref, "embedding", "vec_id",
                  threshold=0.9, n_planes=3).collect()}
     assert got == batch
+
+
+def test_stream_merge_snapshot_equals_batch_compaction(spark, tmp_path):
+    """The streaming CDC story end-to-end: a changelog streamed in
+    MULTIPLE micro-batches maintains a snapshot equal to the batch
+    compaction of the full log — including a key upserted in batch 1
+    and tombstoned in batch 2, and a delete superseded later."""
+    from frames_map_reduce_spark.operators.cdc import compact_latest
+    from frames_map_reduce_spark.streaming import (
+        read_snapshot,
+        stream_merge_snapshot,
+    )
+
+    schema = "k long, v long, is_delete boolean, val double"
+    batch1 = [(1, 1, False, 10.0), (2, 1, False, 20.0), (3, 1, False, 30.0),
+              (4, 1, True, None)]
+    batch2 = [(2, 2, True, None),          # delete an existing key
+              (3, 2, False, 31.0),         # update
+              (4, 2, False, 40.0),         # resurrect after earlier delete
+              (5, 1, False, 50.0)]         # insert
+    src = str(tmp_path / "log")
+    spark.createDataFrame(batch1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    spark.createDataFrame(batch2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+                   .option("maxFilesPerTrigger", 1).parquet(src))
+    snap_dir = str(tmp_path / "snap")
+    q = stream_merge_snapshot(
+        stream, snap_dir, keys=["k"], version=["v"],
+        tombstone_col="is_delete",
+        checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, read_snapshot(spark, snap_dir)
+                     .select("k", "v", "is_delete", "val").collect()))
+    full = spark.createDataFrame(batch1 + batch2, schema)
+    want = sorted(map(tuple, compact_latest(
+        full, ["k"], ["v"],
+        tombstone=F.col("is_delete")).select("k", "v", "is_delete", "val")
+        .collect()))
+    assert got == want
+    # 2 tombstoned; 4's early delete superseded by the later upsert
+    assert {r[0] for r in got} == {1, 3, 4, 5}
