@@ -1083,6 +1083,66 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
                .limit(10))
 
 
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local-supplier volume): revenue per nation for one
+    region and one order year, counting only lineitems whose supplier
+    and customer share a nation.  Join discipline at 100 TB: the date
+    filter prunes orders at the scan; the fact chain
+    lineitem⋈orders⋈customer shuffles on its keys; nation⋈region
+    collapse to a broadcast filter; supplier is left to AQE (1/100 of
+    lineitem — broadcastable at moderate scale, a shuffle join beyond;
+    forcing the broadcast would be wrong at the top end).  The
+    same-nation predicate rides the supplier join as an equi-condition,
+    not a post-filter."""
+    y0 = F.to_timestamp(F.lit("1996-01-01 00:00:00"))
+    y1 = F.to_timestamp(F.lit("1997-01-01 00:00:00"))
+    li = _t(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    orders = _t(spark, sf_dir, "orders") \
+        .filter((F.col("o_orderdate") >= y0) & (F.col("o_orderdate") < y1)) \
+        .select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nr = (_t(spark, sf_dir, "nation")
+          .join(F.broadcast(_t(spark, sf_dir, "region")
+                            .filter(F.col("r_name") == "ASIA")),
+                F.col("n_regionkey") == F.col("r_regionkey"))
+          .select("n_nationkey", "n_name"))
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+           .join(cust, orders.o_custkey == cust.c_custkey)
+           .join(supp, (li.l_suppkey == supp.s_suppkey)
+                 & (cust.c_nationkey == supp.s_nationkey))
+           .join(F.broadcast(nr), supp.s_nationkey == nr.n_nationkey))
+    return (j.groupBy("n_name")
+             .agg(F.round(F.sum(F.col("l_extendedprice")
+                                * (1 - F.col("l_discount"))), 2)
+                  .alias("revenue")))
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds a threshold, with customer detail.  The HAVING subquery is
+    ONE self-aggregation of lineitem (2-phase sum, shuffle carries one
+    row per order) whose small surviving key set then drives semi-join
+    pruning of orders and a re-join to lineitem — the fact table is
+    never joined to itself row-for-row.  Deterministic top-100 via
+    TakeOrderedAndProject with a full tie-break."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (li.groupBy("l_orderkey")
+             .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+             .filter(F.col("sum_qty") > 300))
+    orders = _t(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    j = (orders.join(big, orders.o_orderkey == big.l_orderkey)
+               .join(cust, orders.o_custkey == cust.c_custkey))
+    return (j.select("c_name", "c_custkey", "o_orderkey",
+                     "o_orderdate", "o_totalprice", "sum_qty")
+             .orderBy(F.col("o_totalprice").desc(), "o_orderdate",
+                      "o_orderkey")
+             .limit(100))
+
+
 def q_topk_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native top-k per group (operators.topk): same semantics as
     q_topk_per_group but pure JVM window — the scale path; the grouped-map
@@ -1860,6 +1920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ann_bruteforce": q_ann_bruteforce,
         "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q18": q_tpch_q18,
         "sample_stratified": q_sample_stratified,
         "mixture_weights": q_mixture_weights,
         "text_quality": q_text_quality,
@@ -2286,6 +2348,32 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, o_orderdate, l_orderkey
             LIMIT 10""",
+        "tpch_q5": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n_name""",
+        "tpch_q18": """
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   o_totalprice, sum_qty
+            FROM orders
+            JOIN (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING round(sum(l_quantity), 2) > 300)
+                 ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+            LIMIT 100""",
         "join_revenue": """
             SELECT n_name,
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
