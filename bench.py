@@ -54,6 +54,8 @@ HEADLINE = [
     "dup_spans",          # exact repeated-substring spans (posting lists)
     "merge_upsert",       # incremental MERGE: delta compaction + anti join
     "tpch_q3",            # classic star join + pushed dates + top-10
+    "tpch_q5",            # 6-way star, broadcast dims, AQE supplier
+    "tpch_q18",           # HAVING self-agg semi-join pruning
 ]
 
 
