@@ -50,14 +50,27 @@ def compact_latest(df: DataFrame, keys: Sequence[str],
 
 def merge_upsert(target: DataFrame, changes: DataFrame,
                  keys: Sequence[str], version: Sequence[str],
-                 tombstone: Column | None = None) -> DataFrame:
+                 tombstone: Column | None = None,
+                 only_newer: bool = False) -> DataFrame:
     """Batch MERGE INTO: apply a changelog to an existing snapshot.
 
     The latest change per key (lexicographic max of ``version``) wins
     within the batch; a winning ``tombstone`` row deletes the key; any
     other winning row replaces (or inserts) the target row.  Result
     schema is ``target``'s schema; ``changes`` must carry all of
-    ``target``'s columns plus the ``version`` columns.
+    ``target``'s columns plus the ``version`` columns.  ``tombstone``
+    is evaluated on the compacted winner AFTER projection to the target
+    schema, so it may reference target columns only (a flag kept in the
+    snapshot, not a changes-only column).
+
+    ``only_newer=True`` additionally compares each winning change
+    against the target row it would replace and keeps the TARGET side
+    when its version is higher — the guard for out-of-order or replayed
+    delta batches (requires the ``version`` columns to be part of the
+    target schema).  A tombstoned key has no target row to defend
+    itself with, so only upsert regressions are guarded; deliver
+    deletes in order (the same boundary every retention-free table
+    format has).
 
     **Incremental ≡ batch**: for a log split at any cutoff,
     ``merge_upsert(compact_latest(log[:t]), log[t:])`` equals
@@ -83,6 +96,12 @@ def merge_upsert(target: DataFrame, changes: DataFrame,
         raise ValueError(
             f"changes is missing target columns {missing}; MERGE needs "
             "the full target payload on every change row")
+    if only_newer:
+        vm = [c for c in version if c not in target.columns]
+        if vm:
+            raise ValueError(
+                f"only_newer=True needs the version columns in the target "
+                f"schema; missing {vm}")
     # Winning change per key, tombstone flag evaluated on the winner so a
     # delete followed by a later in-batch upsert correctly survives.
     payload = [c for c in target.columns if c not in keys]
@@ -91,10 +110,27 @@ def merge_upsert(target: DataFrame, changes: DataFrame,
         winners = winners.withColumn("_is_delete", tombstone)
     else:
         winners = winners.withColumn("_is_delete", F.lit(False))
+    if only_newer:
+        # An older-versioned delta must not regress the snapshot: drop
+        # winners the target already supersedes.  The target's versions
+        # for the touched keys come from a broadcast SEMI-join (build =
+        # the small delta key set), so the big target is scanned —
+        # column-pruned to keys+version — but never shuffled; the
+        # resulting skinny frame is delta-sized and joins winners
+        # broadcast-side.
+        tv = (target.join(F.broadcast(winners.select(*keys)),
+                          on=list(keys), how="left_semi")
+                    .select(*keys,
+                            F.struct(*version).alias("_target_version")))
+        winners = (winners.join(F.broadcast(tv), on=list(keys), how="left")
+                          .filter(F.col("_target_version").isNull()
+                                  | (F.struct(*version)
+                                     >= F.col("_target_version")))
+                          .drop("_target_version"))
     upserts = winners.filter(~F.col("_is_delete")) \
                      .select(*target.columns)
-    # Every changed key leaves the target (replaced or deleted); the
-    # anti-join build side is the compacted delta's key set.
+    # Every surviving changed key leaves the target (replaced or
+    # deleted); the anti-join build side is the compacted delta's key set.
     touched = winners.select(*keys)
     untouched = target.join(touched, on=list(keys), how="left_anti")
     return untouched.unionByName(upserts)

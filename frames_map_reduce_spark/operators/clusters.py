@@ -199,6 +199,12 @@ def leakage_safe_split(df: DataFrame, id_col: str, weights,
 
     if (pairs is None) == (components is None):
         raise ValueError("pass exactly one of pairs= or components=")
+    clash = [c for c in (key_out, split_col, "component")
+             if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"df already has column(s) {clash}; pass different "
+            "key_out/split_col names")
     if components is None:
         components = connected_components(pairs, src=src, dst=dst)
     labeled = attach_components(df, components, id_col) \

@@ -64,6 +64,15 @@ def z_value(df: DataFrame, cols: Sequence[str], bits: int = 12,
         raise ValueError(
             f"bits*len(cols) = {bits * len(cols)} exceeds 62; the Z key "
             "must fit a signed long")
+    from pyspark.sql.types import NumericType
+
+    for c in cols:
+        dt = df.schema[c].dataType
+        if not isinstance(dt, NumericType):
+            raise ValueError(
+                f"z_value needs numeric columns; {c} is "
+                f"{dt.simpleString()} — cast (e.g. unix_micros for "
+                "timestamps) or rank it upstream")
     bounds = dict(bounds or {})
     missing = [c for c in cols if c not in bounds]
     if missing:

@@ -41,7 +41,7 @@ from frames_map_reduce_spark.schema import require_columns
 __all__ = [
     "hash_unit", "hash_unit_sql", "hash_split", "hash_split_sql_case",
     "stratified_sample", "weighted_mixture", "weighted_mixture_sql_pred",
-    "weighted_sample", "weighted_sample_sql",
+    "weighted_sample", "weighted_sample_sql", "es_priority_sql",
 ]
 
 _SCALE = 1 << 32  # 8 hex chars
@@ -185,6 +185,15 @@ def weighted_sample(df: DataFrame, n: int, weight_col: str, key_col: str,
     per-partition partial top-n, merge of ≤ partitions×n rows — NOT a
     global sort.  Keep ``n`` driver-sized (it is a sample); for
     rate-based selection at corpus scale use ``weighted_mixture``.
+
+    Contract shared with every sampler in this module: ``key_col`` must
+    be unique per row — duplicate keys draw one correlated uniform, and
+    equal-priority ties at the cutoff would make the selected PAYLOAD
+    partition-order-dependent.  Cross-engine oracle parity rides on the
+    float variate agreeing between JVM ``log`` and DuckDB ``ln`` — a
+    per-row disagreement needs two priorities within ~1 ulp of each
+    other at the cutoff boundary, the same (accepted) risk class as the
+    suite-wide ``round(x, 6)`` hashing convention.
     """
     require_columns(df, [weight_col, key_col])
     if n <= 0:

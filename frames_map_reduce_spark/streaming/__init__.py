@@ -312,20 +312,33 @@ def stream_merge_snapshot(stream: DataFrame, snapshot_dir: str,
     test_streaming.py).
 
     Scale notes: per batch, the delta compacts (one small shuffle) and
-    the snapshot is scanned once with the delta's key set broadcast into
-    the anti-join — exactly the batch MERGE plan.  Rewriting the full
-    snapshot per batch is what parquet-without-a-table-format costs;
-    on a real deployment point this at Delta/Iceberg MERGE INTO (same
-    ``merge_upsert`` semantics) or lengthen the trigger interval so the
-    rewrite amortizes.  Tombstone handling needs the flag column inside
-    the snapshot schema, so it is carried (always False on live rows).
+    the snapshot is scanned — never shuffled — with the delta's key set
+    broadcast into the version guard and the anti-join: exactly the
+    batch MERGE plan.  Rewriting the full snapshot per batch is what
+    parquet-without-a-table-format costs; on a real deployment point
+    this at Delta/Iceberg MERGE INTO (same ``merge_upsert`` semantics)
+    or lengthen the trigger interval so the rewrite amortizes.
+    Tombstone handling needs the flag column inside the snapshot
+    schema, so it is carried (always False on live rows).
+
+    Failure semantics: foreachBatch is at-least-once, so a replayed
+    micro-batch is (a) skipped outright when the pointer already names
+    its version (crash between pointer swap and checkpoint commit), and
+    (b) harmless even when re-merged, because the merge runs with
+    ``only_newer=True`` — an already-applied or out-of-order delta
+    cannot regress a key to an older version.  Tombstones are the
+    retention boundary: deliver deletes in order (docstring of
+    ``merge_upsert``).  The previous version directory is retained (one
+    behind) so a reader holding the old pointer can still finish; older
+    versions are retired.
     """
     import os
     import shutil
 
-    from pyspark.sql import functions as SF
-
-    from frames_map_reduce_spark.operators.cdc import merge_upsert
+    from frames_map_reduce_spark.operators.cdc import (
+        compact_latest,
+        merge_upsert,
+    )
 
     os.makedirs(snapshot_dir, exist_ok=True)
 
@@ -334,29 +347,34 @@ def stream_merge_snapshot(stream: DataFrame, snapshot_dir: str,
             return
         spark = batch_df.sparkSession
         ptr = os.path.join(snapshot_dir, _SNAPSHOT_POINTER)
-        tomb = (SF.col(tombstone_col) == SF.lit(True)) \
+        new_version = f"v{batch_id:020d}"
+        tomb = (F.col(tombstone_col) == F.lit(True)) \
             if tombstone_col is not None else None
         if os.path.exists(ptr):
+            with open(ptr, encoding="utf-8") as fh:
+                committed = fh.read().strip()
+            if committed >= new_version:   # zero-padded: lexicographic
+                return                     # replay of an applied batch
             target = read_snapshot(spark, snapshot_dir)
             merged = merge_upsert(target, batch_df, keys, version,
-                                  tombstone=tomb)
+                                  tombstone=tomb, only_newer=True)
         else:
-            from frames_map_reduce_spark.operators.cdc import compact_latest
             merged = compact_latest(batch_df, keys, version, tombstone=tomb)
-        new_version = f"v{batch_id:020d}"
         out_dir = os.path.join(snapshot_dir, new_version)
         merged.write.mode("overwrite").parquet(out_dir)
         tmp = ptr + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
             f.write(new_version)
         os.replace(tmp, ptr)  # atomic pointer swap commits the version
-        # retire superseded versions (readers of the old pointer may
-        # race within a batch interval; a real table format keeps N)
-        for d in os.listdir(snapshot_dir):
-            if d.startswith("v") and d != new_version \
-                    and os.path.isdir(os.path.join(snapshot_dir, d)):
-                shutil.rmtree(os.path.join(snapshot_dir, d),
-                              ignore_errors=True)
+        # retire all but the newest TWO versions: the one-behind dir may
+        # still be read by a pointer resolved just before the swap
+        versions = sorted(
+            d for d in os.listdir(snapshot_dir)
+            if d.startswith("v")
+            and os.path.isdir(os.path.join(snapshot_dir, d)))
+        for d in versions[:-2]:
+            shutil.rmtree(os.path.join(snapshot_dir, d),
+                          ignore_errors=True)
 
     writer = stream.writeStream.foreachBatch(apply) \
         .trigger(availableNow=True)

@@ -118,6 +118,29 @@ def test_merge_incremental_equals_batch_recompute(spark):
             == sorted(map(tuple, full.collect())), f"cutoff={cutoff}"
 
 
+def test_merge_only_newer_guards_out_of_order_delta(spark):
+    """A replayed/late delta carrying OLDER versions must not regress
+    the snapshot when only_newer=True (and must without it, proving the
+    guard is doing the work)."""
+    target = spark.createDataFrame(
+        [("a", 5, 50.0), ("b", 5, 60.0)], "k string, v long, val double")
+    stale = spark.createDataFrame(
+        [("a", 3, 30.0), ("c", 1, 10.0)], "k string, v long, val double")
+    guarded = merge_upsert(target, stale, ["k"], ["v"], only_newer=True)
+    assert {r["k"]: (r["v"], r["val"]) for r in guarded.collect()} \
+        == {"a": (5, 50.0), "b": (5, 60.0), "c": (1, 10.0)}
+    unguarded = merge_upsert(target, stale, ["k"], ["v"])
+    assert {r["k"]: r["v"] for r in unguarded.collect()}["a"] == 3
+    # equal versions: the delta wins (>= comparison — idempotent replay)
+    replay = spark.createDataFrame([("a", 5, 55.0)],
+                                   "k string, v long, val double")
+    again = merge_upsert(target, replay, ["k"], ["v"], only_newer=True)
+    assert {r["k"]: r["val"] for r in again.collect()}["a"] == 55.0
+    with pytest.raises(ValueError, match="version columns in the target"):
+        merge_upsert(target.drop("v"), stale, ["k"], ["v"],
+                     only_newer=True)
+
+
 def test_merge_missing_payload_column_raises(spark, log):
     target = spark.createDataFrame([("a", 1.0)], "k string, extra double")
     with pytest.raises(ValueError, match="missing target columns"):

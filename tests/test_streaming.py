@@ -346,3 +346,15 @@ def test_stream_merge_snapshot_equals_batch_compaction(spark, tmp_path):
     assert got == want
     # 2 tombstoned; 4's early delete superseded by the later upsert
     assert {r[0] for r in got} == {1, 3, 4, 5}
+
+    # full reprocess with a FRESH checkpoint (batch ids restart at 0):
+    # the committed-pointer guard skips replayed versions and
+    # only_newer makes any re-merge a no-op — snapshot unchanged
+    q2 = stream_merge_snapshot(
+        stream, snap_dir, keys=["k"], version=["v"],
+        tombstone_col="is_delete",
+        checkpoint=str(tmp_path / "ckpt2"))
+    q2.awaitTermination(120)
+    again = sorted(map(tuple, read_snapshot(spark, snap_dir)
+                       .select("k", "v", "is_delete", "val").collect()))
+    assert again == want
