@@ -55,6 +55,7 @@ from frames_map_reduce_spark.mapreduce import (
 from frames_map_reduce_spark.operators import cdc as CDC
 from frames_map_reduce_spark.operators import clusters as CL
 from frames_map_reduce_spark.operators import dedup as DD
+from frames_map_reduce_spark.operators import frequency as FRQ
 from frames_map_reduce_spark.operators import packing as PK
 from frames_map_reduce_spark.operators import quality as QL
 from frames_map_reduce_spark.operators import sampling as SMP
@@ -1538,6 +1539,30 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("last_event_id"))
 
 
+def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-sketch accountability (operators/frequency.py — the
+    mergeable Misra-Gries heavy hitters), completing the sketch family
+    next to sketch_distinct (HLL) and sketch_quantiles (GK): the exact
+    top-15 tokens (JVM 2-phase count — itself the oracle twin) joined to
+    the sketch's estimates, with the deterministic `within_bounds` bit
+    asserting the worst-case Misra-Gries envelope est ≤ true ≤ est +
+    pruned-mass.  The driver hashes the exact counts and the bit; a
+    sketch drifting outside its theorem fails the hash."""
+    docs = _docs(spark, sf_dir)
+    toks = (docs.select(F.explode(F.split(F.lower(F.col("text")),
+                                          TX.WS)).alias("token"))
+                .filter((F.col("token") != "")
+                        & (F.length("token") >= 4)))
+    exact = (toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+                 .orderBy(F.col("n").desc(), "token").limit(15))
+    sk = FRQ.heavy_hitters_approx(toks, "token", k=200, capacity=1024)
+    return (exact.join(sk.select("token", "est", "upper"), "token")
+                 .select("token", "n",
+                         ((F.col("est") <= F.col("n"))
+                          & (F.col("n") <= F.col("upper")))
+                         .cast("int").alias("within_bounds")))
+
+
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup-aware train/val/test split (operators/clusters.py
     leakage_safe_split): hash-split on the near-dup CLUSTER id so a
@@ -1879,11 +1904,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_quantiles": q_sketch_quantiles,
         "weighted_sample": q_weighted_sample,
         "leakage_safe_split": q_leakage_safe_split,
+        "sketch_heavy_hitters": q_sketch_heavy_hitters,
         # -- (6) fillers: only driver proof is r3 -----------------------
         # (cdc_compact rotated out: merge_upsert drives the same operator
         # family against the same oracle; range_join rotated out with
-        # asof_join staying as the temporal-join representative)
-        "media_meta": q_media_meta,
+        # asof_join staying as the temporal-join representative;
+        # media_meta rotated out with media_features staying as the
+        # multimodal representative)
         "clean_corpus": q_clean_corpus,
         "stream_sliding": q_stream_sliding,
         "asof_join": q_asof_join,
@@ -1891,6 +1918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # All entries below are driver-proven in earlier rounds (most in
         # ≥2) and covered by the local oracle-parity suite; they rotate
         # back into the window in later rounds.
+        "media_meta": q_media_meta,
         "range_join": q_range_join,
         "cdc_compact": q_cdc_compact,
         "scd2": q_scd2,
@@ -2547,6 +2575,17 @@ def oracle_sql() -> dict[str, str]:
         """.format(inner=SMP.weighted_sample_sql(
             "documents", 60, "n_chars", "doc_id", salt="r4",
             priority_col="pri")),
+        # Exact top-15 token counts hashed; the sketch's Misra-Gries
+        # envelope bit asserted as the constant 1 (worst-case theorem,
+        # checked Spark-side against est/upper from the sketch).
+        "sketch_heavy_hitters": f"""
+            SELECT token, n, 1 AS within_bounds
+            FROM (SELECT token, count(*) AS n
+                  FROM (SELECT unnest({_sql_tokens('text')}) AS token
+                        FROM documents)
+                  WHERE len(token) >= 4
+                  GROUP BY token
+                  ORDER BY n DESC, token LIMIT 15)""",
         # The MERGE oracle is the BATCH recompute: incremental
         # (compact prefix -> merge suffix) must equal full-log
         # compaction at any cutoff — identical SQL to cdc_compact by

@@ -1,0 +1,120 @@
+"""Approximate heavy hitters: a mergeable Misra-Gries / Space-Saving
+sketch over a column, Spark-shaped.
+
+Exact frequency counting (``groupBy(col).count()``) shuffles one row per
+DISTINCT value — fine for token tables, ruinous when the value domain is
+huge (URLs, n-grams, join keys under skew diagnosis).  The classic
+answer is a bounded-memory frequency sketch per partition merged into a
+global summary (Misra-Gries 1982; the merge analysis is Agarwal et al.,
+"Mergeable Summaries", PODS'12): memory is ``capacity`` counters per
+partition and the shuffle carries ≤ partitions × capacity rows,
+independent of the number of distinct values.
+
+Guarantee (the accountability contract the driver query pins): with
+``err_p`` the total count pruned in partition p, for EVERY value
+``est ≤ true ≤ est + Σ_p err_p`` — estimates never overcount, and the
+undercount is bounded by the published ``total_err``.  Per partition
+``err_p ≤ N_p / capacity``, so the bound tightens linearly with
+capacity.
+
+Spark shape: one ``mapInPandas`` pass builds the per-partition summary
+(pandas ``value_counts`` per Arrow batch, dict merge, batch prune — no
+per-row Python), a JVM ``groupBy(sum)`` merges summaries, and the
+global top-k lowers to ``TakeOrderedAndProject``.  The reference engine
+has no sketch surface (SURVEY §2.8); this completes the sketch-fold
+family next to HLL cardinality (folds.approx_count_distinct) and GK
+quantiles (folds.approx_quantiles): cardinality / quantiles / frequency.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from frames_map_reduce_spark.schema import require_columns
+
+__all__ = ["heavy_hitters_approx"]
+
+#: marker row per partition carrying its pruned-mass total; NULL value
+#: rows cannot collide with data because NULL values are dropped first.
+_ERR_MARKER = None
+
+
+def _mg_partition(col: str, capacity: int):
+    """Per-partition Misra-Gries summary as a mapInPandas function.
+
+    Batch-pruning form: merge exact per-batch counts into a dict; when
+    the dict exceeds ``capacity``, subtract the (size-capacity)-th
+    smallest count from everyone and drop the non-positive — one vector
+    op per overflow, amortized O(batch) instead of the textbook
+    decrement-per-arrival loop.  The subtracted total is the
+    partition's pruned mass ``err``.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: dict = {}
+        err = 0
+        for pdf in batches:
+            vc = pdf[col].dropna().value_counts()
+            for v, c in vc.items():
+                counts[v] = counts.get(v, 0) + int(c)
+            if len(counts) > capacity:
+                ser = pd.Series(counts)
+                cut = int(ser.nsmallest(len(counts) - capacity).iloc[-1])
+                ser = ser - cut
+                # pruned mass = Σ_v min(orig_v, cut) = cut·|ser| + Σ s≤0
+                err += cut * len(ser) + int(ser[ser <= 0].sum())
+                counts = ser[ser > 0].astype(int).to_dict()
+        out = pd.DataFrame(
+            {col: list(counts) + [_ERR_MARKER],
+             "est": list(counts.values()) + [0],
+             "err": [0] * len(counts) + [err]})
+        yield out.astype({"est": "int64", "err": "int64"})
+
+    return fn
+
+
+def heavy_hitters_approx(df: DataFrame, col: str, k: int,
+                         capacity: int = 1024) -> DataFrame:
+    """Top-``k`` values of ``col`` by approximate count.
+
+    Returns ``(col, est, lower, upper)`` — ``est`` never exceeds the
+    true count and ``upper = est + total pruned mass`` never undercuts
+    it, so ``true ∈ [est, upper]`` deterministically (not just with
+    high probability; the Misra-Gries bound is worst-case).  ``lower``
+    is ``est`` spelled out for self-describing output.
+
+    Memory: ``capacity`` counters per partition; shuffle:
+    ≤ partitions × capacity + partitions rows.  Undercount bound is
+    ``Σ_p N_p / capacity`` — size ``capacity`` to the error you can
+    tolerate relative to the counts you care about, and remember the
+    bound is over PARTITIONS: fewer, larger partitions tighten it.
+    """
+    require_columns(df, [col])
+    if k <= 0 or capacity <= 0:
+        raise ValueError("k and capacity must be positive")
+    dtype = df.schema[col].dataType.simpleString()
+    if dtype != "string":
+        raise ValueError(
+            f"heavy_hitters_approx currently supports string columns; "
+            f"{col} is {dtype} — cast first")
+    summaries = df.select(col).mapInPandas(
+        _mg_partition(col, capacity),
+        schema=f"`{col}` string, est long, err long")
+    merged = (summaries.groupBy(col)
+                       .agg(F.sum("est").alias("est"),
+                            F.sum("err").alias("err")))
+    total_err = (merged.filter(F.col(col).isNull())
+                       .select(F.sum("err").alias("_total_err")))
+    top = (merged.filter(F.col(col).isNotNull())
+                 .crossJoin(F.broadcast(total_err))
+                 .select(col, "est",
+                         F.col("est").alias("lower"),
+                         (F.col("est") + F.coalesce("_total_err", F.lit(0)))
+                         .alias("upper"))
+                 .orderBy(F.col("est").desc(), col)
+                 .limit(k))
+    return top
