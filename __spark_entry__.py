@@ -1289,6 +1289,29 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("age_us"))
 
 
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (direction='forward'): each 'click' picks up
+    the NEXT 'view' of the same user (ts >= click, inclusive) — the
+    lead-looking twin of q_asof_join, same single-shuffle union-marker
+    plan with the scan order reversed.  Oracle: DuckDB ASOF JOIN with
+    the <= comparator."""
+    from frames_map_reduce_spark.operators.temporal import as_of_join
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click") \
+               .select("user_id", "ts", "event_id", "value")
+    views = ev.filter(F.col("event_type") == "view") \
+              .select("user_id", "ts",
+                      F.col("value").alias("view_value"))
+    out = as_of_join(clicks, views, "ts", ["user_id"], ["view_value"],
+                     direction="forward")
+    return out.select(
+        "event_id", "user_id",
+        F.round("value", 2).alias("click_value"),
+        F.round("view_value_right", 2).alias("view_value"),
+        (F.unix_micros(F.col("ts_right")) - F.unix_micros(F.col("ts")))
+        .alias("lead_us"))
+
+
 def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join with a staleness bound (pandas merge_asof tolerance
     semantics): matches older than 15 minutes are nulled out.  Same
@@ -1944,6 +1967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_native": q_percentile_native,
         "unpivot": q_unpivot,
         "asof_tolerance": q_asof_tolerance,
+        "asof_forward": q_asof_forward,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ann_bruteforce": q_ann_bruteforce,
@@ -2459,6 +2483,14 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'click') c
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
               ON c.user_id = v.user_id AND c.ts >= v.ts""",
+        "asof_forward": """
+            SELECT c.event_id, c.user_id,
+                   round(c.value, 2) AS click_value,
+                   round(v.value, 2) AS view_value,
+                   date_diff('microsecond', c.ts, v.ts) AS lead_us
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON c.user_id = v.user_id AND c.ts <= v.ts""",
         "asof_tolerance": """
             SELECT c.event_id, c.user_id,
                    round(c.value, 2) AS click_value,

@@ -46,10 +46,16 @@ def _interval_us(spec: str) -> str:
 def as_of_join(left: DataFrame, right: DataFrame, ts_col: str,
                by_cols: Sequence[str], value_cols: Sequence[str],
                tolerance: str | None = None,
-               suffix: str = "_right") -> DataFrame:
-    """Backward as-of join: each left row picks up ``value_cols`` from the
-    most recent right row with the same ``by_cols`` and right.ts ≤
-    left.ts (inclusive — DuckDB/pandas ``merge_asof`` semantics).
+               suffix: str = "_right",
+               direction: str = "backward") -> DataFrame:
+    """As-of join: each left row picks up ``value_cols`` from the
+    nearest right row with the same ``by_cols`` — the most recent with
+    right.ts ≤ left.ts (``direction="backward"``, the default;
+    inclusive, DuckDB/pandas ``merge_asof`` semantics) or the next with
+    right.ts ≥ left.ts (``direction="forward"``, pandas
+    ``merge_asof(direction='forward')`` / DuckDB ``ASOF ... ON l.ts <=
+    r.ts``).  Forward is the same single-shuffle union-marker plan with
+    the scan order reversed.
 
     Left rows keep ALL their columns; matched right values arrive as
     ``<name><suffix>`` plus ``<ts_col><suffix>`` (the matched right
@@ -68,6 +74,9 @@ def as_of_join(left: DataFrame, right: DataFrame, ts_col: str,
     """
     require_columns(left, [ts_col, *by_cols])
     require_columns(right, [ts_col, *by_cols, *value_cols])
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}")
 
     rv = F.struct(F.col(ts_col).alias("_rts"),
                   *[F.col(c) for c in value_cols])
@@ -78,17 +87,22 @@ def as_of_join(left: DataFrame, right: DataFrame, ts_col: str,
     both = lhs.unionByName(rhs, allowMissingColumns=True)
 
     # right rows (_side=0) sort BEFORE left rows at the same timestamp, so
-    # an equal-ts right row is visible to the left row (inclusive match)
+    # an equal-ts right row is visible to the left row (inclusive match);
+    # forward scans time reversed, carrying the NEXT right row backward
+    ts_order = F.col(ts_col).asc() if direction == "backward" \
+        else F.col(ts_col).desc()
     w = (Window.partitionBy(*by_cols)
-               .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+               .orderBy(ts_order, F.col("_side").asc())
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = both.withColumn("_m", F.last("_rv", ignorenulls=True).over(w)) \
                   .filter(F.col("_side") == 1)
 
     if tolerance is not None:
         tol_us = F.expr(_interval_us(tolerance))
-        in_tol = (F.unix_micros(F.col(ts_col))
-                  - F.unix_micros(F.col("_m._rts")) <= tol_us)
+        age = (F.unix_micros(F.col(ts_col))
+               - F.unix_micros(F.col("_m._rts")))
+        in_tol = (age <= tol_us) if direction == "backward" \
+            else (-age <= tol_us)
         carried = carried.withColumn(
             "_m", F.when(in_tol, F.col("_m")))
 

@@ -91,11 +91,13 @@ asof_rows = st.lists(
     min_size=1, max_size=30)
 
 
-@given(left_rows=asof_rows, right_rows=asof_rows)
-@settings(max_examples=15, deadline=None,
+@given(left_rows=asof_rows, right_rows=asof_rows,
+       direction=st.sampled_from(["backward", "forward"]))
+@settings(max_examples=20, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
-def test_as_of_join_matches_merge_asof(spark, left_rows, right_rows):
-    """as_of_join ≡ pandas.merge_asof(direction='backward') on arbitrary
+def test_as_of_join_matches_merge_asof(spark, left_rows, right_rows,
+                                       direction):
+    """as_of_join ≡ pandas.merge_asof in BOTH directions on arbitrary
     generated frames (right side deduplicated per (key, ts) — tie order
     among exact duplicates is unspecified in both engines)."""
     import datetime as dt
@@ -117,12 +119,13 @@ def test_as_of_join_matches_merge_asof(spark, left_rows, right_rows):
     left = spark.createDataFrame(lp)
     right = spark.createDataFrame(rp)
 
-    out = as_of_join(left, right, "ts", ["k"], ["rv"]).toPandas() \
+    out = as_of_join(left, right, "ts", ["k"], ["rv"],
+                     direction=direction).toPandas() \
         .sort_values(["k", "ts", "lv"]).reset_index(drop=True)
     exp = pd.merge_asof(
         lp.sort_values("ts", kind="stable"),
         rp.sort_values("ts", kind="stable"),
-        on="ts", by="k", direction="backward") \
+        on="ts", by="k", direction=direction) \
         .sort_values(["k", "ts", "lv"]).reset_index(drop=True)
 
     assert (out["rv_right"].fillna(-999) == exp["rv"].fillna(-999)).all(), \

@@ -136,3 +136,34 @@ def test_range_join_plan_is_equi_join(spark):
     plan = explain_formatted(
         range_join(points, intervals, "ts", "t0", "t1", bucket="1 hour"))
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_as_of_forward_known_answer(spark):
+    """Forward as-of: each left row takes the NEXT right row (ts >=,
+    inclusive), with forward tolerance bounding how far ahead."""
+    import datetime as dt
+    from frames_map_reduce_spark.operators.temporal import as_of_join
+
+    t = lambda s: dt.datetime(2024, 6, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [("a", t(10), 1.0), ("a", t(20), 2.0), ("a", t(31), 3.0),
+         ("b", t(5), 4.0)],
+        "k string, ts timestamp, lv double")
+    right = spark.createDataFrame(
+        [("a", t(12), 100.0), ("a", t(20), 200.0), ("a", t(30), 300.0)],
+        "k string, ts timestamp, rv double")
+    out = {(r["k"], r["ts"].second): r["rv_right"]
+           for r in as_of_join(left, right, "ts", ["k"], ["rv"],
+                               direction="forward").collect()}
+    assert out == {("a", 10): 100.0,   # next at 12
+                   ("a", 20): 200.0,   # inclusive equal-ts match
+                   ("a", 31): None,    # nothing later
+                   ("b", 5): None}     # no right rows for b
+    tol = {(r["k"], r["ts"].second): r["rv_right"]
+           for r in as_of_join(left, right, "ts", ["k"], ["rv"],
+                               direction="forward",
+                               tolerance="1 second").collect()}
+    assert tol[("a", 10)] is None      # 12 is 2s ahead, beyond 1s
+    assert tol[("a", 20)] == 200.0
+    with pytest.raises(ValueError, match="direction"):
+        as_of_join(left, right, "ts", ["k"], ["rv"], direction="nearest")
