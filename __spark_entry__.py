@@ -734,8 +734,12 @@ def q_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: sampled-k-means coarse quantizer, inverted
-    lists probed via a key-equality join (rows-only: approximate).  Each
-    row carries per-query recall@5 vs brute force; tests pin a floor."""
+    lists probed via a key-equality join.  FULL value oracle despite the
+    approximation: centroid training is a pure function of (sample set,
+    seed), so similarity.replay_ivf_centroids re-derives the exact
+    centroids and ivf_ann_oracle_sql replays assignment + probing +
+    probed-list scoring + recall@5 in DuckDB.  Each row carries per-query
+    recall@5 vs brute force; tests additionally pin a floor."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = (emb.filter(F.col("vec_id") < 5)
                   .select(F.col("vec_id").alias("query_id"), "embedding"))
@@ -749,7 +753,8 @@ def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed table (one shuffle paid at build time), then probed with a
     broadcast key-equality join — the corpus side runs scan→filter→score
     with zero exchanges and bucket pruning skips unprobed lists
-    (plan-asserted in test_similarity).  Rows-only + recall@5 column."""
+    (plan-asserted in test_similarity).  Shares q_ann_ivf's FULL value
+    oracle — bucketing changes the physical plan, never the result."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = (emb.filter(F.col("vec_id") < 5)
                   .select(F.col("vec_id").alias("query_id"), "embedding"))
@@ -1990,6 +1995,34 @@ def _sql_tokens(col: str) -> str:
     return TX.tokens_sql(col)
 
 
+_IVF_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _ivf_oracle() -> str:
+    """Generate (cached per fixture) the IVF DuckDB twin by replaying the
+    trained centroids from the SAME embeddings parquet the query under
+    test reads.  Unlike the SRP planes, IVF's spec constants are
+    data-dependent — the centroids differ per scale factor — so the
+    replay path must track the comparison's sf dir:
+    ``SPARK_GRAFT_ORACLE_SF_DIR`` (set by the local parity suite) >
+    ``SPARK_GRAFT_TEST_SF_DIR`` > sf0.01, the scale the driver compares
+    at.  The replay is a pure function of the corpus set + seed
+    (similarity._kmeans_fit lexsorts before the seeded init), so these
+    literals are exactly the centroids every q_ann_ivf* run trains on
+    that fixture."""
+    import os
+    sf_dir = (os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
+              or os.environ.get("SPARK_GRAFT_TEST_SF_DIR")
+              or "/root/testdata/sf0.01")
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if path not in _IVF_ORACLE_CACHE:
+        cents = SIM.replay_ivf_centroids(path, min_id=5, n_centroids=16)
+        _IVF_ORACLE_CACHE[path] = SIM.ivf_ann_oracle_sql(
+            "embeddings", "vec_id", "embedding",
+            query_max_id=5, k=5, nprobe=4, centroids=cents)
+    return _IVF_ORACLE_CACHE[path]
+
+
 def oracle_sql() -> dict[str, str]:
     shingle5 = TX.char_shingles_sql("text", 5)
     shingle3 = TX.char_shingles_sql("text", 3)
@@ -2293,6 +2326,18 @@ def oracle_sql() -> dict[str, str]:
         "ann_srp": SIM.srp_ann_oracle_sql(
             "embeddings", "vec_id", "embedding",
             query_max_id=5, k=5, dim=64, n_planes=5, n_tables=8),
+        # FULL value oracle for IVF, same deterministic-spec pattern:
+        # the trained centroids are a pure function of (sample SET, seed)
+        # — train_ivf_centroids lexsorts its ≤20k-row sample before the
+        # seeded init — so replay_ivf_centroids re-derives them
+        # bit-identically from the parquet with pyarrow+numpy, and the
+        # whole pipeline (assignment argmax, probe set, probed-list-only
+        # exact scoring, rounding, tie-breaks, recall@5 vs global brute
+        # force) replays in DuckDB.  One SQL string serves both the
+        # transient and the persisted-index paths: bucketing the inverted
+        # lists changes the physical plan, never the result.
+        "ann_ivf": _ivf_oracle(),
+        "ann_ivf_indexed": _ivf_oracle(),
         # identical by contract to ann_bruteforce (exact top-k, same
         # rounding/tie-break), just computed via the block-join path
         "ann_bruteforce_joined": f"""

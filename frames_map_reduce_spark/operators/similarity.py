@@ -426,21 +426,15 @@ FROM approx JOIN rec USING (query_id)
 """
 
 
-def train_ivf_centroids(corpus: DataFrame, vec_col: str, n_centroids: int = 16,
-                        sample_limit: int = 20_000, iters: int = 10,
-                        seed: int = 42):
-    """IVF coarse quantizer: Lloyd's k-means on a bounded driver-side
-    sample (the standard IVF recipe — training on a sample is how FAISS
-    et al. build 100 TB-scale indexes too; only ASSIGNMENT must be
-    distributed).  Returns a (n_centroids, dim) float64 numpy array."""
+def _kmeans_fit(x, n_centroids: int, iters: int, seed: int):
+    """Deterministic Lloyd's k-means on a float64 sample matrix.
+
+    Canonicalizes the sample ORDER first (lexsort), so the result is a
+    pure function of the sample SET + seed — this is what makes trained
+    IVF centroids exactly replayable outside Spark (the oracle path,
+    :func:`replay_ivf_centroids`, calls this same function on the same
+    set and gets bit-identical centroids)."""
     import numpy as np
-    rows = (corpus.select(vec_col).limit(sample_limit).collect())
-    x = np.array([r[0] for r in rows], dtype=np.float64)
-    # order-insensitive training: `limit` fixes the SET but not the ORDER
-    # of the sample (task completion order varies run-to-run), and the
-    # k-means init indexes into it — canonicalize so identical sample
-    # sets always train identical centroids.  Driver-side lexsort of
-    # ≤ sample_limit rows: trivial next to the collect itself.
     x = x[np.lexsort(x.T[::-1])]
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
@@ -452,6 +446,53 @@ def train_ivf_centroids(corpus: DataFrame, vec_col: str, n_centroids: int = 16,
             if len(members):
                 cents[c] = members.mean(axis=0)
     return cents
+
+
+def train_ivf_centroids(corpus: DataFrame, vec_col: str, n_centroids: int = 16,
+                        sample_limit: int = 20_000, iters: int = 10,
+                        seed: int = 42):
+    """IVF coarse quantizer: Lloyd's k-means on a bounded driver-side
+    sample (the standard IVF recipe — training on a sample is how FAISS
+    et al. build 100 TB-scale indexes too; only ASSIGNMENT must be
+    distributed).  Returns a (n_centroids, dim) float64 numpy array.
+
+    `limit` fixes the sample SET but not its ORDER (task completion order
+    varies run-to-run); :func:`_kmeans_fit` lexsorts before seeding, so
+    identical sample sets always train identical centroids."""
+    import numpy as np
+    rows = (corpus.select(vec_col).limit(sample_limit).collect())
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    return _kmeans_fit(x, n_centroids, iters, seed)
+
+
+def replay_ivf_centroids(parquet_path: str, min_id: int = 5,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         n_centroids: int = 16, sample_limit: int = 20_000,
+                         iters: int = 10, seed: int = 42):
+    """Spark-free replay of the centroids :func:`train_ivf_centroids`
+    produces for ``corpus = parquet WHERE id_col >= min_id`` — the oracle
+    half of the IVF proof: because training is a pure function of the
+    sample SET + seed (see :func:`_kmeans_fit`), reading the same rows
+    with pyarrow yields bit-identical float64 centroids, which
+    :func:`ivf_ann_oracle_sql` then embeds as SQL literals.
+
+    Requires the corpus to fit inside ``sample_limit`` (then Spark's
+    ``limit`` sample is the WHOLE set and is deterministic); raises
+    loudly otherwise rather than producing an unprovable oracle."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    t = pq.read_table(parquet_path, columns=[id_col, vec_col])
+    ids = t[id_col].to_numpy()
+    vecs = t[vec_col].to_pylist()
+    x = np.array([v for v, i in zip(vecs, ids) if i >= min_id],
+                 dtype=np.float64)
+    if len(x) > sample_limit:
+        raise ValueError(
+            f"corpus has {len(x)} rows > sample_limit={sample_limit}: the "
+            "Spark-side k-means sample is no longer the whole corpus, so "
+            "an exact centroid replay is impossible — raise sample_limit "
+            "or shrink the oracle fixture")
+    return _kmeans_fit(x, n_centroids, iters, seed)
 
 
 def ivf_assign(df: DataFrame, vec_col: str, centroids) -> DataFrame:
@@ -518,6 +559,29 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
     nearest centroids — corpus-side work ≈ nprobe/n_centroids of brute
     force, and the probe join is a key-equality join on ``_centroid``.
 
+    Recall/cost dial — measured on this repo's synthetic 64-dim
+    embeddings at sf0.01 (near-uniform vectors, IVF's worst case: Lloyd
+    cells carve a cloud with no real cluster structure, so recall tracks
+    the scan fraction ≈ nprobe/n_centroids almost linearly instead of
+    saturating early):
+
+    ========  =============  ========
+    nprobe    scan fraction  recall@5
+    ========  =============  ========
+    1         0.06           0.43
+    2         0.12           0.50
+    4 (def)   0.25           0.65
+    6         0.38           0.79
+    8         0.50           0.87
+    12        0.75           0.99
+    16        1.00           1.00
+    ========  =============  ========
+
+    There is no knee to move the default to on uniform data; real
+    embedding corpora cluster, which is precisely what bends this curve
+    upward (high recall at small scan fractions) — tune nprobe against a
+    recall_at_k sample on YOUR corpus.
+
     Pass a prebuilt ``centroids`` array to reuse an index across query
     batches; for the full train-once/query-many deployment shape (index
     persisted bucketed by ``_centroid``) use :func:`build_ivf_index` +
@@ -567,6 +631,84 @@ def ivf_topk_indexed(spark, table: str, queries: DataFrame, centroids,
                                   query_id_col, vec_col)
     cb = cb.filter(F.col("_centroid").isin(probed))
     return _ivf_score(cb, qb, k, id_col, vec_col, query_id_col)
+
+
+def ivf_ann_oracle_sql(table: str, id_col: str, vec_col: str,
+                       query_max_id: int, k: int, nprobe: int,
+                       centroids) -> str:
+    """Exhaustive DuckDB twin of :func:`ivf_topk` / :func:`ivf_topk_indexed`
+    (+ the recall column of the driver query) — a FULL value oracle for an
+    approximate operator, same pattern as :func:`srp_ann_oracle_sql`:
+    the approximation is deterministic given its spec.  Here the spec is
+    the trained centroid matrix, replayed bit-identically outside Spark
+    by :func:`replay_ivf_centroids` and embedded as float64 literals.
+
+    Assignment (`argmax(x·c − ½‖c‖²)`, ties → lowest centroid id — numpy
+    argmax picks the first max), the nprobe probe set, exact-cosine
+    scoring over probed lists only, 6-dp HALF_UP rounding BEFORE ranking,
+    (sim DESC, id ASC) tie-breaks, and recall@k vs global brute force all
+    mirror the Spark path.  The dot products are re-summed sequentially
+    here vs BLAS on the Spark side, but they only feed argmax/argsort
+    decisions (never the output values), so last-bit noise is harmless
+    away from exact score ties."""
+    import numpy as np
+    cents = np.asarray(centroids, dtype=np.float64)
+    rows = []
+    for cid, c in enumerate(cents):
+        lits = ", ".join(repr(float(v)) for v in c)
+        hn = repr(float(0.5 * (c * c).sum()))
+        rows.append(f"({cid}, [{lits}], {hn})")
+    values = ",\n       ".join(rows)
+    dot_c = (f"list_sum(list_transform(list_zip(t.{vec_col}, cents.cvec), "
+             f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
+    cos = (f"round(list_sum(list_transform(list_zip(a.{vec_col}, b.{vec_col}), "
+           f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / nullif("
+           f"sqrt(list_sum(list_transform(a.{vec_col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+           f"sqrt(list_sum(list_transform(b.{vec_col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0.0), 6)")
+    return f"""
+WITH cents(cid, cvec, hn) AS (VALUES
+       {values}),
+     q AS (SELECT {id_col} AS query_id, {vec_col}
+           FROM {table} WHERE {id_col} < {query_max_id}),
+     c AS (SELECT {id_col}, {vec_col}
+           FROM {table} WHERE {id_col} >= {query_max_id}),
+     cassign AS (
+        SELECT {id_col}, {vec_col}, cid FROM (
+          SELECT t.{id_col}, t.{vec_col}, cents.cid,
+                 row_number() OVER (PARTITION BY t.{id_col}
+                     ORDER BY {dot_c} - cents.hn DESC, cents.cid) AS rn
+          FROM c t CROSS JOIN cents) WHERE rn = 1),
+     probes AS (
+        SELECT query_id, cid FROM (
+          SELECT t.query_id, cents.cid,
+                 row_number() OVER (PARTITION BY t.query_id
+                     ORDER BY {dot_c} - cents.hn DESC, cents.cid) AS rn
+          FROM q t CROSS JOIN cents) WHERE rn <= {nprobe}),
+     scored AS (
+        SELECT a.query_id, b.{id_col}, {cos} AS cosine_sim
+        FROM q a
+        JOIN probes p ON p.query_id = a.query_id
+        JOIN cassign b ON b.cid = p.cid),
+     approx AS (
+        SELECT query_id, {id_col}, cosine_sim,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine_sim DESC, {id_col}) AS rank
+        FROM scored QUALIFY rank <= {k}),
+     exact AS (
+        SELECT query_id, {id_col} FROM (
+          SELECT a.query_id, b.{id_col},
+                 row_number() OVER (PARTITION BY a.query_id
+                     ORDER BY {cos} DESC, b.{id_col}) AS rnk
+          FROM q a JOIN c b ON true) WHERE rnk <= {k}),
+     rec AS (
+        SELECT e.query_id,
+               round(CAST(count(ap.{id_col}) AS DOUBLE) / count(*), 6) AS recall
+        FROM exact e LEFT JOIN approx ap USING (query_id, {id_col})
+        GROUP BY e.query_id)
+SELECT approx.query_id, approx.{id_col}, approx.cosine_sim,
+       CAST(approx.rank AS BIGINT) AS rank, rec.recall
+FROM approx JOIN rec USING (query_id)
+"""
 
 
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,

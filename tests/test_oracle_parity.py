@@ -19,6 +19,12 @@ from frames_map_reduce_spark.sources import STAR_TABLES
 
 from tests.conftest import SF_DIR
 
+# data-dependent oracles (ann_ivf's centroid replay) must derive their
+# spec constants from the SAME fixture this suite compares against
+import os as _os  # noqa: E402
+
+_os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
+
 ORACLES = entry_mod.oracle_sql()
 QUERIES = entry_mod.queries()
 WITH_ORACLE = sorted(set(QUERIES) & set(ORACLES))

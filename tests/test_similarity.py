@@ -249,3 +249,39 @@ def test_ivf_persisted_index_probe(spark, embeddings):
                 "spark.sql.sources.bucketing.autoBucketedScan.enabled")
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_ivf_centroid_replay_is_bit_identical(spark, embeddings, sf_dir):
+    """The IVF oracle contract: replay_ivf_centroids (pyarrow, no Spark)
+    must reproduce train_ivf_centroids bit-for-bit — training is a pure
+    function of (sample SET, seed) because _kmeans_fit lexsorts before
+    the seeded init.  This is what licenses embedding the centroids as
+    literals in ivf_ann_oracle_sql."""
+    import numpy as np
+
+    corpus = embeddings.filter(F.col("vec_id") >= 5)
+    trained = SIM.train_ivf_centroids(corpus, "embedding", 16)
+    replayed = SIM.replay_ivf_centroids(
+        f"{sf_dir}/embeddings.parquet", min_id=5, n_centroids=16)
+    assert trained.shape == replayed.shape == (16, 64)
+    assert np.array_equal(trained, replayed)
+
+
+def test_ivf_centroid_replay_rejects_oversized_corpus(tmp_path):
+    """A corpus larger than sample_limit makes the Spark-side sample
+    nondeterministic — the replay must refuse, not silently mis-prove."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    t = pa.table({
+        "vec_id": pa.array(range(20), type=pa.int64()),
+        "embedding": pa.array([[float(i), 1.0] for i in range(20)],
+                              type=pa.list_(pa.float32())),
+    })
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(t, path)
+    with _pytest.raises(ValueError, match="sample_limit"):
+        SIM.replay_ivf_centroids(path, min_id=0, n_centroids=4,
+                                 sample_limit=10)
