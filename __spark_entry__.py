@@ -580,13 +580,16 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, FULL value oracle: the polynomial+splitmix64
-    token hash and 63-bit majority-vote packing are replayed in DuckDB via
-    HUGEINT modular arithmetic (dedup.simhash_oracle_sql, generated from
-    the same spec constants as the numpy path).  n_bands=9 > max_hamming=8
-    makes banding lossless, so the exhaustive SQL twin is exact."""
+    per-word token hashes and majority-vote packing are replayed in DuckDB
+    via HUGEINT modular arithmetic (dedup.simhash_oracle_sql, generated
+    from the same spec constants as the numpy path).  n_bands=9 >
+    max_hamming=8 makes banding lossless, so the exhaustive SQL twin is
+    exact."""
     docs = _docs(spark, sf_dir)
-    # n_bands=9 > max_hamming=8: the banding pigeonhole guarantee holds
-    # (7-bit chunks of the 63-bit signature)
+    # n_bands=9 > max_hamming=8: the banding pigeonhole guarantee holds.
+    # Default 126-bit (two-word) signature: 14-bit chunks give a ~147k
+    # bucket space per band — the r4-measured 1152-bucket ceiling of the
+    # 63-bit signature is gone (n_oversized=0 at sf1.0 defaults).
     return DD.simhash_near_dup_pairs(docs, "text", "doc_id",
                                      max_hamming=8, n_bands=9)
 

@@ -598,63 +598,107 @@ def _token_hash_py(tok: str) -> int:
     return int(_mix64(np.array([h], dtype=np.uint64))[0])
 
 
+# Signature word geometry: signatures wider than one bigint are stored
+# as array<bigint> of 63-bit words (63, not 64, keeps every packed word a
+# POSITIVE signed bigint — no sign-extension traps in either engine).
+# Word w's per-token 64-bit draw is the splitmix64 stream of the token's
+# polynomial hash: mix64(h0 + w*GAMMA) — word 0 is exactly the original
+# single-word token hash, so narrow signatures are a prefix of wide ones.
+_SIM_WORD_BITS = 63
+
+
+def _sim_n_words(bits: int) -> int:
+    return (bits + _SIM_WORD_BITS - 1) // _SIM_WORD_BITS
+
+
+def _token_poly_py(tok: str) -> int:
+    h = 0
+    for c in tok:
+        h = (h * 1099511628211 + ord(c)) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
 def _simhash_from_text_frame(df: DataFrame, text_col: str, id_col: str,
                              bits: int) -> DataFrame:
-    """(id, _sim) in ONE fused Python stage: tokenize + token-hash +
-    sign-accumulate + pack per Arrow batch (the minhash fusion lesson —
-    the JVM transform(xxhash64) per token is an interpreted HOF, and a
-    separate Python signature stage pays a second worker round).  Token
-    hashes are memoized per worker: corpus vocabulary is tiny relative to
-    token occurrences, so most tokens hash once per executor."""
+    """(id, _sim: array<bigint> of 63-bit words) in ONE fused Python
+    stage: tokenize + token-hash + sign-accumulate + pack per Arrow batch
+    (the minhash fusion lesson — the JVM transform(xxhash64) per token is
+    an interpreted HOF, and a separate Python signature stage pays a
+    second worker round).  Token word-hashes are memoized per worker:
+    corpus vocabulary is tiny relative to token occurrences, so most
+    tokens hash once per executor."""
     require_columns(df, [text_col, id_col])
     narrow = ensure_parallelism(df.select(F.col(id_col),
                                           F.col(text_col).alias("_txt")))
     schema = T.StructType([df.schema[id_col],
-                           T.StructField("_sim", T.LongType())])
-    shifts = np.arange(bits, dtype=np.uint64)
-    powers = (np.uint64(1) << shifts).astype(np.int64)
+                           T.StructField("_sim", T.ArrayType(T.LongType()))])
+    n_words = _sim_n_words(bits)
+    word_offsets = (np.arange(n_words, dtype=np.uint64) * _SM_GAMMA)
+    # per-word bit widths (last word may be partial) and pack powers
+    widths = [min(_SIM_WORD_BITS, bits - w * _SIM_WORD_BITS)
+              for w in range(n_words)]
+    shifts = [np.arange(wd, dtype=np.uint64) for wd in widths]
+    powers = [(np.uint64(1) << sh).astype(np.int64) for sh in shifts]
+    zero_sig = [0] * n_words
 
     def run(batches):
-        memo: dict[str, int] = {}
+        memo: dict[str, "np.ndarray"] = {}
         for pdf in batches:
             sims = []
             for t in pdf["_txt"]:
                 toks = _wordish_tokens_py(t or "")
                 if not toks:
-                    sims.append(0)
+                    sims.append(zero_sig)
                     continue
-                hs = np.empty(len(toks), dtype=np.uint64)
+                hs = np.empty((len(toks), n_words), dtype=np.uint64)
                 for i, tok in enumerate(toks):
                     v = memo.get(tok)
                     if v is None:
-                        v = _token_hash_py(tok)
+                        h0 = np.uint64(_token_poly_py(tok))
+                        v = _mix64(h0 + word_offsets)
                         memo[tok] = v
                     hs[i] = v
-                signs = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)) \
-                    .astype(np.int64) * 2 - 1
-                counts = signs.sum(axis=0)
-                sims.append(int(np.where(counts > 0, powers, 0).sum()))
+                sig = []
+                for w in range(n_words):
+                    signs = ((hs[:, w, None] >> shifts[w][None, :])
+                             & np.uint64(1)).astype(np.int64) * 2 - 1
+                    counts = signs.sum(axis=0)
+                    sig.append(int(np.where(counts > 0, powers[w], 0).sum()))
+                sims.append(sig)
             yield pd.DataFrame({pdf.columns[0]: pdf.iloc[:, 0], "_sim": sims})
 
     return narrow.mapInPandas(run, schema=schema)
 
 
 def simhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
-                           max_hamming: int = 3, bits: int = 63,
+                           max_hamming: int = 3, bits: int = 126,
                            n_bands: int = 4,
-                           max_bucket: int = 1000) -> DataFrame:
+                           max_bucket: int = 2000) -> DataFrame:
     """SimHash near-dup via the classic band trick: split the signature
     into ``n_bands`` chunks; any pair within Hamming distance
     ``max_hamming < n_bands`` must agree exactly on ≥1 chunk (pigeonhole),
     so bucketing by (chunk index, chunk value) finds all such pairs with an
     equi-join.  Verified by exact Hamming distance.
 
+    ``bits`` defaults to 126 (two 63-bit signature words): a 63-bit
+    signature at n_bands=9 leaves only 7-bit chunks — a FIXED 1152-bucket
+    band space that saturates around 50k docs regardless of corpus size
+    (the one scale ceiling sf1.0 measured in round 4).  126 bits at the
+    same n_bands gives 14-bit chunks ≈ 147k buckets, so bucket geometry
+    scales with the corpus the way minhash's does.  Chunks may straddle
+    word boundaries; extraction handles the split.
+
     ``max_hamming >= n_bands`` would silently lose recall (a pair can
     spread its differing bits over every chunk), so it raises.
     ``max_bucket`` caps the quadratic blow-up of degenerate buckets —
     empty/boilerplate docs agree on whole chunks, and one such bucket of
     B members emits B² join rows; at 100 TB that one key dominates the
-    job.  Capped buckets are dropped, as in minhash_lsh_candidates."""
+    job.  Capped buckets are dropped, as in minhash_lsh_candidates.
+    (SimHash bits are majority votes, so docs sharing a vocabulary
+    correlate on whole bit regions: even uniform corpora grow a few
+    thousand-member buckets — the 2000 default clears the measured sf1.0
+    geometry, max bucket 1060 over 50k docs, while bounding the worst
+    bucket at ~2M pairs.)"""
     if max_hamming >= n_bands:
         raise ValueError(
             f"max_hamming={max_hamming} >= n_bands={n_bands}: banding only "
@@ -676,8 +720,9 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
         id_col, "_sim",
         F.explode(_simhash_chunks(bits, n_bands)).alias("_bucket"))
     sizes = banded.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
-    # surviving-bucket list is bounded by the band space (n_bands * 2^chunk
-    # ≤ a few thousand rows) — broadcast it and prune BOTH self-join sides
+    # surviving-bucket list is bounded by min(n_bands * 2^chunk, n_bands *
+    # corpus) MULTI-member buckets — a few MB even at the 126-bit default's
+    # 147k-key band space — broadcast it and prune BOTH self-join sides
     # map-side, so rows in oversized buckets never reach the join shuffle
     # (they can only pair inside their dropped bucket, so pruning the b
     # side too loses nothing).  At sf1.0 the measured oversized buckets
@@ -692,28 +737,71 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
                       F.col("_sim").alias("_sim_b"))
     return (
         a.join(b, (F.col("_bucket") == F.col("_bucket_b")) & (F.col("id_a") < F.col("id_b")))
-         .select("id_a", "id_b", hamming(F.col("_sim_a"), F.col("_sim_b")).alias("hamming_dist"))
+         .select("id_a", "id_b",
+                 hamming_words(F.col("_sim_a"), F.col("_sim_b"),
+                               _sim_n_words(bits)).alias("hamming_dist"))
          .filter(F.col("hamming_dist") <= max_hamming)  # before distinct: shuffle only survivors
          .distinct()
     )
 
 
+def hamming_words(a: Column, b: Column, n_words: int) -> Column:
+    """Hamming distance between two word-array signatures, UNROLLED over
+    the (plan-time-known) word count: per-word bit_count(xor) summed as a
+    fixed-arity expression.  An aggregate/zip_with HOF would be
+    semantically identical but runs INTERPRETED per element — on the
+    banded self-join this sits in the hot path over every candidate pair,
+    where unrolling keeps it inside whole-stage codegen (measured ~2×
+    on the sf0.1 pair stage)."""
+    terms = [
+        F.bit_count(F.element_at(a, w + 1)
+                     .bitwiseXOR(F.element_at(b, w + 1)))
+        for w in range(n_words)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _sim_chunk_value(start: int, width: int) -> Column:
+    """Extract signature bits [start, start+width) from the ``_sim`` word
+    array as a bigint.  A chunk may straddle the 63-bit word boundary:
+    take the low part from word ``start//63``, the high part from the
+    next word, and recombine (width ≤ 63 so the result fits a bigint).
+    All shift amounts are Python ints at plan-build time."""
+    w0 = start // _SIM_WORD_BITS
+    off = start % _SIM_WORD_BITS
+    take = min(width, _SIM_WORD_BITS - off)
+    lo = (F.shiftrightunsigned(F.element_at(F.col("_sim"), w0 + 1), off)
+           .bitwiseAND(F.lit((1 << take) - 1)))
+    if take == width:
+        return lo
+    hi = (F.element_at(F.col("_sim"), w0 + 2)
+           .bitwiseAND(F.lit((1 << (width - take)) - 1)))
+    return lo + F.shiftleft(hi, take)
+
+
 def _simhash_chunks(bits: int, n_bands: int):
-    """Per-band bucket keys of the ``_sim`` column: "band:chunk-value"
-    strings, chunk extraction unrolled per band (shift amounts must be
-    int literals for shiftrightunsigned)."""
+    """Per-band bucket keys of the ``_sim`` word-array column:
+    "band:chunk-value" strings.  Chunks partition the GLOBAL bit space
+    [0, bits) — the pigeonhole recall guarantee needs every signature bit
+    covered by exactly one chunk, so chunks straddle word boundaries
+    rather than banding each word independently (which would round the
+    chunk width down and shrink the band space)."""
     chunk = bits // n_bands
-    return F.array(*[
-        F.concat_ws(":", F.lit(i),
-                    F.shiftrightunsigned(F.col("_sim"), i * chunk)
-                     .bitwiseAND(F.lit((1 << chunk) - 1)))
-        for i in range(n_bands)
-    ])
+    keys = []
+    for i in range(n_bands):
+        start = i * chunk
+        # last band absorbs the remainder bits so the union covers [0, bits)
+        width = (bits - start) if i == n_bands - 1 else chunk
+        keys.append(F.concat_ws(":", F.lit(i), _sim_chunk_value(start, width)))
+    return F.array(*keys)
 
 
 def simhash_bucket_stats(df: DataFrame, text_col: str, id_col: str,
-                         bits: int = 63, n_bands: int = 4,
-                         max_bucket: int = 1000) -> DataFrame:
+                         bits: int = 126, n_bands: int = 4,
+                         max_bucket: int = 2000) -> DataFrame:
     """Drop-accountability for the simhash band cap — the exact analogue
     of :func:`minhash_bucket_stats`: one row (n_buckets, n_multi,
     n_oversized, max_size) over the bucket-size distribution
@@ -756,12 +844,13 @@ def _mulmod64_sql(a: str, b: int) -> str:
 
 
 def simhash_oracle_sql(table: str, text_col: str, id_col: str,
-                       max_hamming: int = 8, bits: int = 63) -> str:
+                       max_hamming: int = 8, bits: int = 126) -> str:
     """Exhaustive DuckDB twin of :func:`simhash_near_dup_pairs`.
 
     Replays the exact integer pipeline — wordish tokenize (occurrence
-    multiplicity kept), per-token polynomial code-point hash, splitmix64
-    finalize, per-bit majority vote, 63-bit pack — then checks ALL pairs by
+    multiplicity kept), per-token polynomial code-point hash, per-word
+    splitmix64 draws (word w seeds with h0 + w*GAMMA), per-bit majority
+    vote, 63-bit-per-word pack — then checks ALL pairs by summed per-word
     Hamming distance.  Valid as a full-value oracle because the Spark side
     runs with ``n_bands > max_hamming`` (banding is then lossless by
     pigeonhole) and the test corpora never trip ``max_bucket``.
@@ -777,12 +866,22 @@ def simhash_oracle_sql(table: str, text_col: str, id_col: str,
     tests/test_text.py::test_unicode_lower_product_path_consistency)."""
     from frames_map_reduce_spark.functions.text import WORDISH
     gamma, m1, m2 = int(_SM_GAMMA), int(_SM_M1), int(_SM_M2)
+    n_words = _sim_n_words(bits)
+    # per-word splitmix64 additive constants: word w's draw seeds with
+    # h0 + w*GAMMA, and the mixer itself adds one more GAMMA — fold both
+    # into a single per-word constant (w+1)*GAMMA mod 2^64, matching the
+    # numpy path's uint64 wraparound exactly
+    wconsts = ",\n       ".join(
+        f"({w}, {((w + 1) * gamma) % (1 << 64)}::UBIGINT)"
+        for w in range(n_words))
     # list_reduce seeds with the first element == ord(c0) == the Python
     # loop's state after one char, so no explicit initial accumulator.
     poly = (f"CAST(({_mulmod64_sql('h', _POLY_PRIME)}::HUGEINT + cp)"
             f" % 18446744073709551616 AS UBIGINT)")
     return f"""
-WITH tok AS (
+WITH wconst(w, wc) AS (VALUES
+       {wconsts}),
+tok AS (
     SELECT {id_col}, unnest(regexp_extract_all(lower({text_col}), '{WORDISH}')) AS tok
     FROM {table}
 ),
@@ -797,35 +896,43 @@ poly AS (
            ) AS h0
     FROM tokc
 ),
-mixed AS (  -- splitmix64 finalizer, staged via lateral aliases
-    SELECT {id_col}, cnt,
-           CAST((h0::HUGEINT + {gamma}) % 18446744073709551616 AS UBIGINT) AS z0,
+mixed AS (  -- per-word splitmix64 draw: mix(h0 + w*GAMMA), staged aliases
+    SELECT {id_col}, cnt, wconst.w,
+           CAST((h0::HUGEINT + wc) % 18446744073709551616 AS UBIGINT) AS z0,
            xor(z0, z0 >> 30) AS z1,
            {_mulmod64_sql('z1', m1)} AS z2,
            xor(z2, z2 >> 27) AS z3,
            {_mulmod64_sql('z3', m2)} AS z4,
            xor(z4, z4 >> 31) AS th
-    FROM poly
+    FROM poly CROSS JOIN wconst
 ),
-bitsum AS (  -- per-bit occurrence-weighted majority vote
-    SELECT {id_col}, bb.b AS b,
-           SUM(cnt * (CASE WHEN (th >> bb.b) & 1 = 1 THEN 1 ELSE -1 END)) AS s
-    FROM mixed CROSS JOIN (SELECT unnest(range({bits})) AS b) bb
-    GROUP BY {id_col}, bb.b
+bitsum AS (  -- per-GLOBAL-bit occurrence-weighted majority vote;
+             -- global bit g lives in word g//{_SIM_WORD_BITS} at offset g%{_SIM_WORD_BITS}
+    SELECT {id_col}, bb.g AS g,
+           SUM(cnt * (CASE WHEN (th >> (bb.g % {_SIM_WORD_BITS})) & 1 = 1 THEN 1 ELSE -1 END)) AS s
+    FROM mixed JOIN (SELECT unnest(range({bits})) AS g) bb
+      ON bb.g // {_SIM_WORD_BITS} = mixed.w
+    GROUP BY {id_col}, bb.g
 ),
 sig0 AS (
-    SELECT {id_col},
-           CAST(SUM(CASE WHEN s > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END) AS BIGINT) AS sim
-    FROM bitsum GROUP BY {id_col}
+    SELECT {id_col}, g // {_SIM_WORD_BITS} AS w,
+           CAST(SUM(CASE WHEN s > 0 THEN (1::UBIGINT << (g % {_SIM_WORD_BITS})) ELSE 0::UBIGINT END) AS BIGINT) AS sim
+    FROM bitsum GROUP BY {id_col}, g // {_SIM_WORD_BITS}
 ),
-sig AS (  -- docs with no tokens sign to 0, as in the numpy path
-    SELECT d.{id_col}, COALESCE(s.sim, 0) AS sim
-    FROM {table} d LEFT JOIN sig0 s USING ({id_col})
+sig AS (  -- every doc × every word; tokenless docs sign to all-zero words
+    SELECT d.{id_col}, ws.w, COALESCE(s.sim, 0) AS sim
+    FROM {table} d
+    CROSS JOIN (SELECT unnest(range({n_words})) AS w) ws
+    LEFT JOIN sig0 s ON s.{id_col} = d.{id_col} AND s.w = ws.w
+),
+pair AS (
+    SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+           SUM(bit_count(xor(a.sim::UBIGINT, b.sim::UBIGINT)))::INT AS hamming_dist
+    FROM sig a JOIN sig b ON a.{id_col} < b.{id_col} AND a.w = b.w
+    GROUP BY a.{id_col}, b.{id_col}
 )
-SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
-       bit_count(xor(a.sim::UBIGINT, b.sim::UBIGINT))::INT AS hamming_dist
-FROM sig a JOIN sig b ON a.{id_col} < b.{id_col}
-WHERE bit_count(xor(a.sim::UBIGINT, b.sim::UBIGINT)) <= {max_hamming}
+SELECT id_a, id_b, hamming_dist FROM pair
+WHERE hamming_dist <= {max_hamming}
 """
 
 
