@@ -91,6 +91,16 @@ def merge_upsert(target: DataFrame, changes: DataFrame,
     same family as ``compact_latest``.
     """
     require_columns(changes, [*keys, *version])
+    # reserved internal names: _is_delete would be silently OVERWRITTEN
+    # by withColumn and then selected back into the result (corruption,
+    # not an error); fail loudly instead, as leakage_safe_split does for
+    # its internal columns
+    reserved = {"_is_delete", "_target_version"}
+    clash = sorted(reserved & (set(target.columns) | set(changes.columns)))
+    if clash:
+        raise ValueError(
+            f"column names {clash} are reserved by merge_upsert; rename "
+            "them in the input frames")
     missing = [c for c in target.columns if c not in changes.columns]
     if missing:
         raise ValueError(

@@ -144,10 +144,25 @@ def file_column_stats(path: str, cols: Sequence[str]) -> list[dict]:
     dataset = ds.dataset(path, format="parquet")
     for frag in dataset.get_fragments():
         meta = frag.metadata
-        names = {c: i for i, c in enumerate(frag.physical_schema.names)}
+        # row-group column metadata is indexed by FLATTENED LEAF columns
+        # (nested/list/struct fields each occupy leaf slots), so resolve
+        # indices from the parquet schema's leaf paths — enumerating
+        # physical_schema.names would silently shift after any nested
+        # column and read min/max from the wrong leaf (r4 ADVICE)
+        pq_schema = meta.schema
+        names = {}
+        for i in range(len(pq_schema)):
+            p = pq_schema.column(i).path
+            if p not in names:          # first leaf wins for nested paths
+                names[p] = i
         rec: dict = {"file": frag.path, "num_rows": meta.num_rows}
         for c in cols:
             lo = hi = None
+            if c not in names:
+                raise KeyError(
+                    f"column {c!r} is not a flat leaf column of {frag.path}; "
+                    f"stats audit supports top-level atomic columns only "
+                    f"(leaves: {sorted(names)[:20]})")
             idx = names[c]
             for rg in range(meta.num_row_groups):
                 st = meta.row_group(rg).column(idx).statistics

@@ -169,7 +169,8 @@ def _es_priority(key_col: str, weight_col: str, salt: str) -> Column:
 
 
 def weighted_sample(df: DataFrame, n: int, weight_col: str, key_col: str,
-                    salt: str = "", priority_col: str | None = None) -> DataFrame:
+                    salt: str = "", priority_col: str | None = None,
+                    assert_unique: bool = False) -> DataFrame:
     """Deterministic weighted sampling WITHOUT replacement: ``n`` rows
     with inclusion driven by ``weight_col`` (w_i / Σw odds, the
     Efraimidis–Spirakis A-ES scheme) — quality- or length-weighted corpus
@@ -189,15 +190,27 @@ def weighted_sample(df: DataFrame, n: int, weight_col: str, key_col: str,
     Contract shared with every sampler in this module: ``key_col`` must
     be unique per row — duplicate keys draw one correlated uniform, and
     equal-priority ties at the cutoff would make the selected PAYLOAD
-    partition-order-dependent.  Cross-engine oracle parity rides on the
-    float variate agreeing between JVM ``log`` and DuckDB ``ln`` — a
-    per-row disagreement needs two priorities within ~1 ulp of each
-    other at the cutoff boundary, the same (accepted) risk class as the
-    suite-wide ``round(x, 6)`` hashing convention.
+    partition-order-dependent.  The contract is silent by default (a
+    pre-pass over the corpus costs a scan); pass ``assert_unique=True``
+    to pay one count-vs-count-distinct aggregate and fail loudly on a
+    violation.  Cross-engine oracle parity rides on the float variate
+    agreeing between JVM ``log`` and DuckDB ``ln`` — a per-row
+    disagreement needs two priorities within ~1 ulp of each other at the
+    cutoff boundary, the same (accepted) risk class as the suite-wide
+    ``round(x, 6)`` hashing convention.
     """
     require_columns(df, [weight_col, key_col])
     if n <= 0:
         raise ValueError(f"sample size must be positive, got {n}")
+    if assert_unique:
+        r = df.agg(F.count(key_col).alias("n"),
+                   F.count_distinct(F.col(key_col)).alias("d")).first()
+        if r["n"] != r["d"]:
+            raise ValueError(
+                f"key_col {key_col!r} is not unique ({r['n'] - r['d']} "
+                f"duplicate rows): duplicate keys draw one correlated "
+                f"uniform, biasing the sample — deduplicate or choose a "
+                f"unique key")
     pri = _es_priority(key_col, weight_col, salt)
     out = (df.filter(F.col(weight_col).isNotNull()
                      & (F.col(weight_col) > 0))

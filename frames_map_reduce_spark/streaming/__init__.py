@@ -290,7 +290,9 @@ def read_snapshot(spark, snapshot_dir: str) -> DataFrame:
 
     ptr = os.path.join(snapshot_dir, _SNAPSHOT_POINTER)
     with open(ptr, encoding="utf-8") as f:
-        version = f.read().strip()
+        # line 1: version dir; lines 2-3 (if present): checkpoint
+        # lineage id + last applied batch id (the replay guard's state)
+        version = f.read().split()[0]
     return spark.read.parquet(os.path.join(snapshot_dir, version))
 
 
@@ -322,18 +324,30 @@ def stream_merge_snapshot(stream: DataFrame, snapshot_dir: str,
     schema, so it is carried (always False on live rows).
 
     Failure semantics: foreachBatch is at-least-once, so a replayed
-    micro-batch is (a) skipped outright when the pointer already names
-    its version (crash between pointer swap and checkpoint commit), and
-    (b) harmless even when re-merged, because the merge runs with
-    ``only_newer=True`` — an already-applied or out-of-order delta
-    cannot regress a key to an older version.  Tombstones are the
+    micro-batch is (a) skipped outright when the pointer records this
+    batch id as applied FOR THIS CHECKPOINT LINEAGE (crash between
+    pointer swap and checkpoint commit), and (b) harmless even when
+    re-merged, because the merge runs with ``only_newer=True`` — an
+    already-applied or out-of-order delta cannot regress a key to an
+    older version.  Batch ids are only meaningful within one checkpoint
+    lineage (a FRESH checkpoint restarts them at 0 with different batch
+    boundaries), so the skip is bound to a lineage id derived from the
+    checkpoint location — reprocessing the same snapshot_dir with a new
+    checkpoint takes the merge path for every batch, where idempotence,
+    not batch numbering, provides the safety; a grown source therefore
+    lands instead of being silently dropped.  Tombstones are the
     retention boundary: deliver deletes in order (docstring of
-    ``merge_upsert``).  The previous version directory is retained (one
-    behind) so a reader holding the old pointer can still finish; older
-    versions are retired.
+    ``merge_upsert``); across DISTINCT lineages a reprocessed
+    already-applied tombstone can resurrect a key whose delete won by
+    arrival order rather than version order — the same in-order-delivery
+    contract, stated per lineage.  The previous version directory is
+    retained (one behind) so a reader holding the old pointer can still
+    finish; older versions are retired.
     """
+    import hashlib
     import os
     import shutil
+    import uuid
 
     from frames_map_reduce_spark.operators.cdc import (
         compact_latest,
@@ -341,30 +355,41 @@ def stream_merge_snapshot(stream: DataFrame, snapshot_dir: str,
     )
 
     os.makedirs(snapshot_dir, exist_ok=True)
+    # one lineage per checkpoint location; an ephemeral-checkpoint run
+    # gets a fresh lineage (its batch ids are meaningless across runs)
+    lineage = (hashlib.sha256(checkpoint.encode("utf-8")).hexdigest()[:16]
+               if checkpoint is not None else uuid.uuid4().hex[:16])
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         ptr = os.path.join(snapshot_dir, _SNAPSHOT_POINTER)
-        new_version = f"v{batch_id:020d}"
         tomb = (F.col(tombstone_col) == F.lit(True)) \
             if tombstone_col is not None else None
         if os.path.exists(ptr):
             with open(ptr, encoding="utf-8") as fh:
-                committed = fh.read().strip()
-            if committed >= new_version:   # zero-padded: lexicographic
+                fields = fh.read().split()
+            committed_dir = fields[0]
+            committed_lineage = fields[1] if len(fields) >= 3 else None
+            committed_batch = int(fields[2]) if len(fields) >= 3 else -1
+            if committed_lineage == lineage and committed_batch >= batch_id:
                 return                     # replay of an applied batch
             target = read_snapshot(spark, snapshot_dir)
             merged = merge_upsert(target, batch_df, keys, version,
                                   tombstone=tomb, only_newer=True)
+            seq = int(committed_dir[1:]) + 1
         else:
             merged = compact_latest(batch_df, keys, version, tombstone=tomb)
+            seq = 0
+        # version names are a monotonic sequence independent of batch id,
+        # so cross-lineage reprocessing keeps pointer/retirement ordering
+        new_version = f"v{seq:020d}"
         out_dir = os.path.join(snapshot_dir, new_version)
         merged.write.mode("overwrite").parquet(out_dir)
         tmp = ptr + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
-            f.write(new_version)
+            f.write(f"{new_version}\n{lineage}\n{batch_id}\n")
         os.replace(tmp, ptr)  # atomic pointer swap commits the version
         # retire all but the newest TWO versions: the one-behind dir may
         # still be read by a pointer resolved just before the swap

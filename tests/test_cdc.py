@@ -172,3 +172,16 @@ def test_plan_is_two_phase_agg_no_window(log):
     # Struct-buffered max_by lowers to SortAggregate, but still with a
     # map-side partial before the exchange — that's the scale property.
     assert "partial_max_by" in plan
+
+
+def test_merge_upsert_reserved_column_clash(spark):
+    """A target carrying a column named _is_delete would be silently
+    overwritten by the internal tombstone flag — merge_upsert must
+    refuse loudly instead (r4 ADVICE)."""
+
+    target = spark.createDataFrame(
+        [(1, 1, False)], "k long, v long, _is_delete boolean")
+    changes = spark.createDataFrame(
+        [(1, 2, False)], "k long, v long, _is_delete boolean")
+    with pytest.raises(ValueError, match="reserved"):
+        merge_upsert(target, changes, ["k"], ["v"])

@@ -112,3 +112,26 @@ def test_zordered_roundtrip_preserves_rows(spark, grid_paths):
                    F.count_distinct("x", "y").alias("d")).first()
     assert agg["s"] == (200 * 200) * (200 * 200 - 1) // 2
     assert agg["d"] == 200 * 200
+
+
+def test_file_column_stats_nested_schema_leaf_indexing(spark, tmp_path):
+    """Row-group column stats are indexed by flattened LEAF columns:
+    a struct/list column before `b` shifts the leaf indices, which the
+    old top-level-name enumeration read straight through — min/max came
+    from the wrong physical column without an error (r4 ADVICE)."""
+    from frames_map_reduce_spark.operators.layout import file_column_stats
+
+    path = str(tmp_path / "nested")
+    df = spark.createDataFrame(
+        [(1, (100, 200), 7), (2, (300, 400), 9)],
+        "a long, s struct<x: long, y: long>, b long")
+    df.coalesce(1).write.parquet(path)
+    stats = file_column_stats(path, ["a", "b"])
+    assert len(stats) == 1
+    assert stats[0]["a_min"] == 1 and stats[0]["a_max"] == 2
+    # with name-position indexing b would have read s.x's stats (100/300)
+    assert stats[0]["b_min"] == 7 and stats[0]["b_max"] == 9
+
+    import pytest as _pytest
+    with _pytest.raises(KeyError, match="leaf"):
+        file_column_stats(path, ["s"])

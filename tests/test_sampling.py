@@ -212,3 +212,20 @@ def test_write_packed_shards_budget_on_disk(spark, tmp_path):
             files = [f for f in os.listdir(os.path.join(path, d))
                      if f.endswith(".parquet")]
             assert len(files) == 1, d  # one file per shard
+
+
+def test_weighted_sample_assert_unique_guard(spark):
+    """Opt-in runtime check of the unique-key contract: a duplicated key
+    silently correlates draws — assert_unique=True raises instead; the
+    default path and a unique key stay unchanged (r4 verdict #5)."""
+    from frames_map_reduce_spark.operators.sampling import weighted_sample
+
+    dup = spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (2, 3.0)], "k long, w double")
+    with pytest.raises(ValueError, match="not unique"):
+        weighted_sample(dup, 2, "w", "k", assert_unique=True)
+    # silent by default (documented contract), and clean keys pass
+    assert weighted_sample(dup, 2, "w", "k").count() == 2
+    uniq = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0)], "k long, w double")
+    assert weighted_sample(uniq, 2, "w", "k", assert_unique=True).count() == 2

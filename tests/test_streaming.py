@@ -348,8 +348,9 @@ def test_stream_merge_snapshot_equals_batch_compaction(spark, tmp_path):
     assert {r[0] for r in got} == {1, 3, 4, 5}
 
     # full reprocess with a FRESH checkpoint (batch ids restart at 0):
-    # the committed-pointer guard skips replayed versions and
-    # only_newer makes any re-merge a no-op — snapshot unchanged
+    # the replay guard is LINEAGE-BOUND, so nothing is skipped — every
+    # batch re-merges, and only_newer makes the re-merge a no-op —
+    # snapshot unchanged
     q2 = stream_merge_snapshot(
         stream, snap_dir, keys=["k"], version=["v"],
         tombstone_col="is_delete",
@@ -358,3 +359,27 @@ def test_stream_merge_snapshot_equals_batch_compaction(spark, tmp_path):
     again = sorted(map(tuple, read_snapshot(spark, snap_dir)
                        .select("k", "v", "is_delete", "val").collect()))
     assert again == want
+
+    # the r4-ADVICE data-loss scenario: the source GROWS, then is
+    # reprocessed under yet another fresh checkpoint.  The new rows land
+    # in low batch ids (0..2) — a batch-id-only guard would skip them
+    # silently; the lineage-bound guard must merge them.
+    batch3 = [(6, 1, False, 60.0),          # brand-new key
+              (3, 3, False, 32.0)]          # newer version of existing key
+    spark.createDataFrame(batch3, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q3 = stream_merge_snapshot(
+        stream, snap_dir, keys=["k"], version=["v"],
+        tombstone_col="is_delete",
+        checkpoint=str(tmp_path / "ckpt3"))
+    q3.awaitTermination(120)
+    grown = sorted(map(tuple, read_snapshot(spark, snap_dir)
+                       .select("k", "v", "is_delete", "val").collect()))
+    full3 = spark.createDataFrame(batch1 + batch2 + batch3, schema)
+    want3 = sorted(map(tuple, compact_latest(
+        full3, ["k"], ["v"],
+        tombstone=F.col("is_delete")).select("k", "v", "is_delete", "val")
+        .collect()))
+    assert grown == want3
+    assert (6, 1, False, 60.0) in grown
+    assert (3, 3, False, 32.0) in grown
