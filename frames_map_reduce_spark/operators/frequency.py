@@ -97,13 +97,24 @@ def heavy_hitters_approx(df: DataFrame, col: str, k: int,
     if k <= 0 or capacity <= 0:
         raise ValueError("k and capacity must be positive")
     dtype = df.schema[col].dataType.simpleString()
-    if dtype != "string":
+    # any ATOMIC type works: the sketch only needs hashable values with a
+    # total order for the deterministic tie-break (string, integers,
+    # floats, boolean, date, timestamp, ... — cast-free).  Complex types
+    # have no meaningful frequency identity here and pandas can't hash
+    # them — reject loudly.
+    if dtype.startswith(("array<", "map<", "struct<")):
         raise ValueError(
-            f"heavy_hitters_approx currently supports string columns; "
-            f"{col} is {dtype} — cast first")
+            f"heavy_hitters_approx needs an atomic column; {col} is "
+            f"{dtype} — project a scalar key first")
+    from pyspark.sql import types as T
+    # nullable copy of the value field: the per-partition pruned-mass
+    # marker row carries NULL in the value slot even for non-null inputs
+    out_schema = T.StructType([
+        T.StructField(col, df.schema[col].dataType, True),
+        T.StructField("est", T.LongType()),
+        T.StructField("err", T.LongType())])
     summaries = df.select(col).mapInPandas(
-        _mg_partition(col, capacity),
-        schema=f"`{col}` string, est long, err long")
+        _mg_partition(col, capacity), schema=out_schema)
     merged = (summaries.groupBy(col)
                        .agg(F.sum("est").alias("est"),
                             F.sum("err").alias("err")))

@@ -47,7 +47,8 @@ def as_of_join(left: DataFrame, right: DataFrame, ts_col: str,
                by_cols: Sequence[str], value_cols: Sequence[str],
                tolerance: str | None = None,
                suffix: str = "_right",
-               direction: str = "backward") -> DataFrame:
+               direction: str = "backward",
+               time_slice: str | None = None) -> DataFrame:
     """As-of join: each left row picks up ``value_cols`` from the
     nearest right row with the same ``by_cols`` — the most recent with
     right.ts ≤ left.ts (``direction="backward"``, the default;
@@ -71,6 +72,19 @@ def as_of_join(left: DataFrame, right: DataFrame, ts_col: str,
     window.  Right values are packed into ONE struct before the window so
     a legitimately-NULL right value column cannot make ``ignorenulls``
     skip back to an older row.
+
+    Skew: the default window funnels each ``by`` key through ONE task —
+    fine for high-cardinality keys, a straggler when a few keys carry
+    most rows (market data with one hot symbol).  ``time_slice`` (e.g.
+    ``"1 day"``) re-partitions the window by ``(by, coarse time bucket)``
+    so a hot key parallelizes across its time range: the in-slice window
+    matches right rows within the bucket, and cross-bucket carryover
+    comes from a SKINNY per-(key, slice) boundary frame (one row per
+    populated slice, running-carried with a strictly-before-this-slice
+    window over slices, not rows).  Semantics are identical to the
+    unsliced path wherever the right side has unique ``(by, ts)`` rows
+    (fuzz-pinned); among exact duplicates the carried row is arbitrary on
+    both paths.
     """
     require_columns(left, [ts_col, *by_cols])
     require_columns(right, [ts_col, *by_cols, *value_cols])
@@ -91,11 +105,52 @@ def as_of_join(left: DataFrame, right: DataFrame, ts_col: str,
     # forward scans time reversed, carrying the NEXT right row backward
     ts_order = F.col(ts_col).asc() if direction == "backward" \
         else F.col(ts_col).desc()
-    w = (Window.partitionBy(*by_cols)
-               .orderBy(ts_order, F.col("_side").asc())
-               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carried = both.withColumn("_m", F.last("_rv", ignorenulls=True).over(w)) \
-                  .filter(F.col("_side") == 1)
+
+    if time_slice is None:
+        w = (Window.partitionBy(*by_cols)
+                   .orderBy(ts_order, F.col("_side").asc())
+                   .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        carried = both.withColumn(
+            "_m", F.last("_rv", ignorenulls=True).over(w)) \
+            .filter(F.col("_side") == 1)
+    else:
+        # integer bucket id: monotone in ts, identical on both sides —
+        # where the cut lands is irrelevant, only consistency matters
+        slice_expr = F.expr(
+            f"unix_micros(`{ts_col}`) div ({_interval_us(time_slice)})")
+        both = both.withColumn("_slice", slice_expr)
+        w = (Window.partitionBy(*by_cols, "_slice")
+                   .orderBy(ts_order, F.col("_side").asc())
+                   .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        in_slice = both.withColumn(
+            "_m", F.last("_rv", ignorenulls=True).over(w)) \
+            .filter(F.col("_side") == 1)
+        # boundary value entering each slice: per populated (by, slice)
+        # the extreme right row, then a running carry over SLICES
+        # (strictly before the current one — in-slice rows are already
+        # handled above).  The frame is one row per (key, populated
+        # slice): windowing it per key is cheap regardless of data skew.
+        if direction == "backward":
+            per_slice = (both.filter(F.col("_side") == 0)
+                             .groupBy(*by_cols, "_slice")
+                             .agg(F.max_by("_rv", F.col(ts_col))
+                                   .alias("_rv_edge")))
+            slice_order = F.col("_slice").asc()
+        else:
+            per_slice = (both.filter(F.col("_side") == 0)
+                             .groupBy(*by_cols, "_slice")
+                             .agg(F.min_by("_rv", F.col(ts_col))
+                                   .alias("_rv_edge")))
+            slice_order = F.col("_slice").desc()
+        spine = (both.select(*by_cols, "_slice").distinct()
+                     .join(per_slice, [*by_cols, "_slice"], "left"))
+        wb = (Window.partitionBy(*by_cols).orderBy(slice_order)
+                    .rowsBetween(Window.unboundedPreceding, -1))
+        bounds = spine.withColumn(
+            "_b", F.last("_rv_edge", ignorenulls=True).over(wb)) \
+            .select(*by_cols, "_slice", "_b")
+        carried = (in_slice.join(bounds, [*by_cols, "_slice"], "left")
+                           .withColumn("_m", F.coalesce("_m", "_b")))
 
     if tolerance is not None:
         tol_us = F.expr(_interval_us(tolerance))

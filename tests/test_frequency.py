@@ -70,6 +70,27 @@ def test_nulls_ignored_and_validation(spark):
     assert got == {"a": 2, "b": 1}
     with pytest.raises(ValueError, match="positive"):
         heavy_hitters_approx(df, "tok", 0)
-    ints = spark.createDataFrame([(1,)], "x long")
-    with pytest.raises(ValueError, match="string columns"):
-        heavy_hitters_approx(ints, "x", 5)
+
+
+def test_heavy_hitters_long_column_envelope(spark):
+    """r4 verdict #7: the sketch is type-generic over atomic columns —
+    a bigint key column works cast-free and the Misra-Gries envelope
+    (est <= true <= est + total pruned mass) holds under real pruning."""
+    rows = [(v,) for v in list(range(200)) * 1 + [7] * 50 + [11] * 30]
+    df = spark.createDataFrame(rows, "k long").repartition(4)
+    exact = {r["k"]: r["n"]
+             for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    out = heavy_hitters_approx(df, "k", k=5, capacity=16).collect()
+    assert out, "sketch returned nothing"
+    assert all(isinstance(r["k"], int) for r in out)
+    for r in out:
+        assert r["est"] <= exact[r["k"]] <= r["upper"], r
+    # the two true heavy keys must surface in the top-5
+    got = {r["k"] for r in out}
+    assert {7, 11} <= got
+
+
+def test_heavy_hitters_rejects_complex_type(spark):
+    df = spark.createDataFrame([([1, 2],)], "k array<long>")
+    with pytest.raises(ValueError, match="atomic"):
+        heavy_hitters_approx(df, "k", k=3)

@@ -167,3 +167,62 @@ def test_as_of_forward_known_answer(spark):
     assert tol[("a", 20)] == 200.0
     with pytest.raises(ValueError, match="direction"):
         as_of_join(left, right, "ts", ["k"], ["rv"], direction="nearest")
+
+
+def _rand_frames(spark, seed):
+    """Random (left, right) with unique (k, ts) right rows — the regime
+    where sliced and unsliced paths must agree exactly."""
+    import random
+
+    rng = random.Random(seed)
+    keys = ["a", "b", "c"]
+    right_rows, seen = [], set()
+    for _ in range(60):
+        k = rng.choice(keys)
+        t = _ts(rng.randint(0, 23), rng.randint(0, 59), rng.randint(0, 59))
+        if (k, t) in seen:
+            continue
+        seen.add((k, t))
+        right_rows.append((k, t, float(rng.randint(1, 999))))
+    left_rows = [(rng.choice(keys + ["z"]),
+                  _ts(rng.randint(0, 23), rng.randint(0, 59),
+                      rng.randint(0, 59)),
+                  i)
+                 for i in range(80)]
+    left = spark.createDataFrame(left_rows, "k string, ts timestamp, i long")
+    right = spark.createDataFrame(right_rows, "k string, ts timestamp, v double")
+    return left, right
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("tolerance", [None, "37 minutes"])
+def test_as_of_join_time_slice_parity(spark, direction, tolerance):
+    """r4 verdict #6: the time-sliced rendering must agree with the
+    single-window path row for row — slices cut mid-stream (17-minute
+    buckets over second-resolution data), both directions, with and
+    without tolerance."""
+    for seed in (1, 2, 3):
+        left, right = _rand_frames(spark, seed)
+        base = as_of_join(left, right, "ts", ["k"], ["v"],
+                          direction=direction, tolerance=tolerance)
+        sliced = as_of_join(left, right, "ts", ["k"], ["v"],
+                            direction=direction, tolerance=tolerance,
+                            time_slice="17 minutes")
+        a = sorted(map(tuple, base.collect()))
+        b = sorted(map(tuple, sliced.collect()))
+        assert a == b, f"seed={seed}: sliced path diverged"
+
+
+def test_as_of_join_time_slice_plan_partitions_by_slice(trades, quotes):
+    """The sliced window must shuffle on (by, slice) — more than one task
+    per hot key — while the boundary frame stays per-key but skinny."""
+    from frames_map_reduce_spark.plans import explain_formatted
+
+    out = as_of_join(trades, quotes, "ts", ["sym"], ["px"],
+                     time_slice="30 minutes")
+    plan = explain_formatted(out)
+    assert "_slice" in plan
+    # the main data window's exchange carries the slice column
+    import re
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("sym" in p and "_slice" in p for p in parts), parts
