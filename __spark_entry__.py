@@ -1878,84 +1878,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.
 
     ORDER MATTERS: the driver's correctness harness checks the FIRST 50
-    entries only, so proof rotates round-over-round.  Round-4 window
-    (per the r3 verdict): (1) the 25 queries that sat outside r3's
-    window — all r1/r2-green, rotated back in for driver re-proof,
-    including ann_srp's retuned ≈0.96-recall config; (2) sketch_distinct,
-    newly oracle-checkable this round (within_tol bit); (3) one
-    representative per SURVEY §2 family; (4) the LLM-pipeline headliners;
-    (5) every round-4 addition — these have never been driver-proven, so
-    they outrank re-proving r3 greens; (6) fillers from r3's
-    freshly-proven set.  Queries rotated out are all driver-proven in
-    earlier rounds and covered by the local parity suite."""
+    entries only, so proof rotates round-over-round.  Round-5 window
+    (per the r4 verdict #2): (1) the queries whose code or oracle CHANGED
+    this round — ann_ivf / ann_ivf_indexed (new full centroid-replay
+    oracle, the last two no_oracle rows), dedup_simhash (126-bit
+    signature), sketch_heavy_hitters (left-join hardening), merge_upsert
+    (reserved-column guard); (2) asof_forward, which has NEVER been
+    driver-proven; (3) the entire set whose last driver proof is r3 —
+    after this round no query's most recent proof is older than r4;
+    (4) tpch_q1 + dedup_minhash as the flagship/headliner continuity
+    anchors.  Everything rotated out is r4-green and covered by the
+    local oracle-parity suite (every entry re-proven at sf0.001 each
+    pytest run)."""
     return {
-        # -- (1) outside r3's window — rotate back in for re-proof ------
-        "stream_join": q_stream_join,
-        "stream_dedup": q_stream_dedup,
-        "events_hourly": q_events_hourly,
-        "weighted_mean": q_weighted_mean,
-        "fold_all_numeric": q_fold_all_numeric,
-        "rollup_revenue": q_rollup_revenue,
-        "cube_revenue": q_cube_revenue,
-        "combine_key_maps": q_combine_key_maps,
-        "flatmap_tokens": q_flatmap_tokens,
-        "collect_sorted": q_collect_sorted,
-        "split_on_data": q_split_on_data,
-        "assign_keys": q_assign_keys,
-        "assign_keys_and_data": q_assign_keys_and_data,
-        "fold_all": q_fold_all,
-        "fold_all_monoid": q_fold_all_monoid,
-        "pandas_fold": q_pandas_fold,
-        "frame_concat": q_frame_concat,
-        "to_frame": q_to_frame,
-        "read_csv_permissive": q_read_csv_permissive,
-        "repetition_stats": q_repetition_stats,
-        "redact_pii": q_redact_pii,
-        "top_ngrams": q_top_ngrams,
-        "ann_srp": q_ann_srp,          # retuned to recall@5 ≈ 0.96 in r3
+        # -- (1) changed this round: prove the change -------------------
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
-        # -- (2) newly oracle-checkable this round ----------------------
-        "sketch_distinct": q_sketch_distinct,  # was the last no_oracle row
-        # -- (3) SURVEY §2 family representatives -----------------------
-        "tpch_q1": q_tpch_q1,                   # §2.4/2.5 folds end-to-end
-        "good_rows": q_good_rows,               # §2.2 unpackGoodRows
-        "null_propagating": q_null_propagating, # §2.5 functor folds
-        "aggregate_fold_year": q_aggregate_fold_year,  # §2.6 keyMap
-        "group_median": q_group_median,         # §2.4 reduceAndAddKey
-        # -- (4) LLM-pipeline headliners --------------------------------
-        "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
-        "media_features": q_media_features,
-        # -- (5) round-4 additions: never driver-proven — first priority
-        #       for window slots (everything they displaced is r3-green
-        #       and parity-suite-covered) --------------------------------
-        "ann_bruteforce_joined": q_ann_bruteforce_joined,
-        "shuffle_pos": q_shuffle_pos,
-        "sql_revenue": q_sql_revenue,
-        "chunk_dedup": q_chunk_dedup,
-        "retention": q_retention,
-        "stream_near_dup": q_stream_near_dup,
-        "corpus_report": q_corpus_report,
-        "dup_spans": q_dup_spans,
-        "merge_upsert": q_merge_upsert,
-        "sketch_quantiles": q_sketch_quantiles,
-        "weighted_sample": q_weighted_sample,
-        "leakage_safe_split": q_leakage_safe_split,
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
-        # -- (6) fillers: only driver proof is r3 -----------------------
-        # (cdc_compact rotated out: merge_upsert drives the same operator
-        # family against the same oracle; range_join rotated out with
-        # asof_join staying as the temporal-join representative;
-        # media_meta rotated out with media_features staying as the
-        # multimodal representative)
-        "clean_corpus": q_clean_corpus,
-        "stream_sliding": q_stream_sliding,
-        "asof_join": q_asof_join,
-        # ---------------- 50-row window ends here ----------------------
-        # All entries below are driver-proven in earlier rounds (most in
-        # ≥2) and covered by the local oracle-parity suite; they rotate
-        # back into the window in later rounds.
+        "merge_upsert": q_merge_upsert,
+        # -- (2) never driver-proven ------------------------------------
+        "asof_forward": q_asof_forward,
+        # -- (3) last proof is r3: rotate the whole set back in ---------
         "media_meta": q_media_meta,
         "range_join": q_range_join,
         "cdc_compact": q_cdc_compact,
@@ -1982,7 +1926,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_native": q_percentile_native,
         "unpivot": q_unpivot,
         "asof_tolerance": q_asof_tolerance,
-        "asof_forward": q_asof_forward,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ann_bruteforce": q_ann_bruteforce,
@@ -1998,6 +1941,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hourly": q_stream_hourly,
         "stream_sessions": q_stream_sessions,
         "stream_stateful": q_stream_stateful,
+        # -- (4) flagship/headliner continuity anchors ------------------
+        "tpch_q1": q_tpch_q1,
+        "dedup_minhash": q_dedup_minhash,
+        # ---------------- 50-row window ends here ----------------------
+        # All entries below are r4-green (CORRECTNESS_r04) and covered by
+        # the local oracle-parity suite; they rotate back into the window
+        # in later rounds.
+        "stream_join": q_stream_join,
+        "stream_dedup": q_stream_dedup,
+        "events_hourly": q_events_hourly,
+        "weighted_mean": q_weighted_mean,
+        "fold_all_numeric": q_fold_all_numeric,
+        "rollup_revenue": q_rollup_revenue,
+        "cube_revenue": q_cube_revenue,
+        "combine_key_maps": q_combine_key_maps,
+        "flatmap_tokens": q_flatmap_tokens,
+        "collect_sorted": q_collect_sorted,
+        "split_on_data": q_split_on_data,
+        "assign_keys": q_assign_keys,
+        "assign_keys_and_data": q_assign_keys_and_data,
+        "fold_all": q_fold_all,
+        "fold_all_monoid": q_fold_all_monoid,
+        "pandas_fold": q_pandas_fold,
+        "frame_concat": q_frame_concat,
+        "to_frame": q_to_frame,
+        "read_csv_permissive": q_read_csv_permissive,
+        "repetition_stats": q_repetition_stats,
+        "redact_pii": q_redact_pii,
+        "top_ngrams": q_top_ngrams,
+        "ann_srp": q_ann_srp,
+        "sketch_distinct": q_sketch_distinct,
+        "good_rows": q_good_rows,
+        "null_propagating": q_null_propagating,
+        "aggregate_fold_year": q_aggregate_fold_year,
+        "group_median": q_group_median,
+        "media_features": q_media_features,
+        "ann_bruteforce_joined": q_ann_bruteforce_joined,
+        "shuffle_pos": q_shuffle_pos,
+        "sql_revenue": q_sql_revenue,
+        "chunk_dedup": q_chunk_dedup,
+        "retention": q_retention,
+        "stream_near_dup": q_stream_near_dup,
+        "corpus_report": q_corpus_report,
+        "dup_spans": q_dup_spans,
+        "sketch_quantiles": q_sketch_quantiles,
+        "weighted_sample": q_weighted_sample,
+        "leakage_safe_split": q_leakage_safe_split,
+        "clean_corpus": q_clean_corpus,
+        "stream_sliding": q_stream_sliding,
+        "asof_join": q_asof_join,
     }
 
 
