@@ -516,6 +516,20 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round(F.avg("top_ngram_frac"), 6).alias("avg_top_frac")))
 
 
+def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM perplexity filter (operators/quality.py
+    unigram_lm_score): every document scored against the corpus's own
+    smoothed unigram model — explode → vocab agg → token⋈vocab equality
+    join (AQE-broadcast vocab) → per-doc mean log-prob.  Top-20 most
+    "surprising" documents by perplexity, the filter's removal list.
+    FULL oracle: same tokenizer spec, smoothing arithmetic, and
+    round-before-exp staging replayed in DuckDB."""
+    docs = _docs(spark, sf_dir)
+    scored = QL.unigram_lm_score(docs, "text", "doc_id")
+    return (scored.orderBy(F.col("perplexity").desc(), "doc_id")
+                  .limit(20))
+
+
 PII_CSV = "/root/repo/tests/fixtures/pii.csv"
 
 
@@ -1936,15 +1950,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": q_mixture_weights,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
-        "token_stats": q_token_stats,
         "fingerprint": q_fingerprint,
         "stream_hourly": q_stream_hourly,
         "stream_sessions": q_stream_sessions,
         "stream_stateful": q_stream_stateful,
-        # -- (4) flagship/headliner continuity anchors ------------------
+        # -- (4) new this round: never proven --------------------------
+        "perplexity": q_perplexity,
+        # -- (5) flagship/headliner continuity anchors ------------------
         "tpch_q1": q_tpch_q1,
         "dedup_minhash": q_dedup_minhash,
         # ---------------- 50-row window ends here ----------------------
+        # (token_stats yielded its slot to perplexity: its last proof is
+        # r3, within the rotation bar, and text_quality/lang_id/
+        # fingerprint keep the text family represented in-window)
+        "token_stats": q_token_stats,
         # All entries below are r4-green (CORRECTNESS_r04) and covered by
         # the local oracle-parity suite; they rotate back into the window
         # in later rounds.
@@ -2195,6 +2214,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT {TX.fingerprint_sql('text')}) AS BIGINT) AS n_distinct,
                    count(*) AS n_docs
             FROM documents GROUP BY source""",
+        # FULL twin generated from the same tokenizer/smoothing spec; the
+        # top-20 ORDER BY mirrors the Spark query's (perplexity DESC, id)
+        "perplexity": f"""
+            SELECT * FROM ({QL.unigram_lm_score_sql('documents', 'text', 'doc_id')})
+            ORDER BY perplexity DESC, doc_id LIMIT 20""",
         "repetition_stats": f"""
             WITH per_doc AS ({QL.ngram_repetition_stats_sql('text', 'doc_id', ['source'], n=2)})
             SELECT source, count(*) AS n_docs,

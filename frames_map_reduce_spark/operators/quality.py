@@ -79,3 +79,88 @@ def ngram_repetition_stats_sql(text_col: str, id_col: str,
                           FROM {table})
                     GROUP BY {id_col}{cs}, _ng)
               GROUP BY {id_col}{cs})"""
+
+
+def unigram_lm_score(df: DataFrame, text_col: str, id_col: str,
+                     k_smooth: float = 0.5,
+                     lm: DataFrame | None = None,
+                     token_col: str = "token",
+                     count_col: str = "cnt") -> DataFrame:
+    """Per-document unigram language-model score — the CCNet-style
+    "perplexity filter" quality gate: documents whose token stream is
+    unlikely under a reference unigram model (gibberish, encoding noise,
+    exotic boilerplate) score high-perplexity and get filtered before
+    training.
+
+    Output per document (tokenless documents are absent — mirror in any
+    SQL twin): ``id_col``, ``n_tokens``, ``avg_logprob`` (mean over token
+    OCCURRENCES of ``ln((cnt + k) / (N + k·(V+1)))``, add-k smoothing
+    with one reserved unseen slot; rounded 6dp), ``perplexity``
+    (``exp(-avg_logprob)`` of the rounded mean, rounded 3dp — both
+    engines exponentiate the identical double).
+
+    ``lm`` defaults to the corpus's own counts (self-perplexity — spots
+    outliers against the corpus itself, no OOV possible).  Pass a
+    ``(token_col, count_col)`` frame to score against a REFERENCE model
+    (e.g. counts from a trusted corpus); unseen tokens then take the
+    smoothed-unseen mass ``ln(k / (N + k·(V+1)))`` via the left join.
+
+    Scale shape: explode → (optional) one vocabulary aggregation → a
+    key-equality join of token occurrences against the vocab frame
+    (map-side combine collapses within-partition repeats of hot tokens
+    before the shuffle; AQE broadcasts the vocab side when it fits — a
+    natural-language vocabulary almost always does) → one per-doc
+    aggregation.  Nothing quadratic, nothing driver-side.
+    """
+    require_columns(df, [text_col, id_col])
+    if k_smooth <= 0:
+        raise ValueError(f"k_smooth must be positive, got {k_smooth}")
+    toks = df.select(id_col,
+                     F.explode(TX.tokens(F.col(text_col))).alias("_tok"))
+    if lm is None:
+        vocab = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_cnt"))
+    else:
+        require_columns(lm, [token_col, count_col])
+        vocab = lm.select(F.col(token_col).alias("_tok"),
+                          F.col(count_col).cast("long").alias("_cnt"))
+    stats = vocab.agg(F.sum("_cnt").alias("_N"),
+                      F.count(F.lit(1)).alias("_V"))
+    k = float(k_smooth)
+    lp = F.log((F.coalesce(F.col("_cnt"), F.lit(0)) + F.lit(k))
+               / (F.col("_N") + F.lit(k) * (F.col("_V") + 1)))
+    scored = (toks.join(vocab, "_tok", "left")
+                  .crossJoin(F.broadcast(stats))
+                  .select(id_col, lp.alias("_lp")))
+    per_doc = (scored.groupBy(id_col)
+                     .agg(F.count(F.lit(1)).alias("n_tokens"),
+                          F.round(F.avg("_lp"), 6).alias("avg_logprob")))
+    return per_doc.select(
+        id_col, "n_tokens", "avg_logprob",
+        F.round(F.exp(-F.col("avg_logprob")), 3).alias("perplexity"))
+
+
+def unigram_lm_score_sql(table: str, text_col: str, id_col: str,
+                         k_smooth: float = 0.5) -> str:
+    """DuckDB twin of :func:`unigram_lm_score` in self-corpus mode
+    (differential oracle) — same tokenizer spec (``TX.tokens_sql``), same
+    smoothing arithmetic, same round-before-exp staging."""
+    k = repr(float(k_smooth))
+    toks = TX.tokens_sql(text_col)
+    return f"""
+        WITH toks AS (
+            SELECT {id_col}, unnest({toks}) AS _tok FROM {table}),
+        vocab AS (
+            SELECT _tok, count(*)::BIGINT AS _cnt FROM toks GROUP BY _tok),
+        st AS (
+            SELECT sum(_cnt) AS _n, count(*) AS _v FROM vocab),
+        lp AS (
+            SELECT t.{id_col},
+                   ln((COALESCE(v._cnt, 0) + {k}) / (st._n + {k} * (st._v + 1))) AS _lp
+            FROM toks t LEFT JOIN vocab v USING (_tok) CROSS JOIN st),
+        agg AS (
+            SELECT {id_col}, count(*)::BIGINT AS n_tokens,
+                   round(avg(_lp), 6) AS avg_logprob
+            FROM lp GROUP BY {id_col})
+        SELECT {id_col}, n_tokens, avg_logprob,
+               round(exp(-avg_logprob), 3) AS perplexity
+        FROM agg"""

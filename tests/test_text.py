@@ -216,3 +216,45 @@ def test_sketch_distinct_rel_err(spark):
     pub = entry_mod.queries()["sketch_distinct"](spark, SF_DIR).collect()
     assert {r["within_tol"] for r in pub} == {1}
     assert set(pub[0].asDict()) == {"event_type", "exact_users", "within_tol"}
+
+
+def test_unigram_lm_score_self_corpus(spark):
+    """Hand-checked self-corpus scoring: a doc of common tokens scores
+    lower perplexity than a doc of hapaxes; tokenless docs are absent."""
+    import math
+
+    from frames_map_reduce_spark.operators.quality import unigram_lm_score
+
+    df = spark.createDataFrame(
+        [(1, "the the the cat"), (2, "zyx qwv"), (3, "   ")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           unigram_lm_score(df, "text", "doc_id").collect()}
+    assert set(out) == {1, 2}          # tokenless doc absent
+    assert out[1]["n_tokens"] == 4 and out[2]["n_tokens"] == 2
+    assert out[1]["perplexity"] < out[2]["perplexity"]
+    # exact arithmetic: N=6 occurrences, V=4 distinct, k=0.5
+    n, v, k = 6, 4, 0.5
+    lp = lambda c: math.log((c + k) / (n + k * (v + 1)))
+    want1 = round((3 * lp(3) + lp(1)) / 4, 6)
+    assert out[1]["avg_logprob"] == want1
+    assert out[1]["perplexity"] == round(math.exp(-want1), 3)
+
+
+def test_unigram_lm_score_reference_model_oov(spark):
+    """Reference-LM mode: unseen tokens take the smoothed-unseen mass
+    (left-join null path), so an all-OOV doc is the most surprising."""
+    from frames_map_reduce_spark.operators.quality import unigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "omega omega")],
+        "doc_id long, text string")
+    lm = spark.createDataFrame(
+        [("alpha", 50), ("beta", 30), ("gamma", 20)], "token string, cnt long")
+    out = {r["doc_id"]: r for r in
+           unigram_lm_score(docs, "text", "doc_id", lm=lm).collect()}
+    assert out[2]["perplexity"] > out[1]["perplexity"]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k_smooth"):
+        unigram_lm_score(docs, "text", "doc_id", k_smooth=0.0)
