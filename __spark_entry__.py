@@ -530,6 +530,25 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .limit(20))
 
 
+def q_minhash_firewall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch near-dup firewall against a PERSISTED minhash index
+    (dedup.build_minhash_index / minhash_probe_index) — the
+    train-once/query-many deployment shape for ingestion screening, the
+    batch twin of q_stream_near_dup with the same %4 reference/incoming
+    split, spec, and threshold, hence the SAME exhaustive cross-corpus
+    Jaccard oracle.  The index pays the reference corpus's Python
+    signature pass once at build; every probe is a pruned bucketed scan
+    + broadcast joins with zero corpus-side exchanges."""
+    docs = _docs(spark, sf_dir)
+    ref = docs.filter(F.col("doc_id") % 4 == 0)
+    incoming = docs.filter(F.col("doc_id") % 4 != 0)
+    DD.build_minhash_index(ref, "minhash_index_driver", "text", "doc_id")
+    out = DD.minhash_probe_index(spark, "minhash_index_driver", incoming,
+                                 "text", "doc_id", threshold=0.6)
+    return out.select(F.col("doc_id").alias("id_in"), "ref_id",
+                      F.round("jaccard_sim", 6).alias("jaccard"))
+
+
 PII_CSV = "/root/repo/tests/fixtures/pii.csv"
 
 
@@ -1950,20 +1969,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": q_mixture_weights,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
-        "fingerprint": q_fingerprint,
         "stream_hourly": q_stream_hourly,
         "stream_sessions": q_stream_sessions,
         "stream_stateful": q_stream_stateful,
         # -- (4) new this round: never proven --------------------------
         "perplexity": q_perplexity,
+        "minhash_firewall": q_minhash_firewall,
         # -- (5) flagship/headliner continuity anchors ------------------
         "tpch_q1": q_tpch_q1,
         "dedup_minhash": q_dedup_minhash,
         # ---------------- 50-row window ends here ----------------------
-        # (token_stats yielded its slot to perplexity: its last proof is
-        # r3, within the rotation bar, and text_quality/lang_id/
-        # fingerprint keep the text family represented in-window)
+        # (token_stats and fingerprint yielded their slots to the two r5
+        # additions: both last proved in r3, within the rotation bar, and
+        # text_quality/lang_id keep the text family represented in-window)
         "token_stats": q_token_stats,
+        "fingerprint": q_fingerprint,
         # All entries below are r4-green (CORRECTNESS_r04) and covered by
         # the local oracle-parity suite; they rotate back into the window
         # in later rounds.
@@ -2252,6 +2272,16 @@ def oracle_sql() -> dict[str, str]:
         # exhaustive cross-corpus twin of the streaming firewall — exact
         # for the same banding-losslessness reason as dedup_minhash
         "stream_near_dup": f"""
+            WITH sh AS (SELECT doc_id, {shingle5} AS sh FROM documents)
+            SELECT a.doc_id AS id_in, b.doc_id AS ref_id,
+                   {jaccard5} AS jaccard
+            FROM sh a JOIN sh b
+              ON (a.doc_id % 4 <> 0) AND (b.doc_id % 4 = 0)
+            WHERE {jaccard5} >= 0.6""",
+        # identical contract to stream_near_dup (same %4 split, spec,
+        # threshold) computed via the PERSISTED index path — bucketing
+        # changes the physical plan, never the result
+        "minhash_firewall": f"""
             WITH sh AS (SELECT doc_id, {shingle5} AS sh FROM documents)
             SELECT a.doc_id AS id_in, b.doc_id AS ref_id,
                    {jaccard5} AS jaccard

@@ -479,6 +479,103 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
     )
 
 
+def build_minhash_index(corpus: DataFrame, table: str, text_col: str,
+                        id_col: str, num_perm: int = 128, bands: int = 16,
+                        shingle_k: int = 5, seed: int = 42,
+                        n_buckets: int = 64,
+                        max_bucket: int = 1000) -> None:
+    """Train-once half of the batch near-dup FIREWALL deployment shape
+    (the batch twin of :func:`streaming.stream_near_dup`, same spec):
+    pay the corpus's fused shingle+signature Python pass and banding
+    ONCE, persist it, and screen every future incoming batch against it
+    with :func:`minhash_probe_index` at probe-only cost.
+
+    Two bucketed tables (one write-time shuffle each):
+
+    - ``{table}_buckets`` — (ref_id, _bucket), bucketed by ``_bucket``:
+      the candidate join side.  Buckets larger than ``max_bucket`` are
+      dropped at build time (the cap policy of the pair operators;
+      boilerplate classes belong to exact dedup).  Unlike pair
+      generation, SINGLETON buckets are kept — a lone corpus doc must
+      still be probe-able by a future near-duplicate.
+    - ``{table}_shingles`` — (ref_id, _sh64), bucketed by ref_id: the
+      exact-Jaccard verify side.
+
+    Probe-time parameters (num_perm/bands/shingle_k/seed) must match the
+    build; they define the signature spec the way the centroid array
+    defines an IVF index."""
+    from pyspark import StorageLevel
+
+    from frames_map_reduce_spark.sources import write_bucketed
+
+    require_columns(corpus, [text_col, id_col])
+    sig = _shingle_sig_frame(corpus, text_col, id_col, shingle_k,
+                             num_perm, seed) \
+        .withColumnRenamed(id_col, "ref_id") \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    sig.count()
+    try:
+        banded = _minhash_banded(sig, "ref_id", num_perm, bands)
+        sizes = banded.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
+        ok = sizes.filter(F.col("_n") <= max_bucket).select("_bucket")
+        pruned = banded.join(F.broadcast(ok), "_bucket")
+        write_bucketed(pruned.select("ref_id", "_bucket"),
+                       f"{table}_buckets", ["_bucket"], n_buckets)
+        write_bucketed(sig.select("ref_id", "_sh64"),
+                       f"{table}_shingles", ["ref_id"], n_buckets)
+    finally:
+        sig.unpersist()
+
+
+def minhash_probe_index(spark, table: str, queries: DataFrame,
+                        text_col: str, id_col: str,
+                        threshold: float = 0.8, num_perm: int = 128,
+                        bands: int = 16, shingle_k: int = 5,
+                        seed: int = 42,
+                        max_probe_buckets: int = 1_000_000) -> DataFrame:
+    """Query-many half: screen an incoming batch against a persisted
+    minhash index (:func:`build_minhash_index`; pass the SAME spec
+    parameters).  Returns ``(id_col, ref_id, jaccard_sim)`` for every
+    (incoming, corpus) pair with exact shingle-set Jaccard ≥ threshold
+    among banded-bucket candidates.
+
+    Plan: the incoming batch is signed with the same fused Python stage,
+    its bucket keys are COLLECTED (bounded: |batch| × bands values —
+    the bounded-batch contract of a firewall, enforced loudly) and
+    pushed as an IN filter into the bucketed scan, so the corpus side
+    runs scan→filter→join with zero exchanges and bucket pruning skips
+    every unprobed bucket; candidates then verify by exact Jaccard
+    against the (broadcast) incoming shingle sets and the bucketed
+    shingle table."""
+    from pyspark import StorageLevel
+
+    require_columns(queries, [text_col, id_col])
+    qsig = _shingle_sig_frame(queries, text_col, id_col, shingle_k,
+                              num_perm, seed) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    qb = _minhash_banded(qsig, id_col, num_perm, bands)
+    probed = [r["_bucket"]
+              for r in qb.select("_bucket").distinct()
+                         .limit(max_probe_buckets + 1).collect()]
+    if len(probed) > max_probe_buckets:
+        raise ValueError(
+            f"incoming batch probes > {max_probe_buckets} buckets; a "
+            "firewall batch is bounded by contract — split the batch, or "
+            "run minhash_near_dup_pairs over the union for corpus-scale "
+            "pair generation")
+    cb = spark.table(f"{table}_buckets").filter(F.col("_bucket").isin(probed))
+    cands = (cb.join(F.broadcast(qb.select("_bucket", id_col)), "_bucket")
+               .select("ref_id", id_col).distinct())
+    refsh = spark.table(f"{table}_shingles")
+    qsh = qsig.select(F.col(id_col), F.col("_sh64").alias("_qsh"))
+    return (refsh.join(F.broadcast(cands), "ref_id")
+                 .join(F.broadcast(qsh), id_col)
+                 .select(id_col, "ref_id",
+                         jaccard(F.col("_sh64"), F.col("_qsh"))
+                          .alias("jaccard_sim"))
+                 .filter(F.col("jaccard_sim") >= threshold))
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         block_col: Column, threshold: float = 0.5,
                         shingle_k: int = 3, max_block: int = 10_000) -> DataFrame:

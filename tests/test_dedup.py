@@ -184,3 +184,63 @@ def test_duplicated_spans_known_answer(spark):
     want = sorted(tuple(r) for r in con.sql(
         DD.duplicated_spans_sql("docs", "text", "doc_id", k=8)).fetchall())
     assert got == want
+
+
+def test_minhash_index_build_probe(spark, docs, tmp_path):
+    """Persisted near-dup firewall: reference = docs {1, 4}; incoming
+    batch = {2 (exact copy of 1), 3 (near dup of 1), 5 (normalizes to
+    1's text), 6 (unrelated)} — matches mirror the batch pair operator,
+    singleton reference buckets stay probe-able, unrelated docs pass."""
+    table = "minhash_index_test"
+    try:
+        ref = docs.filter(F.col("doc_id").isin(1, 4))
+        incoming = docs.filter(~F.col("doc_id").isin(1, 4)).union(
+            spark.createDataFrame(
+                [(6, "totally unrelated short poem about the quiet sea")],
+                "doc_id long, text string"))
+        DD.build_minhash_index(ref, table, "text", "doc_id")
+        out = {(r["doc_id"], r["ref_id"]): r["jaccard_sim"]
+               for r in DD.minhash_probe_index(
+                   spark, table, incoming, "text", "doc_id",
+                   threshold=0.6).collect()}
+        assert out[(2, 1)] == 1.0          # exact copy
+        assert out[(5, 1)] == 1.0          # normalization twin
+        assert (3, 1) in out and out[(3, 1)] >= 0.6   # near dup
+        assert not any(q == 6 for (q, _) in out)      # unrelated passes
+        assert not any(r == 4 for (_, r) in out)      # no false refs
+
+        # plan: the probed bucket scan is exchange-free on the corpus
+        # side with the probe-set IN filter pushed down
+        import re
+
+        from frames_map_reduce_spark.plans import (
+            count_exchanges,
+            explain_formatted,
+        )
+        qsig = DD._shingle_sig_frame(incoming, "text", "doc_id", 5, 128, 42)
+        qb = DD._minhash_banded(qsig, "doc_id", 128, 16)
+        probed = [r["_bucket"] for r in qb.select("_bucket").distinct().collect()]
+        cb = (spark.table(f"{table}_buckets")
+                   .filter(F.col("_bucket").isin(probed))
+                   .join(F.broadcast(qb.select("_bucket", "doc_id")), "_bucket"))
+        assert count_exchanges(cb) == 0
+        assert "In(_bucket" in explain_formatted(cb)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}_buckets")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_shingles")
+
+
+def test_minhash_probe_bounded_batch_contract(spark, docs, tmp_path):
+    """An over-sized incoming batch must fail loudly, pointing at the
+    corpus-scale pair path — the same bounded-contract style as the ANN
+    driver-collect cap."""
+    table = "minhash_index_cap_test"
+    try:
+        DD.build_minhash_index(docs.filter(F.col("doc_id") == 1),
+                               table, "text", "doc_id")
+        with pytest.raises(ValueError, match="bounded"):
+            DD.minhash_probe_index(spark, table, docs, "text", "doc_id",
+                                   max_probe_buckets=3)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}_buckets")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_shingles")
