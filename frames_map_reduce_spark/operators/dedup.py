@@ -684,17 +684,6 @@ def _wordish_tokens_py(s: str) -> list[str]:
     return _WORDISH_PY.findall(s.lower())
 
 
-def _token_hash_py(tok: str) -> int:
-    """64-bit token hash: polynomial over code points + splitmix64 — the
-    same family as the shingle hash.  Hash IDENTITY is free to differ
-    from the expression path's xxhash64: simhash quality only needs a
-    well-distributed 64-bit hash (and the driver check is rows-only)."""
-    h = 0
-    for c in tok:
-        h = (h * 1099511628211 + ord(c)) & 0xFFFFFFFFFFFFFFFF
-    return int(_mix64(np.array([h], dtype=np.uint64))[0])
-
-
 # Signature word geometry: signatures wider than one bigint are stored
 # as array<bigint> of 63-bit words (63, not 64, keeps every packed word a
 # POSITIVE signed bigint — no sign-extension traps in either engine).
@@ -709,6 +698,11 @@ def _sim_n_words(bits: int) -> int:
 
 
 def _token_poly_py(tok: str) -> int:
+    """Rolling polynomial code-point hash of a token (pre-mix state; each
+    signature word draws splitmix64(h + w·GAMMA) from it).  Hash IDENTITY
+    is free to differ from the expression path's xxhash64: simhash
+    quality only needs well-distributed 64-bit draws, and the oracle
+    replays THIS spec."""
     h = 0
     for c in tok:
         h = (h * 1099511628211 + ord(c)) & 0xFFFFFFFFFFFFFFFF
@@ -920,10 +914,10 @@ def simhash_bucket_stats(df: DataFrame, text_col: str, id_col: str,
 
 # ---------------------------------------------------------------------------
 # SimHash DuckDB oracle twin — generated from the SAME spec constants as the
-# fused Python path (_token_hash_py/_mix64), so the two cannot drift.
+# fused Python path (_token_poly_py/_mix64), so the two cannot drift.
 # ---------------------------------------------------------------------------
 
-_POLY_PRIME = 1099511628211  # FNV-64 prime; must equal _token_hash_py's
+_POLY_PRIME = 1099511628211  # FNV-64 prime; must equal _token_poly_py's
 
 
 def _mulmod64_sql(a: str, b: int) -> str:
