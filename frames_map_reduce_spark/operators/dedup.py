@@ -532,21 +532,26 @@ def minhash_probe_index(spark, table: str, queries: DataFrame,
                         threshold: float = 0.8, num_perm: int = 128,
                         bands: int = 16, shingle_k: int = 5,
                         seed: int = 42,
-                        max_probe_buckets: int = 1_000_000) -> DataFrame:
+                        max_probe_buckets: int = 1_000_000,
+                        pushdown_limit: int = 2048) -> DataFrame:
     """Query-many half: screen an incoming batch against a persisted
     minhash index (:func:`build_minhash_index`; pass the SAME spec
     parameters).  Returns ``(id_col, ref_id, jaccard_sim)`` for every
     (incoming, corpus) pair with exact shingle-set Jaccard ≥ threshold
     among banded-bucket candidates.
 
-    Plan: the incoming batch is signed with the same fused Python stage,
-    its bucket keys are COLLECTED (bounded: |batch| × bands values —
-    the bounded-batch contract of a firewall, enforced loudly) and
-    pushed as an IN filter into the bucketed scan, so the corpus side
-    runs scan→filter→join with zero exchanges and bucket pruning skips
-    every unprobed bucket; candidates then verify by exact Jaccard
-    against the (broadcast) incoming shingle sets and the bucketed
-    shingle table."""
+    Plan: the incoming batch is signed with the same fused Python stage;
+    for SMALL batches (≤ ``pushdown_limit`` distinct bucket keys) the
+    probe set is pushed as an IN filter into the bucketed scan, so the
+    corpus side runs scan→filter→join with zero exchanges and bucket
+    pruning skips every unprobed bucket.  Past that limit the filter is
+    dropped and the broadcast bucket equi-join alone selects candidates:
+    a many-thousand-literal In expression costs Catalyst more to
+    optimize than the full (skinny) bucket-table scan it would save —
+    measured ~80 s of pure plan compilation at 58k literals.  Candidates
+    then verify by exact Jaccard against the (broadcast) incoming
+    shingle sets and the bucketed shingle table.  ``max_probe_buckets``
+    stays the loud driver-collect cap either way."""
     from pyspark import StorageLevel
 
     require_columns(queries, [text_col, id_col])
@@ -563,7 +568,9 @@ def minhash_probe_index(spark, table: str, queries: DataFrame,
             "firewall batch is bounded by contract — split the batch, or "
             "run minhash_near_dup_pairs over the union for corpus-scale "
             "pair generation")
-    cb = spark.table(f"{table}_buckets").filter(F.col("_bucket").isin(probed))
+    cb = spark.table(f"{table}_buckets")
+    if len(probed) <= pushdown_limit:
+        cb = cb.filter(F.col("_bucket").isin(probed))
     cands = (cb.join(F.broadcast(qb.select("_bucket", id_col)), "_bucket")
                .select("ref_id", id_col).distinct())
     refsh = spark.table(f"{table}_shingles")
