@@ -244,3 +244,70 @@ def test_minhash_probe_bounded_batch_contract(spark, docs, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}_buckets")
         spark.sql(f"DROP TABLE IF EXISTS {table}_shingles")
+
+
+def test_simhash_banding_equals_bruteforce_across_geometries(spark):
+    """Property pin for the multi-word band extraction: for several
+    (bits, n_bands) geometries — including chunks that straddle the
+    63-bit word boundary and a non-dividing bands count with a remainder
+    chunk — the banded+verified pair set must equal brute-force Hamming
+    filtering of the same signatures (pigeonhole: lossless whenever
+    max_hamming < n_bands)."""
+    import itertools
+
+    import pandas as pd
+
+    rows = [(i, t) for i, t in enumerate([
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "the quick brown fox leaps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "pack my box with five dozen liquid jugs",
+        "sphinx of black quartz judge my vow",
+        "how vexingly quick daft zebras jump",
+        "the five boxing wizards jump quickly tonight",
+        "",
+        "   ",
+    ])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for bits, n_bands, max_h in [(126, 9, 8), (126, 5, 4), (126, 11, 10),
+                                 (63, 9, 8), (189, 7, 6)]:
+        sh = {r["doc_id"]: r["_sim"] for r in
+              DD._simhash_from_text_frame(df, "text", "doc_id", bits).collect()}
+        brute = set()
+        for a, b in itertools.combinations(sorted(sh), 2):
+            d = sum(bin((x ^ y) & ((1 << 63) - 1)).count("1")
+                    for x, y in zip(sh[a], sh[b]))
+            if d <= max_h:
+                brute.add((a, b, d))
+        got = {(r["id_a"], r["id_b"], r["hamming_dist"]) for r in
+               DD.simhash_near_dup_pairs(df, "text", "doc_id",
+                                         max_hamming=max_h, bits=bits,
+                                         n_bands=n_bands).collect()}
+        assert got == brute, f"geometry bits={bits} bands={n_bands}"
+
+
+def test_simhash_chunks_partition_the_bit_space(spark):
+    """Reconstruction property: the per-band chunk values, shifted back
+    to their global offsets, must XOR-reassemble the signature exactly —
+    i.e. chunks partition [0, bits) with no gap, overlap, or
+    straddle-extraction error."""
+    rows = [(1, "a modest amount of text for signature material")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for bits, n_bands in [(126, 9), (126, 4), (63, 4), (189, 8)]:
+        out = (DD._simhash_from_text_frame(df, "text", "doc_id", bits)
+                 .select("_sim", DD._simhash_chunks(bits, n_bands).alias("_ch"))
+                 .first())
+        words = out["_sim"]
+        chunk = bits // n_bands
+        rebuilt = [0] * len(words)
+        for entry in out["_ch"]:
+            band, val = entry.split(":")
+            band, val = int(band), int(val)
+            start = band * chunk
+            width = (bits - start) if band == n_bands - 1 else chunk
+            for j in range(width):
+                g = start + j
+                if (val >> j) & 1:
+                    rebuilt[g // 63] |= 1 << (g % 63)
+        assert rebuilt == list(words), (bits, n_bands, rebuilt, words)
