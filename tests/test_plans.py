@@ -126,3 +126,18 @@ def test_tpch_q3_plan_shape(spark):
     assert has_broadcast_join(df)
     df.collect()
     assert "TakeOrderedAndProject" in executed_plan(df)
+
+
+def test_perplexity_plan_shape(spark):
+    """The LM-score query's scale contract: the top-20 lowers to
+    TakeOrderedAndProject (no global sort) and the scan prunes to the
+    two columns the query touches."""
+    import __spark_entry__ as E
+    from frames_map_reduce_spark.plans import explain_formatted, read_schemas
+    from tests.conftest import SF_DIR
+
+    df = E.q_perplexity(spark, SF_DIR)
+    assert "TakeOrderedAndProject" in explain_formatted(df)
+    schemas = read_schemas(df)
+    assert schemas and all(set(s) <= {"doc_id", "text"} for s in schemas), \
+        schemas
