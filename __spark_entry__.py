@@ -549,6 +549,19 @@ def q_minhash_firewall(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("jaccard_sim", 6).alias("jaccard"))
 
 
+def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of span dedup (dedup.remove_duplicated_spans):
+    flagged duplicated 8-gram spans are cut out of each document and the
+    kept tokens re-joined — one row per document with the cleaned text's
+    md5 plus removal accounting.  FULL oracle: the twin wraps the
+    duplicated_spans replay and applies the same positional cut."""
+    docs = _docs(spark, sf_dir)
+    out = DD.remove_duplicated_spans(docs, "text", "doc_id")
+    return out.select("doc_id", F.md5(F.encode("clean_text", "UTF-8"))
+                                 .alias("clean_md5"),
+                      "n_tokens", "n_tokens_removed", "n_spans_removed")
+
+
 PII_CSV = "/root/repo/tests/fixtures/pii.csv"
 
 
@@ -1945,7 +1958,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": q_pack_shards,
         "train_test_split": q_train_test_split,
         "salted_agg": q_salted_agg,
-        "events_json": q_events_json,
         "mr_sum_by_flag": q_mr_sum_by_flag,
         "topk_per_group": q_topk_per_group,
         "topk_native": q_topk_native,
@@ -1975,15 +1987,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (4) new this round: never proven --------------------------
         "perplexity": q_perplexity,
         "minhash_firewall": q_minhash_firewall,
+        "remove_dup_spans": q_remove_dup_spans,
         # -- (5) flagship/headliner continuity anchors ------------------
         "tpch_q1": q_tpch_q1,
         "dedup_minhash": q_dedup_minhash,
         # ---------------- 50-row window ends here ----------------------
-        # (token_stats and fingerprint yielded their slots to the two r5
-        # additions: both last proved in r3, within the rotation bar, and
-        # text_quality/lang_id keep the text family represented in-window)
+        # (token_stats, fingerprint and events_json yielded their slots
+        # to the three r5 additions: all last proved in r3, within the
+        # rotation bar; text_quality/lang_id keep the text family and
+        # events_hourly the events family represented elsewhere)
         "token_stats": q_token_stats,
         "fingerprint": q_fingerprint,
+        "events_json": q_events_json,
         # All entries below are r4-green (CORRECTNESS_r04) and covered by
         # the local oracle-parity suite; they rotate back into the window
         # in later rounds.
@@ -2648,6 +2663,13 @@ def oracle_sql() -> dict[str, str]:
         "sql_revenue": _SQL_REVENUE,  # the SAME text Spark executes
         "dup_spans": DD.duplicated_spans_sql(
             "documents", "text", "doc_id", k=8, min_count=2),
+        # apply half: same span replay wrapped with the positional cut
+        "remove_dup_spans": f"""
+            SELECT doc_id, md5(clean_text) AS clean_md5,
+                   CAST(n_tokens AS INT) AS n_tokens,
+                   CAST(n_tokens_removed AS INT) AS n_tokens_removed,
+                   CAST(n_spans_removed AS INT) AS n_spans_removed
+            FROM ({DD.remove_duplicated_spans_sql('documents', 'text', 'doc_id')})""",
         "corpus_report": f"""
             SELECT source,
                    count(*) AS n_docs,

@@ -1124,3 +1124,106 @@ FROM (SELECT {id_col}, island, min(p) AS span_start,
              max(p) + {k - 1} AS span_end, count(*) AS n_dup_grams
       FROM isl GROUP BY {id_col}, island)
 """
+
+
+def remove_duplicated_spans(df: DataFrame, text_col: str, id_col: str,
+                            k: int = 8, min_count: int = 2,
+                            min_span_tokens: int | None = None,
+                            out_col: str = "clean_text") -> DataFrame:
+    """The APPLY half of span-level dedup: rebuild each document's text
+    with every flagged duplicated span (:func:`duplicated_spans`) cut
+    out — the exact-substring-dedup removal step (license headers,
+    navigation chrome, quoted boilerplate excised in place, the rest of
+    the document kept).
+
+    Returns one row per input document: ``id_col``, ``out_col`` (kept
+    tokens re-joined with single spaces — whitespace-NORMALIZING, like
+    every token-level rewrite), ``n_tokens`` (before), ``n_tokens_removed``,
+    ``n_spans_removed``.  ``min_span_tokens`` (default ``k``, the
+    minimum width a span can have) drops no spans by default but lets
+    callers ignore short accidental repeats.
+
+    Scale shape: the span frame is the posting-list pipeline of
+    ``duplicated_spans`` (2-phase agg + skinny join + flagged-only
+    window); the rewrite itself is one LEFT join of documents to their
+    grouped span lists (spans per doc are few) and a per-token
+    ``exists`` over that bounded list — all JVM expressions, no Python.
+    """
+    from frames_map_reduce_spark.functions.text import tokens
+
+    require_columns(df, [text_col, id_col])
+    if min_span_tokens is None:
+        min_span_tokens = k
+    spans = (duplicated_spans(df, text_col, id_col, k=k,
+                              min_count=min_count)
+             .filter(F.col("span_tokens") >= min_span_tokens)
+             .groupBy(id_col)
+             .agg(F.collect_list(F.struct("span_start", "span_end"))
+                   .alias("_spans")))
+    base = df.select(
+        F.col(id_col),
+        F.coalesce(tokens(F.col(text_col)),
+                   F.array().cast("array<string>")).alias("_t"))
+    joined = base.join(spans, id_col, "left").withColumn(
+        "_spans", F.coalesce("_spans", F.array()))
+    # sequence(1, 0) DESCENDS in Spark — gate the empty-token case
+    positions = F.when(F.size("_t") > 0,
+                       F.sequence(F.lit(1), F.size("_t"))) \
+                 .otherwise(F.array().cast("array<int>"))
+    pos = F.transform(
+        positions,
+        lambda p: F.when(
+            ~F.exists("_spans",
+                      lambda sp: (p >= sp["span_start"])
+                                 & (p <= sp["span_end"])),
+            F.element_at("_t", p)))
+    kept = F.filter(pos, lambda x: x.isNotNull())
+    return joined.select(
+        id_col,
+        F.concat_ws(" ", kept).alias(out_col),
+        F.size("_t").alias("n_tokens"),
+        (F.size("_t") - F.size(kept)).alias("n_tokens_removed"),
+        F.size("_spans").alias("n_spans_removed"))
+
+
+def remove_duplicated_spans_sql(table: str, text_col: str, id_col: str,
+                                k: int = 8, min_count: int = 2,
+                                min_span_tokens: int | None = None,
+                                out_col: str = "clean_text") -> str:
+    """DuckDB twin of :func:`remove_duplicated_spans` — wraps the
+    :func:`duplicated_spans_sql` twin and applies the same positional
+    cut + single-space rejoin."""
+    from frames_map_reduce_spark.functions.text import tokens_sql
+
+    if min_span_tokens is None:
+        min_span_tokens = k
+    toks = tokens_sql(text_col)
+    inner = duplicated_spans_sql(table, text_col, id_col,
+                                 k=k, min_count=min_count)
+    return f"""
+WITH span_rows AS ({inner}),
+     sp AS (
+       SELECT {id_col}, list([span_start, span_end]) AS spans
+       FROM span_rows WHERE span_tokens >= {min_span_tokens}
+       GROUP BY {id_col}),
+     base AS (SELECT {id_col}, COALESCE({toks}, []) AS t FROM {table}),
+     joined AS (
+       SELECT b.{id_col}, b.t, COALESCE(s.spans, []) AS spans
+       FROM base b LEFT JOIN sp s USING ({id_col})),
+     cut AS (
+       SELECT {id_col}, t, spans,
+              list_filter(
+                list_transform(range(1, len(t) + 1),
+                  p -> CASE WHEN len(list_filter(spans,
+                         sp -> p >= sp[1] AND p <= sp[2])) = 0
+                       THEN t[p] END),
+                x -> x IS NOT NULL) AS kept
+       FROM joined)
+SELECT {id_col},
+       -- DuckDB array_to_string([]) is NULL; Spark concat_ws is '' —
+       -- coalesce to the Spark semantics
+       COALESCE(array_to_string(kept, ' '), '') AS {out_col},
+       len(t) AS n_tokens,
+       len(t) - len(kept) AS n_tokens_removed,
+       len(spans) AS n_spans_removed
+FROM cut"""

@@ -311,3 +311,27 @@ def test_simhash_chunks_partition_the_bit_space(spark):
                 if (val >> j) & 1:
                     rebuilt[g // 63] |= 1 << (g % 63)
         assert rebuilt == list(words), (bits, n_bands, rebuilt, words)
+
+
+def test_remove_duplicated_spans_apply(spark):
+    """The apply half: a license-header span shared by two docs is cut
+    from both, unique text survives, sub-k docs and span-free docs pass
+    through untouched (whitespace-normalized)."""
+    header = "licensed under the apache license version two point zero see notice file"
+    rows = [
+        (1, header + " alpha beta gamma delta epsilon zeta eta theta"),
+        (2, header + " one two three four five six seven eight nine ten"),
+        (3, "entirely unique prose with no repeated material anywhere here today"),
+        (4, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           DD.remove_duplicated_spans(df, "text", "doc_id").collect()}
+    assert out[1]["n_spans_removed"] == 1 and out[2]["n_spans_removed"] == 1
+    assert out[1]["n_tokens_removed"] == out[2]["n_tokens_removed"] == 12
+    assert out[1]["clean_text"] == "alpha beta gamma delta epsilon zeta eta theta"
+    assert out[2]["clean_text"].startswith("one two three")
+    assert out[3]["n_tokens_removed"] == 0
+    assert out[3]["clean_text"] == rows[2][1]
+    assert out[4]["clean_text"] == "tiny doc"      # sub-k: untouched
+    assert out[4]["n_tokens_removed"] == 0
