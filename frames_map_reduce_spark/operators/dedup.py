@@ -893,6 +893,11 @@ def _simhash_chunks(bits: int, n_bands: int):
         start = i * chunk
         # last band absorbs the remainder bits so the union covers [0, bits)
         width = (bits - start) if i == n_bands - 1 else chunk
+        if width > 63:
+            raise ValueError(
+                f"band {i} would span {width} bits (> 63, a bigint): "
+                f"bits={bits} needs n_bands >= {(bits + 62) // 63 + 1} "
+                f"for extractable chunks")
         keys.append(F.concat_ws(":", F.lit(i), _sim_chunk_value(start, width)))
     return F.array(*keys)
 

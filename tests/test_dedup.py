@@ -335,3 +335,12 @@ def test_remove_duplicated_spans_apply(spark):
     assert out[3]["clean_text"] == rows[2][1]
     assert out[4]["clean_text"] == "tiny doc"      # sub-k: untouched
     assert out[4]["n_tokens_removed"] == 0
+
+
+def test_simhash_band_wider_than_bigint_raises(spark):
+    """A chunk wider than 63 bits cannot be extracted into a bigint —
+    geometry must fail loudly, not overflow silently."""
+    df = spark.createDataFrame([(1, "text")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="> 63"):
+        DD.simhash_near_dup_pairs(df, "text", "doc_id",
+                                  bits=189, n_bands=2, max_hamming=1)
