@@ -527,6 +527,48 @@ def build_minhash_index(corpus: DataFrame, table: str, text_col: str,
         sig.unpersist()
 
 
+def extend_minhash_index(corpus_delta: DataFrame, table: str, text_col: str,
+                         id_col: str, num_perm: int = 128, bands: int = 16,
+                         shingle_k: int = 5, seed: int = 42) -> None:
+    """Append newly-ACCEPTED documents to a persisted minhash index —
+    the third step of the firewall lifecycle (screen the batch with
+    :func:`minhash_probe_index`, keep the survivors, extend the index
+    with them so the NEXT batch is screened against today's corpus too).
+
+    Appends to both bucketed tables with the same bucket spec Spark
+    recorded at build time (enforced by the catalog), paying only the
+    delta's signature pass — the existing index is never read or
+    rewritten.  Spec parameters must match the build.  The build-time
+    ``max_bucket`` cap is NOT re-evaluated across appends (that would
+    require reading the whole index); re-run :func:`build_minhash_index`
+    periodically if the corpus grows degenerate bucket classes, and
+    monitor with :func:`minhash_bucket_stats`."""
+    from pyspark import StorageLevel
+
+    from frames_map_reduce_spark.sources import write_bucketed
+
+    require_columns(corpus_delta, [text_col, id_col])
+    spark = corpus_delta.sparkSession
+    sig = _shingle_sig_frame(corpus_delta, text_col, id_col, shingle_k,
+                             num_perm, seed) \
+        .withColumnRenamed(id_col, "ref_id") \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    sig.count()
+    try:
+        banded = _minhash_banded(sig, "ref_id", num_perm, bands)
+        # append must reuse the table's recorded bucket count — read it
+        # from the catalog rather than trusting a caller parameter
+        desc = spark.sql(f"DESCRIBE TABLE EXTENDED {table}_buckets") \
+                    .filter(F.col("col_name") == "Num Buckets").first()
+        nb = int(desc["data_type"]) if desc else 64
+        write_bucketed(banded.select("ref_id", "_bucket"),
+                       f"{table}_buckets", ["_bucket"], nb, mode="append")
+        write_bucketed(sig.select("ref_id", "_sh64"),
+                       f"{table}_shingles", ["ref_id"], nb, mode="append")
+    finally:
+        sig.unpersist()
+
+
 def minhash_probe_index(spark, table: str, queries: DataFrame,
                         text_col: str, id_col: str,
                         threshold: float = 0.8, num_perm: int = 128,

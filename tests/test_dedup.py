@@ -344,3 +344,30 @@ def test_simhash_band_wider_than_bigint_raises(spark):
     with pytest.raises(ValueError, match="> 63"):
         DD.simhash_near_dup_pairs(df, "text", "doc_id",
                                   bits=189, n_bands=2, max_hamming=1)
+
+
+def test_minhash_index_extend_lifecycle(spark, docs):
+    """Firewall lifecycle: build on part of the corpus, extend with the
+    accepted remainder, and the probe must behave exactly as an index
+    built on the union — incl. matching docs added only via extend."""
+    table = "minhash_index_ext_test"
+    table2 = "minhash_index_union_test"
+    try:
+        part1 = docs.filter(F.col("doc_id") == 4)
+        part2 = docs.filter(F.col("doc_id") == 1)
+        DD.build_minhash_index(part1, table, "text", "doc_id")
+        DD.extend_minhash_index(part2, table, "text", "doc_id")
+        probe = docs.filter(F.col("doc_id").isin(2, 3))
+        got = sorted((r["doc_id"], r["ref_id"], r["jaccard_sim"]) for r in
+                     DD.minhash_probe_index(spark, table, probe, "text",
+                                            "doc_id", threshold=0.6).collect())
+        DD.build_minhash_index(part1.union(part2), table2, "text", "doc_id")
+        want = sorted((r["doc_id"], r["ref_id"], r["jaccard_sim"]) for r in
+                      DD.minhash_probe_index(spark, table2, probe, "text",
+                                             "doc_id", threshold=0.6).collect())
+        assert got == want
+        assert any(ref == 1 for (_, ref, _) in got)   # extend-added doc found
+    finally:
+        for t in (table, table2):
+            spark.sql(f"DROP TABLE IF EXISTS {t}_buckets")
+            spark.sql(f"DROP TABLE IF EXISTS {t}_shingles")
