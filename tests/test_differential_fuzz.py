@@ -282,3 +282,63 @@ def test_merge_upsert_incremental_equals_batch(spark, rows, cutoff):
                           ["k"], ["v", "seq"], tombstone=tomb)
     assert sorted(map(tuple, merged.collect())) \
         == sorted(map(tuple, full.collect()))
+
+
+_WORDS = ["the", "cat", "dog", "runs", "fast", "x9", "zz", "alpha", "beta", ""]
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=0, max_size=30),
+    min_size=1, max_size=12)
+
+
+@given(docs=docs_strategy)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_unigram_lm_score_matches_duckdb(spark, docs):
+    """Random small corpora through the LM scorer vs its DuckDB twin —
+    exercises smoothing arithmetic, tokenless docs, repeated tokens, and
+    the round-before-exp staging on shapes the fixed fixture lacks."""
+    from frames_map_reduce_spark.operators.quality import (
+        unigram_lm_score,
+        unigram_lm_score_sql,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(map(tuple, unigram_lm_score(df, "text", "doc_id").collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(map(tuple,
+                      con.sql(unigram_lm_score_sql("t", "text", "doc_id"))
+                         .fetchall()))
+    assert got == want
+
+
+@given(docs=st.lists(
+    st.lists(st.sampled_from(_WORDS[:6]), min_size=0, max_size=25),
+    min_size=1, max_size=8))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_remove_dup_spans_matches_duckdb(spark, docs):
+    """Random repetitive corpora through the span-removal apply vs its
+    DuckDB twin — small k so spans actually fire, with sub-k docs,
+    all-duplicate docs, and empty docs in range."""
+    from frames_map_reduce_spark.operators.dedup import (
+        remove_duplicated_spans,
+        remove_duplicated_spans_sql,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(map(tuple,
+                     remove_duplicated_spans(df, "text", "doc_id",
+                                             k=3).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(map(tuple,
+                      con.sql(remove_duplicated_spans_sql("t", "text",
+                                                          "doc_id", k=3))
+                         .fetchall()))
+    assert got == want
