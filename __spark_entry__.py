@@ -562,6 +562,18 @@ def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_tokens", "n_tokens_removed", "n_spans_removed")
 
 
+def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional (bigram) LM perplexity filter (operators/quality.py
+    bigram_lm_score) — the stronger CCNet-style gate next to the unigram
+    q_perplexity: each token scored given its predecessor, BOS-seeded.
+    Top-20 most surprising documents.  FULL oracle: same tokenizer,
+    sentinel, smoothing, and round-before-exp staging in DuckDB."""
+    docs = _docs(spark, sf_dir)
+    scored = QL.bigram_lm_score(docs, "text", "doc_id")
+    return (scored.orderBy(F.col("perplexity").desc(), "doc_id")
+                  .limit(20))
+
+
 PII_CSV = "/root/repo/tests/fixtures/pii.csv"
 
 
@@ -1961,7 +1973,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mr_sum_by_flag": q_mr_sum_by_flag,
         "topk_per_group": q_topk_per_group,
         "topk_native": q_topk_native,
-        "pivot": q_pivot,
         "join_revenue": q_join_revenue,
         "running_total": q_running_total,
         "quality_score": q_quality_score,
@@ -1986,19 +1997,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stateful": q_stream_stateful,
         # -- (4) new this round: never proven --------------------------
         "perplexity": q_perplexity,
+        "bigram_perplexity": q_bigram_perplexity,
         "minhash_firewall": q_minhash_firewall,
         "remove_dup_spans": q_remove_dup_spans,
         # -- (5) flagship/headliner continuity anchors ------------------
         "tpch_q1": q_tpch_q1,
         "dedup_minhash": q_dedup_minhash,
         # ---------------- 50-row window ends here ----------------------
-        # (token_stats, fingerprint and events_json yielded their slots
-        # to the three r5 additions: all last proved in r3, within the
-        # rotation bar; text_quality/lang_id keep the text family and
-        # events_hourly the events family represented elsewhere)
+        # (token_stats, fingerprint, events_json and pivot yielded their
+        # slots to the four r5 additions: all last proved in r3, within
+        # the rotation bar; text_quality/lang_id keep the text family,
+        # events_hourly the events family, and unpivot the reshape
+        # family represented elsewhere)
         "token_stats": q_token_stats,
         "fingerprint": q_fingerprint,
         "events_json": q_events_json,
+        "pivot": q_pivot,
         # All entries below are r4-green (CORRECTNESS_r04) and covered by
         # the local oracle-parity suite; they rotate back into the window
         # in later rounds.
@@ -2253,6 +2267,9 @@ def oracle_sql() -> dict[str, str]:
         # top-20 ORDER BY mirrors the Spark query's (perplexity DESC, id)
         "perplexity": f"""
             SELECT * FROM ({QL.unigram_lm_score_sql('documents', 'text', 'doc_id')})
+            ORDER BY perplexity DESC, doc_id LIMIT 20""",
+        "bigram_perplexity": f"""
+            SELECT * FROM ({QL.bigram_lm_score_sql('documents', 'text', 'doc_id')})
             ORDER BY perplexity DESC, doc_id LIMIT 20""",
         "repetition_stats": f"""
             WITH per_doc AS ({QL.ngram_repetition_stats_sql('text', 'doc_id', ['source'], n=2)})

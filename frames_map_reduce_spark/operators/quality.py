@@ -164,3 +164,104 @@ def unigram_lm_score_sql(table: str, text_col: str, id_col: str,
         SELECT {id_col}, n_tokens, avg_logprob,
                round(exp(-avg_logprob), 3) AS perplexity
         FROM agg"""
+
+
+#: beginning-of-document sentinel for the bigram model's first transition.
+#: A single space can never be a token (the tokenizer splits on it), so it
+#: cannot collide with vocabulary.
+_BOS = " "
+
+
+def _transitions(t):
+    """(prev, tok) pairs over a token array: (BOS, t1), (t1, t2), …
+    Pure expression — prepend the sentinel, drop the last element, zip."""
+    prevs = F.concat(F.array(F.lit(_BOS)),
+                     F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))))
+    return F.arrays_zip(prevs.alias("prev"), t.alias("tok"))
+
+
+def bigram_lm_score(df: DataFrame, text_col: str, id_col: str,
+                    k_smooth: float = 0.5) -> DataFrame:
+    """Per-document BIGRAM language-model score — the conditional
+    upgrade of :func:`unigram_lm_score` (closer to the CCNet filter's
+    n-gram model): each token is scored given its predecessor,
+    ``ln((c(prev, tok) + k) / (c(prev) + k·(V+1)))`` with add-k
+    smoothing over the corpus vocabulary ``V`` (+1 unseen slot), the
+    first token conditioned on a BOS sentinel.  Degenerate repetition
+    scores HIGH probability (low perplexity) under a bigram model while
+    gibberish scores low — the two tails a quality gate cuts.
+
+    Output per document (tokenless docs absent): ``id_col``,
+    ``n_tokens``, ``avg_logprob`` (mean over transitions, rounded 6dp),
+    ``perplexity`` (``exp(-avg)`` of the rounded mean, rounded 3dp).
+
+    Scale shape: one explode of (prev, tok) pairs → bigram-count
+    aggregation → context-count aggregation (both 2-phase, map-side
+    combined) → two key-equality joins of the transition stream against
+    those frames (AQE broadcasts them when the bigram table fits; at
+    web scale it goes shuffle-side, which is the correct call) → one
+    per-doc aggregation.  Nothing quadratic, nothing driver-side."""
+    require_columns(df, [text_col, id_col])
+    if k_smooth <= 0:
+        raise ValueError(f"k_smooth must be positive, got {k_smooth}")
+    toks = df.select(F.col(id_col), TX.tokens(F.col(text_col)).alias("_t")) \
+             .filter(F.size("_t") > 0)
+    trans = toks.select(
+        id_col, F.explode(_transitions(F.col("_t"))).alias("_tr")) \
+        .select(id_col, F.col("_tr.prev").alias("_prev"),
+                F.col("_tr.tok").alias("_tok"))
+    big = trans.groupBy("_prev", "_tok").agg(F.count(F.lit(1)).alias("_cb"))
+    ctx = big.groupBy("_prev").agg(F.sum("_cb").alias("_cp"))
+    vocab = trans.agg(F.count_distinct(F.col("_tok")).alias("_V"))
+    k = float(k_smooth)
+    lp = F.log((F.col("_cb") + F.lit(k))
+               / (F.col("_cp") + F.lit(k) * (F.col("_V") + 1)))
+    scored = (trans.join(big, ["_prev", "_tok"])
+                   .join(ctx, "_prev")
+                   .crossJoin(F.broadcast(vocab))
+                   .select(id_col, lp.alias("_lp")))
+    per_doc = (scored.groupBy(id_col)
+                     .agg(F.count(F.lit(1)).alias("n_tokens"),
+                          F.round(F.avg("_lp"), 6).alias("avg_logprob")))
+    return per_doc.select(
+        id_col, "n_tokens", "avg_logprob",
+        F.round(F.exp(-F.col("avg_logprob")), 3).alias("perplexity"))
+
+
+def bigram_lm_score_sql(table: str, text_col: str, id_col: str,
+                        k_smooth: float = 0.5) -> str:
+    """DuckDB twin of :func:`bigram_lm_score` — same tokenizer spec,
+    sentinel, smoothing arithmetic, and round-before-exp staging."""
+    k = repr(float(k_smooth))
+    toks = TX.tokens_sql(text_col)
+    return f"""
+        WITH base AS (
+            SELECT {id_col}, {toks} AS t FROM {table}),
+        trans AS (
+            SELECT {id_col},
+                   unnest(list_zip(
+                       list_concat([' '], t[1:len(t) - 1]), t)) AS tr
+            FROM base WHERE len(t) > 0),
+        tr2 AS (
+            SELECT {id_col}, tr[1] AS prev, tr[2] AS tok FROM trans),
+        big AS (
+            SELECT prev, tok, count(*)::BIGINT AS cb
+            FROM tr2 GROUP BY prev, tok),
+        ctx AS (
+            SELECT prev, sum(cb)::BIGINT AS cp FROM big GROUP BY prev),
+        voc AS (
+            SELECT count(DISTINCT tok) AS v FROM tr2),
+        lp AS (
+            SELECT t.{id_col},
+                   ln((b.cb + {k}) / (c.cp + {k} * (voc.v + 1))) AS _lp
+            FROM tr2 t
+            JOIN big b ON b.prev = t.prev AND b.tok = t.tok
+            JOIN ctx c ON c.prev = t.prev
+            CROSS JOIN voc),
+        agg AS (
+            SELECT {id_col}, count(*)::BIGINT AS n_tokens,
+                   round(avg(_lp), 6) AS avg_logprob
+            FROM lp GROUP BY {id_col})
+        SELECT {id_col}, n_tokens, avg_logprob,
+               round(exp(-avg_logprob), 3) AS perplexity
+        FROM agg"""

@@ -342,3 +342,26 @@ def test_remove_dup_spans_matches_duckdb(spark, docs):
                                                           "doc_id", k=3))
                          .fetchall()))
     assert got == want
+
+
+@given(docs=docs_strategy)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bigram_lm_score_matches_duckdb(spark, docs):
+    """Random corpora through the bigram scorer vs its DuckDB twin —
+    BOS transitions, single-token docs, repeated contexts."""
+    from frames_map_reduce_spark.operators.quality import (
+        bigram_lm_score,
+        bigram_lm_score_sql,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(map(tuple, bigram_lm_score(df, "text", "doc_id").collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(map(tuple,
+                      con.sql(bigram_lm_score_sql("t", "text", "doc_id"))
+                         .fetchall()))
+    assert got == want

@@ -258,3 +258,21 @@ def test_unigram_lm_score_reference_model_oov(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="k_smooth"):
         unigram_lm_score(docs, "text", "doc_id", k_smooth=0.0)
+
+
+def test_bigram_lm_score_conditional(spark):
+    """Hand-checked bigram scoring: a doc made of the corpus's dominant
+    transitions scores lower perplexity than one of novel transitions,
+    even when both use in-vocabulary tokens."""
+    from frames_map_reduce_spark.operators.quality import bigram_lm_score
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b a b"),
+         (2, "b b a a b a b b"),   # same unigrams, rare transitions
+         (3, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           bigram_lm_score(df, "text", "doc_id").collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_tokens"] == out[2]["n_tokens"] == 8
+    assert out[1]["perplexity"] < out[2]["perplexity"]
