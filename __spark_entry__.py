@@ -574,6 +574,18 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .limit(20))
 
 
+def q_remove_dup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level boilerplate removal (dedup.
+    remove_duplicated_lines): every occurrence of a corpus-duplicated
+    non-blank line cut, line structure preserved; per-doc cleaned-text
+    md5 + removal accounting.  FULL oracle via the shared-spec twin."""
+    docs = _docs(spark, sf_dir)
+    out = DD.remove_duplicated_lines(docs, "text", "doc_id")
+    return out.select("doc_id", F.md5(F.encode("clean_text", "UTF-8"))
+                                 .alias("clean_md5"),
+                      "n_lines", "n_lines_removed")
+
+
 PII_CSV = "/root/repo/tests/fixtures/pii.csv"
 
 
@@ -1974,7 +1986,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "topk_native": q_topk_native,
         "join_revenue": q_join_revenue,
-        "running_total": q_running_total,
         "quality_score": q_quality_score,
         "sessionize": q_sessionize,
         "anti_join": q_anti_join,
@@ -2000,19 +2011,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_perplexity": q_bigram_perplexity,
         "minhash_firewall": q_minhash_firewall,
         "remove_dup_spans": q_remove_dup_spans,
+        "remove_dup_lines": q_remove_dup_lines,
         # -- (5) flagship/headliner continuity anchors ------------------
         "tpch_q1": q_tpch_q1,
         "dedup_minhash": q_dedup_minhash,
         # ---------------- 50-row window ends here ----------------------
-        # (token_stats, fingerprint, events_json and pivot yielded their
-        # slots to the four r5 additions: all last proved in r3, within
-        # the rotation bar; text_quality/lang_id keep the text family,
-        # events_hourly the events family, and unpivot the reshape
+        # (token_stats, fingerprint, events_json, pivot and running_total
+        # yielded their slots to the five r5 additions: all last proved
+        # in r3, within the rotation bar; text_quality/lang_id keep the
+        # text family, events_hourly the events family, unpivot the
+        # reshape family, and funnel/sessionize the window-function
         # family represented elsewhere)
         "token_stats": q_token_stats,
         "fingerprint": q_fingerprint,
         "events_json": q_events_json,
         "pivot": q_pivot,
+        "running_total": q_running_total,
         # All entries below are r4-green (CORRECTNESS_r04) and covered by
         # the local oracle-parity suite; they rotate back into the window
         # in later rounds.
@@ -2680,6 +2694,10 @@ def oracle_sql() -> dict[str, str]:
         "sql_revenue": _SQL_REVENUE,  # the SAME text Spark executes
         "dup_spans": DD.duplicated_spans_sql(
             "documents", "text", "doc_id", k=8, min_count=2),
+        "remove_dup_lines": f"""
+            SELECT doc_id, md5(clean_text) AS clean_md5,
+                   n_lines, n_lines_removed
+            FROM ({DD.remove_duplicated_lines_sql('documents', 'text', 'doc_id')})""",
         # apply half: same span replay wrapped with the positional cut
         "remove_dup_spans": f"""
             SELECT doc_id, md5(clean_text) AS clean_md5,

@@ -1274,3 +1274,78 @@ SELECT {id_col},
        len(t) - len(kept) AS n_tokens_removed,
        len(spans) AS n_spans_removed
 FROM cut"""
+
+
+def remove_duplicated_lines(df: DataFrame, text_col: str, id_col: str,
+                            min_count: int = 2,
+                            out_col: str = "clean_text") -> DataFrame:
+    """C4-style LINE-level boilerplate removal: every occurrence of any
+    non-blank line whose TRIMMED form appears ``min_count``-or-more
+    times corpus-wide is cut; line structure (including blank lines) is
+    otherwise preserved byte-for-byte.  The companion of
+    :func:`remove_duplicated_spans` at line granularity — navigation
+    chrome, cookie banners, and repeated headers fall out here without
+    touching k-gram machinery.
+
+    Returns one row per input document: ``id_col``, ``out_col`` (kept
+    lines re-joined with ``\\n``), ``n_lines``, ``n_lines_removed``.
+    Blank (whitespace-only) lines never count and are never removed.
+
+    Scale shape: split+posexplode (linear) → one 2-phase count over
+    trimmed non-blank lines (map-side combine collapses within-partition
+    repeats of hot boilerplate) → the flagged-line set joins back on the
+    same key (AQE-broadcast when small) → one per-doc ordered
+    reassembly.  Remove-ALL-occurrences semantics (symmetric with
+    ``duplicated_spans``): keep-one-copy requires a global occurrence
+    order, which is a different, shuffle-heavier contract."""
+    require_columns(df, [text_col, id_col])
+    lines = (df.select(F.col(id_col),
+                       F.posexplode(F.split(F.col(text_col), "\n"))
+                        .alias("_p", "_line"))
+               .withColumn("_key", F.trim(F.col("_line"))))
+    counts = (lines.filter(F.col("_key") != "")
+                   .groupBy("_key").agg(F.count(F.lit(1)).alias("_c")))
+    flagged = counts.filter(F.col("_c") >= min_count).select("_key")
+    kept = (lines.join(flagged.withColumn("_dup", F.lit(True)),
+                       "_key", "left")
+                 .withColumn("_cut", (F.col("_key") != "")
+                                     & F.coalesce("_dup", F.lit(False))))
+    return (kept.groupBy(id_col)
+                .agg(F.count(F.lit(1)).alias("n_lines"),
+                     F.sum(F.col("_cut").cast("int"))
+                      .alias("n_lines_removed"),
+                     F.concat_ws(
+                         "\n",
+                         F.transform(
+                             F.array_sort(F.collect_list(
+                                 F.when(~F.col("_cut"),
+                                        F.struct("_p", "_line")))),
+                             lambda s: s["_line"])).alias(out_col))
+                .select(id_col, out_col, "n_lines", "n_lines_removed"))
+
+
+def remove_duplicated_lines_sql(table: str, text_col: str, id_col: str,
+                                min_count: int = 2,
+                                out_col: str = "clean_text") -> str:
+    """DuckDB twin of :func:`remove_duplicated_lines` — same trim/blank
+    semantics, same remove-all contract, ordered reassembly via
+    ``string_agg(... ORDER BY pos)``."""
+    return f"""
+WITH base AS (
+    SELECT {id_col}, string_split({text_col}, chr(10)) AS l FROM {table}),
+lines AS (
+    SELECT {id_col}, p, l[p] AS line, trim(l[p]) AS key
+    FROM (SELECT {id_col}, l, unnest(range(1, len(l) + 1)) AS p FROM base)),
+counts AS (
+    SELECT key, count(*) AS c FROM lines WHERE key <> '' GROUP BY key),
+marked AS (
+    SELECT li.{id_col}, li.p, li.line,
+           (li.key <> '' AND COALESCE(co.c, 0) >= {min_count}) AS cut
+    FROM lines li LEFT JOIN counts co USING (key))
+SELECT {id_col},
+       COALESCE(string_agg(CASE WHEN NOT cut THEN line END, chr(10)
+                           ORDER BY p) FILTER (WHERE NOT cut), '')
+           AS {out_col},
+       count(*)::BIGINT AS n_lines,
+       sum(CASE WHEN cut THEN 1 ELSE 0 END)::BIGINT AS n_lines_removed
+FROM marked GROUP BY {id_col}"""

@@ -371,3 +371,48 @@ def test_minhash_index_extend_lifecycle(spark, docs):
         for t in (table, table2):
             spark.sql(f"DROP TABLE IF EXISTS {t}_buckets")
             spark.sql(f"DROP TABLE IF EXISTS {t}_shingles")
+
+
+def test_remove_duplicated_lines(spark):
+    """C4-style line removal: the shared footer line vanishes from every
+    doc, unique lines and blank-line structure survive, a doc that was
+    all boilerplate comes back empty."""
+    footer = "subscribe to our newsletter today"
+    rows = [
+        (1, "unique first line\n" + footer + "\n\nunique last line"),
+        (2, "another doc body\n" + footer),
+        (3, footer),
+        (4, "no boilerplate here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           DD.remove_duplicated_lines(df, "text", "doc_id").collect()}
+    assert out[1]["clean_text"] == "unique first line\n\nunique last line"
+    assert out[1]["n_lines"] == 4 and out[1]["n_lines_removed"] == 1
+    assert out[2]["clean_text"] == "another doc body"
+    assert out[3]["clean_text"] == "" and out[3]["n_lines_removed"] == 1
+    assert out[4]["clean_text"] == rows[3][1]
+    assert out[4]["n_lines_removed"] == 0
+
+
+def test_remove_duplicated_lines_matches_duckdb(spark):
+    import duckdb
+
+    rows = [(i, t) for i, t in enumerate([
+        "alpha\nshared line\nbeta",
+        "gamma\nshared line",
+        "  shared line  \ndelta",          # trims to the same key
+        "\n\n",                            # blank lines only
+        "solo",
+    ])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(map(tuple,
+                     DD.remove_duplicated_lines(df, "text", "doc_id").collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(map(tuple,
+                      con.sql(DD.remove_duplicated_lines_sql("t", "text",
+                                                             "doc_id"))
+                         .fetchall()))
+    assert got == want
