@@ -113,3 +113,21 @@ def test_salted_aggregate_redistributes_hot_key(spark, skewed_corpus):
                            .filter(F.col("k") == "hot")
                            .select("_salt").distinct().count())
     assert stage1_hot_groups == salts
+
+
+def test_line_dedup_absorbs_hot_line(skewed_corpus):
+    """The 10^5×-duplicated boilerplate is ONE trimmed line: the line
+    count collapses map-side to a single shuffled key, the flagged set
+    is one row, and the rewrite empties exactly the duplicated docs —
+    linear work end-to-end, no pair explosion possible by construction
+    (line dedup never joins lines against lines)."""
+    t0 = time.time()
+    out = DD.remove_duplicated_lines(skewed_corpus, "text", "doc_id")
+    agg = out.agg(
+        F.sum(F.col("n_lines_removed")).alias("removed"),
+        F.sum(F.when(F.col("clean_text") == "", 1).otherwise(0))
+         .alias("emptied")).first()
+    elapsed = time.time() - t0
+    assert agg["removed"] == N_DUP
+    assert agg["emptied"] == N_DUP
+    assert elapsed < 120, f"hot-line rewrite took {elapsed:.0f}s"
