@@ -586,6 +586,28 @@ def q_remove_dup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_lines", "n_lines_removed")
 
 
+MARKUP_CSV = "/root/repo/tests/fixtures/markup.csv"
+
+
+def q_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML-ish markup stripping (functions/text.py strip_markup):
+    tag removal + common-entity unescape + whitespace collapse, as pure
+    Java∩RE2-safe regex/replace expressions with a lockstep DuckDB twin.
+    Input is a committed fixture salted with markup (the synthetic
+    documents contain none); output carries the tag count and the md5 of
+    the stripped text."""
+    schema = T.StructType([
+        T.StructField("row_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    df = spark.read.csv(MARKUP_CSV, header=True, schema=schema)
+    return df.select(
+        "row_id",
+        TX.markup_tag_count(F.col("text")).alias("n_tags"),
+        F.md5(F.encode(TX.strip_markup(F.col("text")), "UTF-8"))
+         .alias("stripped_md5"))
+
+
 PII_CSV = "/root/repo/tests/fixtures/pii.csv"
 
 
@@ -1985,7 +2007,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mr_sum_by_flag": q_mr_sum_by_flag,
         "topk_per_group": q_topk_per_group,
         "topk_native": q_topk_native,
-        "join_revenue": q_join_revenue,
         "quality_score": q_quality_score,
         "sessionize": q_sessionize,
         "anti_join": q_anti_join,
@@ -2012,21 +2033,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_firewall": q_minhash_firewall,
         "remove_dup_spans": q_remove_dup_spans,
         "remove_dup_lines": q_remove_dup_lines,
+        "strip_markup": q_strip_markup,
         # -- (5) flagship/headliner continuity anchors ------------------
         "tpch_q1": q_tpch_q1,
         "dedup_minhash": q_dedup_minhash,
         # ---------------- 50-row window ends here ----------------------
-        # (token_stats, fingerprint, events_json, pivot and running_total
-        # yielded their slots to the five r5 additions: all last proved
-        # in r3, within the rotation bar; text_quality/lang_id keep the
-        # text family, events_hourly the events family, unpivot the
-        # reshape family, and funnel/sessionize the window-function
-        # family represented elsewhere)
+        # (token_stats, fingerprint, events_json, pivot, running_total
+        # and join_revenue yielded their slots to the r5 additions: all
+        # last proved in r3, within the rotation bar; text_quality/
+        # lang_id keep the text family, events_hourly the events family,
+        # unpivot the reshape family, funnel/sessionize the window
+        # family, and tpch_q3/q5/q18 the star-join family in-window)
         "token_stats": q_token_stats,
         "fingerprint": q_fingerprint,
         "events_json": q_events_json,
         "pivot": q_pivot,
         "running_total": q_running_total,
+        "join_revenue": q_join_revenue,
         # All entries below are r4-green (CORRECTNESS_r04) and covered by
         # the local oracle-parity suite; they rotate back into the window
         # in later rounds.
@@ -2292,6 +2315,12 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(dup_ngram_frac), 6) AS avg_dup_frac,
                    round(avg(top_ngram_frac), 6) AS avg_top_frac
             FROM per_doc GROUP BY source""",
+        "strip_markup": f"""
+            SELECT row_id,
+                   {TX.markup_tag_count_sql('text')} AS n_tags,
+                   md5({TX.strip_markup_sql('text')}) AS stripped_md5
+            FROM read_csv('{MARKUP_CSV}', header=true,
+                           columns={{'row_id': 'BIGINT', 'text': 'VARCHAR'}})""",
         "redact_pii": f"""
             SELECT row_id,
                    {TX.pii_count_sql('text', 'email')} AS n_emails,

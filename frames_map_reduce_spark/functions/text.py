@@ -346,3 +346,49 @@ def redact_pii_sql(col: str, kinds: tuple[str, ...] = ("email", "phone")) -> str
         pat, tag = PII_PATTERNS[kind]
         out = f"regexp_replace({out}, '{pat}', '{tag}', 'g')"
     return out
+
+
+# ---------------------------------------------------------------------------
+# Markup stripping (HTML/XML-ish tag removal + common entity unescape)
+# ---------------------------------------------------------------------------
+# Java∩RE2-safe: a tag is '<' + non-'>' run + '>' — deliberately dumb
+# (no attribute-aware parsing, no script/style content removal: that
+# needs a real parser, and for corpus cleaning the goal is tokenizable
+# text, not DOM fidelity).  Entities unescape LITERALLY, '&amp;' LAST so
+# double-escaped text resolves one level per pass, never two.
+
+MARKUP_TAG = r"<[^>]*>"
+
+#: (entity, replacement) in APPLICATION ORDER — '&amp;' must stay last.
+MARKUP_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+)
+
+
+def markup_tag_count(col: Column) -> Column:
+    """Number of markup tags (native regexp, codegen)."""
+    return F.size(F.regexp_extract_all(col, F.lit(MARKUP_TAG), 0)) \
+            .cast("bigint")
+
+
+def markup_tag_count_sql(col: str) -> str:
+    return f"CAST(len(regexp_extract_all({col}, '{MARKUP_TAG}')) AS BIGINT)"
+
+
+def strip_markup(col: Column) -> Column:
+    """Tags → spaces, entities unescaped, whitespace collapsed + trimmed
+    — the corpus-cleaning normalization for HTML-ish capture formats.
+    Keep the SQL twin in lockstep (same patterns, same order)."""
+    out = F.regexp_replace(col, MARKUP_TAG, " ")
+    for ent, rep in MARKUP_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, WS, " "))
+
+
+def strip_markup_sql(col: str) -> str:
+    out = f"regexp_replace({col}, '{MARKUP_TAG}', ' ', 'g')"
+    for ent, rep in MARKUP_ENTITIES:
+        r = rep.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{r}')"
+    return f"trim(regexp_replace({out}, '{WS}', ' ', 'g'))"

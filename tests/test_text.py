@@ -276,3 +276,23 @@ def test_bigram_lm_score_conditional(spark):
     assert set(out) == {1, 2}
     assert out[1]["n_tokens"] == out[2]["n_tokens"] == 8
     assert out[1]["perplexity"] < out[2]["perplexity"]
+
+
+def test_strip_markup_semantics(spark):
+    """Tag removal, one-level entity unescape (&amp; last — a double-
+    escaped entity resolves one level per pass), whitespace collapse."""
+    from frames_map_reduce_spark.functions.text import (
+        markup_tag_count,
+        strip_markup,
+    )
+
+    rows = [(1, "<p>a &amp;amp; b &lt;tag&gt; &#39;q&#39;</p>"),
+            (2, "plain words"),
+            (3, "<div><b>x</b></div>")]
+    df = spark.createDataFrame(rows, "row_id long, text string")
+    out = {r["row_id"]: (r["s"], r["n"]) for r in df.select(
+        "row_id", strip_markup(F.col("text")).alias("s"),
+        markup_tag_count(F.col("text")).alias("n")).collect()}
+    assert out[1] == ("a &amp; b <tag> 'q'", 2)
+    assert out[2] == ("plain words", 0)
+    assert out[3] == ("x", 4)
