@@ -586,6 +586,38 @@ def q_remove_dup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_lines", "n_lines_removed")
 
 
+#: curation gate for q_curate_corpus — fixed literal so both engines
+#: compare against the identical double (fixture p90 ≈ 30.3).
+_CURATE_MAX_PPL = 31.0
+
+
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 curation pipeline composed end-to-end: C4-style line
+    dedup (remove_duplicated_lines) → unigram-LM perplexity scoring of
+    the CLEANED text → a fixed perplexity gate — with per-source yield
+    accounting (kept tokens, empty-after-cleaning, dropped-by-gate).
+    FULL composed oracle: the twins are table-parametric, so the DuckDB
+    side nests remove_duplicated_lines_sql inside unigram_lm_score_sql
+    verbatim.  All JVM end-to-end; the only joins are key-equality."""
+    docs = _docs(spark, sf_dir)
+    cleaned = DD.remove_duplicated_lines(docs, "text", "doc_id")
+    scored = QL.unigram_lm_score(cleaned, "clean_text", "doc_id")
+    gate = F.col("perplexity") <= F.lit(_CURATE_MAX_PPL)
+    return (docs.select("doc_id", "source")
+                .join(scored.select("doc_id", "n_tokens", "perplexity"),
+                      "doc_id", "left")
+                .groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum(F.when(F.col("perplexity").isNull(), 1)
+                            .otherwise(0)).cast("bigint").alias("n_empty"),
+                     F.sum(F.when(~gate, 1).otherwise(0)).cast("bigint")
+                      .alias("n_dropped"),
+                     F.sum(F.when(gate, F.col("n_tokens"))).cast("bigint")
+                      .alias("kept_tokens"),
+                     F.round(F.avg(F.when(gate, F.col("perplexity"))), 6)
+                      .alias("avg_kept_ppl")))
+
+
 MARKUP_CSV = "/root/repo/tests/fixtures/markup.csv"
 
 
@@ -2009,7 +2041,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_native": q_topk_native,
         "quality_score": q_quality_score,
         "sessionize": q_sessionize,
-        "anti_join": q_anti_join,
         "funnel": q_funnel,
         "percentile_native": q_percentile_native,
         "unpivot": q_unpivot,
@@ -2034,6 +2065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_dup_spans": q_remove_dup_spans,
         "remove_dup_lines": q_remove_dup_lines,
         "strip_markup": q_strip_markup,
+        "curate_corpus": q_curate_corpus,
         # -- (5) flagship/headliner continuity anchors ------------------
         "tpch_q1": q_tpch_q1,
         "dedup_minhash": q_dedup_minhash,
@@ -2050,6 +2082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot": q_pivot,
         "running_total": q_running_total,
         "join_revenue": q_join_revenue,
+        "anti_join": q_anti_join,
         # All entries below are r4-green (CORRECTNESS_r04) and covered by
         # the local oracle-parity suite; they rotate back into the window
         # in later rounds.
@@ -2723,6 +2756,25 @@ def oracle_sql() -> dict[str, str]:
         "sql_revenue": _SQL_REVENUE,  # the SAME text Spark executes
         "dup_spans": DD.duplicated_spans_sql(
             "documents", "text", "doc_id", k=8, min_count=2),
+        # composed twin: the table-parametric generators nest verbatim —
+        # line-dedup over documents, LM scoring over its output
+        "curate_corpus": f"""
+            WITH cleaned AS (
+                {DD.remove_duplicated_lines_sql('documents', 'text', 'doc_id')}),
+            scored AS (
+                {QL.unigram_lm_score_sql('cleaned', 'clean_text', 'doc_id')})
+            SELECT d.source,
+                   count(*) AS n_docs,
+                   sum(CASE WHEN s.perplexity IS NULL THEN 1 ELSE 0 END)::BIGINT
+                       AS n_empty,
+                   sum(CASE WHEN NOT (s.perplexity <= {_CURATE_MAX_PPL})
+                            THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+                   CAST(sum(CASE WHEN s.perplexity <= {_CURATE_MAX_PPL}
+                            THEN s.n_tokens END) AS BIGINT) AS kept_tokens,
+                   round(avg(CASE WHEN s.perplexity <= {_CURATE_MAX_PPL}
+                             THEN s.perplexity END), 6) AS avg_kept_ppl
+            FROM documents d LEFT JOIN scored s USING (doc_id)
+            GROUP BY d.source""",
         "remove_dup_lines": f"""
             SELECT doc_id, md5(clean_text) AS clean_md5,
                    n_lines, n_lines_removed
