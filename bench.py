@@ -56,6 +56,14 @@ HEADLINE = [
     "tpch_q3",            # classic star join + pushed dates + top-10
     "tpch_q5",            # 6-way star, broadcast dims, AQE supplier
     "tpch_q18",           # HAVING self-agg semi-join pruning
+    # round-5 additions (strip_markup excluded: fixture-based micro
+    # query, not a corpus-scale workload)
+    "perplexity",         # unigram LM: explode + vocab join + agg
+    "bigram_perplexity",  # conditional LM: transition + context joins
+    "remove_dup_spans",   # span apply: posting lists + positional cut
+    "remove_dup_lines",   # C4 line dedup: count + join-back + reassembly
+    "curate_corpus",      # composed: line dedup -> LM gate -> yield
+    "minhash_firewall",   # includes the train-once index build per run
 ]
 
 
