@@ -586,6 +586,23 @@ def q_remove_dup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_lines", "n_lines_removed")
 
 
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length distribution — the curation dashboard's first
+    chart: fixed 200-char buckets with document count, token mass, and
+    corpus share per bucket.  ONE aggregation over a two-column scan."""
+    docs = _docs(spark, sf_dir)
+    hist = (docs.select(F.floor(F.col("n_chars") / 200).alias("bucket"),
+                        "n_chars")
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("n_chars").cast("bigint").alias("sum_chars")))
+    tot = hist.agg(F.sum("n_docs").alias("_tot"))
+    return (hist.crossJoin(F.broadcast(tot))
+                .select("bucket", "n_docs", "sum_chars",
+                        F.round(F.col("n_docs") / F.col("_tot"), 6)
+                         .alias("share")))
+
+
 #: curation gate for q_curate_corpus — fixed literal so both engines
 #: compare against the identical double (fixture p90 ≈ 30.3).
 _CURATE_MAX_PPL = 31.0
@@ -2078,6 +2095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events family, unpivot the reshape family, funnel/sessionize
         # the window family, and tpch_q3/q5/q18 the star-join family
         # in-window)
+        "length_histogram": q_length_histogram,
         "fingerprint": q_fingerprint,
         "events_json": q_events_json,
         "pivot": q_pivot,
@@ -2349,6 +2367,16 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(dup_ngram_frac), 6) AS avg_dup_frac,
                    round(avg(top_ngram_frac), 6) AS avg_top_frac
             FROM per_doc GROUP BY source""",
+        "length_histogram": """
+            WITH hist AS (
+                SELECT CAST(floor(n_chars / 200) AS BIGINT) AS bucket,
+                       count(*) AS n_docs,
+                       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                FROM documents GROUP BY bucket)
+            SELECT bucket, n_docs, sum_chars,
+                   round(CAST(n_docs AS DOUBLE)
+                         / (SELECT sum(n_docs) FROM hist), 6) AS share
+            FROM hist""",
         "strip_markup": f"""
             SELECT row_id,
                    {TX.markup_tag_count_sql('text')} AS n_tags,
