@@ -549,6 +549,41 @@ def q_minhash_firewall(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("jaccard_sim", 6).alias("jaccard"))
 
 
+def bench_minhash_firewall_build(spark: SparkSession, sf_dir: str) -> None:
+    """Bench-only: the train-once half of q_minhash_firewall in
+    isolation — sign the reference corpus and persist the two bucketed
+    index tables.  Amortized one-time cost in the deployment shape, so
+    bench.py times it ONCE per session (r5 verdict #3: the 8.3 s
+    headline conflated this build with the recurring probe)."""
+    docs = _docs(spark, sf_dir)
+    ref = docs.filter(F.col("doc_id") % 4 == 0)
+    DD.build_minhash_index(ref, "minhash_index_bench", "text", "doc_id")
+
+
+def bench_minhash_firewall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: the query-many half against the index
+    bench_minhash_firewall_build persisted — the recurring per-batch
+    cost an ingestion firewall actually pays: sign the incoming batch,
+    pruned bucketed scan + broadcast joins on the corpus side."""
+    docs = _docs(spark, sf_dir)
+    incoming = docs.filter(F.col("doc_id") % 4 != 0)
+    out = DD.minhash_probe_index(spark, "minhash_index_bench", incoming,
+                                 "text", "doc_id", threshold=0.6)
+    return out.select(F.col("doc_id").alias("id_in"), "ref_id",
+                      F.round("jaccard_sim", 6).alias("jaccard"))
+
+
+def bench_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Callables bench.py times that are NOT registry queries: the
+    firewall build/probe split models the amortized-build deployment
+    shape; its end-to-end composition (q_minhash_firewall) stays the
+    oracled registry entry."""
+    return {
+        "minhash_firewall_build": bench_minhash_firewall_build,
+        "minhash_firewall_probe": bench_minhash_firewall_probe,
+    }
+
+
 def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The APPLY half of span dedup (dedup.remove_duplicated_spans):
     flagged duplicated 8-gram spans are cut out of each document and the
@@ -1734,12 +1769,32 @@ def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # envelope violation — so absence defaults to in-bounds and the row
     # count stays a fixed 15 at every scale.  The bit goes 0 (hash
     # mismatch) exactly when a PRESENT estimate breaks the theorem.
-    return (exact.join(sk.select("token", "est", "upper"), "token", "left")
-                 .select("token", "n",
-                         F.coalesce((F.col("est") <= F.col("n"))
-                                    & (F.col("n") <= F.col("upper")),
-                                    F.lit(True))
-                         .cast("int").alias("within_bounds")))
+    #
+    # r5 ADVICE hardening: the coalesce alone would also bless a TOTALLY
+    # broken sketch (zero rows returned → 15 all-green rows), so a
+    # minimum-overlap floor guards the degenerate mode without touching
+    # the hash-stable output: with capacity=1024 ≫ the corpus's heavy
+    # mass, MG's theorem guarantees every true top-15 token survives in
+    # the sketch's top-200; fewer than 8 present can only mean the
+    # sketch (not the data) is broken, and the query fails LOUDLY
+    # instead of all-green.  Token presence near the rank-200 cutoff can
+    # legally vary with partitioning, so the floor is a half-way bound,
+    # not ==15.
+    joined = exact.join(sk.select("token", "est", "upper"), "token", "left")
+    hits = joined.agg(
+        F.sum(F.col("est").isNotNull().cast("int")).alias("_hits"))
+    return (joined.crossJoin(F.broadcast(hits))
+                  .select("token", "n",
+                          F.when(F.col("_hits") < 8, F.raise_error(F.concat(
+                              F.lit("heavy-hitters sketch returned only "),
+                              F.col("_hits").cast("string"),
+                              F.lit(" of the exact top-15 tokens — sketch "
+                                    "failure, not an envelope edge"))))
+                           .otherwise(
+                              F.coalesce((F.col("est") <= F.col("n"))
+                                         & (F.col("n") <= F.col("upper")),
+                                         F.lit(True)))
+                          .cast("int").alias("within_bounds")))
 
 
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2192,7 +2247,7 @@ def oracle_sql() -> dict[str, str]:
            "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / nullif("
            "sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
            "sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0.0), 6)")
-    return {
+    out = {
         "mr_sum_by_flag": """
             SELECT l_returnflag,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -2529,9 +2584,9 @@ def oracle_sql() -> dict[str, str]:
         # exact scoring, rounding, tie-breaks, recall@5 vs global brute
         # force) replays in DuckDB.  One SQL string serves both the
         # transient and the persisted-index paths: bucketing the inverted
-        # lists changes the physical plan, never the result.
-        "ann_ivf": _ivf_oracle(),
-        "ann_ivf_indexed": _ivf_oracle(),
+        # lists changes the physical plan, never the result.  (The
+        # ann_ivf / ann_ivf_indexed entries are added AFTER this literal
+        # inside a try/except — see the tail of this function.)
         # identical by contract to ann_bruteforce (exact top-k, same
         # rounding/tie-break), just computed via the block-join path
         "ann_bruteforce_joined": f"""
@@ -2970,3 +3025,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_type = 'click'
             GROUP BY user_id""",
     }
+    # The IVF twin replays data-dependent centroids from the fixture's
+    # embeddings parquet EAGERLY; if the resolved fixture lacks the file
+    # or outgrows the replay's sample_limit, that must cost only the two
+    # ann_ivf entries (rows-only checks), never the whole oracle dict
+    # (r5 ADVICE).
+    try:
+        ivf = _ivf_oracle()
+        out["ann_ivf"] = ivf
+        out["ann_ivf_indexed"] = ivf
+    except Exception as exc:  # noqa: BLE001 — degrade, don't break all
+        import sys
+        print(f"# ann_ivf oracle unavailable for this fixture: {exc}",
+              file=sys.stderr)
+    return out

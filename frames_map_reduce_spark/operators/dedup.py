@@ -569,6 +569,11 @@ def extend_minhash_index(corpus_delta: DataFrame, table: str, text_col: str,
         sig.unpersist()
 
 
+#: the live probe-batch signature cache (at most one entry): see the
+#: cache-lifetime note in :func:`minhash_probe_index`.
+_PROBE_SIG_CACHE: list[DataFrame] = []
+
+
 def minhash_probe_index(spark, table: str, queries: DataFrame,
                         text_col: str, id_col: str,
                         threshold: float = 0.8, num_perm: int = 128,
@@ -593,13 +598,27 @@ def minhash_probe_index(spark, table: str, queries: DataFrame,
     measured ~80 s of pure plan compilation at 58k literals.  Candidates
     then verify by exact Jaccard against the (broadcast) incoming
     shingle sets and the bucketed shingle table.  ``max_probe_buckets``
-    stays the loud driver-collect cap either way."""
+    stays the loud driver-collect cap either way.
+
+    Cache lifetime: the incoming batch's signature frame is persisted
+    (the returned lazy plan reads it twice — banding and the verify
+    side — and recomputing would re-pay the Python signing pass), and
+    because the RETURNED plan references it, this function cannot
+    unpersist it before returning.  Instead each probe call unpersists
+    the PREVIOUS probe's signature cache, so a long-lived session holds
+    at most ONE probe batch cached (bounded by the firewall's
+    batch-size contract), not an unbounded accumulation (r5 ADVICE).
+    Callers wanting immediate release can ``spark.catalog.clearCache()``
+    after consuming the result."""
     from pyspark import StorageLevel
 
     require_columns(queries, [text_col, id_col])
+    while _PROBE_SIG_CACHE:
+        _PROBE_SIG_CACHE.pop().unpersist()
     qsig = _shingle_sig_frame(queries, text_col, id_col, shingle_k,
                               num_perm, seed) \
         .persist(StorageLevel.MEMORY_AND_DISK)
+    _PROBE_SIG_CACHE.append(qsig)
     qb = _minhash_banded(qsig, id_col, num_perm, bands)
     probed = [r["_bucket"]
               for r in qb.select("_bucket").distinct()
@@ -1280,7 +1299,7 @@ def remove_duplicated_lines(df: DataFrame, text_col: str, id_col: str,
                             min_count: int = 2,
                             out_col: str = "clean_text") -> DataFrame:
     """C4-style LINE-level boilerplate removal: every occurrence of any
-    non-blank line whose TRIMMED form appears ``min_count``-or-more
+    non-blank line whose SPACE-TRIMMED form appears ``min_count``-or-more
     times corpus-wide is cut; line structure (including blank lines) is
     otherwise preserved byte-for-byte.  The companion of
     :func:`remove_duplicated_spans` at line granularity — navigation
@@ -1289,7 +1308,12 @@ def remove_duplicated_lines(df: DataFrame, text_col: str, id_col: str,
 
     Returns one row per input document: ``id_col``, ``out_col`` (kept
     lines re-joined with ``\\n``), ``n_lines``, ``n_lines_removed``.
-    Blank (whitespace-only) lines never count and are never removed.
+    "Blank" means SPACE-trimmed-empty (both engines' ``trim`` strips
+    U+0020 only): space-only lines never count and are never removed; a
+    tab- or CR-only line has a non-empty trimmed key, so it counts and
+    is removable like any other content line (r5 ADVICE — the spec is
+    deliberately the shared ``trim`` primitive, not the full Unicode
+    whitespace class, so the twins stay byte-identical).
 
     Scale shape: split+posexplode (linear) → one 2-phase count over
     trimmed non-blank lines (map-side combine collapses within-partition

@@ -216,8 +216,17 @@ def bigram_lm_score(df: DataFrame, text_col: str, id_col: str,
     k = float(k_smooth)
     lp = F.log((F.col("_cb") + F.lit(k))
                / (F.col("_cp") + F.lit(k) * (F.col("_V") + 1)))
+    # ctx is provably ≤ vocab+1 rows (one per distinct predecessor incl.
+    # BOS), so broadcast it EXPLICITLY: the BOS sentinel is a guaranteed
+    # hot key (one transition per document) and on a shuffle-side join it
+    # would funnel every document's first transition through one
+    # partition.  The bigram table `big` stays AQE-decided — it is
+    # O(distinct bigrams), genuinely shuffle-scale at web size, and its
+    # (prev, tok) key splits BOS mass across distinct first tokens
+    # (residual skew is AQE skew-join territory, pinned in
+    # tests/test_skew_stress.py).
     scored = (trans.join(big, ["_prev", "_tok"])
-                   .join(ctx, "_prev")
+                   .join(F.broadcast(ctx), "_prev")
                    .crossJoin(F.broadcast(vocab))
                    .select(id_col, lp.alias("_lp")))
     per_doc = (scored.groupBy(id_col)

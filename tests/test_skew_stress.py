@@ -131,3 +131,43 @@ def test_line_dedup_absorbs_hot_line(skewed_corpus):
     assert agg["removed"] == N_DUP
     assert agg["emptied"] == N_DUP
     assert elapsed < 120, f"hot-line rewrite took {elapsed:.0f}s"
+
+
+def test_bigram_bos_context_broadcast_absorbs_hot_key(skewed_corpus):
+    """The bigram LM's context join keys on ``_prev``, and the BOS
+    sentinel is a GUARANTEED hot key — one transition per document, so a
+    shuffle-side join would funnel every document's first transition
+    through a single partition.  The fix (r5 verdict #4) broadcasts the
+    context table (provably ≤ vocab+1 rows); pin both halves:
+
+    - STRUCTURAL: the pre-AQE physical plan joins ctx via
+      BroadcastHashJoin on ``_prev`` alone — no exchange on the BOS key
+      exists to be skewed;
+    - BEHAVIORAL: the 10^5×-identical corpus (every doc contributes the
+      same BOS transition) completes in linear time and scores every
+      identical doc identically.
+    """
+    import re
+
+    from frames_map_reduce_spark.operators import quality as QL
+    from frames_map_reduce_spark.plans import explain_formatted
+
+    scored = QL.bigram_lm_score(skewed_corpus, "text", "doc_id")
+    plan = explain_formatted(scored)
+    # the ctx join is the only single-key (_prev) equi-join in the plan;
+    # the bigram join keys on (_prev, _tok) and stays AQE-decided
+    bhj_keys = re.findall(
+        r"BroadcastHashJoin[\s\S]{0,400}?Left keys \[1\]: \[_prev#\d+\]",
+        plan)
+    assert bhj_keys, (
+        "context join is not a broadcast on _prev — the BOS hot key "
+        f"would shuffle through one partition:\n{plan[:2000]}")
+
+    t0 = time.time()
+    boiler_ppl = (scored.filter(F.col("doc_id") < N_DUP)
+                        .select("perplexity").distinct().collect())
+    n_docs = scored.count()
+    elapsed = time.time() - t0
+    assert n_docs == N_DUP + N_DISTINCT
+    assert len(boiler_ppl) == 1, "identical docs must score identically"
+    assert elapsed < 120, f"BOS-hot bigram scoring took {elapsed:.0f}s"
