@@ -540,9 +540,11 @@ def extend_minhash_index(corpus_delta: DataFrame, table: str, text_col: str,
     delta's signature pass — the existing index is never read or
     rewritten.  Spec parameters must match the build.  The build-time
     ``max_bucket`` cap is NOT re-evaluated across appends (that would
-    require reading the whole index); re-run :func:`build_minhash_index`
-    periodically if the corpus grows degenerate bucket classes, and
-    monitor with :func:`minhash_bucket_stats`."""
+    require reading the whole index); monitor with
+    :func:`minhash_index_bucket_stats` (one agg over the persisted
+    bucket table, no re-signing) and compact drifted buckets with
+    :func:`rebuild_minhash_index` — lifecycle pinned in
+    tests/test_dedup.py::test_minhash_index_rebuild_lifecycle."""
     from pyspark import StorageLevel
 
     from frames_map_reduce_spark.sources import write_bucketed
@@ -558,15 +560,76 @@ def extend_minhash_index(corpus_delta: DataFrame, table: str, text_col: str,
         banded = _minhash_banded(sig, "ref_id", num_perm, bands)
         # append must reuse the table's recorded bucket count — read it
         # from the catalog rather than trusting a caller parameter
-        desc = spark.sql(f"DESCRIBE TABLE EXTENDED {table}_buckets") \
-                    .filter(F.col("col_name") == "Num Buckets").first()
-        nb = int(desc["data_type"]) if desc else 64
+        nb = _index_num_buckets(spark, table)
         write_bucketed(banded.select("ref_id", "_bucket"),
                        f"{table}_buckets", ["_bucket"], nb, mode="append")
         write_bucketed(sig.select("ref_id", "_sh64"),
                        f"{table}_shingles", ["ref_id"], nb, mode="append")
     finally:
         sig.unpersist()
+
+
+def _index_num_buckets(spark, table: str) -> int:
+    """The bucket count Spark recorded for ``{table}_buckets`` at build
+    time — the catalog, not a caller parameter, owns the bucket spec."""
+    desc = spark.sql(f"DESCRIBE TABLE EXTENDED {table}_buckets") \
+                .filter(F.col("col_name") == "Num Buckets").first()
+    return int(desc["data_type"]) if desc else 64
+
+
+def minhash_index_bucket_stats(spark, table: str,
+                               max_bucket: int = 1000) -> DataFrame:
+    """Bucket-size distribution of a PERSISTED minhash index
+    (:func:`build_minhash_index`), from the index itself — no corpus
+    re-signing: one row (n_buckets, n_multi, n_oversized, max_size).
+
+    This is the monitoring half of the extend lifecycle:
+    :func:`extend_minhash_index` never re-evaluates the build-time
+    ``max_bucket`` cap (that would read the whole index per append), so
+    a corpus that grows a degenerate near-dup class inflates its band
+    buckets unboundedly — and every probe hitting such a bucket pays its
+    full candidate fan-out.  ``n_oversized > 0`` here is the signal to
+    run :func:`rebuild_minhash_index`.  Cost: one aggregation over the
+    skinny (ref_id, _bucket) table, no Python stage."""
+    sizes = (spark.table(f"{table}_buckets")
+                  .groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n")))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(F.col("_n") > 1, 1).otherwise(0)).alias("n_multi"),
+        F.sum(F.when(F.col("_n") > max_bucket, 1).otherwise(0))
+         .alias("n_oversized"),
+        F.max("_n").alias("max_size"))
+
+
+def rebuild_minhash_index(spark, table: str, max_bucket: int = 1000) -> None:
+    """Re-apply the ``max_bucket`` cap over the CURRENT contents of a
+    persisted minhash index — the remediation for cap drift under an
+    extend-heavy lifecycle (r5 verdict #5).
+
+    Reads only the skinny ``{table}_buckets`` table (never the corpus,
+    never the shingle table — signatures are immutable, only the cap
+    policy is re-evaluated), drops every bucket that has grown past
+    ``max_bucket``, and swaps the compacted table in atomically via a
+    temp table + catalog rename (Spark refuses to overwrite a table
+    that its own write plan reads).  The shingle table is untouched:
+    verify-side rows for capped docs are unreachable without a bucket
+    row, and a later rebuild with a looser cap cannot be run anyway
+    (capped bucket rows are gone — re-run :func:`build_minhash_index`
+    from the corpus to change policy upward).
+
+    Cost: one agg + one broadcast semi-join + one bucketed rewrite of
+    the (ref_id, _bucket) table — no Python stage, no re-signing."""
+    from frames_map_reduce_spark.sources import write_bucketed
+
+    nb = _index_num_buckets(spark, table)
+    src = spark.table(f"{table}_buckets")
+    sizes = src.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
+    ok = sizes.filter(F.col("_n") <= max_bucket).select("_bucket")
+    pruned = src.join(F.broadcast(ok), "_bucket").select("ref_id", "_bucket")
+    tmp = f"{table}_buckets_rebuild"
+    write_bucketed(pruned, tmp, ["_bucket"], nb)
+    spark.sql(f"DROP TABLE `{table}_buckets`")
+    spark.sql(f"ALTER TABLE `{tmp}` RENAME TO `{table}_buckets`")
 
 
 #: the live probe-batch signature cache (at most one entry): see the
