@@ -33,7 +33,8 @@ from pyspark.sql import functions as F
 
 from frames_map_reduce_spark.schema import require_columns
 
-__all__ = ["z_value", "write_zordered", "file_column_stats"]
+__all__ = ["z_value", "write_zordered", "write_zordered_fixed",
+           "zorder_fixed_extents_sql", "file_column_stats"]
 
 
 def z_value(df: DataFrame, cols: Sequence[str], bits: int = 12,
@@ -130,6 +131,95 @@ def write_zordered(df: DataFrame, path: str, cols: Sequence[str],
         .sortWithinPartitions("_z")
         .drop("_z")
         .write.mode(mode).parquet(path))
+
+
+def write_zordered_fixed(df: DataFrame, path: str, cols: Sequence[str],
+                         bits: int = 10, n_files: int = 16,
+                         bounds: Mapping[str, tuple[float, float]] | None = None,
+                         mode: str = "overwrite",
+                         fid_col: str = "zfid") -> None:
+    """Z-order clustered parquet write with DETERMINISTIC fixed-width
+    curve segments: file id = the top ``log2(n_files)`` bits of the
+    Z key (``z >> (bits·d − log2 n)``), written as a hive partition
+    directory ``{fid_col}=k`` with exactly one file per populated
+    segment (all rows of a segment hash to one task, ``partitionBy``
+    splits tasks by segment).
+
+    vs :func:`write_zordered`: that one balances FILE SIZES via
+    ``repartitionByRange`` (sampled range bounds — the right default for
+    skewed production data, but the sample makes the row→file mapping
+    an implementation detail).  Fixed-width segments make the mapping a
+    PURE FUNCTION of the row and the (data-derived or caller-pinned)
+    bounds — replayable in any engine from the same arithmetic, which is
+    what lets the layout family carry a value-level differential oracle
+    (:func:`zorder_fixed_extents_sql`).  The trade: a heavily skewed
+    column concentrates rows in few segments (file sizes vary); prefer
+    the ranged writer when balance matters more than replayability.
+
+    ``n_files`` must be a power of two ≤ 2^(bits·d).
+    """
+    cols = list(cols)
+    k = n_files.bit_length() - 1
+    if n_files <= 0 or (1 << k) != n_files:
+        raise ValueError(f"n_files must be a power of two, got {n_files}")
+    if k > bits * len(cols):
+        raise ValueError(
+            f"n_files=2^{k} exceeds the 2^{bits * len(cols)} curve points")
+    zdf = z_value(df, cols, bits=bits, bounds=bounds, out="_z")
+    fid = F.shiftrightunsigned(F.col("_z"),
+                               bits * len(cols) - k).cast("int")
+    (zdf.withColumn(fid_col, fid)
+        .drop("_z")
+        .repartition(n_files, F.col(fid_col))
+        .write.mode(mode).partitionBy(fid_col).parquet(path))
+
+
+def zorder_fixed_extents_sql(src_sql: str, cols: Sequence[str],
+                             bits: int = 10, n_files: int = 16,
+                             fid_col: str = "zfid") -> str:
+    """DuckDB twin of the :func:`write_zordered_fixed` layout contract
+    (differential oracle for the layout family): replays the exact
+    normalization / rank-clamp / bit-interleave / top-bit-segment
+    arithmetic of :func:`z_value` + the fixed-width file assignment as
+    pure SQL over ``src_sql`` (a SELECT producing exactly the typed
+    columns ``cols``, mirroring the Spark-side projection), and returns
+    per-segment ``({fid_col}, n_files, num_rows, <col>_min, <col>_max)``
+    — the values a footer audit (:func:`file_column_stats`) of the
+    written files must reproduce bit-for-bit: parquet min/max stats are
+    exact for integral and (NaN-free) floating columns, both engines'
+    double arithmetic is IEEE, and the bounds aggregate commutes with
+    the double cast.  ``n_files`` is the literal 1: one file per
+    populated segment is part of the write contract."""
+    cols = list(cols)
+    k = n_files.bit_length() - 1
+    if n_files <= 0 or (1 << k) != n_files:
+        raise ValueError(f"n_files must be a power of two, got {n_files}")
+    d = len(cols)
+    top = (1 << bits) - 1
+    st_parts = ", ".join(
+        f"CAST(min({c}) AS DOUBLE) AS _lo{j}, "
+        f"CAST(max({c}) AS DOUBLE) AS _hi{j}"
+        for j, c in enumerate(cols))
+    rk_parts = ", ".join(
+        f"greatest(CAST(0 AS BIGINT), least(CAST({top} AS BIGINT), "
+        f"CAST(floor(coalesce((CAST({c} AS DOUBLE) - _lo{j}) / "
+        f"nullif(_hi{j} - _lo{j}, 0), 0.0) * {top}) AS BIGINT))) AS _r{j}"
+        for j, c in enumerate(cols))
+    z_terms = " | ".join(
+        f"(((_r{j} >> {i}) & 1) << {i * d + j})"
+        for i in range(bits) for j in range(d))
+    aggs = ", ".join(f"min({c}) AS {c}_min, max({c}) AS {c}_max"
+                     for c in cols)
+    shift = bits * d - k
+    return f"""
+        WITH _src AS ({src_sql}),
+        _st AS (SELECT {st_parts} FROM _src),
+        _rk AS (SELECT _src.*, {rk_parts} FROM _src CROSS JOIN _st),
+        _z AS (SELECT *, ({z_terms}) AS _zv FROM _rk)
+        SELECT CAST(_zv >> {shift} AS INT) AS {fid_col},
+               CAST(1 AS BIGINT) AS n_files,
+               count(*) AS num_rows, {aggs}
+        FROM _z GROUP BY {fid_col}"""
 
 
 def file_column_stats(path: str, cols: Sequence[str]) -> list[dict]:

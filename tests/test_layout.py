@@ -135,3 +135,51 @@ def test_file_column_stats_nested_schema_leaf_indexing(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(KeyError, match="leaf"):
         file_column_stats(path, ["s"])
+
+
+def test_write_zordered_fixed_contract(spark, tmp_path):
+    """The deterministic fixed-segment writer: exactly one file per
+    populated segment, file contents reproduce the pure-SQL segment
+    assignment (DuckDB twin), and a rerun is byte-stable at the
+    extents level — the replayability that buys the layout family its
+    value-level oracle."""
+    import re
+
+    import duckdb
+
+    from frames_map_reduce_spark.operators.layout import (
+        write_zordered_fixed,
+        zorder_fixed_extents_sql,
+    )
+
+    df = spark.range(5000).select(
+        (F.col("id") % 97).cast("double").alias("x"),
+        (F.col("id") % 89).cast("bigint").alias("y"))
+    path = str(tmp_path / "zfix")
+
+    with pytest.raises(ValueError, match="power of two"):
+        write_zordered_fixed(df, path, ["x", "y"], n_files=12)
+
+    def extents():
+        write_zordered_fixed(df, path, ["x", "y"], bits=8, n_files=8)
+        per_fid = {}
+        for rec in file_column_stats(path, ["x", "y"]):
+            fid = int(re.search(r"zfid=(\d+)/", rec["file"]).group(1))
+            per_fid.setdefault(fid, []).append(
+                (rec["num_rows"], rec["x_min"], rec["x_max"],
+                 rec["y_min"], rec["y_max"]))
+        return per_fid
+
+    first = extents()
+    assert all(len(files) == 1 for files in first.values())
+    assert extents() == first  # rerun (overwrite) is extent-stable
+
+    df.toPandas().to_parquet(str(tmp_path / "src.parquet"), index=False)
+    con = duckdb.connect()
+    rows = con.sql(zorder_fixed_extents_sql(
+        f"SELECT x, y FROM '{tmp_path}/src.parquet'", ["x", "y"],
+        bits=8, n_files=8)).fetchall()
+    want = {r[0]: [(r[2], r[3], r[4], r[5], r[6])] for r in rows}
+    got = {fid: [(n, xmin, xmax, ymin, ymax)]
+           for fid, [(n, xmin, xmax, ymin, ymax)] in first.items()}
+    assert got == want
