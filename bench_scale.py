@@ -5,6 +5,19 @@ sf0.1) under /tmp and run the headline suite at both scales, so the
 Usage:
     python bench_scale.py generate   # build /tmp/fmr_sf1.0 (idempotent)
     SPARK_GRAFT_SF_DIR=/tmp/fmr_sf1.0 python bench.py   # then bench it
+    python bench_scale.py verify     # full CORRECTNESS parity at sf1.0
+                                     # -> SCALE_PARITY.json (r5 verdict #9)
+
+Verify mode is the standing regression gate for correctness AT SCALE
+(wall-time regressions are bench.py's job): every registry query runs
+against the sf1.0 replica and, where the DuckDB twin is tractable,
+is value-compared with the same sort-columns/sort-rows canonicalization
+the driver uses.  Twins that are SUPER-LINEAR in the corpus (the
+exhaustive all-pairs Jaccard oracles, the recursive-CTE closures) are
+intractable at 50k docs by construction — those queries still RUN at
+scale and record row counts (a crash or empty-result regression is
+caught), with the skip reason recorded in the JSON; their value parity
+is proven at sf0.001/0.01 where the quadratic twin is affordable.
 
 Scaling model (replica construction, fully deterministic):
 
@@ -96,8 +109,129 @@ def generate() -> None:
     print(f"# scale data ready at {DST}", file=sys.stderr)
 
 
+#: oracles whose DuckDB twin is super-linear in the corpus (exhaustive
+#: all-pairs Jaccard / SRP replays, recursive-CTE transitive closures):
+#: value-proven at sf0.001/0.01, rows-only at the sf1.0 gate.
+SUPER_LINEAR_ORACLES = {
+    "dedup_minhash": "exhaustive all-pairs Jaccard twin (O(n^2) lists)",
+    "dedup_simhash": "exhaustive all-pairs Hamming/spec replay twin",
+    "dedup_ngram_jaccard": "blocked all-pairs Jaccard twin",
+    "minhash_firewall": "exhaustive cross-corpus Jaccard twin",
+    "stream_near_dup": "exhaustive cross-corpus Jaccard twin",
+    "embedding_neardup": "all-pairs cosine twin",
+    "dedup_clusters": "recursive CTE over all-pairs Jaccard",
+    "leakage_safe_split": "recursive CTE over all-pairs Jaccard",
+}
+
+
+def _norm(v):
+    import datetime as _dt
+    import math
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    return v
+
+
+def _canon(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(_norm(r[i]) for i in order) for r in rows]
+    return sorted(out, key=lambda t: tuple(
+        (v is None, str(type(v)), str(v)) for v in t))
+
+
+def verify(sf_dir: str = DST) -> int:
+    """Run every registry query at ``sf_dir`` and value-compare against
+    its DuckDB twin where tractable; write SCALE_PARITY.json.  Returns
+    the number of failures (CI-style exit code)."""
+    import json
+    import time
+
+    import duckdb
+
+    # data-dependent oracles (ann_ivf centroid replay) must track this
+    # run's fixture; an unreplayable fixture degrades those two entries
+    # to rows-only via oracle_sql()'s guard
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+    import __spark_entry__ as entry
+    from frames_map_reduce_spark.session import get_spark
+    from frames_map_reduce_spark.sources import STAR_TABLES
+
+    spark = get_spark("fmr-scale-verify")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in STAR_TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+    results: dict[str, dict] = {}
+    n_fail = 0
+    for name, fn in queries.items():
+        rec: dict = {}
+        t0 = time.perf_counter()
+        try:
+            spark.catalog.clearCache()
+            sdf = fn(spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+            rec["spark_rows"] = len(srows)
+            rec["spark_sec"] = round(time.perf_counter() - t0, 2)
+            if name in SUPER_LINEAR_ORACLES:
+                rec["status"] = "rows_only_at_scale"
+                rec["reason"] = SUPER_LINEAR_ORACLES[name]
+            elif name not in oracles:
+                rec["status"] = "rows_only"
+            else:
+                t1 = time.perf_counter()
+                rel = con.sql(oracles[name])
+                dcols = list(rel.columns)
+                drows = rel.fetchall()
+                rec["oracle_sec"] = round(time.perf_counter() - t1, 2)
+                rec["oracle_rows"] = len(drows)
+                ok = (sorted(scols) == sorted(dcols)
+                      and len(srows) == len(drows)
+                      and _canon(srows, scols) == _canon(drows, dcols))
+                rec["status"] = "pass" if ok else "FAIL"
+                if not ok:
+                    n_fail += 1
+        except Exception as exc:  # noqa: BLE001 — record, keep going
+            rec["status"] = "ERROR"
+            rec["error"] = f"{type(exc).__name__}: {exc}"[:500]
+            n_fail += 1
+        results[name] = rec
+        print(f"# {name}: {rec['status']} "
+              f"({rec.get('spark_sec', '?')}s spark"
+              f"{', ' + str(rec.get('oracle_sec')) + 's oracle' if 'oracle_sec' in rec else ''})",
+              file=sys.stderr)
+
+    summary = {
+        "sf_dir": sf_dir,
+        "n_queries": len(results),
+        "n_pass": sum(1 for r in results.values() if r["status"] == "pass"),
+        "n_rows_only": sum(1 for r in results.values()
+                           if r["status"].startswith("rows_only")),
+        "n_fail": n_fail,
+        "queries": results,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "SCALE_PARITY.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+        f.write("\n")
+    print(json.dumps({k: summary[k] for k in
+                      ("sf_dir", "n_queries", "n_pass", "n_rows_only",
+                       "n_fail")}))
+    return n_fail
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "generate":
         generate()
+    elif len(sys.argv) > 1 and sys.argv[1] == "verify":
+        sys.exit(1 if verify(sys.argv[2] if len(sys.argv) > 2 else DST)
+                 else 0)
     else:
         print(__doc__)

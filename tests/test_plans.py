@@ -141,3 +141,25 @@ def test_perplexity_plan_shape(spark):
     schemas = read_schemas(df)
     assert schemas and all(set(s) <= {"doc_id", "text"} for s in schemas), \
         schemas
+
+
+def test_curate_v2_threshold_join_broadcasts(spark):
+    """The per-language gate's scale contract: the 6-row threshold
+    table joins by BROADCAST (never a shuffle keyed on pred_lang — a
+    handful of languages over a web corpus is the textbook hot-key
+    join), and the scan side prunes to the columns the pipeline
+    touches."""
+    import __spark_entry__ as E
+    from frames_map_reduce_spark.plans import explain_formatted, read_schemas
+    from tests.conftest import SF_DIR
+
+    df = E.q_curate_corpus_v2(spark, SF_DIR)
+    plan = explain_formatted(df)
+    # the threshold join keys on pred_lang alone and must be broadcast
+    import re
+    assert re.search(
+        r"BroadcastHashJoin[\s\S]{0,400}?Left keys \[1\]: \[pred_lang#\d+\]",
+        plan), plan[:2000]
+    schemas = read_schemas(df)
+    assert schemas and all(
+        set(s) <= {"doc_id", "source", "text"} for s in schemas), schemas
