@@ -1858,21 +1858,36 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 history build (operators/cdc.py scd2_intervals): each event
     opens a validity interval on its user closed by the next event;
     'error' records close the prior interval but emit none.  Per-user
-    rollup keeps the driver output small and hash-stable."""
+    rollup keeps the driver output small and hash-stable.
+
+    Mean duration in pure integer arithmetic (r6, like q_funnel —
+    half-up integer rounding at microsecond granularity, then one
+    exact /1e6): per-row ``Δus/1e6`` doubles averaged in
+    engine-specific order flipped the 6dp rounding at sf1.0 (80 cells
+    caught by the bench_scale verify gate), and exact 6th-decimal-tie
+    means round differently between Spark's shortest-decimal round()
+    and DuckDB's exact-binary round()."""
     ev = _events(spark, sf_dir)
     hist = CDC.scd2_intervals(
         ev, keys=["user_id"], ts_col="ts", order=["ts", "event_id"],
         tombstone=F.col("event_type") == "error")
-    dur_s = (F.unix_micros(F.col("valid_to"))
-             - F.unix_micros(F.col("valid_from"))) / 1e6
+    dur_us = (F.unix_micros(F.col("valid_to"))
+              - F.unix_micros(F.col("valid_from")))
     return (hist.groupBy("user_id")
                 .agg(F.count(F.lit(1)).alias("n_versions"),
                      F.sum(F.col("is_current").cast("long"))
                       .alias("n_current"),
-                     F.round(F.avg(dur_s), 6).alias("avg_version_s"),
+                     F.sum(dur_us).alias("_dur_us"),
+                     F.count("valid_to").alias("_n_closed"),
                      F.max_by(F.round("value", 6),
                               F.struct("ts", "event_id"))
-                      .alias("current_value")))
+                      .alias("current_value"))
+                .select("user_id", "n_versions", "n_current",
+                        (F.when(F.col("_n_closed") > 0, F.expr(
+                            "(2 * _dur_us + _n_closed) "
+                            "div (2 * _n_closed)"))
+                         / 1e6).alias("avg_version_s"),
+                        "current_value"))
 
 
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2054,7 +2069,19 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     same user is ``min(CASE type='purchase' THEN ts END) OVER (ROWS
     CURRENT→UNBOUNDED FOLLOWING)`` — one shuffle on user_id, no
     self-join, no grouped-map.  Total order (ts, event_id) makes the
-    ROWS frame engine-deterministic."""
+    ROWS frame engine-deterministic.
+
+    The mean delay is computed ENTIRELY in integer arithmetic (r6):
+    the earlier per-row ``Δus/1e6`` doubles averaged in engine-specific
+    order flipped the 6dp rounding at sf1.0 (caught by the
+    bench_scale.py verify gate), and even an integer-sum/double-divide
+    still diverges when the true mean sits exactly on a 6th-decimal
+    tie — Spark's round() rounds the SHORTEST decimal representation
+    (BigDecimal.valueOf) while DuckDB rounds the exact binary, so a
+    …x.xxxxxx5 mean rounds differently BY VALUE, not by luck.  6dp
+    seconds is exactly integer microseconds, so the mean is rounded
+    half-up as integers — ``(2·Σ + n) div (2·n)`` — and the final /1e6
+    is an exact-integer division both engines agree on bit-for-bit."""
     ev = _events(spark, sf_dir)
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
                .rowsBetween(Window.currentRow, Window.unboundedFollowing))
@@ -2062,11 +2089,16 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "purchase", F.col("ts"))).over(w)
     clicks = (ev.withColumn("_np", next_purchase)
                 .filter(F.col("event_type") == "click"))
-    delay = (F.unix_micros(F.col("_np")) - F.unix_micros(F.col("ts"))) / 1e6
+    delay_us = F.unix_micros(F.col("_np")) - F.unix_micros(F.col("ts"))
     return (clicks.groupBy("user_id")
                   .agg(F.count(F.lit(1)).alias("n_clicks"),
                        F.count("_np").alias("n_converted"),
-                       F.round(F.avg(delay), 6).alias("avg_delay_s")))
+                       F.sum(delay_us).alias("_delay_us"))
+                  .select("user_id", "n_clicks", "n_converted",
+                          (F.when(F.col("n_converted") > 0, F.expr(
+                              "(2 * _delay_us + n_converted) "
+                              "div (2 * n_converted)"))
+                           / 1e6).alias("avg_delay_s")))
 
 
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2249,7 +2281,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every pytest run.  sketch_heavy_hitters gained an output-invariant
     failure guard this round (r5 ADVICE); it is r5-hash-green, the
     guard cannot change values (it can only raise), and it sits first
-    after the stale three.  Everything rotated out is r5-green."""
+    after the stale three.  funnel and scd2 had their published means
+    rewritten in exact integer arithmetic this round after the sf1.0
+    scale gate caught engine-divergent rounding (see their docstrings);
+    both re-proven by the local parity suite at sf0.001 AND sf0.01 and
+    exact at sf1.0 — rotate them into the r7 window right after the
+    stale three.  Everything else rotated out is r5-green."""
     return {
         # -- (1) never driver-proven ------------------------------------
         "length_histogram": q_length_histogram,
@@ -3203,8 +3240,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*) AS n_versions,
                    CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_current,
-                   round(avg(date_diff('microsecond', ts, valid_to) / 1e6), 6)
-                       AS avg_version_s,
+                   CASE WHEN count(valid_to) > 0 THEN
+                     ((2 * sum(date_diff('microsecond', ts, valid_to))
+                       + count(valid_to)) // (2 * count(valid_to))) / 1e6
+                   END AS avg_version_s,
                    round(max(CASE WHEN rn = 1 THEN value END), 6)
                        AS current_value
             FROM surv GROUP BY user_id""",
@@ -3218,8 +3257,9 @@ def oracle_sql() -> dict[str, str]:
         "funnel": """
             SELECT user_id, count(*) AS n_clicks,
                    count(np) AS n_converted,
-                   round(avg(date_diff('microsecond', ts, np) / 1e6), 6)
-                       AS avg_delay_s
+                   CASE WHEN count(np) > 0 THEN
+                     ((2 * sum(date_diff('microsecond', ts, np)) + count(np))
+                      // (2 * count(np))) / 1e6 END AS avg_delay_s
             FROM (SELECT user_id, ts, event_type,
                          min(CASE WHEN event_type = 'purchase' THEN ts END)
                              OVER (PARTITION BY user_id ORDER BY ts, event_id

@@ -143,6 +143,47 @@ def _canon(rows, columns):
         (v is None, str(type(v)), str(v)) for v in t))
 
 
+def _ulp_equal(a_rows, b_rows, abs_tol=1.5e-6, rel_tol=1e-8):
+    """Exact equality except float cells, which may differ by one
+    ROUNDING STEP of the query's published precision.  Queries emitting
+    ``round(sum/avg(doubles), k)`` sit on rounding boundaries two ways:
+    (1) the double sum accumulates in engine-specific order, so at scale
+    a handful of groups land one ulp across the boundary (and can flip
+    run-to-run); (2) a mean that is EXACTLY on a decimal tie rounds
+    differently by construction — Spark's round() rounds the shortest
+    decimal representation (BigDecimal.valueOf) while DuckDB rounds the
+    exact binary.  A flip is one step of the published granularity:
+    1e-6 for the 6dp averages (absolute), 0.01 for the 2dp money sums —
+    huge aggregates, hence the RELATIVE bound (observed: 0.01 on
+    7.2e7 ⇒ 1.4e-10 relative; a genuinely dropped row would move the
+    sum orders of magnitude more than 1e-8 relative).  The driver gate
+    at sf0.01 stays EXACT; this sf1.0 gate separates boundary flips
+    (recorded, counted) from real divergence (FAIL).  Rows are aligned
+    by their non-float cells so a flipped float cannot misalign the
+    sort."""
+    def key(t):
+        return tuple(str(v) for v in t if not isinstance(v, float))
+
+    a_sorted = sorted(a_rows, key=key)
+    b_sorted = sorted(b_rows, key=key)
+    n_ulp = 0
+    for ra, rb in zip(a_sorted, b_sorted):
+        if len(ra) != len(rb):
+            return False, 0
+        for va, vb in zip(ra, rb):
+            if isinstance(va, float) and isinstance(vb, float):
+                if va == vb:
+                    continue
+                d = abs(va - vb)
+                if d <= abs_tol or d <= rel_tol * max(abs(va), abs(vb)):
+                    n_ulp += 1
+                    continue
+                return False, 0
+            elif va != vb:
+                return False, 0
+    return True, n_ulp
+
+
 def verify(sf_dir: str = DST) -> int:
     """Run every registry query at ``sf_dir`` and value-compare against
     its DuckDB twin where tractable; write SCALE_PARITY.json.  Returns
@@ -164,7 +205,11 @@ def verify(sf_dir: str = DST) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in STAR_TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # testdata ships single-file tables; the replica generator writes
+        # Spark DIRECTORIES — glob the parts in that case
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     queries = entry.queries()
     oracles = entry.oracle_sql()
@@ -192,11 +237,21 @@ def verify(sf_dir: str = DST) -> int:
                 drows = rel.fetchall()
                 rec["oracle_sec"] = round(time.perf_counter() - t1, 2)
                 rec["oracle_rows"] = len(drows)
-                ok = (sorted(scols) == sorted(dcols)
-                      and len(srows) == len(drows)
-                      and _canon(srows, scols) == _canon(drows, dcols))
-                rec["status"] = "pass" if ok else "FAIL"
-                if not ok:
+                shape_ok = (sorted(scols) == sorted(dcols)
+                            and len(srows) == len(drows))
+                a, b = _canon(srows, scols), _canon(drows, dcols)
+                if shape_ok and a == b:
+                    rec["status"] = "pass"
+                elif shape_ok:
+                    ok, n_ulp = _ulp_equal(a, b)
+                    if ok:
+                        rec["status"] = "pass_float_ulp"
+                        rec["n_ulp_cells"] = n_ulp
+                    else:
+                        rec["status"] = "FAIL"
+                        n_fail += 1
+                else:
+                    rec["status"] = "FAIL"
                     n_fail += 1
         except Exception as exc:  # noqa: BLE001 — record, keep going
             rec["status"] = "ERROR"
@@ -212,6 +267,8 @@ def verify(sf_dir: str = DST) -> int:
         "sf_dir": sf_dir,
         "n_queries": len(results),
         "n_pass": sum(1 for r in results.values() if r["status"] == "pass"),
+        "n_pass_float_ulp": sum(1 for r in results.values()
+                                if r["status"] == "pass_float_ulp"),
         "n_rows_only": sum(1 for r in results.values()
                            if r["status"].startswith("rows_only")),
         "n_fail": n_fail,
@@ -222,8 +279,8 @@ def verify(sf_dir: str = DST) -> int:
         json.dump(summary, f, indent=1)
         f.write("\n")
     print(json.dumps({k: summary[k] for k in
-                      ("sf_dir", "n_queries", "n_pass", "n_rows_only",
-                       "n_fail")}))
+                      ("sf_dir", "n_queries", "n_pass", "n_pass_float_ulp",
+                       "n_rows_only", "n_fail")}))
     return n_fail
 
 
