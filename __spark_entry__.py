@@ -1039,6 +1039,19 @@ def q_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_with_recall(approx, corpus, queries)
 
 
+def q_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-outlier (mislabel) audit over the embedding corpus
+    (operators/similarity.py label_outliers, new r6): top-20 vectors by
+    fixed-point squared distance to their label's centroid — the
+    dataset-pruning primitive for relabel/downweight candidates.  All
+    arithmetic is integer after a single exact power-of-two
+    quantization, so the FULL oracle is bit-stable under any
+    partitioning at any scale by construction (designed from the r6
+    funnel/scd2 rounding lesson)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.label_outliers(emb, "embedding", "vec_id", "label", k=20)
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: sampled-k-means coarse quantizer, inverted
     lists probed via a key-equality join.  FULL value oracle despite the
@@ -2348,6 +2361,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         # changed this round (output-invariant guard), r5-hash-green
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
+        # new r6 (integer-exact by design), never driver-proven: in line
+        # for the r7 window with the stale three + funnel/scd2
+        "label_outliers": q_label_outliers,
         # everything below is r5-green (CORRECTNESS_r05) and re-proven by
         # the local oracle-parity suite each pytest run
         "tpch_q1": q_tpch_q1,
@@ -2973,6 +2989,9 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'click') c
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
               ON c.user_id = v.user_id AND c.ts >= v.ts""",
+        # fixed-point centroid-distance replay — integer-exact twin
+        "label_outliers": SIM.label_outliers_sql(
+            "embeddings", "embedding", "vec_id", "label", k=20),
         # layout family: replay the z-order write's segment arithmetic
         # from the source table; the Spark side reports parquet FOOTER
         # stats of the files it wrote — equality proves layout + stats

@@ -80,6 +80,7 @@ HEADLINE = [
     "zorder_extents",     # z-value expr + clustered write + footer audit
     "curate_corpus_v2",   # per-language perplexity gate (CCNet-style)
     "asof_sliced",        # skew-sliced as-of join (hot-key parallel path)
+    "label_outliers",     # fixed-point centroid-distance mislabel audit
 ]
 
 #: entries that run ONCE per bench session instead of median-of-n: they

@@ -187,21 +187,30 @@ def lang_scores(col: Column) -> dict[str, Column]:
 
 def lang_id(col: Column) -> Column:
     """Predicted language: argmax marker-hit count, ties broken by the
-    fixed language order, zero hits ⇒ 'unknown'."""
-    scores = lang_scores(col)
-    expr = F.lit("unknown")
-    # build the CASE from the LAST language backwards so earlier languages
-    # win ties (>= comparison against all later ones)
-    for i in range(len(_LANG_ORDER) - 1, -1, -1):
-        lang = _LANG_ORDER[i]
-        cond = scores[lang] > 0
-        for other in _LANG_ORDER:
-            if other != lang:
-                cond = cond & (scores[lang] >= scores[other]) \
-                    if _LANG_ORDER.index(other) > i else \
-                    cond & (scores[lang] > scores[other])
-        expr = F.when(cond, F.lit(lang)).otherwise(expr)
-    return expr
+    fixed language order, zero hits ⇒ 'unknown'.
+
+    Formulated as ONE scores array + first-argmax:
+    ``array_position(scores, array_max(scores))`` returns the FIRST
+    maximal index, which IS the earlier-language-wins tie-break.  The
+    r1–r5 rendering was a pairwise-comparison CASE whose tree embedded
+    the token array O(L²) times (~30 copies of the tokenizer); codegen
+    compiled it in ~13 s once per session on the composed curation
+    queries (measured r6).  This tree holds the tokenizer ONCE inside
+    the transform lambda — identical semantics (pinned by the same
+    unit + oracle tests), ~tenth of the compile."""
+    toks = tokens(col)
+    markers = F.array(*[
+        F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        for lang in _LANG_ORDER])
+    scores = F.transform(
+        markers,
+        lambda ms: F.size(F.filter(toks, lambda t: F.array_contains(ms, t))))
+    best = F.array_max(scores)
+    langs = F.array(*[F.lit(lang) for lang in _LANG_ORDER])
+    return F.when(
+        best > 0,
+        F.element_at(langs, F.array_position(scores, best).cast("int"))
+    ).otherwise(F.lit("unknown"))
 
 
 def lang_id_sql(col: str) -> str:

@@ -743,3 +743,94 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
            .filter(F.col("cosine_sim") >= threshold)
            .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-outlier detection (mislabel audit over an embedding column)
+# ---------------------------------------------------------------------------
+
+#: fixed-point scale for label_outliers: 2^20 quantization steps per
+#: unit, plus a 2^30 positive offset so integer mean/round semantics are
+#: sign-free in both engines (the offset cancels in every difference).
+_LO_SCALE_BITS = 20
+_LO_OFFSET_BITS = 30
+
+
+def label_outliers(df: DataFrame, vec_col: str, id_col: str,
+                   label_col: str, k: int = 20) -> DataFrame:
+    """Distance of every vector to its LABEL CENTROID, top-``k``
+    farthest — the classic mislabel/outlier audit from the dataset
+    pruning literature: points far from their class prototype are
+    mislabeled, ambiguous, or genuinely hard, and are the first
+    candidates for relabeling or downweighting in a training-data
+    pipeline.
+
+    Returns ``(id_col, label_col, dist_q)`` where ``dist_q`` is the
+    squared L2 distance in FIXED-POINT units: each coordinate is
+    quantized to ``round(x · 2^20)`` **before** any aggregation, the
+    centroid is the half-up INTEGER mean of the quantized coordinates,
+    and the distance is an exact BIGINT sum of squared integer deltas.
+    Floating-point never enters an aggregation, so the result is
+    bit-identical under any partitioning, any engine, any scale — the
+    lesson of the r6 funnel/scd2 rounding divergence applied at design
+    time instead of as a fix.  (Quantization error is bounded by
+    2^-20 ≈ 1e-6 per coordinate — far below any embedding's noise
+    floor; distances are for RANKING, not for reuse as geometry.)
+
+    Scale shape: posexplode (linear, no shuffle) → per-(label, dim)
+    2-phase integer-sum aggregation (#labels × dim rows — tiny) →
+    broadcast join of the centroid table back onto the exploded stream
+    (no shuffle) → per-vector 2-phase integer-sum → global top-k via
+    TakeOrderedAndProject.  Two shuffles end-to-end, nothing quadratic,
+    centroids always broadcastable.
+    """
+    require_columns(df, [vec_col, id_col, label_col])
+    scale = 1 << _LO_SCALE_BITS
+    off = 1 << _LO_OFFSET_BITS
+    q = (df.select(F.col(id_col), F.col(label_col),
+                   F.posexplode(F.col(vec_col)).alias("_pos", "_x"))
+           .withColumn("_q", F.round(F.col("_x").cast("double") * scale, 0)
+                              .cast("bigint") + F.lit(off)))
+    cent = (q.groupBy(label_col, "_pos")
+             .agg(F.sum("_q").alias("_s"), F.count(F.lit(1)).alias("_n"))
+             # half-up integer mean; _q is offset-positive so truncating
+             # and flooring division agree across engines
+             .withColumn("_c", F.expr("(2 * _s + _n) div (2 * _n)"))
+             .select(label_col, "_pos", "_c"))
+    dist = (q.join(F.broadcast(cent), [label_col, "_pos"])
+             .withColumn("_d", F.col("_q") - F.col("_c"))
+             .groupBy(id_col, label_col)
+             .agg(F.sum(F.col("_d") * F.col("_d")).alias("dist_q")))
+    # global top-k lowers to TakeOrderedAndProject (per-partition partial
+    # top-k), never a single-task global sort
+    return dist.orderBy(F.col("dist_q").desc(), F.col(id_col)).limit(k)
+
+
+def label_outliers_sql(table: str, vec_col: str, id_col: str,
+                       label_col: str, k: int = 20) -> str:
+    """DuckDB twin of :func:`label_outliers` — the same quantize /
+    integer-mean / integer-distance arithmetic (exact by construction;
+    the only float op is the pre-aggregation ``round(x·2^20)``, whose
+    input is a power-of-two scaling of a float — exact in binary — and
+    whose .5 ties round away from zero in both engines)."""
+    scale = 1 << _LO_SCALE_BITS
+    off = 1 << _LO_OFFSET_BITS
+    return f"""
+        WITH _q AS (
+            SELECT {id_col}, {label_col},
+                   generate_subscripts({vec_col}, 1) AS _pos,
+                   CAST(round(CAST(unnest({vec_col}) AS DOUBLE) * {scale}, 0)
+                        AS BIGINT) + {off} AS _qv
+            FROM {table}),
+        _cent AS (
+            SELECT {label_col}, _pos,
+                   (2 * sum(_qv) + count(*)) // (2 * count(*)) AS _cv
+            FROM _q GROUP BY {label_col}, _pos),
+        _dist AS (
+            SELECT _q.{id_col}, _q.{label_col},
+                   sum((_qv - _cv) * (_qv - _cv)) AS dist_q
+            FROM _q JOIN _cent
+              ON _q.{label_col} = _cent.{label_col} AND _q._pos = _cent._pos
+            GROUP BY _q.{id_col}, _q.{label_col})
+        SELECT {id_col}, {label_col}, dist_q
+        FROM _dist ORDER BY dist_q DESC, {id_col} LIMIT {k}"""

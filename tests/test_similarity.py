@@ -285,3 +285,39 @@ def test_ivf_centroid_replay_rejects_oversized_corpus(tmp_path):
     with _pytest.raises(ValueError, match="sample_limit"):
         SIM.replay_ivf_centroids(path, min_id=0, n_centroids=4,
                                  sample_limit=10)
+
+
+def test_label_outliers_known_answer_and_plan(spark):
+    """Mislabel audit: a vector sitting in cluster B but labeled A must
+    rank first by distance to A's centroid; ties break by id.  Plan
+    pins: the centroid join is broadcast (never a shuffle keyed on
+    (label, dim)) and the global top-k lowers to TakeOrderedAndProject
+    (no single-task sort)."""
+    from frames_map_reduce_spark.operators.similarity import label_outliers
+    from frames_map_reduce_spark.plans import executed_plan, explain_formatted
+
+    rows = [
+        (0, [0.0, 0.0], "a"),
+        (1, [0.1, 0.0], "a"),
+        (2, [0.0, 0.1], "a"),
+        (3, [5.0, 5.0], "a"),   # labeled a, lives with the b cluster
+        (4, [5.0, 5.0], "b"),
+        (5, [5.1, 5.0], "b"),
+        (6, [5.0, 5.1], "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string")
+    out = label_outliers(df, "embedding", "vec_id", "label", k=3).collect()
+    assert out[0]["vec_id"] == 3 and out[0]["label"] == "a"
+    # the outlier drags its own centroid, so inliers move too — but it
+    # stays far clear of every other point's distance
+    assert out[0]["dist_q"] > 5 * max(r["dist_q"] for r in out[1:])
+    # determinism: bit-identical across partitionings (integer-only aggs)
+    again = label_outliers(df.repartition(7), "embedding", "vec_id",
+                           "label", k=3).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]
+
+    plan_df = label_outliers(df, "embedding", "vec_id", "label", k=3)
+    assert "BroadcastHashJoin" in explain_formatted(plan_df)
+    plan_df.collect()
+    assert "TakeOrderedAndProject" in executed_plan(plan_df)
