@@ -1052,6 +1052,23 @@ def q_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.label_outliers(emb, "embedding", "vec_id", "label", k=20)
 
 
+def q_mislabel_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed mislabel audit (new r6): the 20 label_outliers (global
+    centroid-distance suspects) are re-examined LOCALLY via an exact
+    5-NN label vote (similarity.knn_label_vote) — confident-learning
+    style: a suspect whose neighbors agree with its label is a
+    hard-but-valid example; one outvoted by another class is a likely
+    mislabel.  Bounded-query contract: 20 broadcast queries, one corpus
+    scan, integer distances end-to-end, so the FULL composed oracle
+    (outlier twin nested as the query CTE) is bit-stable at any
+    scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    outl = SIM.label_outliers(emb, "embedding", "vec_id", "label", k=20)
+    queries = emb.join(F.broadcast(outl.select("vec_id")), "vec_id")
+    return SIM.knn_label_vote(emb, queries, "embedding", "vec_id",
+                              "label", k=5)
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: sampled-k-means coarse quantizer, inverted
     lists probed via a key-equality join.  FULL value oracle despite the
@@ -2364,6 +2381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new r6 (integer-exact by design), never driver-proven: in line
         # for the r7 window with the stale three + funnel/scd2
         "label_outliers": q_label_outliers,
+        "mislabel_knn": q_mislabel_knn,
         # everything below is r5-green (CORRECTNESS_r05) and re-proven by
         # the local oracle-parity suite each pytest run
         "tpch_q1": q_tpch_q1,
@@ -2992,6 +3010,14 @@ def oracle_sql() -> dict[str, str]:
         # fixed-point centroid-distance replay — integer-exact twin
         "label_outliers": SIM.label_outliers_sql(
             "embeddings", "embedding", "vec_id", "label", k=20),
+        # composed: the outlier twin nests as the kNN vote's query CTE
+        "mislabel_knn": SIM.knn_label_vote_sql(
+            "embeddings",
+            "SELECT e.* FROM embeddings e JOIN ("
+            + SIM.label_outliers_sql(
+                "embeddings", "embedding", "vec_id", "label", k=20)
+            + ") _o USING (vec_id)",
+            "embedding", "vec_id", "label", k=5),
         # layout family: replay the z-order write's segment arithmetic
         # from the source table; the Spark side reports parquet FOOTER
         # stats of the files it wrote — equality proves layout + stats

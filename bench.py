@@ -81,6 +81,7 @@ HEADLINE = [
     "curate_corpus_v2",   # per-language perplexity gate (CCNet-style)
     "asof_sliced",        # skew-sliced as-of join (hot-key parallel path)
     "label_outliers",     # fixed-point centroid-distance mislabel audit
+    "mislabel_knn",       # composed: outliers -> exact 5-NN label vote
 ]
 
 #: entries that run ONCE per bench session instead of median-of-n: they

@@ -834,3 +834,130 @@ def label_outliers_sql(table: str, vec_col: str, id_col: str,
             GROUP BY _q.{id_col}, _q.{label_col})
         SELECT {id_col}, {label_col}, dist_q
         FROM _dist ORDER BY dist_q DESC, {id_col} LIMIT {k}"""
+
+
+def _lo_quantize(vec):
+    """Fixed-point quantization of a float vector (the label_outliers
+    scheme, sans offset — used where only DIFFERENCES matter)."""
+    scale = 1 << _LO_SCALE_BITS
+    return F.transform(
+        vec, lambda x: F.round(x.cast("double") * scale, 0).cast("bigint"))
+
+
+def knn_label_vote(corpus: DataFrame, queries: DataFrame, vec_col: str,
+                   id_col: str, label_col: str, k: int = 5,
+                   max_queries: int = 10_000) -> DataFrame:
+    """Exact k-nearest-neighbor LABEL VOTE for a BOUNDED query set —
+    the local complement of :func:`label_outliers`' global
+    centroid-distance audit: a point far from its class prototype whose
+    neighbors nevertheless agree with its label is a hard-but-valid
+    example; one whose neighbors vote another class is a likely
+    mislabel (confident-learning style).  Queries are broadcast
+    (bounded by contract, checked); the corpus is scanned ONCE with a
+    per-pair integer squared distance (the :func:`label_outliers`
+    fixed-point scheme, so ranking is bit-deterministic — no float
+    ever enters a comparison), per-query partial top-k prunes
+    map-side, and the merge window sees ≤ batches·k rows per query.
+
+    Returns one row per query: ``(id_col, label_col, knn_label,
+    n_same)`` — the majority neighbor label (ties: highest count, then
+    smallest label) and how many of the k neighbors share the query's
+    own label.  Self-matches (same ``id_col``) are excluded.
+    """
+    require_columns(corpus, [vec_col, id_col, label_col])
+    require_columns(queries, [vec_col, id_col, label_col])
+    n_q = queries.limit(max_queries + 1).count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"knn_label_vote is bounded to {max_queries} queries by "
+            "contract (the query side is broadcast and each query scans "
+            "the corpus once); for all-pairs label audits use "
+            "label_outliers or a bucketed ANN pass")
+    qz = queries.select(F.col(id_col).alias("_qid"),
+                        F.col(label_col).alias("_qlabel"),
+                        _lo_quantize(F.col(vec_col)).alias("_qq"))
+    cz = corpus.select(F.col(id_col).alias("_cid"),
+                       F.col(label_col).alias("_clabel"),
+                       _lo_quantize(F.col(vec_col)).alias("_cq"))
+    d = F.aggregate(
+        F.zip_with(F.col("_qq"), F.col("_cq"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = (cz.crossJoin(F.broadcast(qz))
+                .filter(F.col("_cid") != F.col("_qid"))
+                .select("_qid", "_qlabel", "_cid", "_clabel",
+                        (-d).alias("_negdist")))
+    part = partial_topk(
+        scored.select("_qid", "_cid", "_negdist"), k, "_qid", "_cid",
+        sim_col="_negdist")
+    ranked = _rank_topk(part, k, "_qid", "_cid", sim_col="_negdist")
+    # labels re-attach by joining the TINY ranked set (queries·k rows,
+    # broadcast) against the skinny corpus/query projections — never by
+    # re-joining the scored cross stream (that would re-run the scan)
+    nb = (cz.select("_cid", "_clabel")
+            .join(F.broadcast(ranked.select("_qid", "_cid")), "_cid")
+            .join(F.broadcast(qz.select("_qid", "_qlabel")), "_qid"))
+    votes = nb.groupBy("_qid", "_qlabel", "_clabel") \
+              .agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy("_qid").orderBy(
+        F.col("_c").desc(), F.col("_clabel").asc())
+    top = votes.withColumn("_rn", F.row_number().over(w)) \
+               .filter(F.col("_rn") == 1) \
+               .select("_qid", "_qlabel",
+                       F.col("_clabel").alias("knn_label"))
+    same = votes.groupBy("_qid").agg(
+        F.sum(F.when(F.col("_clabel") == F.col("_qlabel"), F.col("_c"))
+               .otherwise(0)).cast("bigint").alias("n_same"))
+    return (top.join(same, "_qid")
+               .select(F.col("_qid").alias(id_col),
+                       F.col("_qlabel").alias(label_col),
+                       "knn_label", "n_same"))
+
+
+def knn_label_vote_sql(table: str, queries_sql: str, vec_col: str,
+                       id_col: str, label_col: str, k: int = 5) -> str:
+    """DuckDB twin of :func:`knn_label_vote` — same fixed-point
+    quantization, exact integer distances, (dist ASC, id ASC) ranking
+    and (count DESC, label ASC) vote tie-break.  ``queries_sql`` is a
+    SELECT producing the query rows from the same table family (e.g.
+    the label_outliers twin joined back for vectors), so composed
+    audits replay verbatim."""
+    scale = 1 << _LO_SCALE_BITS
+    qz = (f"list_transform({vec_col}, x -> "
+          f"CAST(round(CAST(x AS DOUBLE) * {scale}, 0) AS BIGINT))")
+    return f"""
+        WITH _qsrc AS ({queries_sql}),
+        _qz AS (
+            SELECT {id_col} AS _qid, {label_col} AS _qlabel, {qz} AS _qq
+            FROM _qsrc),
+        _cz AS (
+            SELECT {id_col} AS _cid, {label_col} AS _clabel, {qz} AS _cq
+            FROM {table}),
+        _pairs AS (
+            SELECT _qid, _qlabel, _cid, _clabel,
+                   CAST(list_sum(list_transform(list_zip(_qq, _cq),
+                        p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)
+                       AS _dist
+            FROM _qz, _cz WHERE _cid <> _qid),
+        _nb AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY _qid
+                              ORDER BY _dist, _cid) AS _rn
+                FROM _pairs)
+            WHERE _rn <= {k}),
+        _votes AS (
+            SELECT _qid, _qlabel, _clabel, count(*) AS _c
+            FROM _nb GROUP BY _qid, _qlabel, _clabel),
+        _top AS (
+            SELECT _qid, _qlabel, _clabel AS knn_label,
+                   row_number() OVER (PARTITION BY _qid
+                       ORDER BY _c DESC, _clabel ASC) AS _vr
+            FROM _votes),
+        _same AS (
+            SELECT _qid,
+                   CAST(sum(CASE WHEN _clabel = _qlabel THEN _c ELSE 0 END)
+                        AS BIGINT) AS n_same
+            FROM _votes GROUP BY _qid)
+        SELECT t._qid AS {id_col}, t._qlabel AS {label_col},
+               t.knn_label, s.n_same
+        FROM _top t JOIN _same s USING (_qid) WHERE t._vr = 1"""

@@ -321,3 +321,27 @@ def test_label_outliers_known_answer_and_plan(spark):
     assert "BroadcastHashJoin" in explain_formatted(plan_df)
     plan_df.collect()
     assert "TakeOrderedAndProject" in executed_plan(plan_df)
+
+
+def test_knn_label_vote_mislabel_detection(spark):
+    """A point planted inside cluster B but labeled A must be OUTVOTED
+    (knn_label = b, n_same = 0) while a genuine A inlier is confirmed;
+    self-matches are excluded and the bounded-query contract raises."""
+    import pytest as _pytest
+
+    from frames_map_reduce_spark.operators.similarity import knn_label_vote
+
+    rows = [(i, [0.0 + i * 0.01, 0.0], "a") for i in range(6)] + \
+           [(10 + i, [5.0 + i * 0.01, 5.0], "b") for i in range(6)] + \
+           [(99, [5.03, 5.001], "a")]   # planted mislabel inside b
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string")
+    queries = df.filter(F.col("vec_id").isin(99, 0))
+    out = {r["vec_id"]: r for r in knn_label_vote(
+        df, queries, "embedding", "vec_id", "label", k=5).collect()}
+    assert out[99]["knn_label"] == "b" and out[99]["n_same"] == 0
+    assert out[0]["knn_label"] == "a" and out[0]["n_same"] == 5
+
+    with _pytest.raises(ValueError, match="bounded"):
+        knn_label_vote(df, df, "embedding", "vec_id", "label",
+                       max_queries=3)
