@@ -959,6 +959,31 @@ def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("sum_tokens"))
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators/packing.py
+    pack_sequences): per-source 256-token training sequences with
+    document straddle — the GPT-style layout pack_shards deliberately
+    does NOT model.  Returns the per-sequence manifest (n_docs,
+    n_tokens, n_starts); all-BIGINT arithmetic, engine-exact."""
+    docs = _docs(spark, sf_dir)
+    return PK.pack_sequences(docs, TX.token_count(F.col("text")), 256,
+                             order_by=["doc_id"], by=["source"])
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (operators/similarity.py semantic_dedup,
+    arXiv:2303.09540): 32-cluster k-means, within-cluster cosine pairs,
+    drop-above-threshold keeping the lowest id — one (vec_id, cluster,
+    kept) verdict row per vector.  Threshold 0.35 is fixture-calibrated:
+    this synthetic corpus is near-uniform (max within-cluster cosine
+    ≈ 0.51, measured), so a production 0.9+ threshold would never fire;
+    0.35 exercises the full drop path.  The DuckDB twin replays the
+    trained centroids from the parquet (pure function of sample set +
+    seed) exactly like the ann_ivf oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup(emb, threshold=0.35, n_centroids=32)
+
+
 # ---------------------------------------------------------------------------
 # Scale extensions: similarity search
 # ---------------------------------------------------------------------------
@@ -2316,7 +2341,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     scale gate caught engine-divergent rounding (see their docstrings);
     both re-proven by the local parity suite at sf0.001 AND sf0.01 and
     exact at sf1.0 — rotate them into the r7 window right after the
-    stale three.  Everything else rotated out is r5-green."""
+    stale three.  Everything else rotated out is r5-green.  The two
+    registry entries added after this round's window froze —
+    pack_sequences and semantic_dedup, both fully oracled — close the
+    below-window order and join the r7 rotation queue with the stale
+    three (the same path length_histogram took from r5 to r6)."""
     return {
         # -- (1) never driver-proven ------------------------------------
         "length_histogram": q_length_histogram,
@@ -2433,6 +2462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_dup_lines": q_remove_dup_lines,
         "strip_markup": q_strip_markup,
         "curate_corpus": q_curate_corpus,
+        "pack_sequences": q_pack_sequences,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -2441,6 +2472,25 @@ def _sql_tokens(col: str) -> str:
 
 
 _IVF_ORACLE_CACHE: dict[str, str] = {}
+_SEMDEDUP_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _semantic_dedup_oracle() -> str:
+    """Generate (cached per fixture) the semantic_dedup DuckDB twin by
+    replaying the trained centroids from the SAME embeddings parquet the
+    query reads — identical mechanics (and sf-dir resolution) to
+    :func:`_ivf_oracle`, with ``min_id=0`` because semantic_dedup trains
+    on the whole table rather than the id-split corpus."""
+    import os
+    sf_dir = (os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
+              or os.environ.get("SPARK_GRAFT_TEST_SF_DIR")
+              or "/root/testdata/sf0.01")
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if path not in _SEMDEDUP_ORACLE_CACHE:
+        cents = SIM.replay_ivf_centroids(path, min_id=0, n_centroids=32)
+        _SEMDEDUP_ORACLE_CACHE[path] = SIM.semantic_dedup_oracle_sql(
+            "embeddings", "vec_id", "embedding", 0.35, cents)
+    return _SEMDEDUP_ORACLE_CACHE[path]
 
 
 def _ivf_oracle() -> str:
@@ -2748,6 +2798,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, shard_id, count(*) AS n_docs,
                    CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
             FROM sharded GROUP BY source, shard_id""",
+        "pack_sequences": PK.pack_sequences_sql(
+            "documents", TX.token_count_sql("text"), 256,
+            ["doc_id"], ["source"]),
         "dedup_clusters": f"""
             WITH RECURSIVE
             sh AS (SELECT doc_id, {shingle5} AS sh FROM documents),
@@ -3326,5 +3379,12 @@ def oracle_sql() -> dict[str, str]:
     except Exception as exc:  # noqa: BLE001 — degrade, don't break all
         import sys
         print(f"# ann_ivf oracle unavailable for this fixture: {exc}",
+              file=sys.stderr)
+    # Same replay, same guard, for the SemDeDup twin (min_id=0 corpus).
+    try:
+        out["semantic_dedup"] = _semantic_dedup_oracle()
+    except Exception as exc:  # noqa: BLE001 — degrade, don't break all
+        import sys
+        print(f"# semantic_dedup oracle unavailable for this fixture: {exc}",
               file=sys.stderr)
     return out

@@ -82,6 +82,8 @@ HEADLINE = [
     "asof_sliced",        # skew-sliced as-of join (hot-key parallel path)
     "label_outliers",     # fixed-point centroid-distance mislabel audit
     "mislabel_knn",       # composed: outliers -> exact 5-NN label vote
+    "pack_sequences",     # concat-and-chunk training-sequence manifest
+    "semantic_dedup",     # SemDeDup: cluster + within-cluster drop
 ]
 
 #: entries that run ONCE per bench session instead of median-of-n: they

@@ -961,3 +961,120 @@ def knn_label_vote_sql(table: str, queries_sql: str, vec_col: str,
         SELECT t._qid AS {id_col}, t._qlabel AS {label_col},
                t.knn_label, s.n_same
         FROM _top t JOIN _same s USING (_qid) WHERE t._vr = 1"""
+
+
+# ---------------------------------------------------------------------------
+# Semantic deduplication (SemDeDup — cluster, then dedup within clusters)
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(df: DataFrame, threshold: float = 0.92,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   n_centroids: int = 32, seed: int = 42,
+                   centroids=None, max_cluster: int | None = None) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings, compare pairs only
+    WITHIN a cluster, and drop every vector whose cosine similarity to a
+    lower-id cluster-mate reaches ``threshold`` — the deterministic
+    keep-lowest-id reduction of the paper's "keep one per semantic
+    duplicate group".
+
+    Returns ``(id_col, cluster, kept)`` — one row per input vector, so
+    the verdict for EVERY document is part of the (oracle-checkable)
+    result, not just the drops.
+
+    Scale shape: the quantizer trains on a bounded sample
+    (:func:`train_ivf_centroids`, the FAISS recipe), assignment is one
+    vectorized mapInPandas matmul (linear, no shuffle), and the pair
+    stage is a key-equality self-join on the cluster id — O(Σ cᵢ²) work,
+    where cluster sizes are the dial the operator exposes: SemDeDup at
+    LAION scale runs ~100k centroids precisely so cᵢ stays bounded; grow
+    ``n_centroids`` with the corpus and nothing here is quadratic in N.
+    ``max_cluster`` makes that contract loud: when set, a cluster larger
+    than the cap raises (with the fix) instead of silently absorbing a
+    quadratic blow-up — dropping pairs would silently change verdicts,
+    so unlike the LSH caps there is no safe cap-and-continue here.
+
+    Same exactness contract as :func:`ivf_ann_oracle_sql`: cluster
+    assignment feeds only argmax decisions, cosine is rounded to 6 dp
+    (HALF_UP in both engines) before the threshold compare, so
+    :func:`semantic_dedup_oracle_sql` replays the whole operator
+    exactly from the trained centroid matrix."""
+    require_columns(df, [id_col, vec_col])
+    if centroids is None:
+        centroids = train_ivf_centroids(df, vec_col, n_centroids, seed=seed)
+    assigned = ivf_assign(df.select(id_col, vec_col), vec_col, centroids)
+    if max_cluster is not None:
+        big = (assigned.groupBy("_centroid")
+                       .agg(F.count(F.lit(1)).alias("_n"))
+                       .filter(F.col("_n") > max_cluster).limit(1).collect())
+        if big:
+            raise ValueError(
+                f"cluster {big[0]['_centroid']} holds {big[0]['_n']} vectors "
+                f"> max_cluster={max_cluster}; the within-cluster pair join "
+                "would be quadratic in that cluster — raise n_centroids "
+                "(cluster sizes scale ~N/n_centroids) or retrain with a "
+                "larger sample instead of capping (dropped pairs would "
+                "silently flip kept verdicts)")
+    lhs = assigned.select("_centroid", F.col(id_col).alias("_id_a"),
+                          F.col(vec_col).alias("_va"))
+    rhs = assigned.select(F.col("_centroid").alias("_cb"),
+                          F.col(id_col).alias("_id_b"),
+                          F.col(vec_col).alias("_vb"))
+    dropped = (
+        lhs.join(rhs, (F.col("_centroid") == F.col("_cb"))
+                 & (F.col("_id_a") < F.col("_id_b")))
+           .select(F.col("_id_b").alias(id_col),
+                   F.round(cosine(F.col("_va").cast("array<double>"),
+                                  F.col("_vb").cast("array<double>")), 6)
+                    .alias("_sim"))
+           .filter(F.col("_sim") >= threshold)
+           .select(id_col).distinct()
+           .withColumn("_dropped", F.lit(True)))
+    return (assigned.join(dropped, id_col, "left")
+                    .select(F.col(id_col),
+                            F.col("_centroid").alias("cluster"),
+                            F.col("_dropped").isNull().alias("kept")))
+
+
+def semantic_dedup_oracle_sql(table: str, id_col: str, vec_col: str,
+                              threshold: float, centroids) -> str:
+    """Exhaustive DuckDB twin of :func:`semantic_dedup` — a FULL value
+    oracle for the deterministic-given-its-spec operator, same pattern
+    as :func:`ivf_ann_oracle_sql`: the spec is the trained centroid
+    matrix, replayed bit-identically by :func:`replay_ivf_centroids` and
+    embedded as float64 literals.  Assignment (``argmax(x·c − ½‖c‖²)``,
+    ties → lowest centroid id), the a.id < b.id pair orientation, 6-dp
+    HALF_UP rounding BEFORE the threshold compare, and the keep-lowest-id
+    verdict all mirror the Spark path expression-for-expression."""
+    import numpy as np
+    cents = np.asarray(centroids, dtype=np.float64)
+    rows = []
+    for cid, c in enumerate(cents):
+        lits = ", ".join(repr(float(v)) for v in c)
+        hn = repr(float(0.5 * (c * c).sum()))
+        rows.append(f"({cid}, [{lits}], {hn})")
+    values = ",\n       ".join(rows)
+    dot_c = (f"list_sum(list_transform(list_zip(t.{vec_col}, cents.cvec), "
+             f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
+    cos = (f"round(list_sum(list_transform(list_zip(a.{vec_col}, b.{vec_col}), "
+           f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / nullif("
+           f"sqrt(list_sum(list_transform(a.{vec_col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+           f"sqrt(list_sum(list_transform(b.{vec_col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0.0), 6)")
+    return f"""
+WITH cents(cid, cvec, hn) AS (VALUES
+       {values}),
+     cassign AS (
+        SELECT {id_col}, {vec_col}, cid FROM (
+          SELECT t.{id_col}, t.{vec_col}, cents.cid,
+                 row_number() OVER (PARTITION BY t.{id_col}
+                     ORDER BY {dot_c} - cents.hn DESC, cents.cid) AS rn
+          FROM {table} t CROSS JOIN cents) WHERE rn = 1),
+     dropped AS (
+        SELECT DISTINCT b.{id_col}
+        FROM cassign a JOIN cassign b
+          ON a.cid = b.cid AND a.{id_col} < b.{id_col}
+        WHERE {cos} >= {threshold!r})
+SELECT c.{id_col}, CAST(c.cid AS INTEGER) AS cluster,
+       d.{id_col} IS NULL AS kept
+FROM cassign c LEFT JOIN dropped d USING ({id_col})
+"""

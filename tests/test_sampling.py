@@ -229,3 +229,57 @@ def test_weighted_sample_assert_unique_guard(spark):
     uniq = spark.createDataFrame(
         [(1, 1.0), (2, 2.0), (3, 3.0)], "k long, w double")
     assert weighted_sample(uniq, 2, "w", "k", assert_unique=True).count() == 2
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences (concat-and-chunk, document straddle)
+# ---------------------------------------------------------------------------
+
+def _seq_rows(spark, sizes, block, by_groups=1):
+    from frames_map_reduce_spark.operators.packing import pack_sequences
+    rows = [(g, i, s) for g in range(by_groups)
+            for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "g int, id int, size int")
+    out = pack_sequences(df, "size", block, order_by=["id"], by=["g"])
+    return {(r["g"], r["seq_id"]): (r["n_docs"], r["n_tokens"], r["n_starts"])
+            for r in out.collect()}
+
+
+def test_pack_sequences_known_answer(spark):
+    # sizes 4,4,4 block 8: stream [0,12) → block0 holds docs 0+1 (8
+    # tokens, both start there), block1 the trailing doc (partial, 4)
+    got = _seq_rows(spark, [4, 4, 4], block=8)
+    assert got == {(0, 0): (2, 8, 2), (0, 1): (1, 4, 1)}
+
+
+def test_pack_sequences_straddle_splits_token_count(spark):
+    # sizes 5,6 block 8: doc1 spans [5,11) → 3 tokens in block0, 3 in
+    # block1; fragmentation (n_docs - n_starts) shows up in block1
+    got = _seq_rows(spark, [5, 6], block=8)
+    assert got == {(0, 0): (2, 8, 2), (0, 1): (1, 3, 0)}
+
+
+def test_pack_sequences_oversized_doc_spans_blocks(spark):
+    got = _seq_rows(spark, [20], block=8)
+    assert got == {(0, 0): (1, 8, 1), (0, 1): (1, 8, 0), (0, 2): (1, 4, 0)}
+
+
+def test_pack_sequences_zero_size_rows_excluded(spark):
+    got = _seq_rows(spark, [0, 4, 0], block=8)
+    assert got == {(0, 0): (1, 4, 1)}
+
+
+def test_pack_sequences_groups_independent_and_tokens_conserved(spark):
+    got = _seq_rows(spark, [5, 5, 5], block=10, by_groups=3)
+    for g in range(3):
+        assert got[(g, 0)] == (2, 10, 2) and got[(g, 1)] == (1, 5, 1)
+    assert sum(v[1] for v in got.values()) == 3 * 15
+
+
+def test_pack_sequences_rejects_bad_args(spark):
+    from frames_map_reduce_spark.operators.packing import pack_sequences
+    df = spark.createDataFrame([(1, 1)], "id int, size int")
+    with pytest.raises(ValueError, match="positive"):
+        pack_sequences(df, "size", 0, order_by=["id"])
+    with pytest.raises(ValueError, match="order_by"):
+        pack_sequences(df, "size", 8, order_by=[])

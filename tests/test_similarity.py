@@ -345,3 +345,50 @@ def test_knn_label_vote_mislabel_detection(spark):
     with _pytest.raises(ValueError, match="bounded"):
         knn_label_vote(df, df, "embedding", "vec_id", "label",
                        max_queries=3)
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup (SemDeDup: cluster → within-cluster drop)
+# ---------------------------------------------------------------------------
+
+def _semdedup_fixture(spark):
+    import numpy as np
+    vecs = [(0, [1.0, 0.0]), (1, [1.0, 0.0]),      # exact dup pair → c0
+            (2, [0.6, 0.8]),                        # c1, near-orthogonal mate
+            (3, [0.0, 1.0]), (4, [0.0, 1.0])]      # exact dup pair → c1
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+    return df, cents
+
+
+def test_semantic_dedup_keeps_lowest_id_per_dup_group(spark):
+    from frames_map_reduce_spark.operators.similarity import semantic_dedup
+    df, cents = _semdedup_fixture(spark)
+    out = {r["vec_id"]: (r["cluster"], r["kept"])
+           for r in semantic_dedup(df, threshold=0.95,
+                                   centroids=cents).collect()}
+    # one verdict row per input vector
+    assert set(out) == {0, 1, 2, 3, 4}
+    # dup partners above threshold: (0,1) in c0 and (3,4) in c1 — the
+    # higher id drops; v2's best cluster-mate cosine is 0.8 < 0.95
+    assert out == {0: (0, True), 1: (0, False), 2: (1, True),
+                   3: (1, True), 4: (1, False)}
+
+
+def test_semantic_dedup_deterministic_over_reruns(spark, embeddings):
+    from frames_map_reduce_spark.operators.similarity import semantic_dedup
+    a = sorted(map(tuple, semantic_dedup(
+        embeddings, threshold=0.35, n_centroids=8).collect()))
+    b = sorted(map(tuple, semantic_dedup(
+        embeddings, threshold=0.35, n_centroids=8).collect()))
+    assert a == b and len(a) == embeddings.count()
+
+
+def test_semantic_dedup_max_cluster_guard_raises(spark):
+    import numpy as np
+    from frames_map_reduce_spark.operators.similarity import semantic_dedup
+    rows = [(i, [1.0, float(i) * 1e-3]) for i in range(10)]  # all → c0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+    with pytest.raises(ValueError, match="max_cluster"):
+        semantic_dedup(df, threshold=0.99, centroids=cents, max_cluster=5)
