@@ -1020,15 +1020,20 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SRP-LSH variant is exercised in tests where approximate recall is
     acceptable)."""
     emb = _t(spark, sf_dir, "embeddings")
-    from frames_map_reduce_spark.functions.vectors import cosine
-    a = emb.select(F.col("label").alias("blk"), F.col("vec_id").alias("id_a"),
-                   F.col("embedding").alias("va"))
-    b = emb.select(F.col("label").alias("blk_b"), F.col("vec_id").alias("id_b"),
-                   F.col("embedding").alias("vb"))
+    from frames_map_reduce_spark.functions.vectors import dot, norm
+    # per-row norm before the pair join (same floats, 1/|block| the cost
+    # of norm-inside-cosine-per-pair — see similarity.semantic_dedup)
+    sided = (emb.withColumn("_v", F.col("embedding").cast("array<double>"))
+                .withColumn("_n", norm(F.col("_v"))))
+    a = sided.select(F.col("label").alias("blk"), F.col("vec_id").alias("id_a"),
+                     F.col("_v").alias("va"), F.col("_n").alias("na"))
+    b = sided.select(F.col("label").alias("blk_b"), F.col("vec_id").alias("id_b"),
+                     F.col("_v").alias("vb"), F.col("_n").alias("nb"))
     return (a.join(b, (F.col("blk") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b")))
              .select("id_a", "id_b",
-                     F.round(cosine(F.col("va").cast("array<double>"),
-                                    F.col("vb").cast("array<double>")), 6).alias("cosine_sim"))
+                     F.round(F.try_divide(dot(F.col("va"), F.col("vb")),
+                                          F.col("na") * F.col("nb")), 6)
+                      .alias("cosine_sim"))
              .filter(F.col("cosine_sim") >= 0.3))
 
 

@@ -23,7 +23,8 @@ import random
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from frames_map_reduce_spark.functions.vectors import cosine, srp_signature
+from frames_map_reduce_spark.functions.vectors import (cosine, dot, norm,
+                                                       srp_signature)
 from frames_map_reduce_spark.schema import require_columns
 
 
@@ -730,16 +731,22 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     # bucket, so the rhs prune loses nothing and keeps those rows (the
     # bulk of a skewed corpus) out of the join shuffle entirely
     ok = sizes.filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket)).select("_bucket")
-    pruned = b.join(F.broadcast(ok), "_bucket")
-    lhs = pruned.select(
-        "_bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    # per-row norm before the pair join (same floats as norm-per-pair,
+    # computed once per row instead of twice per pair — see semantic_dedup)
+    pruned = (b.join(F.broadcast(ok), "_bucket")
+                .withColumn("_v", F.col(vec_col).cast("array<double>"))
+                .withColumn("_nm", norm(F.col("_v"))))
+    lhs = pruned.select("_bucket", F.col(id_col).alias("id_a"),
+                        F.col("_v").alias("_va"), F.col("_nm").alias("_na"))
     rhs = pruned.select(F.col("_bucket").alias("_bucket_b"),
-                        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+                        F.col(id_col).alias("id_b"),
+                        F.col("_v").alias("_vb"), F.col("_nm").alias("_nb"))
     return (
         lhs.join(rhs, (F.col("_bucket") == F.col("_bucket_b")) & (F.col("id_a") < F.col("id_b")))
            .select("id_a", "id_b",
-                   F.round(cosine(F.col("_va").cast("array<double>"),
-                                  F.col("_vb").cast("array<double>")), 6).alias("cosine_sim"))
+                   F.round(F.try_divide(dot(F.col("_va"), F.col("_vb")),
+                                        F.col("_na") * F.col("_nb")), 6)
+                    .alias("cosine_sim"))
            .filter(F.col("cosine_sim") >= threshold)
            .distinct()
     )
@@ -1015,17 +1022,23 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.92,
                 "(cluster sizes scale ~N/n_centroids) or retrain with a "
                 "larger sample instead of capping (dropped pairs would "
                 "silently flip kept verdicts)")
-    lhs = assigned.select("_centroid", F.col(id_col).alias("_id_a"),
-                          F.col(vec_col).alias("_va"))
-    rhs = assigned.select(F.col("_centroid").alias("_cb"),
-                          F.col(id_col).alias("_id_b"),
-                          F.col(vec_col).alias("_vb"))
+    # Norms are per-ROW quantities: compute them once before the pair
+    # join instead of twice inside every pair's cosine() — the same
+    # float arithmetic on the same doubles (bit-identical result, so the
+    # oracle's per-pair norms still match), at 2/|cluster| of the cost.
+    sided = assigned.withColumn("_v", F.col(vec_col).cast("array<double>")) \
+                    .withColumn("_n", norm(F.col("_v")))
+    lhs = sided.select("_centroid", F.col(id_col).alias("_id_a"),
+                       F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    rhs = sided.select(F.col("_centroid").alias("_cb"),
+                       F.col(id_col).alias("_id_b"),
+                       F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
     dropped = (
         lhs.join(rhs, (F.col("_centroid") == F.col("_cb"))
                  & (F.col("_id_a") < F.col("_id_b")))
            .select(F.col("_id_b").alias(id_col),
-                   F.round(cosine(F.col("_va").cast("array<double>"),
-                                  F.col("_vb").cast("array<double>")), 6)
+                   F.round(F.try_divide(dot(F.col("_va"), F.col("_vb")),
+                                        F.col("_na") * F.col("_nb")), 6)
                     .alias("_sim"))
            .filter(F.col("_sim") >= threshold)
            .select(id_col).distinct()
