@@ -347,12 +347,19 @@ def ann_topk_srp(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
     # bytes, so distinct is exact and no corpus-wide re-join is needed),
     # then score each unique candidate once
     cand = cand.distinct()
-    qvecs = queries.select(query_id_col, F.col(vec_col).alias("_qvec"))
+    # query-side norm hoisted into the broadcast frame: computed once per
+    # query instead of once per candidate pair (same floats — see
+    # semantic_dedup)
+    qvecs = (queries.select(query_id_col,
+                            F.col(vec_col).cast("array<double>").alias("_qvec"))
+                    .withColumn("_qn", norm(F.col("_qvec"))))
     scored = (cand.join(F.broadcast(qvecs), on=query_id_col)
                   .select(query_id_col, id_col,
-                          F.round(cosine(F.col(vec_col).cast("array<double>"),
-                                         F.col("_qvec").cast("array<double>")),
-                                  6).alias("cosine_sim")))
+                          F.round(F.try_divide(
+                              dot(F.col(vec_col).cast("array<double>"),
+                                  F.col("_qvec")),
+                              norm(F.col(vec_col).cast("array<double>"))
+                              * F.col("_qn")), 6).alias("cosine_sim")))
     return _rank_topk(partial_topk(scored, k, query_id_col, id_col),
                       k, query_id_col, id_col)
 
@@ -542,10 +549,16 @@ def _ivf_score(cb: DataFrame, qb: DataFrame, k: int, id_col: str,
                vec_col: str, query_id_col: str) -> DataFrame:
     """Probe join (broadcast — exchange-free on the corpus side) +
     exact-cosine scoring + two-stage top-k."""
+    # per-side norms hoisted out of the probe join (same floats; the
+    # corpus norm would otherwise recompute once per probing query)
+    cb = (cb.withColumn("_cv", F.col(vec_col).cast("array<double>"))
+            .withColumn("_cn", norm(F.col("_cv"))))
+    qb = qb.withColumn("_qn", norm(F.col("_qvec")))
     scored = cb.join(F.broadcast(qb), on="_centroid").select(
         query_id_col, id_col,
-        F.round(cosine(F.col(vec_col).cast("array<double>"),
-                       F.col("_qvec")), 6).alias("cosine_sim"))
+        F.round(F.try_divide(dot(F.col("_cv"), F.col("_qvec")),
+                             F.col("_cn") * F.col("_qn")), 6)
+         .alias("cosine_sim"))
     return _rank_topk(partial_topk(scored, k, query_id_col, id_col),
                       k, query_id_col, id_col)
 

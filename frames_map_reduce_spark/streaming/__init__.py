@@ -234,7 +234,7 @@ def stream_embedding_near_dup(stream: DataFrame, static_corpus: DataFrame,
     replays)."""
     from pyspark import StorageLevel
 
-    from frames_map_reduce_spark.functions.vectors import cosine
+    from frames_map_reduce_spark.functions.vectors import dot, norm
     from frames_map_reduce_spark.operators.similarity import srp_bucketed
 
     require_columns(stream, [vec_col, id_col])
@@ -243,19 +243,26 @@ def stream_embedding_near_dup(stream: DataFrame, static_corpus: DataFrame,
             F.size(F.col(vec_col)).alias("d")).first()["d"]
     ref = srp_bucketed(static_corpus, vec_col, dim, n_planes, seed).select(
         "_bucket", F.col(id_col).alias("ref_id"),
-        F.col(vec_col).alias("_vref"))
+        F.col(vec_col).cast("array<double>").alias("_vref"))
     sizes = ref.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
     ok = sizes.filter(F.col("_n") <= max_bucket).select("_bucket")
-    ref = ref.join(F.broadcast(ok), "_bucket") \
-             .persist(StorageLevel.MEMORY_AND_DISK)
+    # the ref-side norm is hoisted INTO the persisted frame: computed
+    # once per corpus vector total, not once per matching probe (same
+    # floats as norm-inside-cosine — see similarity.semantic_dedup)
+    ref = (ref.join(F.broadcast(ok), "_bucket")
+              .withColumn("_nref", norm(F.col("_vref")))
+              .persist(StorageLevel.MEMORY_AND_DISK))
 
-    probe = srp_bucketed(stream, vec_col, dim, n_planes, seed).select(
-        "_bucket", F.col(id_col), F.col(vec_col).alias("_vin"))
+    probe = (srp_bucketed(stream, vec_col, dim, n_planes, seed)
+             .select("_bucket", F.col(id_col),
+                     F.col(vec_col).cast("array<double>").alias("_vin"))
+             .withColumn("_nin", norm(F.col("_vin"))))
     out = (probe.join(ref, "_bucket")
                 .select(id_col, "ref_id",
-                        F.round(cosine(F.col("_vin").cast("array<double>"),
-                                       F.col("_vref").cast("array<double>")),
-                                6).alias("cosine_sim"))
+                        F.round(F.try_divide(
+                            dot(F.col("_vin"), F.col("_vref")),
+                            F.col("_nin") * F.col("_nref")), 6)
+                         .alias("cosine_sim"))
                 .filter(F.col("cosine_sim") >= threshold))
     return out.dropDuplicates([id_col, "ref_id"])
 
