@@ -970,6 +970,38 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                              order_by=["doc_id"], by=["source"])
 
 
+def q_corpus_to_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data path composed end-to-end: raw corpus →
+    C4-style line dedup → unigram-LM scoring → BUDGETED quality
+    selection (keep each source's lowest-perplexity 60% of scoreable
+    docs — rank-based, so it is scale-robust where a fixed threshold is
+    not: the replica generator's vocab inflation moves absolute
+    perplexity ~10× between sf0.01 and sf1.0 but never empties a
+    percentile) → concat-and-chunk packing of the survivors' cleaned
+    token counts (pack_sequences, 256-token blocks per source).  What
+    ships to the trainer is the packed-sequence manifest, and this
+    query proves the whole lineage in one plan.  The selection is
+    integer-exact by design: both engines rank the SAME rounded-6dp
+    perplexity (curate_corpus proves they agree) with a doc_id
+    tie-break, and the 60% cut is the integer compare ``5·rank ≤ 3·n``
+    — no float ever decides membership.  FULL composed oracle: the
+    table-parametric twins nest verbatim."""
+    docs = _docs(spark, sf_dir)
+    cleaned = DD.remove_duplicated_lines(docs, "text", "doc_id")
+    scored = QL.unigram_lm_score(cleaned, "clean_text", "doc_id")
+    ranked = (docs.select("doc_id", "source")
+                  .join(scored.select("doc_id", "n_tokens", "perplexity"),
+                        "doc_id")
+                  .filter(F.col("perplexity").isNotNull()))
+    w = Window.partitionBy("source").orderBy("perplexity", "doc_id")
+    wn = Window.partitionBy("source")
+    kept = (ranked.withColumn("_rn", F.row_number().over(w))
+                  .withColumn("_n", F.count(F.lit(1)).over(wn))
+                  .filter(F.col("_rn") * 5 <= F.col("_n") * 3))
+    return PK.pack_sequences(kept, "n_tokens", 256,
+                             order_by=["doc_id"], by=["source"])
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup (operators/similarity.py semantic_dedup,
     arXiv:2303.09540): 32-cluster k-means, within-cluster cosine pairs,
@@ -2469,6 +2501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": q_curate_corpus,
         "pack_sequences": q_pack_sequences,
         "semantic_dedup": q_semantic_dedup,
+        "corpus_to_sequences": q_corpus_to_sequences,
     }
 
 
@@ -2806,6 +2839,27 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": PK.pack_sequences_sql(
             "documents", TX.token_count_sql("text"), 256,
             ["doc_id"], ["source"]),
+        # composed twin: curation stages nest verbatim, the budgeted
+        # 60% selection is the same integer rank compare, and
+        # pack_sequences_sql runs over the kept-CTE as a subquery
+        "corpus_to_sequences": f"""
+            WITH cleaned AS (
+                {DD.remove_duplicated_lines_sql('documents', 'text', 'doc_id')}),
+            scored AS (
+                {QL.unigram_lm_score_sql('cleaned', 'clean_text', 'doc_id')}),
+            ranked AS (
+                SELECT d.source, d.doc_id, s.n_tokens,
+                       row_number() OVER (PARTITION BY d.source
+                           ORDER BY s.perplexity, d.doc_id) AS _rn,
+                       count(*) OVER (PARTITION BY d.source) AS _n
+                FROM documents d JOIN scored s USING (doc_id)
+                WHERE s.perplexity IS NOT NULL),
+            kept AS (
+                SELECT source, doc_id, n_tokens FROM ranked
+                WHERE _rn * 5 <= _n * 3)
+            SELECT * FROM (
+                {PK.pack_sequences_sql('kept', 'n_tokens', 256,
+                                       ['doc_id'], ['source'])})""",
         "dedup_clusters": f"""
             WITH RECURSIVE
             sh AS (SELECT doc_id, {shingle5} AS sh FROM documents),

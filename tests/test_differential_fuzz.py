@@ -365,3 +365,41 @@ def test_bigram_lm_score_matches_duckdb(spark, docs):
                       con.sql(bigram_lm_score_sql("t", "text", "doc_id"))
                          .fetchall()))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences vs its DuckDB twin on generated corpora
+# ---------------------------------------------------------------------------
+
+pack_rows_strategy = st.lists(
+    st.tuples(st.sampled_from(["g0", "g1"]),
+              st.integers(min_value=0, max_value=37)),
+    min_size=1, max_size=60)
+
+
+@given(rows=pack_rows_strategy,
+       block=st.integers(min_value=1, max_value=19))
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pack_sequences_matches_duckdb(spark, rows, block):
+    """Random (group, size) corpora × random block sizes: the Spark
+    manifest and the SQL twin must agree cell-for-cell — pins the
+    straddle arithmetic (inclusive ranges, floor division, overlap
+    widths) far beyond the fixed known-answer cases."""
+    from frames_map_reduce_spark.operators.packing import (pack_sequences,
+                                                           pack_sequences_sql)
+    pdf = pd.DataFrame([(g, i, s) for i, (g, s) in enumerate(rows)],
+                       columns=["g", "id", "sz"])
+    df = spark.createDataFrame(pdf, "g string, id long, sz long")
+    got = (pack_sequences(df, "sz", block, order_by=["id"], by=["g"])
+           .toPandas().sort_values(["g", "seq_id"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = (con.sql(pack_sequences_sql("t", "sz", block, ["id"], ["g"]))
+               .df().sort_values(["g", "seq_id"]).reset_index(drop=True))
+    got = got[["g", "seq_id", "n_docs", "n_tokens", "n_starts"]]
+    want = want[["g", "seq_id", "n_docs", "n_tokens", "n_starts"]]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # conservation: every positive-size token lands in exactly one block
+    assert got["n_tokens"].sum() == pdf["sz"].sum()
+    assert got["n_starts"].sum() == (pdf["sz"] > 0).sum()
