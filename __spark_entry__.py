@@ -2378,11 +2378,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     scale gate caught engine-divergent rounding (see their docstrings);
     both re-proven by the local parity suite at sf0.001 AND sf0.01 and
     exact at sf1.0 — rotate them into the r7 window right after the
-    stale three.  Everything else rotated out is r5-green.  The two
+    stale three.  Everything else rotated out is r5-green.  The three
     registry entries added after this round's window froze —
-    pack_sequences and semantic_dedup, both fully oracled — close the
-    below-window order and join the r7 rotation queue with the stale
-    three (the same path length_histogram took from r5 to r6)."""
+    pack_sequences, semantic_dedup, and corpus_to_sequences, all fully
+    oracled — close the below-window order and join the r7 rotation
+    queue with the stale three (the same path length_histogram took
+    from r5 to r6)."""
     return {
         # -- (1) never driver-proven ------------------------------------
         "length_histogram": q_length_histogram,

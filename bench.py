@@ -84,6 +84,7 @@ HEADLINE = [
     "mislabel_knn",       # composed: outliers -> exact 5-NN label vote
     "pack_sequences",     # concat-and-chunk training-sequence manifest
     "semantic_dedup",     # SemDeDup: cluster + within-cluster drop
+    "corpus_to_sequences",  # composed: dedup -> LM gate -> packed seqs
 ]
 
 #: entries that run ONCE per bench session instead of median-of-n: they
