@@ -656,6 +656,13 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleaned = DD.remove_duplicated_lines(docs, "text", "doc_id")
     scored = QL.unigram_lm_score(cleaned, "clean_text", "doc_id")
     gate = F.col("perplexity") <= F.lit(_CURATE_MAX_PPL)
+    # kept-set mean in INTEGER milli-perplexity (perplexity is 3dp by
+    # spec, so ×1000 is an exact integer): a double avg() accumulates in
+    # engine/partition order and round(avg,6) can split at a 6dp tie —
+    # integer sums + half-up integer division give both engines the
+    # identical 6dp-grid value (the funnel/scd2 lesson, same as v2)
+    milli = F.when(gate, F.round(F.col("perplexity") * 1000, 0)
+                          .cast("bigint"))
     return (docs.select("doc_id", "source")
                 .join(scored.select("doc_id", "n_tokens", "perplexity"),
                       "doc_id", "left")
@@ -667,8 +674,14 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("n_dropped"),
                      F.sum(F.when(gate, F.col("n_tokens"))).cast("bigint")
                       .alias("kept_tokens"),
-                     F.round(F.avg(F.when(gate, F.col("perplexity"))), 6)
-                      .alias("avg_kept_ppl")))
+                     F.sum(milli).alias("_ppl_milli"),
+                     F.sum(F.when(gate, 1).otherwise(0)).alias("_n_kept"))
+                .select("source", "n_docs", "n_empty", "n_dropped",
+                        "kept_tokens",
+                        F.when(F.col("_n_kept") > 0,
+                               F.expr("(2 * _ppl_milli * 1000 + _n_kept)"
+                                      " div (2 * _n_kept)") / F.lit(1e6))
+                         .alias("avg_kept_ppl")))
 
 
 #: per-language perplexity gates for q_curate_corpus_v2 (CCNet buckets
@@ -725,9 +738,14 @@ def q_curate_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.sum(F.when(gate, 1).otherwise(0)).alias("_n_kept"))
                   .select("source", "pred_lang", "n_docs", "n_empty",
                           "n_dropped", "kept_tokens",
-                          F.round(F.try_divide(
-                              F.col("_ppl_milli").cast("double"),
-                              F.col("_n_kept") * 1000.0), 6)
+                          # half-up in INTEGER arithmetic to the 6dp
+                          # grid, then ONE exact /1e6: round(double/…,6)
+                          # on the same quotient can still split at an
+                          # exact 6th-decimal tie (Spark rounds the
+                          # shortest decimal, DuckDB the exact binary)
+                          F.when(F.col("_n_kept") > 0,
+                                 F.expr("(2 * _ppl_milli * 1000 + _n_kept)"
+                                        " div (2 * _n_kept)") / F.lit(1e6))
                            .alias("avg_kept_ppl")))
 
 
@@ -981,19 +999,24 @@ def q_corpus_to_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     token counts (pack_sequences, 256-token blocks per source).  What
     ships to the trainer is the packed-sequence manifest, and this
     query proves the whole lineage in one plan.  The selection is
-    integer-exact by design: both engines rank the SAME rounded-6dp
-    perplexity (curate_corpus proves they agree) with a doc_id
-    tie-break, and the 60% cut is the integer compare ``5·rank ≤ 3·n``
-    — no float ever decides membership.  FULL composed oracle: the
-    table-parametric twins nest verbatim."""
+    integer-exact by design: documents rank on ``lp_rank`` — the LM
+    scorer's micro-quantized half-up INTEGER mean of token logprobs
+    (order-independent sums, so bit-identical under any partitioning
+    or engine; ranking on the rounded-double perplexity would let a
+    last-ulp accumulation flip at a 6dp tie move a document across the
+    cut — a whole-row divergence, not an absorbable value wobble) —
+    with a doc_id tie-break, and the 60% cut is the integer compare
+    ``5·rank ≤ 3·n``.  No float ever decides membership.  FULL
+    composed oracle: the table-parametric twins nest verbatim."""
     docs = _docs(spark, sf_dir)
     cleaned = DD.remove_duplicated_lines(docs, "text", "doc_id")
-    scored = QL.unigram_lm_score(cleaned, "clean_text", "doc_id")
+    scored = QL.unigram_lm_score(cleaned, "clean_text", "doc_id",
+                                 rank_key=True)
     ranked = (docs.select("doc_id", "source")
-                  .join(scored.select("doc_id", "n_tokens", "perplexity"),
-                        "doc_id")
-                  .filter(F.col("perplexity").isNotNull()))
-    w = Window.partitionBy("source").orderBy("perplexity", "doc_id")
+                  .join(scored.select("doc_id", "n_tokens", "lp_rank"),
+                        "doc_id"))
+    w = Window.partitionBy("source").orderBy(F.col("lp_rank").desc(),
+                                             "doc_id")
     wn = Window.partitionBy("source")
     kept = (ranked.withColumn("_rn", F.row_number().over(w))
                   .withColumn("_n", F.count(F.lit(1)).over(wn))
@@ -2840,21 +2863,21 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": PK.pack_sequences_sql(
             "documents", TX.token_count_sql("text"), 256,
             ["doc_id"], ["source"]),
-        # composed twin: curation stages nest verbatim, the budgeted
-        # 60% selection is the same integer rank compare, and
-        # pack_sequences_sql runs over the kept-CTE as a subquery
+        # composed twin: curation stages nest verbatim, selection ranks
+        # on the same integer lp_rank key with the same integer rank
+        # compare, and pack_sequences_sql runs over the kept-CTE
         "corpus_to_sequences": f"""
             WITH cleaned AS (
                 {DD.remove_duplicated_lines_sql('documents', 'text', 'doc_id')}),
             scored AS (
-                {QL.unigram_lm_score_sql('cleaned', 'clean_text', 'doc_id')}),
+                {QL.unigram_lm_score_sql('cleaned', 'clean_text', 'doc_id',
+                                         rank_key=True)}),
             ranked AS (
                 SELECT d.source, d.doc_id, s.n_tokens,
                        row_number() OVER (PARTITION BY d.source
-                           ORDER BY s.perplexity, d.doc_id) AS _rn,
+                           ORDER BY s.lp_rank DESC, d.doc_id) AS _rn,
                        count(*) OVER (PARTITION BY d.source) AS _n
-                FROM documents d JOIN scored s USING (doc_id)
-                WHERE s.perplexity IS NOT NULL),
+                FROM documents d JOIN scored s USING (doc_id)),
             kept AS (
                 SELECT source, doc_id, n_tokens FROM ranked
                 WHERE _rn * 5 <= _n * 3)
@@ -3225,8 +3248,16 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
                    CAST(sum(CASE WHEN s.perplexity <= {_CURATE_MAX_PPL}
                             THEN s.n_tokens END) AS BIGINT) AS kept_tokens,
-                   round(avg(CASE WHEN s.perplexity <= {_CURATE_MAX_PPL}
-                             THEN s.perplexity END), 6) AS avg_kept_ppl
+                   CASE WHEN sum(CASE WHEN s.perplexity <= {_CURATE_MAX_PPL}
+                                 THEN 1 ELSE 0 END) > 0 THEN
+                     CAST((2 * sum(CASE WHEN s.perplexity <= {_CURATE_MAX_PPL}
+                                   THEN CAST(round(s.perplexity * 1000, 0)
+                                             AS BIGINT) END) * 1000
+                           + sum(CASE WHEN s.perplexity <= {_CURATE_MAX_PPL}
+                                 THEN 1 ELSE 0 END))
+                          // (2 * sum(CASE WHEN s.perplexity <= {_CURATE_MAX_PPL}
+                                      THEN 1 ELSE 0 END)) AS BIGINT) / 1e6
+                   END AS avg_kept_ppl
             FROM documents d LEFT JOIN scored s USING (doc_id)
             GROUP BY d.source""",
         # v2: same composed twins + lang-id, thresholds as a VALUES
@@ -3249,12 +3280,16 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
                    CAST(sum(CASE WHEN s.perplexity <= t.max_ppl
                             THEN s.n_tokens END) AS BIGINT) AS kept_tokens,
-                   round(sum(CASE WHEN s.perplexity <= t.max_ppl
-                             THEN CAST(round(s.perplexity * 1000, 0) AS BIGINT)
-                             END)::DOUBLE
-                         / nullif(sum(CASE WHEN s.perplexity <= t.max_ppl
-                                      THEN 1 ELSE 0 END) * 1000.0, 0), 6)
-                       AS avg_kept_ppl
+                   CASE WHEN sum(CASE WHEN s.perplexity <= t.max_ppl
+                                 THEN 1 ELSE 0 END) > 0 THEN
+                     CAST((2 * sum(CASE WHEN s.perplexity <= t.max_ppl
+                                   THEN CAST(round(s.perplexity * 1000, 0)
+                                             AS BIGINT) END) * 1000
+                           + sum(CASE WHEN s.perplexity <= t.max_ppl
+                                 THEN 1 ELSE 0 END))
+                          // (2 * sum(CASE WHEN s.perplexity <= t.max_ppl
+                                      THEN 1 ELSE 0 END)) AS BIGINT) / 1e6
+                   END AS avg_kept_ppl
             FROM lang l LEFT JOIN scored s USING (doc_id)
             JOIN thr t ON t.pred_lang = l.pred_lang
             GROUP BY l.source, l.pred_lang""",

@@ -169,6 +169,11 @@ def main() -> None:
         "samples": raw,
         "sf": sf,
         "n": n_reps,
+        # ONCE entries run a single sample (iqr 0 by construction): the
+        # IQR-union noise rule does NOT apply to them — flag membership
+        # so a reader never treats their one throttle-exposed sample as
+        # a 5-sample median
+        "n_once": {name: 1 for name in ONCE if name in timings},
         "stat": "median",
         "noise_note": ("host throttles intermittently (±50% observed on "
                        "identical runs); treat a per-query delta within "

@@ -29,6 +29,7 @@ from pyspark.sql import types as T
 from frames_map_reduce_spark.functions.text import char_shingles, fingerprint, wordish_tokens
 from frames_map_reduce_spark.partitioning import ensure_parallelism
 from frames_map_reduce_spark.schema import require_columns
+from frames_map_reduce_spark.session import drain_persist_cache
 
 _P31 = (1 << 31) - 1  # Mersenne prime 2^31-1: hash universe for minhash
 
@@ -609,9 +610,16 @@ def rebuild_minhash_index(spark, table: str, max_bucket: int = 1000) -> None:
     Reads only the skinny ``{table}_buckets`` table (never the corpus,
     never the shingle table — signatures are immutable, only the cap
     policy is re-evaluated), drops every bucket that has grown past
-    ``max_bucket``, and swaps the compacted table in atomically via a
-    temp table + catalog rename (Spark refuses to overwrite a table
-    that its own write plan reads).  The shingle table is untouched:
+    ``max_bucket``, and swaps the compacted table in via a temp table +
+    two catalog renames (Spark refuses to overwrite a table that its
+    own write plan reads).  The swap is rename-rename-drop, NOT atomic:
+    a crash between the renames leaves no ``{table}_buckets`` — but
+    BOTH datasets survive under ``{table}_buckets_old`` /
+    ``{table}_buckets_rebuild``, so recovery is one manual rename (a
+    drop-first sequence would destroy the index in that window; this
+    ordering never loses data).  A leftover ``_old`` from a crash after
+    the second rename is dropped on the next rebuild.  The shingle
+    table is untouched:
     verify-side rows for capped docs are unreachable without a bucket
     row, and a later rebuild with a looser cap cannot be run anyway
     (capped bucket rows are gone — re-run :func:`build_minhash_index`
@@ -627,9 +635,12 @@ def rebuild_minhash_index(spark, table: str, max_bucket: int = 1000) -> None:
     ok = sizes.filter(F.col("_n") <= max_bucket).select("_bucket")
     pruned = src.join(F.broadcast(ok), "_bucket").select("ref_id", "_bucket")
     tmp = f"{table}_buckets_rebuild"
+    old = f"{table}_buckets_old"
     write_bucketed(pruned, tmp, ["_bucket"], nb)
-    spark.sql(f"DROP TABLE `{table}_buckets`")
+    spark.sql(f"DROP TABLE IF EXISTS `{old}`")
+    spark.sql(f"ALTER TABLE `{table}_buckets` RENAME TO `{old}`")
     spark.sql(f"ALTER TABLE `{tmp}` RENAME TO `{table}_buckets`")
+    spark.sql(f"DROP TABLE `{old}`")
 
 
 #: the live probe-batch signature cache (at most one entry): see the
@@ -676,8 +687,7 @@ def minhash_probe_index(spark, table: str, queries: DataFrame,
     from pyspark import StorageLevel
 
     require_columns(queries, [text_col, id_col])
-    while _PROBE_SIG_CACHE:
-        _PROBE_SIG_CACHE.pop().unpersist()
+    drain_persist_cache(_PROBE_SIG_CACHE)
     qsig = _shingle_sig_frame(queries, text_col, id_col, shingle_k,
                               num_perm, seed) \
         .persist(StorageLevel.MEMORY_AND_DISK)

@@ -81,11 +81,21 @@ def ngram_repetition_stats_sql(text_col: str, id_col: str,
               GROUP BY {id_col}{cs})"""
 
 
+#: fixed-point scale/offset for the optional integer rank key: token
+#: logprobs are quantized to micro-units (far below the model's noise
+#: floor), and a 2^30 positive offset makes the half-up integer mean
+#: sign-free (Spark ``div`` truncates, DuckDB ``//`` floors — they only
+#: agree on non-negatives; the offset cancels in every comparison).
+_LM_RANK_SCALE = 1_000_000
+_LM_RANK_OFFSET = 1 << 30
+
+
 def unigram_lm_score(df: DataFrame, text_col: str, id_col: str,
                      k_smooth: float = 0.5,
                      lm: DataFrame | None = None,
                      token_col: str = "token",
-                     count_col: str = "cnt") -> DataFrame:
+                     count_col: str = "cnt",
+                     rank_key: bool = False) -> DataFrame:
     """Per-document unigram language-model score — the CCNet-style
     "perplexity filter" quality gate: documents whose token stream is
     unlikely under a reference unigram model (gibberish, encoding noise,
@@ -104,6 +114,17 @@ def unigram_lm_score(df: DataFrame, text_col: str, id_col: str,
     ``(token_col, count_col)`` frame to score against a REFERENCE model
     (e.g. counts from a trusted corpus); unseen tokens then take the
     smoothed-unseen mass ``ln(k / (N + k·(V+1)))`` via the left join.
+
+    ``rank_key=True`` adds ``lp_rank`` (BIGINT): the half-up integer
+    mean of the MICRO-quantized token logprobs (offset-positive — see
+    ``_LM_RANK_SCALE``/``_LM_RANK_OFFSET``).  ``avg_logprob`` is a
+    double average whose accumulation order is engine/partition
+    specific; the 6dp round absorbs the last-ulp wobble for VALUE
+    comparisons, but anything that makes a DISCRETE decision on the
+    score (rank cuts, top-k membership) must not ride on it — integer
+    sums are order-independent, so ``lp_rank`` is bit-identical under
+    any partitioning and any engine.  Higher = more likely = lower
+    perplexity.  Ranking only; never convert it back to a probability.
 
     Scale shape: explode → (optional) one vocabulary aggregation → a
     key-equality join of token occurrences against the vocab frame
@@ -131,21 +152,36 @@ def unigram_lm_score(df: DataFrame, text_col: str, id_col: str,
     scored = (toks.join(vocab, "_tok", "left")
                   .crossJoin(F.broadcast(stats))
                   .select(id_col, lp.alias("_lp")))
-    per_doc = (scored.groupBy(id_col)
-                     .agg(F.count(F.lit(1)).alias("n_tokens"),
-                          F.round(F.avg("_lp"), 6).alias("avg_logprob")))
-    return per_doc.select(
-        id_col, "n_tokens", "avg_logprob",
-        F.round(F.exp(-F.col("avg_logprob")), 3).alias("perplexity"))
+    aggs = [F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("_lp"), 6).alias("avg_logprob")]
+    if rank_key:
+        q = (F.round(F.col("_lp") * _LM_RANK_SCALE, 0).cast("bigint")
+             + F.lit(_LM_RANK_OFFSET))
+        aggs.append(F.sum(q).alias("_qs"))
+    per_doc = scored.groupBy(id_col).agg(*aggs)
+    cols = [F.col(id_col), F.col("n_tokens"), F.col("avg_logprob"),
+            F.round(F.exp(-F.col("avg_logprob")), 3).alias("perplexity")]
+    if rank_key:
+        cols.append(F.expr("(2 * _qs + n_tokens) div (2 * n_tokens)")
+                     .alias("lp_rank"))
+    return per_doc.select(*cols)
 
 
 def unigram_lm_score_sql(table: str, text_col: str, id_col: str,
-                         k_smooth: float = 0.5) -> str:
+                         k_smooth: float = 0.5,
+                         rank_key: bool = False) -> str:
     """DuckDB twin of :func:`unigram_lm_score` in self-corpus mode
     (differential oracle) — same tokenizer spec (``TX.tokens_sql``), same
-    smoothing arithmetic, same round-before-exp staging."""
+    smoothing arithmetic, same round-before-exp staging; with
+    ``rank_key`` the same micro-quantized offset-positive half-up
+    integer mean (``//`` floor division ≡ Spark ``div`` on the
+    offset-guaranteed non-negatives)."""
     k = repr(float(k_smooth))
     toks = TX.tokens_sql(text_col)
+    rank_agg = (f",\n                   sum(CAST(round(_lp * {_LM_RANK_SCALE}, 0) AS BIGINT)"
+                f" + {_LM_RANK_OFFSET}) AS _qs" if rank_key else "")
+    rank_out = (",\n               CAST((2 * _qs + n_tokens) // (2 * n_tokens)"
+                " AS BIGINT) AS lp_rank" if rank_key else "")
     return f"""
         WITH toks AS (
             SELECT {id_col}, unnest({toks}) AS _tok FROM {table}),
@@ -159,10 +195,10 @@ def unigram_lm_score_sql(table: str, text_col: str, id_col: str,
             FROM toks t LEFT JOIN vocab v USING (_tok) CROSS JOIN st),
         agg AS (
             SELECT {id_col}, count(*)::BIGINT AS n_tokens,
-                   round(avg(_lp), 6) AS avg_logprob
+                   round(avg(_lp), 6) AS avg_logprob{rank_agg}
             FROM lp GROUP BY {id_col})
         SELECT {id_col}, n_tokens, avg_logprob,
-               round(exp(-avg_logprob), 3) AS perplexity
+               round(exp(-avg_logprob), 3) AS perplexity{rank_out}
         FROM agg"""
 
 

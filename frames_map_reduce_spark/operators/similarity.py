@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from frames_map_reduce_spark.functions.vectors import (cosine, dot, norm,
                                                        srp_signature)
 from frames_map_reduce_spark.schema import require_columns
+from frames_map_reduce_spark.session import drain_persist_cache
 
 
 def _random_planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
@@ -864,6 +865,11 @@ def _lo_quantize(vec):
         vec, lambda x: F.round(x.cast("double") * scale, 0).cast("bigint"))
 
 
+#: the live query-side cache for the kNN vote (at most one entry): see
+#: the persist note in :func:`knn_label_vote`.
+_KNN_QUERY_CACHE: list[DataFrame] = []
+
+
 def knn_label_vote(corpus: DataFrame, queries: DataFrame, vec_col: str,
                    id_col: str, label_col: str, k: int = 5,
                    max_queries: int = 10_000) -> DataFrame:
@@ -886,16 +892,27 @@ def knn_label_vote(corpus: DataFrame, queries: DataFrame, vec_col: str,
     """
     require_columns(corpus, [vec_col, id_col, label_col])
     require_columns(queries, [vec_col, id_col, label_col])
-    n_q = queries.limit(max_queries + 1).count()
+    # the query frame's plan executes three times otherwise (bound
+    # pre-flight, the broadcast into the scored cross-join, the label
+    # re-attach) — and in the composed mislabel audit that plan embeds
+    # the whole label_outliers corpus pass.  Persist it (bounded ≤
+    # max_queries rows by the very contract the pre-flight enforces);
+    # the returned lazy plan references it, so the swap-cache drains
+    # the previous call's frame (same contract as minhash_probe_index).
+    from pyspark import StorageLevel
+    drain_persist_cache(_KNN_QUERY_CACHE)
+    qz = (queries.select(F.col(id_col).alias("_qid"),
+                         F.col(label_col).alias("_qlabel"),
+                         _lo_quantize(F.col(vec_col)).alias("_qq"))
+                 .persist(StorageLevel.MEMORY_AND_DISK))
+    _KNN_QUERY_CACHE.append(qz)
+    n_q = qz.limit(max_queries + 1).count()
     if n_q > max_queries:
         raise ValueError(
             f"knn_label_vote is bounded to {max_queries} queries by "
             "contract (the query side is broadcast and each query scans "
             "the corpus once); for all-pairs label audits use "
             "label_outliers or a bucketed ANN pass")
-    qz = queries.select(F.col(id_col).alias("_qid"),
-                        F.col(label_col).alias("_qlabel"),
-                        _lo_quantize(F.col(vec_col)).alias("_qq"))
     cz = corpus.select(F.col(id_col).alias("_cid"),
                        F.col(label_col).alias("_clabel"),
                        _lo_quantize(F.col(vec_col)).alias("_cq"))
@@ -987,6 +1004,10 @@ def knn_label_vote_sql(table: str, queries_sql: str, vec_col: str,
 # Semantic deduplication (SemDeDup — cluster, then dedup within clusters)
 # ---------------------------------------------------------------------------
 
+#: the live assigned-corpus cache (at most one entry): see the persist
+#: note in :func:`semantic_dedup`.
+_SEMDEDUP_ASSIGN_CACHE: list[DataFrame] = []
+
 def semantic_dedup(df: DataFrame, threshold: float = 0.92,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    n_centroids: int = 32, seed: int = 42,
@@ -1022,7 +1043,19 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.92,
     require_columns(df, [id_col, vec_col])
     if centroids is None:
         centroids = train_ivf_centroids(df, vec_col, n_centroids, seed=seed)
-    assigned = ivf_assign(df.select(id_col, vec_col), vec_col, centroids)
+    # the assigned frame feeds BOTH sides of the pair self-join AND the
+    # final verdict join: persist it so the mapInPandas assignment (and
+    # the corpus scan under it) runs once, not three times.  The
+    # returned lazy plan references it, so this call cannot unpersist —
+    # the swap-cache drains the PREVIOUS call's frame instead, bounding
+    # a long-lived session to one cached corpus (same lifetime contract
+    # as minhash_probe_index, and persist keeps lineage replayable on
+    # executor loss, unlike a localCheckpoint)
+    from pyspark import StorageLevel
+    drain_persist_cache(_SEMDEDUP_ASSIGN_CACHE)
+    assigned = (ivf_assign(df.select(id_col, vec_col), vec_col, centroids)
+                .persist(StorageLevel.MEMORY_AND_DISK))
+    _SEMDEDUP_ASSIGN_CACHE.append(assigned)
     if max_cluster is not None:
         big = (assigned.groupBy("_centroid")
                        .agg(F.count(F.lit(1)).alias("_n"))

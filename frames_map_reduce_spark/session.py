@@ -46,3 +46,20 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def drain_persist_cache(cache: list) -> None:
+    """Release every frame parked in a swap-cache (the pattern operators
+    use when a RETURNED lazy plan references a persisted frame and so
+    cannot unpersist it before returning: each call drains the PREVIOUS
+    call's cache, bounding a long-lived session to one cached frame per
+    operator).  Tolerates frames whose SparkSession has since been
+    stopped — a module-level cache outlives sessions, and calling
+    ``unpersist()`` against a dead JVM context raises; there is nothing
+    to release in that case, so the stale handle is simply dropped."""
+    while cache:
+        df = cache.pop()
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — stale session: blocks are gone
+            pass

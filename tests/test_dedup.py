@@ -471,3 +471,26 @@ def test_minhash_index_rebuild_lifecycle(spark):
     finally:
         for suffix in ("_buckets", "_shingles", "_buckets_rebuild"):
             spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+
+
+def test_drain_persist_cache_tolerates_stale_handles():
+    """The probe/assign/query swap-caches are module-level and outlive
+    SparkSessions: draining must drop handles whose context has been
+    stopped (unpersist raises) instead of crashing the NEXT session's
+    first call."""
+    from frames_map_reduce_spark.session import drain_persist_cache
+
+    class Dead:
+        def unpersist(self):
+            raise RuntimeError("Cannot call methods on a stopped SparkContext")
+
+    class Live:
+        unpersisted = False
+
+        def unpersist(self):
+            self.unpersisted = True
+
+    live = Live()
+    cache = [Dead(), live, Dead()]
+    drain_persist_cache(cache)
+    assert cache == [] and live.unpersisted

@@ -56,11 +56,14 @@ def main() -> None:
         for i, name in enumerate(registry)
     }
     # a query is stale-after-next-round if it is NOT in the upcoming
-    # window and its most recent proof predates the latest round
+    # window and its most recent proof predates the latest round;
+    # never-proven entries are their own category below, not stale ones
+    # (None would coerce to 0 and double-count them here)
     stale = sorted(
         n for n, q in queries.items()
         if not q["in_window"]
-        and (q["last_proven_round"] or 0) < max_round)
+        and q["last_proven_round"] is not None
+        and q["last_proven_round"] < max_round)
     never = sorted(n for n, q in queries.items()
                    if q["last_proven_round"] is None and not q["in_window"])
     out = {
