@@ -305,12 +305,16 @@ def test_unigram_lm_score_matches_duckdb(spark, docs):
 
     rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    got = sorted(map(tuple, unigram_lm_score(df, "text", "doc_id").collect()))
+    # rank_key=True also fuzz-pins the integer lp_rank column (the
+    # micro-quantized half-up mean both engines must agree on exactly)
+    got = sorted(map(tuple, unigram_lm_score(df, "text", "doc_id",
+                                             rank_key=True).collect()))
     con = duckdb.connect()
     con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
     con.executemany("INSERT INTO t VALUES (?, ?)", rows)
     want = sorted(map(tuple,
-                      con.sql(unigram_lm_score_sql("t", "text", "doc_id"))
+                      con.sql(unigram_lm_score_sql("t", "text", "doc_id",
+                                                   rank_key=True))
                          .fetchall()))
     assert got == want
 
