@@ -163,3 +163,40 @@ def test_curate_v2_threshold_join_broadcasts(spark):
     schemas = read_schemas(df)
     assert schemas and all(
         set(s) <= {"doc_id", "source", "text"} for s in schemas), schemas
+
+
+def test_pack_sequences_plan_shape(documents):
+    """pack_sequences' scale contract: one Window pass, one Generate
+    (the per-block explode), two-phase final aggregation, and no
+    nested-loop/cartesian anywhere — the manifest is linear in corpus
+    tokens."""
+    from frames_map_reduce_spark.functions import text as TX
+    from frames_map_reduce_spark.operators.packing import pack_sequences
+    from frames_map_reduce_spark.plans import explain_formatted
+
+    df = pack_sequences(documents, TX.token_count(F.col("text")), 256,
+                        order_by=["doc_id"], by=["source"])
+    plan = explain_formatted(df)
+    assert plan.count("Window") >= 1
+    # formatted explain lists every node twice (tree + detail section):
+    # exactly ONE Generate node → exactly two mentions
+    assert plan.count("Generate") == 2
+    assert count_hash_aggregates(df) == 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_reuses_persisted_assignment(spark, embeddings):
+    """The assigned corpus feeds three plan branches (both pair-join
+    sides + the verdict join): all three must read the PERSISTED frame
+    (InMemoryTableScan / InMemoryRelation), so the mapInPandas
+    assignment executes once per run, and the pair stage must be a
+    key-equality join — never a cartesian."""
+    from frames_map_reduce_spark.operators.similarity import semantic_dedup
+    from frames_map_reduce_spark.plans import explain_formatted
+
+    out = semantic_dedup(embeddings, threshold=0.35, n_centroids=8)
+    plan = explain_formatted(out)
+    assert plan.count("InMemoryTableScan") >= 3, plan[:1500]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
