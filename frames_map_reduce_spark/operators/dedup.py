@@ -638,6 +638,17 @@ def rebuild_minhash_index(spark, table: str, max_bucket: int = 1000) -> None:
     old = f"{table}_buckets_old"
     write_bucketed(pruned, tmp, ["_bucket"], nb)
     spark.sql(f"DROP TABLE IF EXISTS `{old}`")
+    # a crash mid-swap in a PREVIOUS process can leave the `_old`
+    # warehouse DIRECTORY with no catalog entry; the rename below would
+    # refuse the occupied destination — clear the stale location the
+    # same way write_bucketed does
+    import os
+    import shutil
+    from urllib.parse import urlparse
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    stale = os.path.join(wh, old.lower())
+    if os.path.exists(stale):
+        shutil.rmtree(stale)
     spark.sql(f"ALTER TABLE `{table}_buckets` RENAME TO `{old}`")
     spark.sql(f"ALTER TABLE `{tmp}` RENAME TO `{table}_buckets`")
     spark.sql(f"DROP TABLE `{old}`")

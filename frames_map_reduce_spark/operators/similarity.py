@@ -908,6 +908,10 @@ def knn_label_vote(corpus: DataFrame, queries: DataFrame, vec_col: str,
     _KNN_QUERY_CACHE.append(qz)
     n_q = qz.limit(max_queries + 1).count()
     if n_q > max_queries:
+        # don't leave the contract-violating frame cached: the bound is
+        # what makes the persisted footprint small, and an error return
+        # means no later plan references it — release immediately
+        drain_persist_cache(_KNN_QUERY_CACHE)
         raise ValueError(
             f"knn_label_vote is bounded to {max_queries} queries by "
             "contract (the query side is broadcast and each query scans "

@@ -469,7 +469,8 @@ def test_minhash_index_rebuild_lifecycle(spark):
         assert (1001, 0) in got                       # healthy still matches
         assert not any(q == 1000 for q, _ in got)     # capped class dropped
     finally:
-        for suffix in ("_buckets", "_shingles", "_buckets_rebuild"):
+        for suffix in ("_buckets", "_shingles", "_buckets_rebuild",
+                       "_buckets_old"):
             spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
 
 

@@ -392,3 +392,19 @@ def test_semantic_dedup_max_cluster_guard_raises(spark):
     cents = np.array([[1.0, 0.0], [0.0, 1.0]])
     with pytest.raises(ValueError, match="max_cluster"):
         semantic_dedup(df, threshold=0.99, centroids=cents, max_cluster=5)
+
+
+def test_knn_label_vote_oversized_queries_released(spark):
+    """The bound-violation error path must not leave the oversized query
+    frame parked in the persist swap-cache."""
+    from frames_map_reduce_spark.operators.similarity import (
+        _KNN_QUERY_CACHE,
+        knn_label_vote,
+    )
+    rows = [(i, i % 2, [float(i), 0.0]) for i in range(30)]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, label int, embedding array<double>")
+    with pytest.raises(ValueError, match="bounded"):
+        knn_label_vote(df, df, "embedding", "vec_id", "label",
+                       k=3, max_queries=10)
+    assert _KNN_QUERY_CACHE == []
