@@ -97,7 +97,10 @@ ONCE = {"minhash_firewall_build"}
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    spark = get_spark("fmr-bench")
+    # no console progress bars: their carriage-return rewrites are the
+    # one thing that has ever corrupted the driver's tail capture
+    spark = get_spark("fmr-bench",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
     queries = E.queries()
     queries.update(E.bench_only_queries())
@@ -182,7 +185,11 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
         json.dump(full, f, indent=1)
-    # LAST stdout line: compact, driver-parseable (see module docstring)
+    # LAST stdout line: compact, driver-parseable (see module docstring).
+    # The leading blank line defends against console-progress carriage
+    # returns gluing a partial stage bar onto the front of the JSON when
+    # stdout and stderr share a tty/capture buffer.
+    print()
     print(json.dumps({
         "metric": full["metric"],
         "value": total,
