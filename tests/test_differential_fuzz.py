@@ -407,3 +407,35 @@ def test_pack_sequences_matches_duckdb(spark, rows, block):
     # conservation: every positive-size token lands in exactly one block
     assert got["n_tokens"].sum() == pdf["sz"].sum()
     assert got["n_starts"].sum() == (pdf["sz"] > 0).sum()
+
+
+@given(docs=st.lists(
+    st.lists(st.sampled_from(_WORDS[:8]), min_size=0, max_size=20),
+    min_size=2, max_size=12),
+    threshold=st.sampled_from([0.2, 0.4, 0.5, 0.7, 0.9]))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ngram_jaccard_prefix_join_equals_bruteforce(spark, docs, threshold):
+    """The prefix-filtered similarity join (AllPairs + PPJoin size /
+    positional filters) must return EXACTLY the all-pairs result on
+    random small-vocabulary corpora — the adversarial regime for prefix
+    filtering (everything shares shingles, maximal order ties), where a
+    lossy filter bound would actually drop pairs."""
+    from frames_map_reduce_spark.functions.text import char_shingles
+    from frames_map_reduce_spark.operators.dedup import (jaccard,
+                                                         ngram_jaccard_pairs)
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(map(tuple, ngram_jaccard_pairs(
+        df, "text", "doc_id", block_col=F.lit(1),
+        threshold=threshold, shingle_k=3).collect()))
+    sh = df.select("doc_id", char_shingles(F.col("text"), 3).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
+    want = sorted(map(tuple, (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+         .select("id_a", "id_b",
+                 jaccard(F.col("sa"), F.col("sb")).alias("jaccard_sim"))
+         .filter(F.col("jaccard_sim") >= threshold)).collect()))
+    assert got == want
