@@ -895,7 +895,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked exact n-gram Jaccard within a source block — since r6 a
     prefix-filtered similarity join (AllPairs, WWW'07: equi-join only on
     each doc's rarest shingles, exact-verify the candidates; identical
-    result set to all-pairs, measured 353 s → ~4 s at sf1.0).  Shingle
+    result set to all-pairs, measured 353 s → 33 s at sf1.0).  Shingle
     k=5, the standard near-dup granularity (also minhash's default):
     the r6 sf1.0 gate exposed that k=3 on same-language text makes
     HALF-overlapping trigram sets ubiquitous — 2.3M "near-dup" pairs of
@@ -2592,7 +2592,6 @@ def _ivf_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     shingle5 = TX.char_shingles_sql("text", 5)
-    shingle3 = TX.char_shingles_sql("text", 3)
     jaccard5 = (f"round(len(list_intersect(a.sh, b.sh))::DOUBLE / "
                 f"nullif(len(list_distinct(list_concat(a.sh, b.sh))), 0), 6)")
     cos = ("round(list_sum(list_transform(list_zip(a.embedding, b.embedding), "

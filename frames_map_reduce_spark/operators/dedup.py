@@ -728,6 +728,11 @@ def minhash_probe_index(spark, table: str, queries: DataFrame,
                  .filter(F.col("jaccard_sim") >= threshold))
 
 
+#: the live shingle/prefix caches for the prefix-filter join (at most
+#: one entry each): see the persist note in :func:`ngram_jaccard_pairs`.
+_NGRAM_PREFIX_CACHE: list[DataFrame] = []
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         block_col: Column, threshold: float = 0.5,
                         shingle_k: int = 3, max_block: int = 10_000) -> DataFrame:
@@ -751,24 +756,45 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     Why it scales where all-pairs dies: candidates are generated from
     the posting lists of each document's RAREST shingles, which are
     short by construction — measured at sf1.0 (50k docs, 2.5k-doc
-    blocks) this took the query from 353 s (62M verified pairs) to ~9 s.
-    A genuinely hot prefix shingle means those documents really do pair
-    up, which no exact algorithm avoids.  ``max_block`` still guards
-    the worst case; ``threshold`` must be > 0 (at t = 0 every disjoint
-    pair qualifies and only an all-pairs join can emit them — use the
-    LSH/minhash path or the naive join if you truly want that)."""
+    blocks, k=5) the registry query went from 353 s (naive all-pairs
+    at its old k=3 spec) to 33 s.  A genuinely hot prefix shingle
+    means those documents really do pair up, which no exact algorithm
+    avoids.  ``max_block`` still guards the worst case.
+
+    Contract notes vs the pre-r6 all-pairs form:
+
+    - ``threshold`` must be > 0 (at t = 0 every disjoint pair
+      qualifies and only an all-pairs join can emit them — use the
+      LSH/minhash path if you truly want that);
+    - rows with NULL ``text_col`` participate in NO pairs (a missing
+      document is not a near-duplicate of anything, including another
+      missing document; the old join reported NULL-NULL pairs at
+      J=1.0).  Empty strings still pair with each other exactly as
+      before ("" is a real, joinable shingle);
+    - ``id_col`` need only be unique WITHIN a block (the ordering
+      window, candidate join and verify joins are all block-scoped).
+
+    The shingle and prefix frames each feed two or more plan branches,
+    so both are persisted; the returned lazy plan references them, so
+    the swap-cache drains the PREVIOUS call's frames (same bounded
+    lifetime contract as minhash_probe_index)."""
+    from pyspark import StorageLevel
+
     if not 0 < threshold:
         raise ValueError(
             f"threshold must be > 0 for the prefix-filter join, got "
             f"{threshold}: at 0 every within-block pair (even with "
             "disjoint shingle sets) qualifies, which only an all-pairs "
             "join can produce")
-    shingled = ensure_parallelism(df.select(
+    drain_persist_cache(_NGRAM_PREFIX_CACHE)
+    shingled = ensure_parallelism(df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), block_col.alias("_blk"),
         char_shingles(F.col(text_col), shingle_k).alias("_sh")))
     blk_sizes = shingled.groupBy("_blk").agg(F.count(F.lit(1)).alias("_n"))
     ok = blk_sizes.filter(F.col("_n") <= max_block).select("_blk")
-    shingled = shingled.join(F.broadcast(ok), "_blk")
+    shingled = shingled.join(F.broadcast(ok), "_blk") \
+                       .persist(StorageLevel.MEMORY_AND_DISK)
+    _NGRAM_PREFIX_CACHE.append(shingled)
     ex = shingled.select(id_col, "_blk", F.size("_sh").alias("_n_sh"),
                          F.explode("_sh").alias("_s"))
     freq = ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
@@ -779,10 +805,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     p = (F.col("_n_sh")
          - F.ceil(F.lit(float(threshold)) * F.col("_n_sh") - F.lit(1e-9))
             .cast("int") + 1)
-    w = Window.partitionBy(id_col).orderBy("_df", "_s")
+    w = Window.partitionBy("_blk", id_col).orderBy("_df", "_s")
     prefix = (ex.join(freq, "_s")
                 .withColumn("_pos", F.row_number().over(w))
-                .filter(F.col("_pos") <= p))
+                .filter(F.col("_pos") <= p)
+                .persist(StorageLevel.MEMORY_AND_DISK))
+    _NGRAM_PREFIX_CACHE.append(prefix)
     la = prefix.select("_blk", F.col(id_col).alias("id_a"), "_s",
                        F.col("_pos").alias("_pos_a"),
                        F.col("_n_sh").alias("_n_a"))
@@ -811,12 +839,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                     & (F.col("_s") == F.col("_s_b"))
                     & (F.col("id_a") < F.col("id_b"))
                     & size_ok & pos_ok)
-              .select("id_a", "id_b").distinct())
-    fa = shingled.select(F.col(id_col).alias("id_a"),
+              .select("_blk", "id_a", "id_b").distinct())
+    # verify joins are block-scoped too: ids are only per-block unique
+    # by contract, so the full shingle sets re-attach on (_blk, id)
+    fa = shingled.select("_blk", F.col(id_col).alias("id_a"),
                          F.col("_sh").alias("_sh_a"))
-    fb = shingled.select(F.col(id_col).alias("id_b"),
+    fb = shingled.select("_blk", F.col(id_col).alias("id_b"),
                          F.col("_sh").alias("_sh_b"))
-    return (cand.join(fa, "id_a").join(fb, "id_b")
+    return (cand.join(fa, ["_blk", "id_a"]).join(fb, ["_blk", "id_b"])
                 .select("id_a", "id_b",
                         jaccard(F.col("_sh_a"), F.col("_sh_b"))
                          .alias("jaccard_sim"))

@@ -495,3 +495,33 @@ def test_drain_persist_cache_tolerates_stale_handles():
     cache = [Dead(), live, Dead()]
     drain_persist_cache(cache)
     assert cache == [] and live.unpersisted
+
+
+def test_ngram_jaccard_block_scoped_ids(spark):
+    """ids need only be unique WITHIN a block: the same id in two blocks
+    is two different documents, and the ordering window / candidate /
+    verify joins must never conflate them (a global-id assumption would
+    merge their shingle sets and cross-match the verify)."""
+    rows = [("bx", 1, "alpha beta gamma delta epsilon zeta"),
+            ("bx", 2, "alpha beta gamma delta epsilon zeta"),   # dup of bx/1
+            ("by", 1, "omega psi chi phi upsilon tau"),
+            ("by", 2, "totally different words entirely here now")]
+    df = spark.createDataFrame(rows, "blk string, doc_id long, text string")
+    out = {(r["id_a"], r["id_b"]): round(r["jaccard_sim"], 6)
+           for r in DD.ngram_jaccard_pairs(
+               df, "text", "doc_id", block_col=F.col("blk"),
+               threshold=0.9, shingle_k=3).collect()}
+    # exactly the bx-block identical pair; the by-block id 1/2 docs are
+    # unrelated and the cross-block id collisions must not leak pairs
+    assert out == {(1, 2): 1.0}
+
+
+def test_ngram_jaccard_null_text_pairs_nothing(spark):
+    rows = [(1, None), (2, None), (3, "hello world hello world"),
+            (4, "hello world hello world")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"])
+           for r in DD.ngram_jaccard_pairs(
+               df, "text", "doc_id", block_col=F.lit(1),
+               threshold=0.5, shingle_k=3).collect()}
+    assert got == {(3, 4)}

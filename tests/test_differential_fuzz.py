@@ -410,7 +410,8 @@ def test_pack_sequences_matches_duckdb(spark, rows, block):
 
 
 @given(docs=st.lists(
-    st.lists(st.sampled_from(_WORDS[:8]), min_size=0, max_size=20),
+    st.one_of(st.none(),
+              st.lists(st.sampled_from(_WORDS[:8]), min_size=0, max_size=20)),
     min_size=2, max_size=12),
     threshold=st.sampled_from([0.2, 0.4, 0.5, 0.7, 0.9]))
 @settings(max_examples=15, deadline=None,
@@ -420,17 +421,21 @@ def test_ngram_jaccard_prefix_join_equals_bruteforce(spark, docs, threshold):
     positional filters) must return EXACTLY the all-pairs result on
     random small-vocabulary corpora — the adversarial regime for prefix
     filtering (everything shares shingles, maximal order ties), where a
-    lossy filter bound would actually drop pairs."""
+    lossy filter bound would actually drop pairs.  NULL-text docs are in
+    range and must pair with NOTHING (the documented contract); empty
+    strings still pair with each other."""
     from frames_map_reduce_spark.functions.text import char_shingles
     from frames_map_reduce_spark.operators.dedup import (jaccard,
                                                          ngram_jaccard_pairs)
 
-    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    rows = [(i, None if toks is None else " ".join(toks))
+            for i, toks in enumerate(docs)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = sorted(map(tuple, ngram_jaccard_pairs(
         df, "text", "doc_id", block_col=F.lit(1),
         threshold=threshold, shingle_k=3).collect()))
-    sh = df.select("doc_id", char_shingles(F.col("text"), 3).alias("sh"))
+    sh = df.filter(F.col("text").isNotNull()) \
+           .select("doc_id", char_shingles(F.col("text"), 3).alias("sh"))
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
     want = sorted(map(tuple, (
