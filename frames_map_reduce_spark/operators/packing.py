@@ -19,36 +19,132 @@ Semantics (documented, engine-checkable):
   sequential recurrence, NOT window-expressible — offset packing is the
   standard distributed relaxation.
 
-Scale: one shuffle on the ``by`` columns; the cumulative sum is a
-running ROWS window inside each partition.  Pack per group (source,
-date, …): a global pack (``by=()``) degenerates to a single-task sort,
-exactly like any global window — the API makes the partitioning
-explicit so that cost is a visible choice.
+Scale: the running offset is computed by a TWO-PHASE bucketed prefix
+sum (r6 verdict #2 — a naive per-group window serializes each pack
+group through one task, the last real 100 TB bottleneck in the
+training-data path): range-bucket rows on ``(by…, order_by…)``, cumsum
+within each bucket, and add the broadcast cumulative total of the
+buckets before it.  Any contiguous bucketing yields byte-identical
+offsets (integer sums are associative and the order is total), so the
+result does not depend on where Spark draws the range boundaries —
+parallelism becomes ``n_buckets`` per pack group instead of 1, and a
+global pack (``by=()``) is no longer a single-task sort.  Fractional
+size columns pin the serial single-window path: re-associating a double
+sum changes ulp-level results, and shard membership must not wobble —
+pass integer sizes (token counts, bytes) for the distributed path.
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
+from functools import reduce as _reduce
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from frames_map_reduce_spark.schema import require_columns
+from frames_map_reduce_spark.session import drain_persist_cache
 
 __all__ = ["pack_shards", "pack_sequences", "pack_sequences_sql",
            "write_packed_shards"]
 
+_INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+
+# swap-cache for the persisted bucketed frame (same lifetime contract as
+# dedup's shingle caches: the returned plan references it, so each call
+# drains the PREVIOUS call's cache instead of unpersisting its own)
+_PACK_OFFSET_CACHE: list[DataFrame] = []
+
+
+def _bucketize(sized: DataFrame, order_by: Sequence[str],
+               by: Sequence[str], n_buckets: int) -> DataFrame:
+    """Range-bucket ``sized`` on ``(by…, order_by…)`` and pin each row's
+    bucket id as ``_pid`` (persisted, swap-cache lifetime).
+
+    The persist is the linchpin: both downstream consumers (the
+    within-bucket cumsum and the per-bucket totals) must see the SAME
+    bucketing, and ``spark_partition_id`` is only stable against the
+    materialized frame.  Correctness does not otherwise depend on the
+    boundaries — range partitioning guarantees every key in bucket i
+    sorts before every key in bucket i+1, which is all the offset
+    arithmetic needs."""
+    cols = [*by, *order_by]
+    bucketed = (sized.repartitionByRange(n_buckets, *[F.col(c) for c in cols])
+                     .withColumn("_pid", F.spark_partition_id())
+                     .persist(StorageLevel.MEMORY_AND_DISK))
+    _PACK_OFFSET_CACHE.append(bucketed)
+    return bucketed
+
+
+def _running_offsets(df: DataFrame, size: Column, order_by: Sequence[str],
+                     by: Sequence[str], n_buckets: int,
+                     drop_nonpositive: bool) -> DataFrame:
+    """``df`` + ``_sz`` (the evaluated size), ``_end`` (running BIGINT
+    cumulative size through this row in ``order_by`` order within each
+    ``by`` group) and ``_start`` (``_end − _sz``).
+
+    Integral sizes with ``n_buckets > 1`` take the two-phase bucketed
+    path (module docstring); fractional sizes and ``n_buckets == 1``
+    take the serial per-group window, whose output is defined to be
+    identical for integral sizes (fuzz-pinned)."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    sized = df.withColumn("_sz", size)
+    if drop_nonpositive:
+        sized = sized.filter(F.col("_sz") > 0)
+    dtype = sized.schema["_sz"].dataType.simpleString()
+    if n_buckets == 1 or dtype not in _INTEGRAL:
+        w = (Window.partitionBy(*[F.col(c) for c in by])
+                   .orderBy(*[F.col(c) for c in order_by])
+                   .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        return (sized.withColumn("_end", F.sum("_sz").over(w))
+                     .withColumn("_start", F.col("_end") - F.col("_sz")))
+    drain_persist_cache(_PACK_OFFSET_CACHE)
+    bucketed = _bucketize(sized, order_by, by, n_buckets)
+    w_local = (Window.partitionBy(*[F.col(c) for c in by], F.col("_pid"))
+                     .orderBy(*[F.col(c) for c in order_by])
+                     .rowsBetween(Window.unboundedPreceding,
+                                  Window.currentRow))
+    local = bucketed.withColumn("_lend", F.sum("_sz").over(w_local))
+    totals = (bucketed.groupBy(*[F.col(c) for c in by], F.col("_pid"))
+                      .agg(F.sum("_sz").alias("_tot")))
+    w_off = (Window.partitionBy(*[F.col(c) for c in by]).orderBy("_pid")
+                   .rowsBetween(Window.unboundedPreceding, -1))
+    # one row per (group, bucket): ≤ n_buckets × n_groups — broadcastable
+    # by construction, and the ONLY window that crosses buckets
+    offsets = (totals.withColumn("_boff", F.sum("_tot").over(w_off))
+                     .fillna(0, subset=["_boff"]))
+    off = offsets.select(
+        *[F.col(c).alias(f"_bk{i}") for i, c in enumerate(by)],
+        F.col("_pid").alias("_bkp"), "_boff")
+    # null-safe on the by keys: a NULL group is one window group in the
+    # serial path and must join back to its offsets here too
+    cond = _reduce(
+        lambda a, b: a & b,
+        [local[c].eqNullSafe(off[f"_bk{i}"]) for i, c in enumerate(by)],
+        local["_pid"] == off["_bkp"])
+    return (local.join(F.broadcast(off), cond)
+                 .withColumn("_end", F.col("_boff") + F.col("_lend"))
+                 .withColumn("_start", F.col("_end") - F.col("_sz"))
+                 .drop("_pid", "_lend", "_boff", "_bkp",
+                       *[f"_bk{i}" for i in range(len(by))]))
+
 
 def pack_shards(df: DataFrame, size_col: Column | str, budget: int,
                 order_by: Sequence[str], by: Sequence[str] = (),
-                shard_col: str = "shard_id") -> DataFrame:
+                shard_col: str = "shard_id",
+                n_buckets: int = 64) -> DataFrame:
     """Label every row with its shard index under offset packing.
 
     ``size_col``: a column name or expression giving each row's size
     (tokens, bytes…).  ``order_by`` must totally order rows within each
     ``by`` group (include a unique id) or shard assignment is
     nondeterministic.  Returns ``df`` + ``shard_col`` (bigint, 0-based
-    per group).
+    per group).  ``n_buckets`` sizes the two-phase distributed prefix
+    sum (module docstring) — raise it at scale so a bucket's rows sort
+    in one task; integral sizes only (fractional sizes fall back to the
+    serial per-group window, ulp note in the module docstring).
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
@@ -56,12 +152,12 @@ def pack_shards(df: DataFrame, size_col: Column | str, budget: int,
         raise ValueError("order_by must name at least one column")
     require_columns(df, [*by, *order_by])
     size = F.col(size_col) if isinstance(size_col, str) else size_col
-    w = (Window.partitionBy(*[F.col(c) for c in by])
-               .orderBy(*[F.col(c) for c in order_by])
-               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    start = F.sum(size).over(w) - size  # cumulative size BEFORE this row
-    return df.withColumn(
-        shard_col, F.floor(start / F.lit(budget)).cast("bigint"))
+    off = _running_offsets(df, size, order_by, by, n_buckets,
+                           drop_nonpositive=False)
+    return (off.withColumn(
+                shard_col,
+                F.floor(F.col("_start") / F.lit(budget)).cast("bigint"))
+               .select(*df.columns, shard_col))
 
 
 def pack_shards_sql(size_expr: str, budget: int, order_by: Sequence[str],
@@ -99,7 +195,7 @@ def write_packed_shards(df: DataFrame, path: str, size_col: Column | str,
 
 def pack_sequences(df: DataFrame, size_col: Column | str, block: int,
                    order_by: Sequence[str], by: Sequence[str] = (),
-                   seq_col: str = "seq_id") -> DataFrame:
+                   seq_col: str = "seq_id", n_buckets: int = 64) -> DataFrame:
     """Concat-and-chunk sequence packing — the GPT-style training-data
     layout: documents are (logically) concatenated in a deterministic
     order and the token stream is cut into fixed-``block``-token
@@ -118,25 +214,20 @@ def pack_sequences(df: DataFrame, size_col: Column | str, block: int,
     BIGINT (offsets, integer floor-division block ids, least/greatest
     overlap widths) — engine-exact by design, no float ever enters.
 
-    Scale: one shuffle on ``by`` for the running-offset window, one
-    explode (a document emits one row per block it touches — total rows
-    = corpus_tokens/block + n_docs at most), one 2-phase aggregation.
-    A global pack (``by=()``) degenerates to a single-task window,
-    exactly as documented for :func:`pack_shards` — partition the pack
-    (per source, per shard) to parallelize."""
+    Scale: the running offsets come from the two-phase bucketed prefix
+    sum (module docstring — ``n_buckets``-way parallel per pack group,
+    not one task per group), then one explode (a document emits one row
+    per block it touches — total rows = corpus_tokens/block + n_docs at
+    most) and one 2-phase aggregation.  Sizes are cast BIGINT before
+    the offsets, so the distributed path is always eligible."""
     if block <= 0:
         raise ValueError(f"block must be positive, got {block}")
     if not order_by:
         raise ValueError("order_by must name at least one column")
     require_columns(df, [*by, *order_by])
     size = F.col(size_col) if isinstance(size_col, str) else size_col
-    w = (Window.partitionBy(*[F.col(c) for c in by])
-               .orderBy(*[F.col(c) for c in order_by])
-               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    sized = (df.withColumn("_sz", size.cast("bigint"))
-               .filter(F.col("_sz") > 0)
-               .withColumn("_end", F.sum("_sz").over(w))
-               .withColumn("_start", F.col("_end") - F.col("_sz")))
+    sized = _running_offsets(df, size.cast("bigint"), order_by, by,
+                             n_buckets, drop_nonpositive=True)
     blocks = sized.withColumn(
         seq_col, F.explode(F.sequence(F.expr(f"_start div {block}"),
                                       F.expr(f"(_end - 1) div {block}"))))

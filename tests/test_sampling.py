@@ -169,6 +169,60 @@ def test_pack_shards_validation(spark, documents):
         pack_shards(documents, "n_chars", 0, order_by=["doc_id"])
     with pytest.raises(ValueError):
         pack_shards(documents, "n_chars", 10, order_by=[])
+    with pytest.raises(ValueError):
+        pack_shards(documents, "n_chars", 10, order_by=["doc_id"],
+                    n_buckets=0)
+
+
+def test_pack_two_phase_offsets_match_serial_window(spark):
+    """r6 verdict #2: the bucketed prefix sum must be byte-identical to
+    the serial per-group window — grouped, global (by=()), and
+    single-bucket degenerate forms, zero sizes and null groups
+    included."""
+    from frames_map_reduce_spark.operators.packing import pack_sequences
+    rows = [((None if i % 7 == 0 else f"g{i % 3}"), i, i * 13 % 41)
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, id long, sz long")
+    key = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+    for by, order in ((["g"], ["id"]), ((), ["g", "id"])):
+        a = sorted(map(tuple, pack_sequences(
+            df, "sz", 17, order_by=order, by=by, n_buckets=1).collect()),
+            key=key)
+        b = sorted(map(tuple, pack_sequences(
+            df, "sz", 17, order_by=order, by=by, n_buckets=8).collect()),
+            key=key)
+        assert a == b, (by, order)
+        s_a = sorted(map(tuple, pack_shards(
+            df, "sz", 100, order_by=order, by=by, n_buckets=1).collect()),
+            key=key)
+        s_b = sorted(map(tuple, pack_shards(
+            df, "sz", 100, order_by=order, by=by, n_buckets=8).collect()),
+            key=key)
+        assert s_a == s_b, (by, order)
+
+
+def test_pack_two_phase_parallelism_and_fallback(spark):
+    """A single pack group spreads over >1 bucket (the whole point of
+    the two-phase path), buckets are order-contiguous, and fractional
+    sizes pin the serial path (no two-phase re-association of double
+    sums)."""
+    from frames_map_reduce_spark.operators.packing import (_bucketize,
+                                                           _running_offsets)
+    df = spark.createDataFrame([(i, (i * 7) % 23 + 1) for i in range(400)],
+                               "id long, sz long")
+    bucketed = _bucketize(df.withColumn("_sz", F.col("sz")), ["id"], (), 8)
+    spans = (bucketed.groupBy("_pid")
+                     .agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
+                     .orderBy("_pid").collect())
+    assert len(spans) > 1  # one group, many tasks
+    for prev, cur in zip(spans, spans[1:]):
+        assert prev["hi"] < cur["lo"]  # contiguous in the total order
+    # fractional sizes: no _pid column ever appears (serial path)
+    off = _running_offsets(df, F.col("sz").cast("double"), ["id"], (),
+                           n_buckets=8, drop_nonpositive=False)
+    assert "_pid" not in off.columns
+    from frames_map_reduce_spark.plans import executed_plan
+    assert "rangepartitioning" not in executed_plan(off).lower()
 
 
 def test_deterministic_shuffle_is_stable_permutation(spark):
