@@ -1016,7 +1016,12 @@ def q_corpus_to_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     last-ulp accumulation flip at a 6dp tie move a document across the
     cut — a whole-row divergence, not an absorbable value wobble) —
     with a doc_id tie-break, and the 60% cut is the integer compare
-    ``5·rank ≤ 3·n``.  No float ever decides membership.  FULL
+    ``5·rank ≤ 3·n``.  No float ever decides membership.  The cut runs
+    through ``top_fraction`` (operators/sampling.py, r6 verdict #3) —
+    the two-phase bucket-cut whose global rank is preceding-bucket
+    count + within-bucket row_number, so selection parallelism is no
+    longer bounded by the number of sources (the serial window form is
+    its fuzz-pinned spec, and remains the DuckDB twin below).  FULL
     composed oracle: the table-parametric twins nest verbatim."""
     docs = _docs(spark, sf_dir)
     cleaned = DD.remove_duplicated_lines(docs, "text", "doc_id")
@@ -1025,12 +1030,7 @@ def q_corpus_to_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = (docs.select("doc_id", "source")
                   .join(scored.select("doc_id", "n_tokens", "lp_rank"),
                         "doc_id"))
-    w = Window.partitionBy("source").orderBy(F.col("lp_rank").desc(),
-                                             "doc_id")
-    wn = Window.partitionBy("source")
-    kept = (ranked.withColumn("_rn", F.row_number().over(w))
-                  .withColumn("_n", F.count(F.lit(1)).over(wn))
-                  .filter(F.col("_rn") * 5 <= F.col("_n") * 3))
+    kept = SMP.top_fraction(ranked, ["source"], "lp_rank", "doc_id", 3, 5)
     return PK.pack_sequences(kept, "n_tokens", 256,
                              order_by=["doc_id"], by=["source"])
 

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from frames_map_reduce_spark.operators.packing import pack_shards
@@ -337,3 +338,57 @@ def test_pack_sequences_rejects_bad_args(spark):
         pack_sequences(df, "size", 0, order_by=["id"])
     with pytest.raises(ValueError, match="order_by"):
         pack_sequences(df, "size", 8, order_by=[])
+
+
+def test_top_fraction_matches_serial_window(spark):
+    """r6 verdict #3: the two-phase bucket-cut must keep EXACTLY the
+    rows of the serial per-group row_number form — heavy ties, NULL
+    scores, negatives, 1-row groups, degenerate fractions, and every
+    bucket-count regime (1, 4, 256)."""
+    from frames_map_reduce_spark.operators.sampling import top_fraction
+    import random
+
+    def serial(df, num, den):
+        w = Window.partitionBy("src").orderBy(F.col("sc").desc(), "doc")
+        wn = Window.partitionBy("src")
+        return (df.withColumn("_rn", F.row_number().over(w))
+                  .withColumn("_n", F.count(F.lit(1)).over(wn))
+                  .filter(F.col("_rn") * den <= F.col("_n") * num))
+
+    random.seed(29)
+    for trial in range(6):
+        n = random.choice([1, 2, 7, 150])
+        rows = [(f"s{i % random.choice([1, 3])}", i,
+                 random.choice([7, 7, None, random.randint(-50, 50)]))
+                for i in range(n)]
+        df = spark.createDataFrame(rows, "src string, doc long, sc long")
+        num, den = random.choice([(3, 5), (1, 2), (5, 5), (1, 400)])
+        nb = random.choice([1, 4, 256])
+        got = sorted((r["src"], r["doc"]) for r in top_fraction(
+            df, ["src"], "sc", "doc", num, den, n_buckets=nb).collect())
+        want = sorted((r["src"], r["doc"])
+                      for r in serial(df, num, den).collect())
+        assert got == want, (trial, num, den, nb)
+
+
+def test_top_fraction_contracts(spark):
+    from frames_map_reduce_spark.operators.sampling import top_fraction
+    df = spark.createDataFrame([("a", 1, 1.5)], "src string, doc long, sc double")
+    with pytest.raises(ValueError, match="integers"):
+        top_fraction(df, ["src"], "sc", "doc", 1, 2)
+    idf = spark.createDataFrame([("a", 1, 1)], "src string, doc long, sc long")
+    with pytest.raises(ValueError):
+        top_fraction(idf, ["src"], "sc", "doc", 1, 0)
+    with pytest.raises(ValueError):
+        top_fraction(idf, ["src"], "sc", "doc", 1, 2, n_buckets=0)
+    # no full-group window in the plan: every Window partitions on the
+    # bucket column too (or runs over the tiny bucket-count frame)
+    from frames_map_reduce_spark.plans import executed_plan
+    big = spark.createDataFrame([("s", i, i % 9) for i in range(100)],
+                                "src string, doc long, sc long")
+    plan = executed_plan(top_fraction(big, ["src"], "sc", "doc", 3, 5))
+    import re
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan.lower())
+    assert specs, plan
+    for spec in specs:
+        assert "_tf_b" in spec or "_tf_ab" in spec, spec
