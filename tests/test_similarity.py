@@ -408,3 +408,60 @@ def test_knn_label_vote_oversized_queries_released(spark):
         knn_label_vote(df, df, "embedding", "vec_id", "label",
                        k=3, max_queries=10)
     assert _KNN_QUERY_CACHE == []
+
+
+# ---------------------------------------------------------------------------
+# n_centroids="auto" + hierarchical training (r6 verdict #4)
+# ---------------------------------------------------------------------------
+
+
+def test_auto_n_centroids_formula():
+    from frames_map_reduce_spark.operators.similarity import auto_n_centroids
+    assert auto_n_centroids(0) == 8                    # lo clamp
+    assert auto_n_centroids(500) == 8                  # 500/1024 → 1 → clamp
+    assert auto_n_centroids(1_000_000) == 1024         # 977 → pow2 up
+    assert auto_n_centroids(130_000_000, 1300) == 131072  # the LAION point
+    assert auto_n_centroids(10**12) == 1 << 17         # hi clamp
+    with pytest.raises(ValueError):
+        auto_n_centroids(-1)
+    with pytest.raises(ValueError):
+        auto_n_centroids(10, 0)
+
+
+def test_semantic_dedup_auto_matches_explicit_dial(spark, embeddings):
+    """"auto" must resolve to auto_n_centroids(count) and produce the
+    exact verdicts of the explicit dial — the turnkey 100× contract."""
+    from frames_map_reduce_spark.operators.similarity import (
+        auto_n_centroids, semantic_dedup)
+    k = auto_n_centroids(embeddings.count())
+    a = sorted(map(tuple, semantic_dedup(
+        embeddings, threshold=0.35, n_centroids="auto").collect()))
+    b = sorted(map(tuple, semantic_dedup(
+        embeddings, threshold=0.35, n_centroids=k).collect()))
+    assert a == b and len(a) == embeddings.count()
+    with pytest.raises(ValueError, match="auto"):
+        semantic_dedup(embeddings, n_centroids="autoo")
+
+
+def test_hierarchical_centroids_deterministic_and_usable(spark, embeddings):
+    """Two-level training: deterministic across reruns, ≤ k centroids of
+    the right dimension, and drop-in usable via centroids=."""
+    import numpy as np
+    from frames_map_reduce_spark.operators.similarity import (
+        semantic_dedup, train_centroids_hierarchical)
+    c1 = train_centroids_hierarchical(embeddings, "embedding", 16)
+    c2 = train_centroids_hierarchical(embeddings, "embedding", 16)
+    assert c1.shape == c2.shape and c1.shape[0] <= 16
+    assert c1.shape[1] == len(embeddings.first()["embedding"])
+    assert np.array_equal(c1, c2)
+    out = semantic_dedup(embeddings, threshold=0.35, centroids=c1)
+    assert out.count() == embeddings.count()
+    # deterministic hash sampling: same matrix for the same rate
+    s1 = train_centroids_hierarchical(embeddings, "embedding", 16,
+                                      sample_rate=0.8)
+    s2 = train_centroids_hierarchical(embeddings, "embedding", 16,
+                                      sample_rate=0.8)
+    assert np.array_equal(s1, s2)
+    with pytest.raises(ValueError, match="sample_rate"):
+        train_centroids_hierarchical(embeddings, "embedding", 16,
+                                     sample_rate=1.5)
