@@ -640,15 +640,16 @@ def rebuild_minhash_index(spark, table: str, max_bucket: int = 1000) -> None:
     spark.sql(f"DROP TABLE IF EXISTS `{old}`")
     # a crash mid-swap in a PREVIOUS process can leave the `_old`
     # warehouse DIRECTORY with no catalog entry; the rename below would
-    # refuse the occupied destination — clear the stale location the
-    # same way write_bucketed does
-    import os
-    import shutil
-    from urllib.parse import urlparse
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    stale = os.path.join(wh, old.lower())
-    if os.path.exists(stale):
-        shutil.rmtree(stale)
+    # refuse the occupied destination — clear the stale location through
+    # the Hadoop FileSystem API (r6 ADVICE: os.path/shutil only see a
+    # local warehouse; this works for hdfs://, s3a://, file://, … —
+    # whatever filesystem the warehouse URI names)
+    jvm = spark._jvm
+    wh_path = jvm.org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), old.lower())
+    fs = wh_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(wh_path):
+        fs.delete(wh_path, True)
     spark.sql(f"ALTER TABLE `{table}_buckets` RENAME TO `{old}`")
     spark.sql(f"ALTER TABLE `{tmp}` RENAME TO `{table}_buckets`")
     spark.sql(f"DROP TABLE `{old}`")

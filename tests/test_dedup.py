@@ -525,3 +525,83 @@ def test_ngram_jaccard_null_text_pairs_nothing(spark):
                df, "text", "doc_id", block_col=F.lit(1),
                threshold=0.5, shingle_k=3).collect()}
     assert got == {(3, 4)}
+
+
+def test_minhash_index_rebuild_crash_window_recovery(spark, monkeypatch):
+    """r6 verdict #5: simulate a failure in the rename-rename-drop swap
+    and prove the documented recovery contract — a crash between the two
+    renames leaves BOTH datasets alive under `_old` / `_rebuild` (one
+    manual rename restores a working index), and a leftover `_old` from
+    a crash after the second rename is cleaned by the next rebuild."""
+    table = "minhash_rebuild_crash_test"
+    boiler = ("click here to accept cookies and subscribe to the feed "
+              "terms conditions apply all rights reserved")
+    healthy = ("an original research note on columnar execution and "
+               "late materialization strategies in vectorized engines")
+    real_sql = spark.sql
+    try:
+        base = spark.createDataFrame(
+            [(0, healthy), (1, boiler)], "doc_id long, text string")
+        DD.build_minhash_index(base, table, "text", "doc_id")
+        for wave in range(2):
+            delta = spark.range(10 + wave * 20, 30 + wave * 20).select(
+                F.col("id").alias("doc_id"), F.lit(boiler).alias("text"))
+            DD.extend_minhash_index(delta, table, "text", "doc_id")
+        rows_before = spark.table(f"{table}_buckets").count()
+
+        # -- crash BETWEEN the two renames ------------------------------
+        def crash_on_second_rename(q, *a, **k):
+            if f"`{table}_buckets_rebuild` RENAME" in q:
+                raise RuntimeError("injected crash between renames")
+            return real_sql(q, *a, **k)
+
+        monkeypatch.setattr(spark, "sql", crash_on_second_rename)
+        with pytest.raises(RuntimeError, match="injected"):
+            DD.rebuild_minhash_index(spark, table, max_bucket=10)
+        monkeypatch.setattr(spark, "sql", real_sql)
+        tables = {r["tableName"] for r in real_sql("SHOW TABLES").collect()}
+        assert f"{table}_buckets" not in tables          # the crash window
+        assert f"{table}_buckets_old" in tables          # … but no data lost
+        assert f"{table}_buckets_rebuild" in tables
+        assert spark.table(f"{table}_buckets_old").count() == rows_before
+
+        # -- documented recovery: ONE rename restores a working index ---
+        real_sql(f"ALTER TABLE `{table}_buckets_rebuild` "
+                 f"RENAME TO `{table}_buckets`")
+        probe = spark.createDataFrame(
+            [(1001, healthy + " with a short suffix")],
+            "doc_id long, text string")
+        got = {(r["doc_id"], r["ref_id"]) for r in DD.minhash_probe_index(
+            spark, table, probe, "text", "doc_id", threshold=0.5).collect()}
+        assert (1001, 0) in got
+        stats = DD.minhash_index_bucket_stats(spark, table, 10).first()
+        assert stats["n_oversized"] == 0                 # rebuild took effect
+
+        # -- leftover `_old` is cleaned by the next rebuild -------------
+        assert f"{table}_buckets_old" in tables
+        DD.rebuild_minhash_index(spark, table, max_bucket=10)
+        tables = {r["tableName"] for r in real_sql("SHOW TABLES").collect()}
+        assert f"{table}_buckets" in tables
+        assert f"{table}_buckets_old" not in tables
+        assert f"{table}_buckets_rebuild" not in tables
+
+        # -- crash AFTER the second rename (before DROP _old): index is
+        # already healthy; the orphan `_old` must not break the next run
+        def crash_on_drop(q, *a, **k):
+            if q.strip() == f"DROP TABLE `{table}_buckets_old`":
+                raise RuntimeError("injected crash before drop")
+            return real_sql(q, *a, **k)
+
+        monkeypatch.setattr(spark, "sql", crash_on_drop)
+        with pytest.raises(RuntimeError, match="injected"):
+            DD.rebuild_minhash_index(spark, table, max_bucket=10)
+        monkeypatch.setattr(spark, "sql", real_sql)
+        assert spark.table(f"{table}_buckets").count() > 0   # index intact
+        DD.rebuild_minhash_index(spark, table, max_bucket=10)  # self-heals
+        tables = {r["tableName"] for r in real_sql("SHOW TABLES").collect()}
+        assert f"{table}_buckets_old" not in tables
+    finally:
+        monkeypatch.setattr(spark, "sql", real_sql)
+        for suffix in ("_buckets", "_shingles", "_buckets_rebuild",
+                       "_buckets_old"):
+            real_sql(f"DROP TABLE IF EXISTS {table}{suffix}")
