@@ -816,6 +816,58 @@ def q_zorder_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
         [per_fid[k] for k in sorted(per_fid)], schema)
 
 
+#: box-query spec for q_zorder_pruning — shared literally with the twin
+_ZPRUNE_BOX = {"price": (50_000.0, 150_000.0), "cust": (0, 400)}
+
+
+def q_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The layout family's PRUNING-VALUE driver row (r6 verdict #6):
+    zorder_extents proves the clustered write put the right rows in the
+    right files; this row proves what that layout BUYS — run a box query
+    over the written files and report what a footer-stats-pruning scan
+    does (layout.box_prune_stats): files_total, files_pruned (provably
+    row-free for the box), rows_in_read_files (the scan cost the
+    surviving files impose — the number a capacity plan budgets), and
+    rows_selected (the answer itself, layout-independent).  The DuckDB
+    twin replays the fixed-segment extents (zorder_fixed_extents_sql,
+    already footer-exact per zorder_extents) and applies the same
+    interval-disjointness prune — so a hash match proves the pruning
+    decision set itself, not just the layout.
+
+    This row rides the FIXED-width writer.  The ranged writer
+    (write_zordered, the skew-robust production default) cannot carry a
+    value-level twin: repartitionByRange draws file boundaries from a
+    reservoir SAMPLE inside the exchange, so the row→file mapping is an
+    engine implementation detail no other engine can replay — its
+    pruning effect is pinned behaviorally instead
+    (tests/test_layout.py::test_ranged_writer_prunes_box_queries:
+    pruned files provably contain no matches, >0 files pruned)."""
+    import os
+
+    src = _t(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_custkey").cast("bigint").alias("cust"))
+    path = "/tmp/fmr_zprune_" + os.path.basename(os.path.normpath(sf_dir))
+    LA.write_zordered_fixed(src, path, _ZORDER_COLS,
+                            bits=_ZORDER_BITS, n_files=_ZORDER_FILES)
+    audit = LA.box_prune_stats(path, _ZPRUNE_BOX)
+    (plo, phi), (clo, chi) = _ZPRUNE_BOX["price"], _ZPRUNE_BOX["cust"]
+    rows_selected = src.filter(
+        F.col("price").between(plo, phi)
+        & F.col("cust").between(clo, chi)).count()
+    schema = T.StructType([
+        T.StructField("files_total", T.LongType()),
+        T.StructField("files_pruned", T.LongType()),
+        T.StructField("rows_in_read_files", T.LongType()),
+        T.StructField("rows_selected", T.LongType()),
+    ])
+    return spark.createDataFrame(
+        [{"files_total": audit["files_total"],
+          "files_pruned": audit["files_pruned"],
+          "rows_in_read_files": audit["rows_in_read_files"],
+          "rows_selected": rows_selected}], schema)
+
+
 MARKUP_CSV = "/root/repo/tests/fixtures/markup.csv"
 
 
@@ -2536,6 +2588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "semantic_dedup": q_semantic_dedup,
         "corpus_to_sequences": q_corpus_to_sequences,
+        "zorder_pruning": q_zorder_pruning,
     }
 
 
@@ -3169,6 +3222,30 @@ def oracle_sql() -> dict[str, str]:
         "zorder_extents": LA.zorder_fixed_extents_sql(
             _ZORDER_SRC_SQL, _ZORDER_COLS,
             bits=_ZORDER_BITS, n_files=_ZORDER_FILES),
+        # pruning value of that layout: replay the extents, apply the
+        # same interval-disjointness prune the footer scan applies
+        "zorder_pruning": f"""
+            WITH _ext AS ({LA.zorder_fixed_extents_sql(
+                _ZORDER_SRC_SQL, _ZORDER_COLS,
+                bits=_ZORDER_BITS, n_files=_ZORDER_FILES)}),
+            _cls AS (SELECT *,
+                (price_max < {_ZPRUNE_BOX['price'][0]!r}
+                 OR price_min > {_ZPRUNE_BOX['price'][1]!r}
+                 OR cust_max < {_ZPRUNE_BOX['cust'][0]!r}
+                 OR cust_min > {_ZPRUNE_BOX['cust'][1]!r}) AS _pruned
+                FROM _ext)
+            SELECT count(*) AS files_total,
+                   CAST(sum(CASE WHEN _pruned THEN 1 ELSE 0 END) AS BIGINT)
+                       AS files_pruned,
+                   CAST(sum(CASE WHEN _pruned THEN 0 ELSE num_rows END)
+                        AS BIGINT) AS rows_in_read_files,
+                   (SELECT count(*) FROM ({_ZORDER_SRC_SQL})
+                    WHERE price BETWEEN {_ZPRUNE_BOX['price'][0]!r}
+                                AND {_ZPRUNE_BOX['price'][1]!r}
+                      AND cust BETWEEN {_ZPRUNE_BOX['cust'][0]!r}
+                                AND {_ZPRUNE_BOX['cust'][1]!r})
+                       AS rows_selected
+            FROM _cls""",
         # shared verbatim with asof_join: the sliced path is
         # result-identical by contract on a unique-(by, ts) right side
         "asof_sliced": """

@@ -34,7 +34,8 @@ from pyspark.sql import functions as F
 from frames_map_reduce_spark.schema import require_columns
 
 __all__ = ["z_value", "write_zordered", "write_zordered_fixed",
-           "zorder_fixed_extents_sql", "file_column_stats"]
+           "zorder_fixed_extents_sql", "file_column_stats",
+           "box_prune_stats"]
 
 
 def z_value(df: DataFrame, cols: Sequence[str], bits: int = 12,
@@ -176,7 +177,9 @@ def write_zordered_fixed(df: DataFrame, path: str, cols: Sequence[str],
 
 def zorder_fixed_extents_sql(src_sql: str, cols: Sequence[str],
                              bits: int = 10, n_files: int = 16,
-                             fid_col: str = "zfid") -> str:
+                             fid_col: str = "zfid",
+                             bounds: Mapping[str, tuple[float, float]]
+                             | None = None) -> str:
     """DuckDB twin of the :func:`write_zordered_fixed` layout contract
     (differential oracle for the layout family): replays the exact
     normalization / rank-clamp / bit-interleave / top-bit-segment
@@ -189,16 +192,28 @@ def zorder_fixed_extents_sql(src_sql: str, cols: Sequence[str],
     exact for integral and (NaN-free) floating columns, both engines'
     double arithmetic is IEEE, and the bounds aggregate commutes with
     the double cast.  ``n_files`` is the literal 1: one file per
-    populated segment is part of the write contract."""
+    populated segment is part of the write contract.
+
+    ``bounds``, when given, must be the SAME caller-pinned mapping the
+    write used — the twin then emits the pinned values as literals
+    instead of deriving them from the data (r6 ADVICE: a write with
+    explicit bounds paired with a data-derived twin would silently
+    compute different segment assignments).  Partial pinning (only some
+    columns) mixes literals with derived bounds, exactly like
+    :func:`z_value`."""
     cols = list(cols)
     k = n_files.bit_length() - 1
     if n_files <= 0 or (1 << k) != n_files:
         raise ValueError(f"n_files must be a power of two, got {n_files}")
     d = len(cols)
     top = (1 << bits) - 1
+    bounds = dict(bounds or {})
     st_parts = ", ".join(
-        f"CAST(min({c}) AS DOUBLE) AS _lo{j}, "
-        f"CAST(max({c}) AS DOUBLE) AS _hi{j}"
+        (f"CAST({float(bounds[c][0])!r} AS DOUBLE) AS _lo{j}, "
+         f"CAST({float(bounds[c][1])!r} AS DOUBLE) AS _hi{j}")
+        if c in bounds else
+        (f"CAST(min({c}) AS DOUBLE) AS _lo{j}, "
+         f"CAST(max({c}) AS DOUBLE) AS _hi{j}")
         for j, c in enumerate(cols))
     rk_parts = ", ".join(
         f"greatest(CAST(0 AS BIGINT), least(CAST({top} AS BIGINT), "
@@ -211,9 +226,12 @@ def zorder_fixed_extents_sql(src_sql: str, cols: Sequence[str],
     aggs = ", ".join(f"min({c}) AS {c}_min, max({c}) AS {c}_max"
                      for c in cols)
     shift = bits * d - k
+    # all-pinned bounds leave no aggregate to collapse _st to one row —
+    # drop the FROM clause in that case (a bare SELECT is one row)
+    st_from = "" if all(c in bounds for c in cols) else " FROM _src"
     return f"""
         WITH _src AS ({src_sql}),
-        _st AS (SELECT {st_parts} FROM _src),
+        _st AS (SELECT {st_parts}{st_from}),
         _rk AS (SELECT _src.*, {rk_parts} FROM _src CROSS JOIN _st),
         _z AS (SELECT *, ({z_terms}) AS _zv FROM _rk)
         SELECT CAST(_zv >> {shift} AS INT) AS {fid_col},
@@ -264,3 +282,33 @@ def file_column_stats(path: str, cols: Sequence[str]) -> list[dict]:
             rec[f"{c}_min"], rec[f"{c}_max"] = lo, hi
         out.append(rec)
     return out
+
+
+def box_prune_stats(path: str, box: Mapping[str, tuple]) -> dict:
+    """What a min/max-stats-pruning scan would do for a box query over
+    the files at ``path`` — the AUDIT of the layout's pruning value
+    (driver-side, footers only, never data pages).
+
+    ``box`` maps column → (lo, hi) inclusive.  A file can be skipped
+    iff its footer proves NO row can match: some column's
+    ``[min, max]`` range misses ``[lo, hi]`` entirely.  Files without
+    usable stats for a box column must be read (never wrongly pruned).
+    Returns ``{"files_total", "files_pruned", "rows_in_read_files"}`` —
+    the last is the scan cost the surviving files impose, the number a
+    100 TB capacity plan actually budgets."""
+    stats = file_column_stats(path, list(box))
+    total = pruned = rows_read = 0
+    for rec in stats:
+        total += 1
+        skip = False
+        for c, (lo, hi) in box.items():
+            mn, mx = rec[f"{c}_min"], rec[f"{c}_max"]
+            if mn is not None and mx is not None and (mx < lo or mn > hi):
+                skip = True
+                break
+        if skip:
+            pruned += 1
+        else:
+            rows_read += rec["num_rows"]
+    return {"files_total": total, "files_pruned": pruned,
+            "rows_in_read_files": rows_read}

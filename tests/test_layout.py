@@ -183,3 +183,69 @@ def test_write_zordered_fixed_contract(spark, tmp_path):
     got = {fid: [(n, xmin, xmax, ymin, ymax)]
            for fid, [(n, xmin, xmax, ymin, ymax)] in first.items()}
     assert got == want
+
+
+def test_ranged_writer_prunes_box_queries(spark, grid_paths):
+    """The ranged writer's pruning VALUE, pinned behaviorally (r6
+    verdict #6): its row→file mapping rides repartitionByRange's
+    sampled boundaries, so no other engine can replay per-file extents
+    value-for-value (the fixed-segment writer carries that oracle —
+    q_zorder_pruning); what CAN be proven here is that the audit's
+    pruning decisions are sound and worth something: >0 files pruned
+    for a small box, pruned files contain zero matching rows, and
+    surviving files contain every match."""
+    from frames_map_reduce_spark.operators.layout import box_prune_stats
+    zpath, _ = grid_paths
+    box = {"x": (10, 40), "y": (10, 40)}
+    audit = box_prune_stats(zpath, box)
+    assert audit["files_total"] == 16
+    assert 0 < audit["files_pruned"] < 16
+    assert audit["rows_in_read_files"] < 40_000  # real scan savings
+    # soundness: every matching row lives in a surviving (read) file
+    stats = file_column_stats(zpath, ["x", "y"])
+    pruned_files = [s["file"] for s in stats
+                    if s["x_max"] < 10 or s["x_min"] > 40
+                    or s["y_max"] < 10 or s["y_min"] > 40]
+    assert len(pruned_files) == audit["files_pruned"]
+    in_pruned = (spark.read.parquet(*pruned_files)
+                 .filter(F.col("x").between(10, 40)
+                         & F.col("y").between(10, 40)).count())
+    assert in_pruned == 0
+    survivors = [s["file"] for s in stats if s["file"] not in pruned_files]
+    matches = (spark.read.parquet(*survivors)
+               .filter(F.col("x").between(10, 40)
+                       & F.col("y").between(10, 40)).count())
+    assert matches == 31 * 31  # every match is reachable
+
+
+def test_fixed_extents_sql_pinned_bounds(spark, tmp_path):
+    """r6 ADVICE: the SQL twin must honor caller-pinned bounds — a
+    write with explicit bounds and a data-derived twin would silently
+    disagree on segment assignment.  Pin bounds wider than the data and
+    check twin == footer audit, all-pinned and partially-pinned."""
+    import duckdb
+    import pandas as pd
+    from frames_map_reduce_spark.operators.layout import (
+        write_zordered_fixed, zorder_fixed_extents_sql)
+    pdf = pd.DataFrame({"a": [float(i * 7 % 50) for i in range(200)],
+                        "b": [i * 13 % 80 for i in range(200)]})
+    df = spark.createDataFrame(pdf, "a double, b bigint")
+    for bounds in ({"a": (0.0, 100.0), "b": (0.0, 100.0)},
+                   {"a": (0.0, 100.0)}):
+        path = str(tmp_path / f"zb{len(bounds)}")
+        write_zordered_fixed(df, path, ["a", "b"], bits=6, n_files=8,
+                             bounds=bounds)
+        got = {}
+        for rec in file_column_stats(path, ["a", "b"]):
+            import re
+            fid = int(re.search(r"zfid=(\d+)/", rec["file"]).group(1))
+            got[fid] = (rec["num_rows"], rec["a_min"], rec["a_max"],
+                        rec["b_min"], rec["b_max"])
+        con = duckdb.connect()
+        con.register("src", pdf)
+        sql = zorder_fixed_extents_sql(
+            "SELECT CAST(a AS DOUBLE) AS a, CAST(b AS BIGINT) AS b "
+            "FROM src", ["a", "b"], bits=6, n_files=8, bounds=bounds)
+        want = {int(r[0]): (int(r[2]), r[3], r[4], r[5], r[6])
+                for r in con.sql(sql).fetchall()}
+        assert got == want, bounds
