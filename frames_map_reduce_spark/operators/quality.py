@@ -217,7 +217,8 @@ def _transitions(t):
 
 
 def bigram_lm_score(df: DataFrame, text_col: str, id_col: str,
-                    k_smooth: float = 0.5) -> DataFrame:
+                    k_smooth: float = 0.5,
+                    broadcast_ctx: bool = True) -> DataFrame:
     """Per-document BIGRAM language-model score — the conditional
     upgrade of :func:`unigram_lm_score` (closer to the CCNet filter's
     n-gram model): each token is scored given its predecessor,
@@ -253,16 +254,21 @@ def bigram_lm_score(df: DataFrame, text_col: str, id_col: str,
     lp = F.log((F.col("_cb") + F.lit(k))
                / (F.col("_cp") + F.lit(k) * (F.col("_V") + 1)))
     # ctx is provably ≤ vocab+1 rows (one per distinct predecessor incl.
-    # BOS), so broadcast it EXPLICITLY: the BOS sentinel is a guaranteed
-    # hot key (one transition per document) and on a shuffle-side join it
-    # would funnel every document's first transition through one
-    # partition.  The bigram table `big` stays AQE-decided — it is
-    # O(distinct bigrams), genuinely shuffle-scale at web size, and its
-    # (prev, tok) key splits BOS mass across distinct first tokens
-    # (residual skew is AQE skew-join territory, pinned in
+    # BOS), so broadcast it EXPLICITLY by default: the BOS sentinel is a
+    # guaranteed hot key (one transition per document) and on a
+    # shuffle-side join it would funnel every document's first
+    # transition through one partition.  ≤ vocab+1 is still unbounded
+    # for token spaces like URLs/ids (r6 ADVICE) — ``broadcast_ctx=
+    # False`` drops the hint and lets AQE pick the join (its skew-join
+    # then splits the BOS partition; results are identical either way,
+    # pinned in tests).  The bigram table `big` stays AQE-decided in
+    # both modes — it is O(distinct bigrams), genuinely shuffle-scale
+    # at web size, and its (prev, tok) key splits BOS mass across
+    # distinct first tokens (residual skew pinned in
     # tests/test_skew_stress.py).
+    ctx_side = F.broadcast(ctx) if broadcast_ctx else ctx
     scored = (trans.join(big, ["_prev", "_tok"])
-                   .join(F.broadcast(ctx), "_prev")
+                   .join(ctx_side, "_prev")
                    .crossJoin(F.broadcast(vocab))
                    .select(id_col, lp.alias("_lp")))
     per_doc = (scored.groupBy(id_col)

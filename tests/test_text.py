@@ -296,3 +296,16 @@ def test_strip_markup_semantics(spark):
     assert out[1] == ("a &amp; b <tag> 'q'", 2)
     assert out[2] == ("plain words", 0)
     assert out[3] == ("x", 4)
+
+
+def test_bigram_lm_score_broadcast_gate_identical(spark, documents):
+    """r6 ADVICE: broadcast_ctx=False (web-scale vocab: let AQE pick the
+    ctx join) must produce identical scores to the default hint — the
+    option changes the physical join only."""
+    from frames_map_reduce_spark.operators.quality import bigram_lm_score
+    a = sorted(map(tuple,
+                   bigram_lm_score(documents, "text", "doc_id").collect()))
+    b = sorted(map(tuple,
+                   bigram_lm_score(documents, "text", "doc_id",
+                                   broadcast_ctx=False).collect()))
+    assert a == b and len(a) > 0
