@@ -36,6 +36,7 @@ from frames_map_reduce_spark.aggregation import (
     rollup_fold,
 )
 from frames_map_reduce_spark.functions import text as TX
+from frames_map_reduce_spark.functions import tokenizer as TKZ
 from frames_map_reduce_spark.mapreduce import (
     assign_keys,
     assign_keys_and_data,
@@ -866,6 +867,33 @@ def q_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
           "files_pruned": audit["files_pruned"],
           "rows_in_read_files": audit["rows_in_read_files"],
           "rows_selected": rows_selected}], schema)
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-faithful token budgets (r6 verdict #7): per-document
+    subword counts from the greedy longest-prefix encode over a frozen
+    inventory (functions/tokenizer.py — the WordPiece-style greedy
+    encode production tokenizers run at inference; named honestly, the
+    docstring there explains why a data-dependent merge loop cannot
+    carry an exact cross-engine oracle).  The DuckDB twin executes the
+    SAME spec as a recursive CTE whose step is a CASE generated from
+    the same inventory — hash equality proves the encode, not a
+    statistic of it."""
+    return TKZ.subword_counts(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def q_pack_bpe_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pack_sequences budgeted in TOKENIZER tokens (r6 verdict #7): the
+    packed-manifest query whose block budget counts what the trainer
+    actually consumes — per-source 256-subword sequences over the
+    greedy-encode counts of q_bpe_token_count.  The oracle composes the
+    recursive tokenizer twin inside the table-parametric packing twin
+    verbatim."""
+    docs = _docs(spark, sf_dir)
+    counts = TKZ.subword_counts(docs, "text", "doc_id")
+    sized = docs.select("doc_id", "source").join(counts, "doc_id")
+    return PK.pack_sequences(sized, "n_subwords", 256,
+                             order_by=["doc_id"], by=["source"])
 
 
 MARKUP_CSV = "/root/repo/tests/fixtures/markup.csv"
@@ -2589,6 +2617,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "corpus_to_sequences": q_corpus_to_sequences,
         "zorder_pruning": q_zorder_pruning,
+        "bpe_token_count": q_bpe_token_count,
+        "pack_bpe_sequences": q_pack_bpe_sequences,
     }
 
 
@@ -2925,6 +2955,16 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": PK.pack_sequences_sql(
             "documents", TX.token_count_sql("text"), 256,
             ["doc_id"], ["source"]),
+        # the greedy subword encode as a recursive CTE whose step CASE
+        # is generated from the same frozen inventory (tokenizer.py)
+        "bpe_token_count": TKZ.subword_counts_sql(
+            "documents", "text", "doc_id"),
+        # …and the packing twin over those counts, nested verbatim
+        "pack_bpe_sequences": PK.pack_sequences_sql(
+            "(SELECT d.source, c.doc_id, c.n_subwords FROM documents d "
+            f"JOIN ({TKZ.subword_counts_sql('documents', 'text', 'doc_id')})"
+            " c USING (doc_id))",
+            "n_subwords", 256, ["doc_id"], ["source"]),
         # composed twin: curation stages nest verbatim, selection ranks
         # on the same integer lp_rank key with the same integer rank
         # compare, and pack_sequences_sql runs over the kept-CTE

@@ -309,3 +309,45 @@ def test_bigram_lm_score_broadcast_gate_identical(spark, documents):
                    bigram_lm_score(documents, "text", "doc_id",
                                    broadcast_ctx=False).collect()))
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# subword tokenizer (greedy longest-prefix over a frozen inventory)
+# ---------------------------------------------------------------------------
+
+
+def test_subword_encode_spec():
+    from frames_map_reduce_spark.functions.tokenizer import (
+        SUBWORD_VOCAB, encode_word_len)
+    # greedy longest-match: whole-word hit is 1 token
+    assert encode_word_len("the") == 1
+    assert encode_word_len("ation") == 1
+    # fallback: unknown single chars cost 1 each
+    assert encode_word_len("x") == 1
+    assert encode_word_len("qqq") <= 3
+    # longest wins over shorter prefixes ("that" ≻ "th" + "at")
+    assert encode_word_len("that") == 1
+    # inventory hygiene the SQL generator relies on
+    assert all(len(w) >= 2 for w in SUBWORD_VOCAB)
+    assert len(set(SUBWORD_VOCAB)) == len(SUBWORD_VOCAB)
+    # compression sanity: real text beats the character count
+    word = "internationalization"
+    assert encode_word_len(word) < len(word) / 2
+
+
+def test_subword_counts_matches_python_replay(spark, documents):
+    """The mapInPandas encode must equal a driver-side replay of the
+    same spec (wordish pre-tokenization + greedy scan) row for row."""
+    import re
+    from frames_map_reduce_spark.functions.text import WORDISH
+    from frames_map_reduce_spark.functions.tokenizer import (
+        encode_word_len, subword_counts)
+    got = {r["doc_id"]: (r["n_words"], r["n_subwords"])
+           for r in subword_counts(documents, "text", "doc_id").collect()}
+    for r in documents.select("doc_id", "text").collect():
+        ws = re.findall(WORDISH, (r["text"] or "").lower())
+        if ws:
+            want = (len(ws), sum(encode_word_len(w) for w in ws))
+            assert got[r["doc_id"]] == want, r["doc_id"]
+        else:
+            assert r["doc_id"] not in got
