@@ -2462,41 +2462,67 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_tpch_q1(spark, "/root/testdata/sf0.001")
 
 
+#: Round-7 driver window (r6 verdict #1: close the ledger completely).
+#: Composition, in priority order:
+#: (1) the EIGHT never-driver-proven queries — the five r6 additions
+#:     (pack_sequences, semantic_dedup, label_outliers, mislabel_knn,
+#:     corpus_to_sequences) plus the three added this round
+#:     (zorder_pruning, bpe_token_count, pack_bpe_sequences);
+#: (2) the three r4-stale queries (repetition_stats, redact_pii,
+#:     top_ngrams — PROVENANCE.json `stale_after_next_round`);
+#: (3) queries whose SEMANTICS changed since their last driver proof:
+#:     sketch_heavy_hitters (r6 failure guard), funnel / scd2 (r6
+#:     integer-exact means), pack_shards (r7 two-phase offsets —
+#:     results fuzz-pinned identical, re-proven anyway on principle);
+#: (4) 35 more of the r5-proven set, so after this round no query's
+#:     most recent driver proof is older than r5.
+#: The 11 r5-proven rows that did not fit (range_join, cdc_compact,
+#: topk_native, sessionize, unpivot, ann_bruteforce, text_quality,
+#: lang_id, percentile_native, dedup_clusters, embedding_neardup — each
+#: family still represented in-window) lead the r8 rotation queue and
+#: are re-proven at sf0.001 by the local parity suite on every pytest
+#: run.
+_R7_WINDOW = [
+    # (1) never driver-proven
+    "pack_sequences", "semantic_dedup", "label_outliers", "mislabel_knn",
+    "corpus_to_sequences", "zorder_pruning", "bpe_token_count",
+    "pack_bpe_sequences",
+    # (2) last proof is r4
+    "repetition_stats", "redact_pii", "top_ngrams",
+    # (3) changed since last proof
+    "sketch_heavy_hitters", "funnel", "scd2", "pack_shards",
+    # (4) r5-proven fill
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q18", "mr_sum_by_flag",
+    "topk_per_group", "dedup_exact", "dedup_minhash", "dedup_simhash",
+    "dedup_ngram_jaccard", "perplexity", "bigram_perplexity",
+    "remove_dup_lines", "remove_dup_spans", "curate_corpus",
+    "minhash_firewall", "ann_ivf", "ann_ivf_indexed", "asof_forward",
+    "asof_tolerance", "merge_upsert", "salted_agg", "stream_hourly",
+    "stream_sessions", "stream_stateful", "sample_stratified",
+    "mixture_weights", "train_test_split", "bm25", "chunk_docs",
+    "contamination", "strip_markup", "media_meta", "token_stats",
+    "quality_score",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry.
 
     ORDER MATTERS: the driver's correctness harness checks the FIRST 50
     entries only, so proof rotates round-over-round.  PROVENANCE.json
     (regenerated by ``python tools/provenance.py``) is the
-    machine-readable query → last-driver-proven-round ledger; the window
-    below is chosen from it, not from comments.
+    machine-readable query → last-driver-proven-round ledger; the
+    window is ``_R7_WINDOW`` above (chosen from that ledger, rationale
+    in its comment), applied as a reordering of the stable base dict
+    below — below-window entries keep their relative order, which is
+    the r8 rotation queue."""
+    base = _queries_base()
+    window = {k: base[k] for k in _R7_WINDOW}
+    assert len(window) == 50, f"window must be exactly 50, got {len(window)}"
+    return {**window, **{k: v for k, v in base.items() if k not in window}}
 
-    Round-6 window (r5 verdict #1: close the proof ledger): (1) the four
-    queries with NO driver proof — length_histogram (added after r5's
-    window froze) and the three new r6 queries asof_sliced /
-    zorder_extents / curate_corpus_v2; (2) the six queries whose last
-    proof is r3 — fingerprint, events_json, pivot, running_total,
-    join_revenue, anti_join; (3) 40 of the 43 queries whose last proof
-    is r4.  The three r4-proven rows that did NOT fit
-    (repetition_stats, redact_pii, top_ngrams — all text-family, which
-    stays represented in-window by fingerprint and corpus_report) lead
-    the below-window order for the r7 rotation; they are the ONLY
-    entries whose most recent driver proof will be older than r5 after
-    this round, and the local parity suite re-proves them at sf0.001 on
-    every pytest run.  sketch_heavy_hitters gained an output-invariant
-    failure guard this round (r5 ADVICE); it is r5-hash-green, the
-    guard cannot change values (it can only raise), and it sits first
-    after the stale three.  funnel and scd2 had their published means
-    rewritten in exact integer arithmetic this round after the sf1.0
-    scale gate caught engine-divergent rounding (see their docstrings);
-    both re-proven by the local parity suite at sf0.001 AND sf0.01 and
-    exact at sf1.0 — rotate them into the r7 window right after the
-    stale three.  Everything else rotated out is r5-green.  The three
-    registry entries added after this round's window froze —
-    pack_sequences, semantic_dedup, and corpus_to_sequences, all fully
-    oracled — close the below-window order and join the r7 rotation
-    queue with the stale three (the same path length_histogram took
-    from r5 to r6)."""
+
+def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (1) never driver-proven ------------------------------------
         "length_histogram": q_length_histogram,

@@ -85,6 +85,10 @@ HEADLINE = [
     "pack_sequences",     # concat-and-chunk training-sequence manifest
     "semantic_dedup",     # SemDeDup: cluster + within-cluster drop
     "corpus_to_sequences",  # composed: dedup -> LM gate -> packed seqs
+    # round-7 additions
+    "zorder_pruning",     # box-query footer-prune audit over the layout
+    "bpe_token_count",    # greedy subword encode (Arrow mapInPandas)
+    "pack_bpe_sequences",  # packing budgeted in tokenizer tokens
 ]
 
 #: entries that run ONCE per bench session instead of median-of-n: they
