@@ -166,10 +166,13 @@ def test_curate_v2_threshold_join_broadcasts(spark):
 
 
 def test_pack_sequences_plan_shape(documents):
-    """pack_sequences' scale contract: one Window pass, one Generate
-    (the per-block explode), two-phase final aggregation, and no
-    nested-loop/cartesian anywhere — the manifest is linear in corpus
-    tokens."""
+    """pack_sequences' scale contract (r7 two-phase offsets): the
+    within-bucket cumsum Window plus the tiny per-bucket-offsets
+    Window, ONE Generate (the per-block explode), the bucket-totals
+    aggregation + the final manifest aggregation (each itself 2-phase →
+    4 HashAggregates), the bucket offsets joined back via BROADCAST,
+    and no nested-loop/cartesian anywhere — the manifest stays linear
+    in corpus tokens and no stage runs one-task-per-group."""
     from frames_map_reduce_spark.functions import text as TX
     from frames_map_reduce_spark.operators.packing import pack_sequences
     from frames_map_reduce_spark.plans import explain_formatted
@@ -177,13 +180,18 @@ def test_pack_sequences_plan_shape(documents):
     df = pack_sequences(documents, TX.token_count(F.col("text")), 256,
                         order_by=["doc_id"], by=["source"])
     plan = explain_formatted(df)
-    assert plan.count("Window") >= 1
+    assert plan.count("Window") >= 2
     # formatted explain lists every node twice (tree + detail section):
     # exactly ONE Generate node → exactly two mentions
     assert plan.count("Generate") == 2
-    assert count_hash_aggregates(df) == 2
+    assert count_hash_aggregates(df) == 4
+    assert "BroadcastHashJoin" in plan       # offsets join back broadcast
+    assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the heavy cumsum window partitions on (group, bucket), never on
+    # the group alone — the r6 one-task-per-group bottleneck is gone
+    assert "_pid" in plan
 
 
 def test_semantic_dedup_reuses_persisted_assignment(spark, embeddings):
