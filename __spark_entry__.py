@@ -60,6 +60,7 @@ from frames_map_reduce_spark.operators import frequency as FRQ
 from frames_map_reduce_spark.operators import layout as LA
 from frames_map_reduce_spark.operators import packing as PK
 from frames_map_reduce_spark.operators import quality as QL
+from frames_map_reduce_spark.operators import quantized as QZ
 from frames_map_reduce_spark.operators import sampling as SMP
 from frames_map_reduce_spark.operators import retrieval as RET
 from frames_map_reduce_spark.operators import similarity as SIM
@@ -1156,6 +1157,22 @@ def q_ann_bruteforce_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") >= 5), queries, k=5,
         n_corpus_blocks=8, n_query_blocks=2)
     return out.select("query_id", "vec_id", "cosine_sim",
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
+def q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized MIPS top-5 (operators/quantized.py): power-of-two
+    quantization is bit-exact in every engine, so the WHOLE retrieval —
+    quantize, BIGINT dot, (dot DESC, id ASC) rank — carries a full
+    value oracle with no rounding grid at all; the integer dot is JVM
+    codegen (zip_with + aggregate) over a broadcast bounded query set.
+    The 100 TB story is bandwidth: the int8 column is 4× smaller in
+    every scan and shuffle than the float32 it replaces."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 5)
+                  .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = QZ.quantized_topk(emb.filter(F.col("vec_id") >= 5), queries, k=5)
+    return out.select("query_id", "vec_id", "dot_q",
                       F.col("rank").cast("bigint").alias("rank"))
 
 
@@ -2464,10 +2481,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Round-7 driver window (r6 verdict #1: close the ledger completely).
 #: Composition, in priority order:
-#: (1) the EIGHT never-driver-proven queries — the five r6 additions
+#: (1) the NINE never-driver-proven queries — the five r6 additions
 #:     (pack_sequences, semantic_dedup, label_outliers, mislabel_knn,
-#:     corpus_to_sequences) plus the three added this round
-#:     (zorder_pruning, bpe_token_count, pack_bpe_sequences);
+#:     corpus_to_sequences) plus the four added this round
+#:     (zorder_pruning, bpe_token_count, pack_bpe_sequences, ann_int8 —
+#:     the int8 retrieval row displaced token_stats, which stays
+#:     r5-proven and leads the r8 queue with its family still
+#:     in-window via bpe_token_count/quality_score);
 #: (2) the three r4-stale queries (repetition_stats, redact_pii,
 #:     top_ngrams — PROVENANCE.json `stale_after_next_round`);
 #: (3) queries whose SEMANTICS changed since their last driver proof:
@@ -2486,7 +2506,7 @@ _R7_WINDOW = [
     # (1) never driver-proven
     "pack_sequences", "semantic_dedup", "label_outliers", "mislabel_knn",
     "corpus_to_sequences", "zorder_pruning", "bpe_token_count",
-    "pack_bpe_sequences",
+    "pack_bpe_sequences", "ann_int8",
     # (2) last proof is r4
     "repetition_stats", "redact_pii", "top_ngrams",
     # (3) changed since last proof
@@ -2500,8 +2520,7 @@ _R7_WINDOW = [
     "asof_tolerance", "merge_upsert", "salted_agg", "stream_hourly",
     "stream_sessions", "stream_stateful", "sample_stratified",
     "mixture_weights", "train_test_split", "bm25", "chunk_docs",
-    "contamination", "strip_markup", "media_meta", "token_stats",
-    "quality_score",
+    "contamination", "strip_markup", "media_meta", "quality_score",
 ]
 
 
@@ -2567,6 +2586,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_srp": q_ann_srp,
         "sketch_distinct": q_sketch_distinct,
         "ann_bruteforce_joined": q_ann_bruteforce_joined,
+        "ann_int8": q_ann_int8,
         "shuffle_pos": q_shuffle_pos,
         "sql_revenue": q_sql_revenue,
         "chunk_dedup": q_chunk_dedup,
@@ -3095,6 +3115,14 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY cosine_sim DESC, vec_id) AS rank
               FROM scored)
             WHERE rank <= 5""",
+        # FULL value oracle with NO rounding grid: power-of-two
+        # quantization is bit-exact in both engines and everything after
+        # it is bounded-integer arithmetic (operators/quantized.py —
+        # the twin pins the two measured engine sharp edges: NULL-
+        # skipping greatest/least and NULL-skipping list_sum)
+        "ann_int8": QZ.quantized_topk_sql(
+            "embeddings", "vec_id", "embedding",
+            query_pred="vec_id < 5", corpus_pred="vec_id >= 5", k=5),
         "embedding_neardup": f"""
             SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine_sim
             FROM embeddings a JOIN embeddings b

@@ -89,6 +89,7 @@ HEADLINE = [
     "zorder_pruning",     # box-query footer-prune audit over the layout
     "bpe_token_count",    # greedy subword encode (Arrow mapInPandas)
     "pack_bpe_sequences",  # packing budgeted in tokenizer tokens
+    "ann_int8",           # int8-quantized integer-exact MIPS top-k
 ]
 
 #: entries that run ONCE per bench session instead of median-of-n: they
