@@ -60,10 +60,25 @@ def _clamp_range(clamp_bits: int) -> tuple[int, int]:
     return lo, -lo - 1
 
 
+def _storage_type(clamp_bits: int) -> str:
+    """Smallest integral element type the clamp range fits — the 4×
+    bandwidth claim is realized HERE: ``tinyint`` elements are 1 byte in
+    Spark's internal rows and shuffle blocks (and INT(8)-annotated in
+    parquet), vs 4 for the float32 they replace.  Same names are valid
+    DuckDB types."""
+    if clamp_bits <= 8:
+        return "tinyint"
+    if clamp_bits <= 16:
+        return "smallint"
+    return "int"
+
+
 def quantize_expr(vec: Column | str, frac_bits: int = 8,
                   clamp_bits: int = 8) -> Column:
-    """``array<float/double>`` → ``array<int>`` by the module-header
-    power-of-two quantization.  Pure codegen (``transform`` over
+    """``array<float/double>`` → array of the smallest integral type the
+    clamp fits (``array<tinyint>`` at the int8 default — 1 byte/coord in
+    Spark's rows and shuffle blocks, the actual 4× win) by the
+    module-header power-of-two quantization.  Pure codegen (``transform`` over
     ``floor``/``greatest``/``least``) — no UDF, no shuffle.  NaN and
     NULL coordinates quantize to NULL EXPLICITLY — both Spark's and
     DuckDB's ``greatest``/``least`` SKIP NULL arguments (row-wise
@@ -76,16 +91,17 @@ def quantize_expr(vec: Column | str, frac_bits: int = 8,
     lo, hi = _clamp_range(clamp_bits)
     scale = 1 << frac_bits
     col = F.col(vec) if isinstance(vec, str) else vec
+    st = _storage_type(clamp_bits)
     return F.transform(
         col,
         lambda x: F.when(
-            x.isNull() | F.isnan(x.cast("double")), F.lit(None).cast("int")
+            x.isNull() | F.isnan(x.cast("double")), F.lit(None).cast(st)
         ).otherwise(
             F.greatest(
                 F.lit(lo),
                 F.least(F.lit(hi),
                         F.floor(x.cast("double") * F.lit(scale))))
-            .cast("int")))
+            .cast(st)))
 
 
 def quantize_embeddings(df: DataFrame, vec_col: str, out_col: str = "qvec",
@@ -172,10 +188,11 @@ def quantize_sql(vec_expr: str, frac_bits: int = 8,
         raise ValueError(f"frac_bits must be >= 0, got {frac_bits}")
     lo, hi = _clamp_range(clamp_bits)
     scale = 1 << frac_bits
+    st = _storage_type(clamp_bits).upper()
     return (f"list_transform({vec_expr}, x -> CASE WHEN "
             f"x IS NULL OR isnan(CAST(x AS DOUBLE)) THEN NULL ELSE "
-            f"greatest({lo}, least({hi}, "
-            f"CAST(floor(CAST(x AS DOUBLE) * {scale}) AS INT))) END)")
+            f"CAST(greatest({lo}, least({hi}, "
+            f"CAST(floor(CAST(x AS DOUBLE) * {scale}) AS INT))) AS {st}) END)")
 
 
 def quantized_topk_sql(table: str, id_col: str, vec_col: str,

@@ -61,6 +61,18 @@ def test_quantize_matches_spec_including_saturation_and_nan(vec_df):
         assert got[i] == expect, (i, got[i], expect)
 
 
+def test_quantize_storage_type_is_smallest_fit(vec_df):
+    """The 4x bandwidth claim rides the element type: int8 clamp must
+    produce array<tinyint> (1 B/coord in rows and shuffles), 16-bit
+    clamp array<smallint>."""
+    t8 = vec_df.select(QZ.quantize_expr("embedding").alias("q")).schema
+    assert t8["q"].dataType.simpleString() == "array<tinyint>"
+    t16 = vec_df.select(
+        QZ.quantize_expr("embedding", frac_bits=12,
+                         clamp_bits=16).alias("q")).schema
+    assert t16["q"].dataType.simpleString() == "array<smallint>"
+
+
 def test_quantize_sql_twin_bit_identical(vec_df):
     spark_q = {r["vec_id"]: r["q"] for r in
                vec_df.select("vec_id",
