@@ -2419,9 +2419,20 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: spark.sql over registered views, and the oracle runs the same string
 #: in DuckDB — written in the shared dialect subset, so the proof is
 #: that the engine's SQL surface needs no translation layer at all.
+#:
+#: The revenue sum is computed in integer units (cents × discount
+#: basis points): price and discount are cents-exact in the data, so
+#: ``round(x*100)`` recovers the integers both engines agree on, the
+#: BIGINT sum is associative — bit-identical under ANY partitioning or
+#: join order, unlike a double sum whose rounding is order-dependent
+#: (this query was the suite's one remaining ulp-level sf1.0 cell) —
+#: and the final single division by 10^4 is one correctly-rounded IEEE
+#: op in either engine.  Same integer-exactness design as funnel/scd2.
 _SQL_REVENUE = """
 SELECT n.n_name AS nation,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS revenue,
        count(*) AS n_lineitems
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
