@@ -54,6 +54,7 @@ from frames_map_reduce_spark.mapreduce import (
     unpack_no_op,
 )
 from frames_map_reduce_spark.operators import cdc as CDC
+from frames_map_reduce_spark.operators import classifier as CLF
 from frames_map_reduce_spark.operators import clusters as CL
 from frames_map_reduce_spark.operators import dedup as DD
 from frames_map_reduce_spark.operators import frequency as FRQ
@@ -895,6 +896,43 @@ def q_pack_bpe_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = docs.select("doc_id", "source").join(counts, "doc_id")
     return PK.pack_sequences(sized, "n_subwords", 256,
                              order_by=["doc_id"], by=["source"])
+
+
+#: hashing-trick capacity for the registry classifier — small enough
+#: that collisions are exercised at test scale, part of the model spec
+#: (changing it changes every published score).
+_QCLF_BUCKETS = 1024
+_QCLF_SALT = "qclf"
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/fastText-style quality-classifier gate (hashed log-odds —
+    operators/classifier.py): train a hashed bag-of-words log-odds model
+    on a trusted-vs-rest label (here lang='en' as the "trusted" class,
+    the CCNet setup with the corpus's own metadata as supervision),
+    score every document, and report the per-(source, lang) curation
+    yield: documents, kept-by-gate count (mean micro-log-odds ≥ 0), and
+    the exact BIGINT logit mass.  Training is one explode + one hash
+    agg into a 1024-row broadcastable weight table; scoring is explode →
+    broadcast join → per-doc integer agg.  Every output cell is integer
+    (weights are micro-quantized once per bucket, then all arithmetic is
+    BIGINT), so the hash comparison is engine- and partitioning-exact by
+    design."""
+    docs = _docs(spark, sf_dir)
+    labeled = docs.withColumn("_is_en", F.col("lang") == F.lit("en"))
+    w = CLF.train_logodds_classifier(labeled, "text", "_is_en",
+                                     n_buckets=_QCLF_BUCKETS,
+                                     salt=_QCLF_SALT)
+    scores = CLF.classifier_score(docs, w, "text", "doc_id",
+                                  n_buckets=_QCLF_BUCKETS,
+                                  salt=_QCLF_SALT,
+                                  carry=("source", "lang"))
+    return (scores.groupBy("source", "lang")
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                       F.sum(F.when(F.col("logit_rank") >= 0, 1)
+                              .otherwise(0)).cast("bigint").alias("n_keep"),
+                       F.sum("logit_sum").cast("bigint")
+                        .alias("logit_total")))
 
 
 MARKUP_CSV = "/root/repo/tests/fixtures/markup.csv"
@@ -2676,6 +2714,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_pruning": q_zorder_pruning,
         "bpe_token_count": q_bpe_token_count,
         "pack_bpe_sequences": q_pack_bpe_sequences,
+        "quality_classifier": q_quality_classifier,
     }
 
 
@@ -3022,6 +3061,23 @@ def oracle_sql() -> dict[str, str]:
             f"JOIN ({TKZ.subword_counts_sql('documents', 'text', 'doc_id')})"
             " c USING (doc_id))",
             "n_subwords", 256, ["doc_id"], ["source"]),
+        # composed classifier twin: the generated train SQL (same hash,
+        # smoothing, and micro-quantization spec) feeds the generated
+        # scoring SQL; the final rollup is all-BIGINT, engine-exact
+        "quality_classifier": f"""
+            WITH weights AS ({CLF.train_logodds_classifier_sql(
+                "(SELECT text, (lang = 'en') AS _is_en FROM documents)",
+                "text", "_is_en",
+                n_buckets=_QCLF_BUCKETS, salt=_QCLF_SALT)}),
+            scores AS ({CLF.classifier_score_sql(
+                "documents", "weights", "text", "doc_id",
+                n_buckets=_QCLF_BUCKETS, salt=_QCLF_SALT,
+                carry=("source", "lang"))})
+            SELECT source, lang, count(*)::BIGINT AS n_docs,
+                   sum(CASE WHEN logit_rank >= 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_keep,
+                   sum(logit_sum)::BIGINT AS logit_total
+            FROM scores GROUP BY source, lang""",
         # composed twin: curation stages nest verbatim, selection ranks
         # on the same integer lp_rank key with the same integer rank
         # compare, and pack_sequences_sql runs over the kept-CTE

@@ -90,6 +90,7 @@ HEADLINE = [
     "bpe_token_count",    # greedy subword encode (Arrow mapInPandas)
     "pack_bpe_sequences",  # packing budgeted in tokenizer tokens
     "ann_int8",           # int8-quantized integer-exact MIPS top-k
+    "quality_classifier",  # hashed log-odds train + broadcast-join score
 ]
 
 #: entries that run ONCE per bench session instead of median-of-n: they

@@ -1,0 +1,90 @@
+"""Hashed log-odds classifier (operators/classifier.py).
+
+Covers the model contract (full weight-table spine, sign of evidence,
+gate semantics) and the engine-exactness claims (partition invariance of
+the integer score path).  Cross-engine value parity is proven separately
+by test_oracle_parity / the driver on the quality_classifier registry
+query.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from frames_map_reduce_spark.operators import classifier as CLF
+from tests.conftest import rows_sorted
+
+D = 64
+SALT = "t"
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    # 'alpha' appears only in positive docs, 'omega' only in negative,
+    # 'common' in both equally; one empty doc exercises the absent-row
+    # contract.
+    rows = [
+        (1, "alpha alpha common", True),
+        (2, "alpha common", True),
+        (3, "omega common", False),
+        (4, "omega omega common", False),
+        (5, "", True),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, good boolean")
+
+
+@pytest.fixture(scope="module")
+def weights(tiny):
+    return CLF.train_logodds_classifier(tiny, "text", "good",
+                                        n_buckets=D, salt=SALT).cache()
+
+
+def test_weight_table_is_dense_spine(weights):
+    got = rows_sorted(weights, "bucket")
+    assert len(got) == D
+    assert [b for b, _ in got] == list(range(D))
+
+
+def test_evidence_signs(spark, tiny, weights):
+    # bucket of a token = same hash spec the operator uses
+    def bucket_of(tok: str) -> int:
+        return (spark.range(1)
+                .select((CLF.hash_unit(F.lit(tok), SALT) % D).alias("b"))
+                .collect()[0]["b"])
+
+    w = {b: wt for b, wt in weights.collect()}
+    assert w[bucket_of("alpha")] > 0     # positive-only evidence
+    assert w[bucket_of("omega")] < 0     # negative-only evidence
+
+
+def test_score_gate_and_absent_empty_doc(tiny, weights):
+    scores = CLF.classifier_score(tiny, weights, "text", "doc_id",
+                                  n_buckets=D, salt=SALT)
+    got = {r["doc_id"]: r for r in scores.collect()}
+    assert set(got) == {1, 2, 3, 4}      # doc 5 has no tokens -> absent
+    # positive-class docs rank above the gate, negative below
+    assert got[1]["logit_rank"] > 0 and got[2]["logit_rank"] > 0
+    assert got[3]["logit_rank"] < 0 and got[4]["logit_rank"] < 0
+    # logit_sum is the exact integer sum; n_tokens counts occurrences
+    assert got[1]["n_tokens"] == 3 and got[4]["n_tokens"] == 3
+
+
+def test_partition_invariance(documents):
+    """The integer score path is bit-identical under any partitioning:
+    train + score on 1 partition vs 13 must agree on every cell."""
+    labeled = documents.withColumn("_pos", F.col("lang") == "en")
+    outs = []
+    for n in (1, 13):
+        df = labeled.repartition(n)
+        w = CLF.train_logodds_classifier(df, "text", "_pos",
+                                         n_buckets=256, salt="pi")
+        s = CLF.classifier_score(df, w, "text", "doc_id",
+                                 n_buckets=256, salt="pi")
+        outs.append(rows_sorted(s, "doc_id"))
+    assert outs[0] == outs[1]
+
+
+def test_bad_inputs(tiny):
+    with pytest.raises(ValueError):
+        CLF.train_logodds_classifier(tiny, "text", "good", n_buckets=1)
