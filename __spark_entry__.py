@@ -935,6 +935,24 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("logit_total")))
 
 
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture rebalancing (operators/sampling.py
+    temperature_mixture — the XLM-R/mT5 alpha-sampling recipe): per-source
+    keep rates r_s = c_s^(T-1)/max_u c_u^(T-1) derived IN-PLAN from one
+    tiny count aggregation (no driver collect — a million-source corpus
+    works), applied as the shared deterministic salted-hash filter.
+    T=0.5 flattens the mixture toward uniform; the smallest source keeps
+    rate 1 exactly.  Output: per-source kept docs and kept char mass —
+    all integer, so only the per-SOURCE pow/floor threshold touches a
+    double (the accepted boundary-row risk class)."""
+    docs = _docs(spark, sf_dir)
+    kept = SMP.temperature_mixture(docs, "source", "doc_id",
+                                   temperature=0.5, salt="tmix")
+    return (kept.groupBy("source")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+                     F.sum("n_chars").cast("bigint").alias("chars_kept")))
+
+
 MARKUP_CSV = "/root/repo/tests/fixtures/markup.csv"
 
 
@@ -2715,6 +2733,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": q_bpe_token_count,
         "pack_bpe_sequences": q_pack_bpe_sequences,
         "quality_classifier": q_quality_classifier,
+        "temperature_mixture": q_temperature_mixture,
     }
 
 
@@ -3078,6 +3097,14 @@ def oracle_sql() -> dict[str, str]:
                        AS n_keep,
                    sum(logit_sum)::BIGINT AS logit_total
             FROM scores GROUP BY source, lang""",
+        # the generated mixture twin nests as a derived table; the
+        # rollup over the kept set is all-BIGINT
+        "temperature_mixture": f"""
+            SELECT source, count(*)::BIGINT AS n_kept,
+                   sum(n_chars)::BIGINT AS chars_kept
+            FROM ({SMP.temperature_mixture_sql(
+                "documents", "source", "doc_id", 0.5, "tmix")})
+            GROUP BY source""",
         # composed twin: curation stages nest verbatim, selection ranks
         # on the same integer lp_rank key with the same integer rank
         # compare, and pack_sequences_sql runs over the kept-CTE

@@ -91,6 +91,7 @@ HEADLINE = [
     "pack_bpe_sequences",  # packing budgeted in tokenizer tokens
     "ann_int8",           # int8-quantized integer-exact MIPS top-k
     "quality_classifier",  # hashed log-odds train + broadcast-join score
+    "temperature_mixture",  # alpha-sampling rebalance, in-plan rates
 ]
 
 #: entries that run ONCE per bench session instead of median-of-n: they

@@ -42,6 +42,7 @@ __all__ = [
     "hash_unit", "hash_unit_sql", "hash_split", "hash_split_sql_case",
     "stratified_sample", "weighted_mixture", "weighted_mixture_sql_pred",
     "weighted_sample", "weighted_sample_sql", "es_priority_sql",
+    "temperature_mixture", "temperature_mixture_sql",
 ]
 
 _SCALE = 1 << 32  # 8 hex chars
@@ -376,3 +377,83 @@ def top_fraction(df: DataFrame, by: Sequence[str], score_col: str,
                  .filter(F.col("_tf_rank") * F.lit(int(den))
                          <= F.lit(int(num)) * F.col("_tf_n")))
     return out.select(*df.columns)
+
+
+def _temp_threshold(temperature: float) -> None:
+    if not 0.0 < temperature <= 1.0:
+        raise ValueError(
+            f"temperature must be in (0, 1], got {temperature}; "
+            "T=1 is the identity, T<1 flattens the mixture, T<=0 is "
+            "undefined (and T>1 would need upsampling — out of scope, "
+            "same contract as weighted_mixture)")
+
+
+def temperature_mixture(df: DataFrame, source_col: str, key_col: str,
+                        temperature: float, salt: str = "") -> DataFrame:
+    """Rebalance a multi-source corpus toward the temperature-scaled
+    mixture (the XLM-R / mT5 "alpha-sampling" recipe): after sampling,
+    source shares are proportional to ``count^T`` instead of ``count``,
+    so T < 1 boosts small sources' RELATIVE share by downsampling large
+    ones.  Downsampling-only (rates <= 1, the ``weighted_mixture``
+    contract): per-source keep rate is
+
+        r_s = c_s^(T-1) / max_u c_u^(T-1)
+
+    — the algebraic form of "keep the largest total that hits the
+    target shares without upsampling anyone"; the smallest source keeps
+    rate 1 exactly.  Unlike :func:`weighted_mixture` the rates are
+    DERIVED FROM THE DATA in-plan: one per-source count aggregation
+    (tiny), a broadcast 1-row max, a broadcast join back, then the
+    same deterministic salted-hash filter every sampler here uses —
+    no driver collect, so a 100 TB corpus with a million sources works.
+
+    Engine-exactness note: ``pow`` is the one double op (per SOURCE,
+    not per row); membership flips only if engines disagree on
+    ``floor(r_s * 2^32)`` AND some row's 32-bit hash equals exactly the
+    disputed threshold — the same accepted risk class as the suite's
+    ``round(x, 6)`` convention, vanishingly unlikely and strictly
+    per-boundary-row.  ``key_col`` must be unique per row (shared
+    sampler contract; duplicates draw correlated coins).
+    """
+    require_columns(df, [source_col, key_col])
+    _temp_threshold(temperature)
+    t1 = float(temperature) - 1.0
+    counts = (df.groupBy(source_col)
+                .agg(F.count(F.lit(1)).alias("_tm_c")))
+    g = F.pow(F.col("_tm_c").cast("double"), F.lit(t1))
+    rates = counts.select(F.col(source_col), g.alias("_tm_g"))
+    gmax = rates.agg(F.max("_tm_g").alias("_tm_gmax"))
+    thr = (rates.crossJoin(F.broadcast(gmax))
+                .select(source_col,
+                        F.floor(F.col("_tm_g") / F.col("_tm_gmax")
+                                * F.lit(float(_SCALE)))
+                         .cast("bigint").alias("_tm_thr")))
+    out = (df.join(F.broadcast(thr), source_col)
+             .filter(hash_unit(F.col(key_col), salt) < F.col("_tm_thr")))
+    return out.select(*df.columns)
+
+
+def temperature_mixture_sql(table: str, source_col: str, key_col: str,
+                            temperature: float, salt: str = "") -> str:
+    """DuckDB twin of :func:`temperature_mixture` (generated, not
+    hand-kept): same count/pow/max/floor staging, same hash filter."""
+    _temp_threshold(temperature)
+    t1 = repr(float(temperature) - 1.0)
+    h = hash_unit_sql(f"t.{key_col}", salt)
+    return f"""
+        WITH _tm_counts AS (
+            SELECT {source_col}, count(*)::BIGINT AS _tm_c
+            FROM {table} GROUP BY {source_col}),
+        _tm_rates AS (
+            SELECT {source_col},
+                   pow(CAST(_tm_c AS DOUBLE), {t1}) AS _tm_g
+            FROM _tm_counts),
+        _tm_gmax AS (SELECT max(_tm_g) AS _tm_gmax FROM _tm_rates),
+        _tm_thr AS (
+            SELECT {source_col},
+                   CAST(floor(_tm_g / _tm_gmax * {float(_SCALE)!r})
+                        AS BIGINT) AS _tm_thr
+            FROM _tm_rates CROSS JOIN _tm_gmax)
+        SELECT t.* FROM {table} t
+        JOIN _tm_thr USING ({source_col})
+        WHERE {h} < _tm_thr"""

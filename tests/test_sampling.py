@@ -392,3 +392,45 @@ def test_top_fraction_contracts(spark):
     assert specs, plan
     for spec in specs:
         assert "_tf_b" in spec or "_tf_ab" in spec, spec
+
+
+def test_temperature_mixture_flattens_toward_uniform(spark):
+    from frames_map_reduce_spark.operators.sampling import temperature_mixture
+    # 1000 'big' rows vs 50 'small' rows: at T=0.5 the big source must be
+    # downsampled hard while the smallest source keeps EVERY row (rate 1
+    # exactly — integer threshold 2^32 admits all 32-bit hashes)
+    rows = [("big", i) for i in range(1000)] + [("small", 10_000 + i) for i in range(50)]
+    df = spark.createDataFrame(rows, "src string, id long")
+    kept = temperature_mixture(df, "src", "id", temperature=0.5, salt="t")
+    got = {r["src"]: r["n"] for r in
+           kept.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["small"] == 50                       # smallest: rate 1
+    # expected big rate = (1000/50)^(0.5-1) = 20^-0.5 ~ 0.2236 -> ~224 rows;
+    # the hash filter is uniform, allow generous sampling slack
+    assert 150 <= got["big"] <= 300
+    # post-sampling shares are ~sqrt-proportional: 224/50 ~ 4.5 vs 20 before
+    assert got["big"] / got["small"] < 8
+
+
+def test_temperature_mixture_identity_and_contracts(spark):
+    from frames_map_reduce_spark.operators.sampling import temperature_mixture
+    rows = [("a", 1), ("a", 2), ("b", 3)]
+    df = spark.createDataFrame(rows, "src string, id long")
+    # T=1: every source keeps rate 1 -> identity (column set preserved)
+    out = temperature_mixture(df, "src", "id", temperature=1.0)
+    assert sorted(tuple(r) for r in out.collect()) == sorted(rows)
+    assert out.columns == df.columns
+    import pytest
+    for bad in (0.0, -0.5, 1.5):
+        with pytest.raises(ValueError):
+            temperature_mixture(df, "src", "id", temperature=bad)
+
+
+def test_temperature_mixture_partition_invariance(documents):
+    from frames_map_reduce_spark.operators.sampling import temperature_mixture
+    outs = []
+    for n in (1, 13):
+        kept = temperature_mixture(documents.repartition(n), "source",
+                                   "doc_id", temperature=0.5, salt="pi")
+        outs.append(sorted(r["doc_id"] for r in kept.select("doc_id").collect()))
+    assert outs[0] == outs[1]
