@@ -935,6 +935,61 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("logit_total")))
 
 
+def q_stream_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quality-classifier gate (streaming.stream_classifier_gate):
+    the hashed log-odds model of q_quality_classifier — SAME buckets,
+    salt, and training corpus — applied to documents arriving through a
+    file stream as a pure stateless expression (dense weight table as
+    one array literal: no join, no shuffle, no state — the true
+    ingestion-firewall shape).  The sink table is then rolled up per
+    source.  FULL value oracle: the gate computes the exact integers
+    classifier_score computes, so the batch train+score twin applies
+    verbatim (tokenless rows carry n_tokens=0 through the stateless
+    gate and are filtered to match the score SQL's absent-row
+    semantics)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import uuid
+
+    from frames_map_reduce_spark.streaming import stream_classifier_gate
+
+    docs = _docs(spark, sf_dir)
+    labeled = docs.withColumn("_is_en", F.col("lang") == F.lit("en"))
+    w_rows = [(r["bucket"], r["weight"]) for r in
+              CLF.train_logodds_classifier(labeled, "text", "_is_en",
+                                           n_buckets=_QCLF_BUCKETS,
+                                           salt=_QCLF_SALT).collect()]
+    base = f"/tmp/fmr_stream_clf_{uuid.uuid4().hex[:12]}"
+    try:
+        stage = f"{base}/in"
+        _os.makedirs(stage)
+        inc = docs.select("doc_id", "source", "text")
+        inc.coalesce(1).write.parquet(f"{base}/f0")
+        _shutil.move(_glob.glob(f"{base}/f0/part-*.parquet")[0],
+                     f"{stage}/0.parquet")
+        stream = spark.readStream.schema(inc.schema).parquet(stage)
+        gated = stream_classifier_gate(stream, w_rows, "text",
+                                       n_buckets=_QCLF_BUCKETS,
+                                       salt=_QCLF_SALT)
+        name = f"stream_clf_{uuid.uuid4().hex[:8]}"
+        q = (gated.drop("text").writeStream.format("memory")
+                  .queryName(name).outputMode("append")
+                  .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return (spark.table(name)
+                     .filter(F.col("n_tokens") > 0)
+                     .groupBy("source")
+                     .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                          F.sum(F.when(F.col("logit_rank") >= 0, 1)
+                                 .otherwise(0)).cast("bigint")
+                           .alias("n_keep"),
+                          F.sum("logit_sum").cast("bigint")
+                           .alias("logit_total")))
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
+
+
 def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled mixture rebalancing (operators/sampling.py
     temperature_mixture — the XLM-R/mT5 alpha-sampling recipe): per-source
@@ -2734,6 +2789,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bpe_sequences": q_pack_bpe_sequences,
         "quality_classifier": q_quality_classifier,
         "temperature_mixture": q_temperature_mixture,
+        "stream_classifier": q_stream_classifier,
     }
 
 
@@ -3097,6 +3153,24 @@ def oracle_sql() -> dict[str, str]:
                        AS n_keep,
                    sum(logit_sum)::BIGINT AS logit_total
             FROM scores GROUP BY source, lang""",
+        # the streaming gate computes the EXACT integers classifier_score
+        # computes (classifier_gate_columns' design contract, pinned by
+        # test_classifier.py), so the batch train+score twin applies
+        # verbatim — a streaming query with a full value oracle
+        "stream_classifier": f"""
+            WITH weights AS ({CLF.train_logodds_classifier_sql(
+                "(SELECT text, (lang = 'en') AS _is_en FROM documents)",
+                "text", "_is_en",
+                n_buckets=_QCLF_BUCKETS, salt=_QCLF_SALT)}),
+            scores AS ({CLF.classifier_score_sql(
+                "documents", "weights", "text", "doc_id",
+                n_buckets=_QCLF_BUCKETS, salt=_QCLF_SALT,
+                carry=("source",))})
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum(CASE WHEN logit_rank >= 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_keep,
+                   sum(logit_sum)::BIGINT AS logit_total
+            FROM scores GROUP BY source""",
         # the generated mixture twin nests as a derived table; the
         # rollup over the kept set is all-BIGINT
         "temperature_mixture": f"""

@@ -60,6 +60,7 @@ from frames_map_reduce_spark.schema import require_columns
 __all__ = [
     "train_logodds_classifier", "train_logodds_classifier_sql",
     "classifier_score", "classifier_score_sql",
+    "classifier_gate_columns",
     "LOGIT_SCALE", "LOGIT_OFFSET",
 ]
 
@@ -218,3 +219,49 @@ def classifier_score_sql(table: str, weights_cte: str, text_col: str,
                     FROM {table}))
         JOIN {weights_cte} USING (bucket)
         GROUP BY {id_col}{cs}"""
+
+
+def classifier_gate_columns(weights: Sequence[tuple[int, int]],
+                            text_col: str, n_buckets: int,
+                            salt: str = "clf") -> dict[str, Column]:
+    """The classifier as a PURE STATELESS EXPRESSION — the ingestion-gate
+    form: the dense weight table rides along as ONE array literal indexed
+    by bucket, so scoring a row touches no join, no shuffle, and no state.
+    That is exactly what a Structured Streaming gate or a map-side corpus
+    filter needs (``classifier_score``'s explode → join → groupBy is the
+    faster shape for BATCH scoring: the higher-order-function lambda here
+    is interpreted per token, the join path is codegen).
+
+    ``weights`` must cover exactly ``[0, n_buckets)`` — the dense spine
+    :func:`train_logodds_classifier` emits (typically via ``.collect()``,
+    bounded at ``n_buckets`` rows by construction).
+
+    Returns ``{"n_tokens": …, "logit_sum": …, "logit_rank": …}`` Columns
+    computing the IDENTICAL integers to :func:`classifier_score`
+    (tokenless rows get ``n_tokens = 0`` and NULL rank instead of being
+    absent — a stateless expression cannot drop rows; filter on
+    ``n_tokens > 0`` for exact parity).  The half-up mean uses the exact
+    integer identity ``floor(a/b) = (a - a % b)/b`` on offset-positive
+    values: the subtraction is exact BIGINT, the division is an exact
+    multiple, so the double carries no rounding.
+    """
+    got = sorted(weights)
+    if [b for b, _ in got] != list(range(n_buckets)):
+        raise ValueError(
+            f"weights must cover exactly [0, {n_buckets}) — got "
+            f"{len(got)} rows; pass train_logodds_classifier(...).collect()")
+    arr = F.lit([int(w) for _, w in got])
+    toks = TX.tokens(F.col(text_col))
+    wts = F.transform(
+        toks,
+        lambda t: F.element_at(
+            arr, (hash_unit(t, salt) % F.lit(n_buckets) + 1).cast("int")))
+    s = F.aggregate(wts, F.lit(0).cast("bigint"), lambda a, w: a + w)
+    n = F.size(toks)
+    a = F.lit(2) * (s + n.cast("bigint") * F.lit(LOGIT_OFFSET)) + n
+    b = F.lit(2) * n.cast("bigint")
+    rank = F.when(n > 0,
+                  ((a - a % b) / b).cast("bigint") - F.lit(LOGIT_OFFSET))
+    return {"n_tokens": n.cast("bigint"),
+            "logit_sum": s.cast("bigint"),
+            "logit_rank": rank.cast("bigint")}

@@ -413,3 +413,33 @@ def stream_merge_snapshot(stream: DataFrame, snapshot_dir: str,
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def stream_classifier_gate(stream: DataFrame,
+                           weights: Sequence[tuple[int, int]],
+                           text_col: str, n_buckets: int,
+                           salt: str = "clf",
+                           threshold_micro: int | None = None) -> DataFrame:
+    """Quality-classifier gate at ingestion time: score every streamed
+    document against a TRAINED hashed log-odds model
+    (``operators.classifier``) as a pure stateless expression — the
+    dense weight table travels as one array literal, so the gate adds
+    NO join, NO shuffle, and NO state to the stream (works in append
+    mode with no watermark; the scores are the exact integers
+    ``classifier_score`` computes on the same rows).
+
+    ``weights`` is the collected dense table
+    (``train_logodds_classifier(...).collect()`` — bounded at
+    ``n_buckets`` rows by construction).  Appends ``n_tokens``,
+    ``logit_sum``, ``logit_rank``; with ``threshold_micro`` set, also
+    FILTERS to rows whose ``logit_rank`` clears it (tokenless rows have
+    NULL rank and never clear a threshold).
+    """
+    from frames_map_reduce_spark.operators.classifier import (
+        classifier_gate_columns)
+    require_columns(stream, [text_col])
+    cols = classifier_gate_columns(weights, text_col, n_buckets, salt)
+    out = stream.select("*", *(c.alias(name) for name, c in cols.items()))
+    if threshold_micro is not None:
+        out = out.filter(F.col("logit_rank") >= int(threshold_micro))
+    return out

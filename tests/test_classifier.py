@@ -88,3 +88,33 @@ def test_partition_invariance(documents):
 def test_bad_inputs(tiny):
     with pytest.raises(ValueError):
         CLF.train_logodds_classifier(tiny, "text", "good", n_buckets=1)
+
+
+def test_gate_columns_match_classifier_score_exactly(documents):
+    """The stateless expression form must compute the IDENTICAL integers
+    to the join-based classifier_score on every row — that contract is
+    what lets the streaming gate reuse the batch oracle verbatim."""
+    labeled = documents.withColumn("_pos", F.col("lang") == "en")
+    w = CLF.train_logodds_classifier(labeled, "text", "_pos",
+                                     n_buckets=256, salt="g")
+    joined = CLF.classifier_score(documents, w, "text", "doc_id",
+                                  n_buckets=256, salt="g")
+    w_rows = [(r["bucket"], r["weight"]) for r in w.collect()]
+    cols = CLF.classifier_gate_columns(w_rows, "text", 256, salt="g")
+    gate = (documents.select("doc_id",
+                             *(c.alias(n) for n, c in cols.items()))
+                     .filter(F.col("n_tokens") > 0))
+    assert rows_sorted(gate, "doc_id") == rows_sorted(joined, "doc_id")
+
+
+def test_gate_columns_contracts(spark, documents):
+    # sparse / wrong-length weights are rejected loudly
+    with pytest.raises(ValueError, match="cover exactly"):
+        CLF.classifier_gate_columns([(0, 1), (2, 1)], "text", 3)
+    # tokenless rows: n_tokens 0, NULL rank, never pass a threshold
+    w = [(i, 0) for i in range(8)]
+    cols = CLF.classifier_gate_columns(w, "t", 8)
+    df = spark.createDataFrame([("",), ("x y",)], "t string")
+    got = {r["n_tokens"]: r["logit_rank"]
+           for r in df.select(*(c.alias(n) for n, c in cols.items())).collect()}
+    assert got[0] is None and got[2] == 0

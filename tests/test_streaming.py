@@ -383,3 +383,43 @@ def test_stream_merge_snapshot_equals_batch_compaction(spark, tmp_path):
     assert grown == want3
     assert (6, 1, False, 60.0) in grown
     assert (3, 3, False, 32.0) in grown
+
+
+def test_stream_classifier_gate_threshold_filters(spark, documents, tmp_path):
+    """The gate's threshold form drops below-gate and tokenless rows
+    inside the stream (append mode, no state, no watermark)."""
+    import glob
+    import shutil
+
+    from frames_map_reduce_spark.operators import classifier as CLF
+    from frames_map_reduce_spark.streaming import stream_classifier_gate
+    from pyspark.sql import functions as F
+
+    labeled = documents.withColumn("_pos", F.col("lang") == "en")
+    w = CLF.train_logodds_classifier(labeled, "text", "_pos",
+                                     n_buckets=128, salt="sg")
+    w_rows = [(r["bucket"], r["weight"]) for r in w.collect()]
+
+    inc = documents.select("doc_id", "text")
+    inc.coalesce(1).write.parquet(str(tmp_path / "f0"))
+    stage = tmp_path / "in"
+    stage.mkdir()
+    shutil.move(glob.glob(str(tmp_path / "f0" / "part-*.parquet"))[0],
+                str(stage / "0.parquet"))
+    stream = spark.readStream.schema(inc.schema).parquet(str(stage))
+
+    # batch truth: who clears the median-ish gate?
+    scored = CLF.classifier_score(documents, w, "text", "doc_id",
+                                  n_buckets=128, salt="sg")
+    thr = 0
+    expect = sorted(r["doc_id"] for r in
+                    scored.filter(F.col("logit_rank") >= thr).collect())
+
+    gated = stream_classifier_gate(stream, w_rows, "text", n_buckets=128,
+                                   salt="sg", threshold_micro=thr)
+    q = (gated.select("doc_id").writeStream.format("memory")
+              .queryName("sg_gate").outputMode("append")
+              .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted(r["doc_id"] for r in spark.table("sg_gate").collect())
+    assert got == expect
