@@ -990,6 +990,31 @@ def q_stream_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shutil.rmtree(base, ignore_errors=True)
 
 
+def q_curate_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-driven curation (the FineWeb-Edu shape): train the
+    hashed log-odds model on the trusted-vs-rest label, score every
+    document, keep each source's TOP HALF by the integer logit_rank
+    (sampling.top_fraction — the distributed two-phase bucket cut, so
+    selection parallelism is not bounded by the number of sources), and
+    report per-source yield.  Every decision is integer (micro-quantized
+    weights → BIGINT rank → the all-integer cut 2·rank ≤ n with doc_id
+    tie-break), so the composed twin is engine-exact by design."""
+    docs = _docs(spark, sf_dir)
+    labeled = docs.withColumn("_is_en", F.col("lang") == F.lit("en"))
+    w = CLF.train_logodds_classifier(labeled, "text", "_is_en",
+                                     n_buckets=_QCLF_BUCKETS,
+                                     salt=_QCLF_SALT)
+    scores = CLF.classifier_score(docs, w, "text", "doc_id",
+                                  n_buckets=_QCLF_BUCKETS,
+                                  salt=_QCLF_SALT, carry=("source",))
+    kept = SMP.top_fraction(scores, ["source"], "logit_rank", "doc_id",
+                            num=1, den=2)
+    return (kept.groupBy("source")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+                     F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+                     F.sum("logit_sum").cast("bigint").alias("logit_kept")))
+
+
 def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled mixture rebalancing (operators/sampling.py
     temperature_mixture — the XLM-R/mT5 alpha-sampling recipe): per-source
@@ -2790,6 +2815,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "temperature_mixture": q_temperature_mixture,
         "stream_classifier": q_stream_classifier,
+        "curate_corpus_v3": q_curate_corpus_v3,
     }
 
 
@@ -3171,6 +3197,30 @@ def oracle_sql() -> dict[str, str]:
                        AS n_keep,
                    sum(logit_sum)::BIGINT AS logit_total
             FROM scores GROUP BY source""",
+        # classifier-driven curation: train + score twins nest, the
+        # per-source top-half cut is the serial row_number form of
+        # top_fraction's two-phase cut (identical by the fuzz pin), and
+        # the rollup is all-BIGINT
+        "curate_corpus_v3": f"""
+            WITH weights AS ({CLF.train_logodds_classifier_sql(
+                "(SELECT text, (lang = 'en') AS _is_en FROM documents)",
+                "text", "_is_en",
+                n_buckets=_QCLF_BUCKETS, salt=_QCLF_SALT)}),
+            scores AS ({CLF.classifier_score_sql(
+                "documents", "weights", "text", "doc_id",
+                n_buckets=_QCLF_BUCKETS, salt=_QCLF_SALT,
+                carry=("source",))}),
+            ranked AS (
+                SELECT source, n_tokens, logit_sum,
+                       row_number() OVER (PARTITION BY source
+                           ORDER BY logit_rank DESC, doc_id) AS _rn,
+                       count(*) OVER (PARTITION BY source) AS _n
+                FROM scores)
+            SELECT source, count(*)::BIGINT AS n_kept,
+                   sum(n_tokens)::BIGINT AS tokens_kept,
+                   sum(logit_sum)::BIGINT AS logit_kept
+            FROM ranked WHERE _rn * 2 <= _n
+            GROUP BY source""",
         # the generated mixture twin nests as a derived table; the
         # rollup over the kept set is all-BIGINT
         "temperature_mixture": f"""

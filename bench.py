@@ -92,6 +92,7 @@ HEADLINE = [
     "ann_int8",           # int8-quantized integer-exact MIPS top-k
     "quality_classifier",  # hashed log-odds train + broadcast-join score
     "temperature_mixture",  # alpha-sampling rebalance, in-plan rates
+    "curate_corpus_v3",   # classifier train -> score -> top-half cut
 ]
 
 #: entries that run ONCE per bench session instead of median-of-n: they
