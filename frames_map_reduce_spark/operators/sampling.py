@@ -289,9 +289,16 @@ def deterministic_shuffle_sql(table: str, key_col: str, salt: str = "",
             f" - 1 AS BIGINT) AS {out} FROM {table}")
 
 
+#: swap-cache for top_fraction's persisted input (session.drain_persist_cache
+#: pattern: each call drains the previous call's frame, bounding a
+#: long-lived session to one cached input).
+_TF_CACHE: list = []
+
+
 def top_fraction(df: DataFrame, by: Sequence[str], score_col: str,
                  id_col: str, num: int, den: int,
-                 n_buckets: int = 256) -> DataFrame:
+                 n_buckets: int = 256,
+                 persist_input: bool = False) -> DataFrame:
     """Keep each ``by`` group's best ``floor(num/den · n)`` rows under
     the total order (``score_col`` DESC, ``id_col`` ASC) — the budgeted
     quality cut of a curation pipeline ("keep each source's top 60%"),
@@ -334,6 +341,22 @@ def top_fraction(df: DataFrame, by: Sequence[str], score_col: str,
             f"top_fraction ranks on integers (got {score_col}: {dtype}); "
             "quantize the score first so the cut cannot wobble at a "
             "float rounding boundary")
+    # the two-phase cut references df THREE times (bounds agg, bucket
+    # counts, final join+window).  For ALL-JVM lineages AQE's exchange
+    # reuse already dedupes the shared subplans and a persist is a
+    # measured LOSS (sf0.1 composed pipeline: 8-16 s cached vs 4-6 s
+    # uncached — the cache build breaks whole-stage pipelining), hence
+    # default OFF.  Set persist_input=True when df's lineage contains a
+    # PYTHON stage (mapInPandas/applyInPandas): those recompute per
+    # reference — the engine-wide cache-vs-recompute rule (README
+    # "Python only where expressions can't go").  The returned plan
+    # references the persisted frame, hence the swap-cache.
+    if persist_input:
+        from pyspark import StorageLevel
+        from frames_map_reduce_spark.session import drain_persist_cache
+        drain_persist_cache(_TF_CACHE)
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        _TF_CACHE.append(df)
     score = F.col(score_col).cast("bigint")
     bounds = (df.groupBy(*[F.col(c) for c in by])
                 .agg(F.count(F.lit(1)).alias("_tf_n"),
@@ -413,7 +436,10 @@ def temperature_mixture(df: DataFrame, source_col: str, key_col: str,
     disputed threshold — the same accepted risk class as the suite's
     ``round(x, 6)`` convention, vanishingly unlikely and strictly
     per-boundary-row.  ``key_col`` must be unique per row (shared
-    sampler contract; duplicates draw correlated coins).
+    sampler contract; duplicates draw correlated coins).  NULL-source
+    rows are DROPPED (the key-equality join back cannot match NULL —
+    same in the SQL twin); impute a sentinel source upstream to sample
+    them.
     """
     require_columns(df, [source_col, key_col])
     _temp_threshold(temperature)
