@@ -412,7 +412,8 @@ def _temp_threshold(temperature: float) -> None:
 
 
 def temperature_mixture(df: DataFrame, source_col: str, key_col: str,
-                        temperature: float, salt: str = "") -> DataFrame:
+                        temperature: float, salt: str = "",
+                        size_col: str | None = None) -> DataFrame:
     """Rebalance a multi-source corpus toward the temperature-scaled
     mixture (the XLM-R / mT5 "alpha-sampling" recipe): after sampling,
     source shares are proportional to ``count^T`` instead of ``count``,
@@ -440,12 +441,21 @@ def temperature_mixture(df: DataFrame, source_col: str, key_col: str,
     rows are DROPPED (the key-equality join back cannot match NULL —
     same in the SQL twin); impute a sentinel source upstream to sample
     them.
+
+    ``size_col`` switches the mass measure from row count to
+    ``sum(size_col)`` per source (e.g. a token count): training budgets
+    are token budgets, and a source of few huge documents should weigh
+    as its tokens, not its rows.  Rates then target token-mass shares
+    ∝ mass^T; rows are still kept/dropped whole (documents are the
+    sampling unit — a loader can't take half a document).
     """
-    require_columns(df, [source_col, key_col])
+    require_columns(df, [source_col, key_col]
+                    + ([size_col] if size_col else []))
     _temp_threshold(temperature)
     t1 = float(temperature) - 1.0
-    counts = (df.groupBy(source_col)
-                .agg(F.count(F.lit(1)).alias("_tm_c")))
+    mass = (F.sum(F.col(size_col).cast("bigint")) if size_col
+            else F.count(F.lit(1)))
+    counts = df.groupBy(source_col).agg(mass.alias("_tm_c"))
     g = F.pow(F.col("_tm_c").cast("double"), F.lit(t1))
     rates = counts.select(F.col(source_col), g.alias("_tm_g"))
     gmax = rates.agg(F.max("_tm_g").alias("_tm_gmax"))
@@ -460,15 +470,18 @@ def temperature_mixture(df: DataFrame, source_col: str, key_col: str,
 
 
 def temperature_mixture_sql(table: str, source_col: str, key_col: str,
-                            temperature: float, salt: str = "") -> str:
+                            temperature: float, salt: str = "",
+                            size_col: str | None = None) -> str:
     """DuckDB twin of :func:`temperature_mixture` (generated, not
     hand-kept): same count/pow/max/floor staging, same hash filter."""
     _temp_threshold(temperature)
     t1 = repr(float(temperature) - 1.0)
     h = hash_unit_sql(f"t.{key_col}", salt)
+    mass = (f"sum(CAST({size_col} AS BIGINT))" if size_col
+            else "count(*)")
     return f"""
         WITH _tm_counts AS (
-            SELECT {source_col}, count(*)::BIGINT AS _tm_c
+            SELECT {source_col}, {mass}::BIGINT AS _tm_c
             FROM {table} GROUP BY {source_col}),
         _tm_rates AS (
             SELECT {source_col},

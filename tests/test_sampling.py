@@ -434,3 +434,22 @@ def test_temperature_mixture_partition_invariance(documents):
                                    "doc_id", temperature=0.5, salt="pi")
         outs.append(sorted(r["doc_id"] for r in kept.select("doc_id").collect()))
     assert outs[0] == outs[1]
+
+
+def test_temperature_mixture_token_mass_measure(spark):
+    from frames_map_reduce_spark.operators.sampling import temperature_mixture
+    # equal ROW counts, wildly different token mass: the count-based form
+    # sees a uniform mixture (all rates 1); the mass-based form must
+    # downsample the heavy source and keep the light one whole
+    rows = ([("heavy", i, 1000) for i in range(200)]
+            + [("light", 10_000 + i, 10) for i in range(200)])
+    df = spark.createDataFrame(rows, "src string, id long, n_tok int")
+    by_count = temperature_mixture(df, "src", "id", 0.5, salt="m")
+    assert by_count.count() == 400          # counts equal -> all rates 1
+    by_mass = temperature_mixture(df, "src", "id", 0.5, salt="m",
+                                  size_col="n_tok")
+    got = {r["src"]: r["n"] for r in
+           by_mass.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["light"] == 200              # smallest mass keeps rate 1
+    # heavy rate = (200000/2000)^-0.5 = 0.1 -> ~20 rows kept
+    assert 8 <= got["heavy"] <= 40
