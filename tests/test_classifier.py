@@ -118,3 +118,35 @@ def test_gate_columns_contracts(spark, documents):
     got = {r["n_tokens"]: r["logit_rank"]
            for r in df.select(*(c.alias(n) for n, c in cols.items())).collect()}
     assert got[0] is None and got[2] == 0
+
+
+def test_train_hot_token_skew_and_exactness(spark):
+    """A degenerate corpus where ONE token dominates (10^5 occurrences
+    of 'hot' against a handful of others): the explode->agg train path
+    must survive the hot bucket (map-side combine collapses repeats
+    before the shuffle), produce the dense spine, and the arithmetic
+    must match the closed-form weight computed in Python from the same
+    counts."""
+    import math
+
+    hot_doc = " ".join(["hot"] * 100_000)
+    df = spark.createDataFrame(
+        [(hot_doc, True), ("cold other", False)], "text string, pos boolean")
+    D = 32
+    w = CLF.train_logodds_classifier(df, "text", "pos", n_buckets=D, salt="sk")
+    got = {b: wt for b, wt in w.collect()}
+    assert len(got) == D
+    hot_b = (spark.range(1)
+             .select((CLF.hash_unit(F.lit("hot"), "sk") % D).alias("b"))
+             .collect()[0]["b"])
+    # closed form: pos occurrences 100000 all in hot's bucket; totals
+    # P=100000, N=2; replicate the exact expression (one ln, then round)
+    pos_b = 100_000
+    neg_b = sum(1 for t in ("cold", "other")
+                if (spark.range(1)
+                    .select((CLF.hash_unit(F.lit(t), "sk") % D).alias("b"))
+                    .collect()[0]["b"]) == hot_b)
+    expect = int(round(math.log(((pos_b + 1.0) * (2 + float(D)))
+                                / ((neg_b + 1.0) * (100_000 + float(D))))
+                       * CLF.LOGIT_SCALE))
+    assert got[hot_b] == expect
