@@ -2665,9 +2665,15 @@ _R7_WINDOW = [
     "remove_dup_lines", "remove_dup_spans", "curate_corpus",
     "minhash_firewall", "ann_ivf", "ann_ivf_indexed", "asof_forward",
     "asof_tolerance", "merge_upsert", "salted_agg", "stream_hourly",
-    "stream_sessions", "stream_stateful", "sample_stratified",
-    "mixture_weights", "train_test_split", "bm25", "chunk_docs",
-    "contamination", "strip_markup", "media_meta", "quality_score",
+    "stream_sessions", "stream_stateful", "bm25", "chunk_docs",
+    "contamination", "media_meta", "quality_score",
+    # (5) r7 session additions — prove them THIS round rather than
+    # queueing them never-proven into r8 (displaced four trivial
+    # r5-proven fills: sample_stratified, mixture_weights,
+    # train_test_split, strip_markup — they stay r5-proven and lead
+    # the r8 rotation with the stale-after-r7 set)
+    "quality_classifier", "temperature_mixture", "stream_classifier",
+    "curate_corpus_v3",
 ]
 
 
