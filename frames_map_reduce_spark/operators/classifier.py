@@ -42,8 +42,12 @@ disagreement would need the true value to sit within ~1e-6 ulp of a
 half-integer micro-unit.  All DOWNSTREAM arithmetic is integer and
 therefore exact.
 
-Beyond the reference's surface (quality-scoring mandate); composes with
-the fold algebra downstream (inputs and outputs are plain frames).
+Public lineage: CCNet's trusted-vs-rest quality filtering (Wenzek et
+al., LREC 2020, arXiv:1911.00359), fastText linear text classification
+(Joulin et al., EACL 2017, arXiv:1607.01759), and the hashing trick for
+feature spaces (Weinberger et al., ICML 2009, arXiv:0902.2206).  Beyond
+the reference's surface (quality-scoring mandate); composes with the
+fold algebra downstream (inputs and outputs are plain frames).
 """
 
 from __future__ import annotations

@@ -415,7 +415,9 @@ def temperature_mixture(df: DataFrame, source_col: str, key_col: str,
                         temperature: float, salt: str = "",
                         size_col: str | None = None) -> DataFrame:
     """Rebalance a multi-source corpus toward the temperature-scaled
-    mixture (the XLM-R / mT5 "alpha-sampling" recipe): after sampling,
+    mixture (the XLM-R / mT5 "alpha-sampling" recipe — Conneau et al.,
+    ACL 2020, arXiv:1911.02116 §3.1; Xue et al., NAACL 2021,
+    arXiv:2010.11934 §3.2): after sampling,
     source shares are proportional to ``count^T`` instead of ``count``,
     so T < 1 boosts small sources' RELATIVE share by downsampling large
     ones.  Downsampling-only (rates <= 1, the ``weighted_mixture``
