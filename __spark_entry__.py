@@ -1015,6 +1015,27 @@ def q_curate_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.sum("logit_sum").cast("bigint").alias("logit_kept")))
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality profile (functions/text.py gopher_rules
+    — Rae et al. 2021 arXiv:2112.11446 Appendix A1.1, the canonical
+    web-corpus pre-filter): per-source pass count and per-rule failure
+    counts.  Every rule is an INTEGER comparison (cross-multiplied
+    ratios over shared token/line specs), so the verdicts — and this
+    all-BIGINT rollup — are engine-exact with no rounding grid.  One
+    projection + one aggregation; pure codegen expressions."""
+    docs = _docs(spark, sf_dir)
+    rules = TX.gopher_rules(F.col("text"))
+    flagged = docs.select("source",
+                          *(c.alias(name) for name, c in rules.items()))
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("pass_gopher"), 1).otherwise(0))
+             .cast("bigint").alias("n_pass")]
+    aggs += [F.sum(F.when(~F.col(r), 1).otherwise(0)).cast("bigint")
+              .alias(f"fail_{r[2:]}")
+             for r in rules if r != "pass_gopher"]
+    return flagged.groupBy("source").agg(*aggs)
+
+
 def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled mixture rebalancing (operators/sampling.py
     temperature_mixture — the XLM-R/mT5 alpha-sampling recipe): per-source
@@ -2665,15 +2686,15 @@ _R7_WINDOW = [
     "remove_dup_lines", "remove_dup_spans", "curate_corpus",
     "minhash_firewall", "ann_ivf", "ann_ivf_indexed", "asof_forward",
     "asof_tolerance", "merge_upsert", "salted_agg", "stream_hourly",
-    "stream_sessions", "stream_stateful", "bm25", "chunk_docs",
+    "stream_sessions", "stream_stateful", "bm25",
     "contamination", "media_meta", "quality_score",
     # (5) r7 session additions — prove them THIS round rather than
-    # queueing them never-proven into r8 (displaced four trivial
+    # queueing them never-proven into r8 (displaced five trivial
     # r5-proven fills: sample_stratified, mixture_weights,
-    # train_test_split, strip_markup — they stay r5-proven and lead
-    # the r8 rotation with the stale-after-r7 set)
+    # train_test_split, strip_markup, chunk_docs — they stay r5-proven
+    # and lead the r8 rotation with the stale-after-r7 set)
     "quality_classifier", "temperature_mixture", "stream_classifier",
-    "curate_corpus_v3",
+    "curate_corpus_v3", "gopher_rules",
 ]
 
 
@@ -2822,6 +2843,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture": q_temperature_mixture,
         "stream_classifier": q_stream_classifier,
         "curate_corpus_v3": q_curate_corpus_v3,
+        "gopher_rules": q_gopher_rules,
     }
 
 
@@ -3227,6 +3249,21 @@ def oracle_sql() -> dict[str, str]:
                    sum(logit_sum)::BIGINT AS logit_kept
             FROM ranked WHERE _rn * 2 <= _n
             GROUP BY source""",
+        # generated from the same rule-constant table as the Spark
+        # expressions; every verdict is an integer comparison, the
+        # rollup all-BIGINT — engine-exact, no rounding grid
+        "gopher_rules": (lambda _r: f"""
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum(CASE WHEN pass_gopher THEN 1 ELSE 0 END)::BIGINT
+                       AS n_pass,
+                   {", ".join(
+                       f"sum(CASE WHEN NOT {name} THEN 1 ELSE 0 END)::BIGINT"
+                       f" AS fail_{name[2:]}"
+                       for name in _r if name != "pass_gopher")}
+            FROM (SELECT source, {", ".join(
+                      f"{expr} AS {name}" for name, expr in _r.items())}
+                  FROM documents)
+            GROUP BY source""")(TX.gopher_rules_sql("text")),
         # the generated mixture twin nests as a derived table; the
         # rollup over the kept set is all-BIGINT
         "temperature_mixture": f"""

@@ -93,6 +93,7 @@ HEADLINE = [
     "quality_classifier",  # hashed log-odds train + broadcast-join score
     "temperature_mixture",  # alpha-sampling rebalance, in-plan rates
     "curate_corpus_v3",   # classifier train -> score -> top-half cut
+    "gopher_rules",       # integer rule verdicts, 1 projection + 1 agg
 ]
 
 #: entries that run ONCE per bench session instead of median-of-n: they

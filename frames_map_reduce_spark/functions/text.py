@@ -401,3 +401,119 @@ def strip_markup_sql(col: str) -> str:
         r = rep.replace("'", "''")
         out = f"replace({out}, '{ent}', '{r}')"
     return f"trim(regexp_replace({out}, '{WS}', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, arXiv:2112.11446, Appendix A1.1)
+# — the canonical rule-based pre-filter for web-scale training corpora.
+# Every rule is an INTEGER comparison (ratios cross-multiplied), so the
+# booleans are engine- and partitioning-exact with no rounding grid.
+# One shared constant table generates BOTH the Spark expressions and the
+# DuckDB twins, so the two cannot diverge.
+# ---------------------------------------------------------------------------
+
+#: Gopher A1.1 constants (kept verbatim from the paper; frozen — a change
+#: reclassifies documents, treat like a spec release).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3     # 3 <= mean word length <= 10
+GOPHER_MAX_MEAN_WORD_LEN = 10
+GOPHER_MAX_SYMBOL_WORD_X10 = 1   # symbols/words <= 0.1  -> 10*sym <= 1*words
+GOPHER_MAX_BULLET_LINE_X10 = 9   # bullet lines  <= 90%  -> 10*b  <= 9*lines
+GOPHER_MAX_ELLIPSIS_LINE_X10 = 3  # ellipsis ends <= 30%  -> 10*e <= 3*lines
+GOPHER_MIN_ALPHA_WORD_X5 = 4     # alpha words   >= 80%  -> 5*a  >= 4*words
+GOPHER_MIN_STOPWORD_HITS = 2
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_SYMBOL_RE = r"#|\.\.\.|…"
+_BULLET_RE = "^[-*•‣▪]"
+
+
+def gopher_rules(col: Column) -> dict[str, Column]:
+    """The seven Gopher A1.1 rules as named BOOLEAN Columns (plus the
+    conjunction under ``"pass_gopher"``).  All comparisons are integer
+    (cross-multiplied ratios) over shared token/line specs — no float
+    enters, so the verdicts are bit-identical across engines and
+    partitionings by construction.  NULL text yields NULL verdicts
+    (unknown, not pass)."""
+    toks = tokens(col, lowercase=False)
+    n_words = F.size(toks)
+    word_chars = F.aggregate(toks, F.lit(0).cast("bigint"),
+                             lambda a, t: a + F.length(t))
+    n_sym = F.size(F.regexp_extract_all(col, F.lit(_SYMBOL_RE), 0))
+    lines = F.split(col, "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike(_BULLET_RE)))
+    n_ell = F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$")))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    low = tokens(col)  # lowercase spec, shared with stopword_ratio
+    # when(isNotNull): the membership test runs over a LITERAL array, so
+    # unlike every other rule it would yield 0 hits (not NULL) on NULL
+    # text — force the uniform NULL-text -> NULL-verdict contract
+    sw_hits = F.when(col.isNotNull(), F.size(F.filter(
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        lambda s: F.array_contains(low, s))))
+    rules = {
+        "r_word_count": (n_words >= GOPHER_MIN_WORDS)
+                        & (n_words <= GOPHER_MAX_WORDS),
+        "r_mean_word_len": (word_chars >= GOPHER_MIN_MEAN_WORD_LEN * n_words)
+                           & (word_chars <= GOPHER_MAX_MEAN_WORD_LEN * n_words),
+        "r_symbol_ratio": F.lit(10) * n_sym
+                          <= F.lit(GOPHER_MAX_SYMBOL_WORD_X10) * n_words,
+        "r_bullet_lines": F.lit(10) * n_bullet
+                          <= F.lit(GOPHER_MAX_BULLET_LINE_X10) * n_lines,
+        "r_ellipsis_lines": F.lit(10) * n_ell
+                            <= F.lit(GOPHER_MAX_ELLIPSIS_LINE_X10) * n_lines,
+        "r_alpha_words": F.lit(5) * n_alpha
+                         >= F.lit(GOPHER_MIN_ALPHA_WORD_X5) * n_words,
+        "r_stopwords": sw_hits >= GOPHER_MIN_STOPWORD_HITS,
+    }
+    acc = None
+    for c in rules.values():
+        acc = c if acc is None else acc & c
+    return {**rules, "pass_gopher": acc}
+
+
+def gopher_rules_sql(col: str) -> dict[str, str]:
+    """DuckDB twins of :func:`gopher_rules` (generated from the same
+    constants — same token/line specs, same integer comparisons)."""
+    toks = tokens_sql(col, lowercase=False)
+    n_words = f"len({toks})"
+    # coalesce: DuckDB list_sum([]) is NULL where Spark's aggregate
+    # returns its 0 seed; NULL TEXT must stay NULL (len propagates it)
+    word_chars = (f"(CASE WHEN {col} IS NULL THEN NULL ELSE"
+                  f" coalesce(list_sum(list_transform({toks},"
+                  f" t -> len(t))), 0) END)")
+    n_sym = f"len(regexp_extract_all({col}, '{_SYMBOL_RE}'))"
+    lines = f"string_split({col}, chr(10))"
+    n_lines = f"len({lines})"
+    n_bullet = (f"len(list_filter({lines},"
+                f" ln -> regexp_matches(trim(ln), '{_BULLET_RE}')))")
+    n_ell = (f"len(list_filter({lines},"
+             f" ln -> regexp_matches(trim(ln), '(\\.\\.\\.|…)$')))")
+    n_alpha = f"len(list_filter({toks}, t -> regexp_matches(t, '[a-zA-Z]')))"
+    low = tokens_sql(col)
+    lst = "[" + ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS) + "]"
+    # same NULL-text guard as the Spark side (literal-array membership)
+    sw_hits = (f"(CASE WHEN {col} IS NULL THEN NULL ELSE"
+               f" len(list_filter({lst}, s -> list_contains({low}, s)))"
+               f" END)")
+    rules = {
+        "r_word_count": f"({n_words} >= {GOPHER_MIN_WORDS}"
+                        f" AND {n_words} <= {GOPHER_MAX_WORDS})",
+        "r_mean_word_len":
+            f"({word_chars} >= {GOPHER_MIN_MEAN_WORD_LEN} * {n_words}"
+            f" AND {word_chars} <= {GOPHER_MAX_MEAN_WORD_LEN} * {n_words})",
+        "r_symbol_ratio":
+            f"(10 * {n_sym} <= {GOPHER_MAX_SYMBOL_WORD_X10} * {n_words})",
+        "r_bullet_lines":
+            f"(10 * {n_bullet} <= {GOPHER_MAX_BULLET_LINE_X10} * {n_lines})",
+        "r_ellipsis_lines":
+            f"(10 * {n_ell} <= {GOPHER_MAX_ELLIPSIS_LINE_X10} * {n_lines})",
+        "r_alpha_words":
+            f"(5 * {n_alpha} >= {GOPHER_MIN_ALPHA_WORD_X5} * {n_words})",
+        "r_stopwords": f"({sw_hits} >= {GOPHER_MIN_STOPWORD_HITS})",
+    }
+    rules["pass_gopher"] = "(" + " AND ".join(rules.values()) + ")"
+    return rules

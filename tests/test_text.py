@@ -351,3 +351,37 @@ def test_subword_counts_matches_python_replay(spark, documents):
             assert got[r["doc_id"]] == want, r["doc_id"]
         else:
             assert r["doc_id"] not in got
+
+
+def test_gopher_rules_per_rule_verdicts(spark):
+    from frames_map_reduce_spark.functions.text import gopher_rules
+
+    good = ("the quick brown fox jumps over the lazy dog and then have "
+            "to be going onward with many more plain words of text that "
+            "keep flowing so the word count clears fifty without any "
+            "noise at all in it today for sure really truly and calmly "
+            "we note that it ends here nicely done")
+    rows = [
+        ("good", good),
+        ("short", "too few words"),                          # r_word_count
+        ("longwords", " ".join(["pneumonoultramicroscopic"] * 60)),  # mean len
+        ("symbols", " ".join(["word #"] * 60)),              # symbol ratio
+        ("bullets", "\n".join(["- item the be to of and that have with"] * 10)),
+        ("ellipsis", "\n".join([f"{w} trail..." for w in ["the"] * 10])),
+        ("numeric", " ".join(["12345"] * 60)),               # alpha words
+        ("nostop", " ".join(["zork"] * 60)),                 # stopwords
+        ("nulltext", None),
+    ]
+    df = spark.createDataFrame(rows, "tag string, text string")
+    out = df.select("tag", *(c.alias(n)
+                             for n, c in gopher_rules(F.col("text")).items()))
+    got = {r["tag"]: r.asDict() for r in out.collect()}
+    assert got["good"]["pass_gopher"] is True
+    assert got["short"]["r_word_count"] is False
+    assert got["longwords"]["r_mean_word_len"] is False
+    assert got["symbols"]["r_symbol_ratio"] is False
+    assert got["bullets"]["r_bullet_lines"] is False
+    assert got["ellipsis"]["r_ellipsis_lines"] is False
+    assert got["numeric"]["r_alpha_words"] is False
+    assert got["nostop"]["r_stopwords"] is False
+    assert got["nulltext"]["pass_gopher"] is None  # unknown, not pass
