@@ -444,3 +444,80 @@ def test_ngram_jaccard_prefix_join_equals_bruteforce(spark, docs, threshold):
                  jaccard(F.col("sa"), F.col("sb")).alias("jaccard_sim"))
          .filter(F.col("jaccard_sim") >= threshold)).collect()))
     assert got == want
+
+
+# --- gopher rules / classifier fuzz -----------------------------------
+
+_GOPHER_WORDS = ["the", "be", "to", "of", "and", "zork", "12345", "#",
+                 "a...", "…", "x", "pneumonoultramicroscopically"]
+_gopher_line = st.lists(st.sampled_from(_GOPHER_WORDS),
+                        min_size=0, max_size=12).map(" ".join)
+_gopher_text = st.one_of(
+    st.none(),
+    st.lists(
+        st.one_of(_gopher_line,
+                  _gopher_line.map(lambda l: "- " + l),      # bullet
+                  _gopher_line.map(lambda l: l + "...")),    # ellipsis end
+        min_size=0, max_size=6).map("\n".join))
+
+
+@given(texts=st.lists(_gopher_text, min_size=1, max_size=10))
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_gopher_rules_match_duckdb(spark, texts):
+    """Random line-structured text (bullets, ellipsis endings, symbols,
+    numerics, NULLs, empties) through every Gopher rule vs the generated
+    twins — the verdicts are integer comparisons, so equality is exact,
+    not grid-rounded."""
+    from frames_map_reduce_spark.functions.text import (
+        gopher_rules, gopher_rules_sql)
+
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    pdf["text"] = pdf["text"].astype("string")
+    sdf = spark.createDataFrame(pdf)
+    rules = gopher_rules(F.col("text"))
+    got = {r["doc_id"]: tuple(r)[1:] for r in
+           sdf.select("doc_id", *(c.alias(n) for n, c in rules.items()))
+              .collect()}
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    sel = ", ".join(f"{expr} AS {name}"
+                    for name, expr in gopher_rules_sql("text").items())
+    want = {r[0]: r[1:] for r in
+            con.sql(f"SELECT doc_id, {sel} FROM docs").fetchall()}
+    assert got == want
+
+
+@given(texts=st.lists(_gopher_text.filter(lambda t: t is not None),
+                      min_size=2, max_size=10),
+       labels=st.lists(st.booleans(), min_size=10, max_size=10))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_classifier_matches_duckdb(spark, texts, labels):
+    """Random corpora + labels through train->score vs the generated
+    twins: the weight table and every per-doc integer must agree
+    exactly (micro-quantized ln per bucket, BIGINT downstream)."""
+    from frames_map_reduce_spark.operators import classifier as CLF
+
+    pdf = pd.DataFrame({
+        "doc_id": range(len(texts)),
+        "text": pd.array(texts, dtype="string"),
+        "pos": labels[:len(texts)]})
+    sdf = spark.createDataFrame(pdf)
+    D, SALT = 16, "fz"
+    w = CLF.train_logodds_classifier(sdf, "text", "pos", n_buckets=D,
+                                     salt=SALT)
+    s = CLF.classifier_score(sdf, w, "text", "doc_id", n_buckets=D,
+                             salt=SALT)
+    got_w = sorted(tuple(r) for r in w.collect())
+    got_s = sorted(tuple(r) for r in s.collect())
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    wsql = CLF.train_logodds_classifier_sql("docs", "text", "pos",
+                                            n_buckets=D, salt=SALT)
+    want_w = sorted(con.sql(wsql).fetchall())
+    ssql = CLF.classifier_score_sql("docs", "w", "text", "doc_id",
+                                    n_buckets=D, salt=SALT)
+    want_s = sorted(con.sql(f"WITH w AS ({wsql}) {ssql}").fetchall())
+    assert got_w == want_w
+    assert got_s == want_s
