@@ -1015,6 +1015,29 @@ def q_curate_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.sum("logit_sum").cast("bigint").alias("logit_kept")))
 
 
+def q_pack_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sequence packing (operators/packing.py
+    pack_sequences_extend): the corpus's first ~80% of doc_ids is packed
+    as the PRIOR manifest, the remaining batch is folded in WITHOUT
+    re-packing — the daily-ingestion shape (the increment touches only
+    the new batch plus the manifest, never the packed corpus).  The
+    oracle is pack_sequences_sql over the FULL corpus: hash equality
+    proves incremental ≡ full repack, cross-engine, including every
+    straddled tail-block merge.  The 80% cut is the integer expression
+    ``(4·max_id) div 5`` so both engines draw the identical boundary."""
+    docs = _docs(spark, sf_dir)
+    sized = docs.select("doc_id", "source",
+                        TX.token_count(F.col("text")).alias("n_tokens_doc"))
+    cut = sized.agg(F.expr("(4 * max(doc_id)) div 5").alias("_cut"))
+    tagged = sized.crossJoin(F.broadcast(cut))
+    old = tagged.filter(F.col("doc_id") < F.col("_cut")).drop("_cut")
+    new = tagged.filter(F.col("doc_id") >= F.col("_cut")).drop("_cut")
+    prior = PK.pack_sequences(old, "n_tokens_doc", 256,
+                              order_by=["doc_id"], by=["source"])
+    return PK.pack_sequences_extend(prior, new, "n_tokens_doc", 256,
+                                    order_by=["doc_id"], by=["source"])
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher rule-based quality profile (functions/text.py gopher_rules
     — Rae et al. 2021 arXiv:2112.11446 Appendix A1.1, the canonical
@@ -2686,15 +2709,15 @@ _R7_WINDOW = [
     "remove_dup_lines", "remove_dup_spans", "curate_corpus",
     "minhash_firewall", "ann_ivf", "ann_ivf_indexed", "asof_forward",
     "asof_tolerance", "merge_upsert", "salted_agg", "stream_hourly",
-    "stream_sessions", "stream_stateful", "bm25",
+    "stream_sessions", "stream_stateful",
     "contamination", "media_meta", "quality_score",
     # (5) r7 session additions — prove them THIS round rather than
-    # queueing them never-proven into r8 (displaced five trivial
-    # r5-proven fills: sample_stratified, mixture_weights,
-    # train_test_split, strip_markup, chunk_docs — they stay r5-proven
-    # and lead the r8 rotation with the stale-after-r7 set)
+    # queueing them never-proven into r8 (displaced six r5-proven
+    # fills: sample_stratified, mixture_weights, train_test_split,
+    # strip_markup, chunk_docs, bm25 — they stay r5-proven and lead
+    # the r8 rotation with the stale-after-r7 set)
     "quality_classifier", "temperature_mixture", "stream_classifier",
-    "curate_corpus_v3", "gopher_rules",
+    "curate_corpus_v3", "gopher_rules", "pack_extend",
 ]
 
 
@@ -2844,6 +2867,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_classifier": q_stream_classifier,
         "curate_corpus_v3": q_curate_corpus_v3,
         "gopher_rules": q_gopher_rules,
+        "pack_extend": q_pack_extend,
     }
 
 
@@ -3249,6 +3273,13 @@ def oracle_sql() -> dict[str, str]:
                    sum(logit_sum)::BIGINT AS logit_kept
             FROM ranked WHERE _rn * 2 <= _n
             GROUP BY source""",
+        # the oracle is the FULL repack over the whole corpus — hash
+        # equality proves incremental ≡ repack (every count additive,
+        # straddled tail blocks merge exactly), cross-engine
+        "pack_extend": PK.pack_sequences_sql(
+            "(SELECT doc_id, source, "
+            f"{TX.token_count_sql('text')} AS n_tokens_doc FROM documents)",
+            "n_tokens_doc", 256, ["doc_id"], ["source"]),
         # generated from the same rule-constant table as the Spark
         # expressions; every verdict is an integer comparison, the
         # rollup all-BIGINT — engine-exact, no rounding grid

@@ -94,6 +94,7 @@ HEADLINE = [
     "temperature_mixture",  # alpha-sampling rebalance, in-plan rates
     "curate_corpus_v3",   # classifier train -> score -> top-half cut
     "gopher_rules",       # integer rule verdicts, 1 projection + 1 agg
+    "pack_extend",        # incremental manifest fold-in (no repack)
 ]
 
 #: entries that run ONCE per bench session instead of median-of-n: they

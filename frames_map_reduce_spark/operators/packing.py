@@ -46,7 +46,8 @@ from pyspark.sql import functions as F
 from frames_map_reduce_spark.schema import require_columns
 from frames_map_reduce_spark.session import drain_persist_cache
 
-__all__ = ["pack_shards", "pack_sequences", "pack_sequences_sql",
+__all__ = ["pack_shards", "pack_sequences", "pack_sequences_extend",
+           "pack_sequences_sql",
            "write_packed_shards"]
 
 _INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
@@ -278,3 +279,93 @@ SELECT {by_cols}{seq_col},
             AS BIGINT) AS n_starts
 FROM _blocks GROUP BY {by_cols}{seq_col}
 """
+
+
+def pack_sequences_extend(prior_manifest: DataFrame, new_df: DataFrame,
+                          size_col: Column | str, block: int,
+                          order_by: Sequence[str], by: Sequence[str] = (),
+                          seq_col: str = "seq_id",
+                          n_buckets: int = 64) -> DataFrame:
+    """Incremental :func:`pack_sequences`: fold a batch of NEW documents
+    into an existing packed manifest WITHOUT re-packing the corpus — the
+    daily-ingestion shape (at 100 TB a full repack re-reads everything;
+    this touches only the new batch plus the manifest, which is
+    corpus_tokens/block rows, not the corpus).
+
+    The only state needed from the prior pack is each group's total
+    token count, and the manifest itself carries it (``sum(n_tokens)``
+    per group — exact, all-BIGINT).  New documents' offsets resume from
+    that total; their block rows are computed exactly as
+    ``pack_sequences`` computes them and SUMMED into the prior manifest
+    on ``(by…, seq_col)`` — a document is either old or new, so every
+    count is additive, and each group's straddled tail block merges by
+    construction.
+
+    CONTRACT (documented, equality-pinned, not checkable from the
+    manifest alone): within each group, every new document's
+    ``order_by`` key must sort AFTER all previously packed documents'
+    keys — monotone ingestion ids, the append-only log shape.  Under
+    that contract the result is BIT-IDENTICAL to
+    ``pack_sequences(old ∪ new)`` (the registry row's oracle IS the
+    full repack, so the driver hash-proves the equivalence
+    cross-engine).  Groups unseen in the prior manifest start at
+    offset 0; groups with no new documents pass through unchanged.
+
+    Scale shape: one aggregation over the manifest (tiny), the same
+    two-phase offsets/explode/agg as ``pack_sequences`` over the NEW
+    batch only, then one key-partitioned merge aggregation over
+    manifest ∪ delta."""
+    if block <= 0:
+        raise ValueError(f"block must be positive, got {block}")
+    if not order_by:
+        raise ValueError("order_by must name at least one column")
+    require_columns(new_df, [*by, *order_by])
+    require_columns(prior_manifest,
+                    [*by, seq_col, "n_docs", "n_tokens", "n_starts"])
+    size = F.col(size_col) if isinstance(size_col, str) else size_col
+    sized = _running_offsets(new_df, size.cast("bigint"), order_by, by,
+                             n_buckets, drop_nonpositive=True)
+    prior = (prior_manifest.groupBy(*[F.col(c) for c in by])
+                           .agg(F.sum("n_tokens").cast("bigint")
+                                 .alias("_prior")))
+    if by:
+        # null-safe: a NULL group is a group here like everywhere else
+        shifted = (sized.join(F.broadcast(prior.select(
+                        *[prior[c].alias(f"_pg{i}")
+                          for i, c in enumerate(by)], "_prior")),
+                        _reduce(lambda a, b: a & b,
+                                [sized[c].eqNullSafe(F.col(f"_pg{i}"))
+                                 for i, c in enumerate(by)], F.lit(True)),
+                        "left")
+                        .drop(*[f"_pg{i}" for i in range(len(by))]))
+    else:
+        # global pack: prior is 0 or 1 rows — constant-key left join so
+        # an EMPTY prior (first pack) degrades to offset 0, where a
+        # crossJoin would wrongly produce no rows
+        shifted = (sized.withColumn("_jk", F.lit(1))
+                        .join(F.broadcast(prior.withColumn("_jk", F.lit(1))),
+                              "_jk", "left")
+                        .drop("_jk"))
+    shifted = (shifted
+               .withColumn("_prior", F.coalesce("_prior", F.lit(0))
+                            .cast("bigint"))
+               .withColumn("_start", F.col("_start") + F.col("_prior"))
+               .withColumn("_end", F.col("_end") + F.col("_prior")))
+    blocks = shifted.withColumn(
+        seq_col, F.explode(F.sequence(F.expr(f"_start div {block}"),
+                                      F.expr(f"(_end - 1) div {block}"))))
+    lo = F.col(seq_col) * block
+    hi = (F.col(seq_col) + 1) * block
+    delta = (blocks.groupBy(*[F.col(c) for c in by], F.col(seq_col))
+                   .agg(F.count(F.lit(1)).alias("n_docs"),
+                        F.sum(F.least(F.col("_end"), hi)
+                              - F.greatest(F.col("_start"), lo))
+                         .alias("n_tokens"),
+                        F.sum(F.when(F.col("_start") >= lo, 1).otherwise(0))
+                         .alias("n_starts")))
+    keep = [*by, seq_col, "n_docs", "n_tokens", "n_starts"]
+    return (prior_manifest.select(*keep).unionByName(delta.select(*keep))
+            .groupBy(*[F.col(c) for c in by], F.col(seq_col))
+            .agg(F.sum("n_docs").cast("bigint").alias("n_docs"),
+                 F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+                 F.sum("n_starts").cast("bigint").alias("n_starts")))

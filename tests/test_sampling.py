@@ -453,3 +453,50 @@ def test_temperature_mixture_token_mass_measure(spark):
     assert got["light"] == 200              # smallest mass keeps rate 1
     # heavy rate = (200000/2000)^-0.5 = 0.1 -> ~20 rows kept
     assert 8 <= got["heavy"] <= 40
+
+
+def test_pack_sequences_extend_matches_full_repack(spark):
+    from frames_map_reduce_spark.operators.packing import (
+        pack_sequences, pack_sequences_extend)
+    # straddle across the prior tail: old ends mid-block (7 tokens into
+    # block 0 of an 8-token grid), new doc spans the boundary
+    rows = [("s", 1, 5), ("s", 2, 2), ("s", 3, 4), ("s", 4, 9),
+            ("t", 10, 3)]  # group t appears ONLY in the new batch
+    df = spark.createDataFrame(rows, "src string, id long, sz long")
+    old = df.filter(F.col("id") <= 2)
+    new = df.filter(F.col("id") > 2)
+    prior = pack_sequences(old, "sz", 8, order_by=["id"], by=["src"])
+    inc = pack_sequences_extend(prior, new, "sz", 8,
+                                order_by=["id"], by=["src"])
+    full = pack_sequences(df, "sz", 8, order_by=["id"], by=["src"])
+    assert rows_sorted(inc) == rows_sorted(full)
+    # and folding into an EMPTY prior is exactly a first pack
+    empty = prior.filter(F.lit(False))
+    first = pack_sequences_extend(empty, df, "sz", 8,
+                                  order_by=["id"], by=["src"])
+    assert rows_sorted(first) == rows_sorted(full)
+
+
+def test_pack_sequences_extend_global_pack_and_fuzz(spark):
+    """Randomized pin: for random sizes and any append split, extend ≡
+    full repack — including the global (by=()) pack whose empty-prior
+    join must not collapse to zero rows."""
+    import random
+
+    from frames_map_reduce_spark.operators.packing import (
+        pack_sequences, pack_sequences_extend)
+    rng = random.Random(74)
+    for trial in range(6):
+        n = rng.randint(1, 40)
+        rows = [("g" + str(rng.randint(0, 2)), i, rng.randint(0, 7))
+                for i in range(n)]
+        cut = rng.randint(0, n)
+        by = ["src"] if trial % 2 == 0 else []
+        df = spark.createDataFrame(rows, "src string, id long, sz long")
+        old = df.filter(F.col("id") < cut)
+        new = df.filter(F.col("id") >= cut)
+        prior = pack_sequences(old, "sz", 5, order_by=["id"], by=by)
+        inc = pack_sequences_extend(prior, new, "sz", 5,
+                                    order_by=["id"], by=by)
+        full = pack_sequences(df, "sz", 5, order_by=["id"], by=by)
+        assert rows_sorted(inc) == rows_sorted(full), (trial, cut, rows)
