@@ -53,6 +53,7 @@ from frames_map_reduce_spark.mapreduce import (
     unpack_good_rows,
     unpack_no_op,
 )
+from frames_map_reduce_spark.operators import bloom as BL
 from frames_map_reduce_spark.operators import cdc as CDC
 from frames_map_reduce_spark.operators import classifier as CLF
 from frames_map_reduce_spark.operators import clusters as CL
@@ -586,6 +587,31 @@ def bench_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_firewall_build": bench_minhash_firewall_build,
         "minhash_firewall_probe": bench_minhash_firewall_probe,
     }
+
+
+def q_bloom_firewall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-membership Bloom firewall (operators/bloom.py) — the
+    set-membership ingestion screen next to q_minhash_firewall's near-dup
+    one, exercising the FULL index lifecycle in one row: build the word
+    table over doc_id %8==0, EXTEND it append-only with %8==4 (Bloom
+    union is bit_or per word — a monoid, the index is never read to
+    grow), then probe the whole table; probe-time bit_or merges the two
+    generations.  Every reference doc must self-flag (no false
+    negatives, by construction); at the default 2^22-bit / k=7 geometry
+    the maybe_dup set equals the exact normalized-fingerprint members at
+    this scale (0 false positives — still checked bit-for-bit, FPs are
+    part of the deterministic spec).  FULL oracle: the DuckDB twin
+    replays the same md5 double-hash positions and word packing over the
+    union (%4==0) in one statement — extend-then-merge ≡ build-on-union
+    is exactly the monoid law the lifecycle relies on."""
+    docs = _docs(spark, sf_dir)
+    BL.build_bloom_index(docs.filter(F.col("doc_id") % 8 == 0),
+                         "bloom_index_driver", "text")
+    BL.extend_bloom_index(docs.filter(F.col("doc_id") % 8 == 4),
+                          "bloom_index_driver", "text")
+    out = BL.bloom_probe_index(spark, "bloom_index_driver", docs,
+                               "text", "doc_id")
+    return out.select("doc_id", "maybe_dup")
 
 
 def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2710,14 +2736,15 @@ _R7_WINDOW = [
     "minhash_firewall", "ann_ivf", "ann_ivf_indexed", "asof_forward",
     "asof_tolerance", "merge_upsert", "salted_agg", "stream_hourly",
     "stream_sessions", "stream_stateful",
-    "contamination", "media_meta", "quality_score",
+    "contamination", "quality_score",
     # (5) r7 session additions — prove them THIS round rather than
-    # queueing them never-proven into r8 (displaced six r5-proven
+    # queueing them never-proven into r8 (displaced seven r5-proven
     # fills: sample_stratified, mixture_weights, train_test_split,
-    # strip_markup, chunk_docs, bm25 — they stay r5-proven and lead
-    # the r8 rotation with the stale-after-r7 set)
+    # strip_markup, chunk_docs, bm25, media_meta — they stay r5-proven
+    # and lead the r8 rotation with the stale-after-r7 set; media's
+    # family keeps an r6 proof via media_features)
     "quality_classifier", "temperature_mixture", "stream_classifier",
-    "curate_corpus_v3", "gopher_rules", "pack_extend",
+    "curate_corpus_v3", "gopher_rules", "pack_extend", "bloom_firewall",
 ]
 
 
@@ -2852,6 +2879,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity": q_perplexity,
         "bigram_perplexity": q_bigram_perplexity,
         "minhash_firewall": q_minhash_firewall,
+        "bloom_firewall": q_bloom_firewall,
         "remove_dup_spans": q_remove_dup_spans,
         "remove_dup_lines": q_remove_dup_lines,
         "strip_markup": q_strip_markup,
@@ -3273,6 +3301,15 @@ def oracle_sql() -> dict[str, str]:
                    sum(logit_sum)::BIGINT AS logit_kept
             FROM ranked WHERE _rn * 2 <= _n
             GROUP BY source""",
+        # full lifecycle twin: the SQL replays build+probe over the
+        # UNION of the two build generations (%8==0 ∪ %8==4 = %4==0) —
+        # hash equality proves extend-then-merge ≡ build-on-union, the
+        # monoid law the append-only index relies on; false positives
+        # are part of the deterministic double-hash spec and reproduce
+        # bit-for-bit
+        "bloom_firewall": BL.bloom_firewall_sql(
+            "documents WHERE doc_id % 4 = 0", "documents",
+            "text", "doc_id"),
         # the oracle is the FULL repack over the whole corpus — hash
         # equality proves incremental ≡ repack (every count additive,
         # straddled tail blocks merge exactly), cross-engine

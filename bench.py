@@ -95,6 +95,7 @@ HEADLINE = [
     "curate_corpus_v3",   # classifier train -> score -> top-half cut
     "gopher_rules",       # integer rule verdicts, 1 projection + 1 agg
     "pack_extend",        # incremental manifest fold-in (no repack)
+    "bloom_firewall",     # build+extend+probe Bloom membership lifecycle
 ]
 
 #: entries that run ONCE per bench session instead of median-of-n: they

@@ -1,0 +1,285 @@
+"""Distributed Bloom-filter membership firewall — the EXACT-membership
+ingestion screen next to the MinHash near-dup firewall (dedup.py).
+
+Deployment shape (train-once / query-many, like the minhash index): build
+a Bloom filter over the canonical fingerprints of an accepted corpus
+once; screen every future incoming batch against it at probe-only cost.
+A probe verdict is one of
+
+- ``maybe_dup = false`` — the document's canonical form is DEFINITELY
+  not in the filter (Bloom filters have no false negatives), or
+- ``maybe_dup = true`` — it is in the filter OR a false positive
+  (probability ~ ``(1 - e^(-k·n/m))^k``; with the default
+  ``k = 7, m_bits = 2^22`` that is < 1e-2 up to ~400k documents — size
+  ``m_bits`` to ~10-14 bits per expected document and the optimum is
+  ``k ≈ ln2 · m/n``).
+
+Why this next to exact dedup's anti-join: the filter is a few MiB per
+hundred-million documents REGARDLESS of text size, extends append-only
+without reading the existing index, and the probe never touches the
+accepted corpus — the right recurring cost for an ingestion gate, with
+the exact anti-join kept for offline compaction of the maybe-set.
+
+Representation — a WORD TABLE, not a driver-side bitmap: set-bit
+positions are packed 32 per row as ``(_word = pos >> 5,
+_bits = bit_or(1 << (pos & 31)))`` and persisted BUCKETED BY ``_word``.
+At 100 TB the bitmap itself outgrows a single machine (10 bits/doc over
+10^11 docs is ~125 GiB of raw bits); a bucketed word table shards it,
+keeps probe joins shuffle-free on the filter side, and makes the whole
+structure a MONOID: extending the filter is appending more word rows
+(``bit_or`` merges them at read time), so the index never needs to be
+read to be grown — the same fold-algebra shape the engine compiles
+everywhere else (a Bloom filter IS ``foldAllMonoid`` over per-document
+bit sets; reference parity: Frames-map-reduce's monoid folds,
+reference src/Frames/Folds.hs ``foldAllMonoid`` — here applied at
+warehouse scale).
+
+Hash spec (shared by the Spark product path and the DuckDB oracle twins
+— generated from the same constants so they cannot drift):
+
+- canonical form: :func:`functions.text.normalized` (lowercase,
+  whitespace-collapse, trim) — the SAME canonicalization as
+  ``fingerprint`` / exact dedup, so Bloom verdicts agree with the
+  exact-dedup key;
+- ONE md5 per document; ``h1 = int(hex[1..8])``,
+  ``h2 = int(hex[9..16]) | 1`` (odd, so the stride visits every residue
+  of a power-of-two ``m_bits``);
+- ``k`` probe positions by Kirsch–Mitzenmacher double hashing
+  (Kirsch & Mitzenmacher, ESA 2006: two hash functions suffice):
+  ``pos_i = (h1 + i·h2) % m_bits``, ``i = 0..k-1``.
+
+All arithmetic is 64-bit integer (``h1 + i·h2 < 2^36`` — no overflow,
+no float anywhere), so verdicts are bit-identical across engines and
+partitionings by construction.  NULL text hashes to NULL and drops out
+of both build and probe on both engines (the fingerprint family's
+NULL contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from frames_map_reduce_spark.functions import text as TX
+from frames_map_reduce_spark.schema import require_columns
+
+#: default filter geometry: 2^22 bits = 512 KiB ≈ 10+ bits/doc up to
+#: ~400k docs; k=7 ≈ ln2 · m/n at that load.  Scale dial: m_bits grows
+#: linearly with the accepted-corpus size (power of two keeps the
+#: modulo a mask-equivalent); the word table grows with the number of
+#: DISTINCT words touched, ≤ m_bits/32 rows.
+DEFAULT_M_BITS = 1 << 22
+DEFAULT_K = 7
+
+
+# ---------------------------------------------------------------------------
+# Position spec (Spark Column + DuckDB SQL twin from the same constants)
+# ---------------------------------------------------------------------------
+
+def bloom_positions(col: Column, m_bits: int = DEFAULT_M_BITS,
+                    k: int = DEFAULT_K) -> Column:
+    """``array<bigint>`` of the ``k`` Bloom bit positions of ``col``'s
+    canonical form.  The md5 is BOUND ONCE per row via the one-element
+    ``transform(array(md5), ...)`` wrapper (lambda bodies are interpreted
+    with no common-subexpression elimination — inlining would re-run the
+    md5 per position; see text.char_shingles' binding note)."""
+    _check_spec(m_bits, k)
+
+    def pos_of(md: Column) -> Column:
+        h1 = F.conv(F.substring(md, 1, 8), 16, 10).cast("long")
+        h2 = F.conv(F.substring(md, 9, 8), 16, 10).cast("long") \
+              .bitwiseOR(F.lit(1).cast("long"))
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: (h1 + i.cast("long") * h2) % F.lit(m_bits).cast("long"))
+
+    md5c = F.md5(TX.normalized(col))
+    # NULL text -> NULL ARRAY (not an array of k NULL positions), so
+    # explode/unnest drops the row identically on both engines — the
+    # fingerprint family's NULL contract
+    return F.when(col.isNotNull(),
+                  F.element_at(F.transform(F.array(md5c), pos_of), 1))
+
+
+def bloom_positions_sql(col: str, m_bits: int = DEFAULT_M_BITS,
+                        k: int = DEFAULT_K) -> str:
+    """DuckDB twin of :func:`bloom_positions` — same canonicalization,
+    same md5 slices, same double-hash arithmetic (the '0x'-cast hex
+    parse is the proven hash_unit_sql convention)."""
+    _check_spec(m_bits, k)
+    md = f"md5({TX.normalized_sql(col)})"
+    h1 = f"CAST(concat('0x', substr({md}, 1, 8)) AS BIGINT)"
+    h2 = f"(CAST(concat('0x', substr({md}, 9, 8)) AS BIGINT) | 1)"
+    # same NULL-text -> NULL-array (row drops at unnest) contract as the
+    # Spark side
+    return (f"(CASE WHEN {col} IS NULL THEN NULL ELSE "
+            f"list_transform(range(0, {k}), "
+            f"i -> ({h1} + i * {h2}) % {m_bits}) END)")
+
+
+def _check_spec(m_bits: int, k: int) -> None:
+    if m_bits < 32 or (m_bits & (m_bits - 1)) != 0:
+        raise ValueError(f"m_bits must be a power of two >= 32, got {m_bits}")
+    if not (1 <= k <= 64):
+        raise ValueError(f"k must be in [1, 64], got {k}")
+
+
+def _word_rows(df: DataFrame, text_col: str, m_bits: int, k: int) -> DataFrame:
+    """(_word, _bits) rows of ``df``'s texts: explode positions, pack 32
+    bits per word, one partial-aggregating ``bit_or`` groupBy — all JVM,
+    map-side combine shrinks the shuffle to ≤ m_bits/32 rows."""
+    pos = df.select(F.explode(bloom_positions(F.col(text_col), m_bits, k))
+                     .alias("_pos"))
+    # variable-amount shifts go through F.expr: the PySpark shiftleft/
+    # shiftright wrappers only take an int amount, the SQL function takes
+    # any expression
+    return (pos.groupBy(F.shiftright("_pos", 5).alias("_word"))
+               .agg(F.bit_or(_mask_expr("_pos")).alias("_bits")))
+
+
+def _mask_expr(pos_col: str) -> Column:
+    """``1 << (pos % 32)`` as a BIGINT Column (variable shift amount)."""
+    return F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST({pos_col} % 32 AS INT))")
+
+
+# ---------------------------------------------------------------------------
+# Index lifecycle: build → extend (append-only) → probe → compact
+# ---------------------------------------------------------------------------
+
+def build_bloom_index(corpus: DataFrame, table: str, text_col: str,
+                      m_bits: int = DEFAULT_M_BITS, k: int = DEFAULT_K,
+                      n_buckets: int = 64) -> None:
+    """Build ``{table}_words`` — the bucketed Bloom word table — over the
+    corpus's canonical text forms.  One shuffle (the bit_or groupBy, with
+    map-side combine) + one bucketed write; the corpus text is read once
+    and never again.  Probe-time ``m_bits``/``k`` must match the build —
+    they define the filter the way the centroid array defines an IVF
+    index."""
+    from frames_map_reduce_spark.sources import write_bucketed
+
+    require_columns(corpus, [text_col])
+    write_bucketed(_word_rows(corpus, text_col, m_bits, k),
+                   f"{table}_words", ["_word"], n_buckets)
+
+
+def extend_bloom_index(corpus_delta: DataFrame, table: str, text_col: str,
+                       m_bits: int = DEFAULT_M_BITS,
+                       k: int = DEFAULT_K) -> None:
+    """Fold newly-ACCEPTED documents into a persisted Bloom index by
+    APPENDING their word rows — the existing index is never read (set
+    union of Bloom filters is ``bit_or`` per word: a monoid, merged
+    lazily at probe time).  Appends inherit the bucket spec Spark
+    recorded at build (enforced by the catalog).  Generations accumulate
+    one word-table copy per extend in the worst case; fold them back to
+    one row per word with :func:`compact_bloom_index` when probe-side
+    read amplification matters.  Spec parameters must match the build."""
+    from frames_map_reduce_spark.sources import write_bucketed
+
+    require_columns(corpus_delta, [text_col])
+    spark = corpus_delta.sparkSession
+    nb = _bloom_num_buckets(spark, table)
+    write_bucketed(_word_rows(corpus_delta, text_col, m_bits, k),
+                   f"{table}_words", ["_word"], nb, mode="append")
+
+
+def bloom_probe_index(spark: SparkSession, table: str, queries: DataFrame,
+                      text_col: str, id_col: str,
+                      m_bits: int = DEFAULT_M_BITS,
+                      k: int = DEFAULT_K) -> DataFrame:
+    """Screen an incoming batch against a persisted Bloom index: returns
+    ``(id_col, maybe_dup)`` — ``false`` is a GUARANTEE (not in the
+    accepted corpus), ``true`` is "duplicate or false positive" (route
+    to the exact anti-join or drop, per pipeline policy).  Rows whose
+    text is NULL are excluded (no canonical form — the fingerprint
+    family's NULL contract).
+
+    Plan: generation rows merge with a SHUFFLE-FREE ``bit_or`` groupBy
+    (the table is bucketed by ``_word``); the incoming side explodes to
+    k rows/doc, joins on ``_word`` (only the skinny probe side
+    exchanges), and a final groupBy ANDs the k bit tests per document.
+    The accepted corpus's text is never touched."""
+    require_columns(queries, [text_col, id_col])
+    words = (spark.table(f"{table}_words")
+                  .groupBy("_word").agg(F.bit_or("_bits").alias("_bits")))
+    qpos = queries.select(
+        F.col(id_col),
+        F.explode(bloom_positions(F.col(text_col), m_bits, k)).alias("_pos"))
+    probe = qpos.select(
+        id_col,
+        F.shiftright("_pos", 5).alias("_word"),
+        _mask_expr("_pos").alias("_mask"))
+    hit = F.when(F.coalesce(F.col("_bits"), F.lit(0).cast("long"))
+                  .bitwiseAND(F.col("_mask")) != 0, 1).otherwise(0)
+    return (probe.join(words, "_word", "left")
+                 .groupBy(id_col)
+                 .agg((F.min(hit) == 1).alias("maybe_dup")))
+
+
+def compact_bloom_index(spark: SparkSession, table: str) -> None:
+    """Fold an extend-heavy index back to ONE row per word (``bit_or``
+    across generations) and swap it in — same rename-rename-drop swap
+    (and the same crash-window contract) as dedup.rebuild_minhash_index:
+    never data-destroying, a crash between the renames leaves both
+    datasets under ``_old`` / ``_compact`` names and recovery is one
+    manual rename; a stale ``_old`` location from a previous crash is
+    cleared through the Hadoop FileSystem API."""
+    from frames_map_reduce_spark.sources import write_bucketed
+
+    nb = _bloom_num_buckets(spark, table)
+    merged = (spark.table(f"{table}_words")
+                   .groupBy("_word").agg(F.bit_or("_bits").alias("_bits")))
+    tmp = f"{table}_words_compact"
+    old = f"{table}_words_old"
+    write_bucketed(merged, tmp, ["_word"], nb)
+    spark.sql(f"DROP TABLE IF EXISTS `{old}`")
+    jvm = spark._jvm
+    wh_path = jvm.org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), old.lower())
+    fs = wh_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(wh_path):
+        fs.delete(wh_path, True)
+    spark.sql(f"ALTER TABLE `{table}_words` RENAME TO `{old}`")
+    spark.sql(f"ALTER TABLE `{tmp}` RENAME TO `{table}_words`")
+    spark.sql(f"DROP TABLE `{old}`")
+    # drop any cached file listing under the NEW name (plans created
+    # BEFORE the compact hold the old snapshot and must be re-created —
+    # re-collecting one raises FAILED_READ_FILE, same contract as
+    # rebuild_minhash_index)
+    spark.catalog.refreshTable(f"{table}_words")
+
+
+def _bloom_num_buckets(spark: SparkSession, table: str) -> int:
+    """The bucket count the catalog recorded for ``{table}_words`` — the
+    catalog, not a caller parameter, owns the bucket spec."""
+    desc = spark.sql(f"DESCRIBE TABLE EXTENDED {table}_words") \
+                .filter(F.col("col_name") == "Num Buckets").first()
+    return int(desc["data_type"]) if desc else 64
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twin: build + probe replayed in one statement
+# ---------------------------------------------------------------------------
+
+def bloom_firewall_sql(ref_from: str, query_from: str, text_col: str,
+                       id_col: str, m_bits: int = DEFAULT_M_BITS,
+                       k: int = DEFAULT_K) -> str:
+    """Full-value DuckDB twin of build_bloom_index → bloom_probe_index:
+    the SAME position spec packs the SAME word table and ANDs the SAME
+    bit tests — Bloom false positives are part of the deterministic spec
+    and reproduce bit-for-bit.  ``ref_from`` / ``query_from`` are FROM
+    bodies (e.g. ``documents WHERE doc_id % 4 = 0``)."""
+    pos = bloom_positions_sql(text_col, m_bits, k)
+    return f"""
+        WITH _bl_ref AS (
+            SELECT pos >> 5 AS w,
+                   bit_or(CAST(1 AS BIGINT) << (pos & 31)) AS bits
+            FROM (SELECT unnest({pos}) AS pos FROM {ref_from})
+            GROUP BY w),
+        _bl_q AS (
+            SELECT {id_col}, unnest({pos}) AS pos FROM {query_from})
+        SELECT _bl_q.{id_col},
+               (min((coalesce(_bl_ref.bits, 0) >> (_bl_q.pos & 31)) & 1) = 1)
+                   AS maybe_dup
+        FROM _bl_q LEFT JOIN _bl_ref ON _bl_ref.w = _bl_q.pos >> 5
+        GROUP BY _bl_q.{id_col}"""

@@ -1,0 +1,162 @@
+"""Bloom membership firewall (operators/bloom.py): no-false-negative
+guarantee, the extend/compact monoid law, deterministic false positives
+under a deliberately tiny geometry, NULL contract, spec validation, and
+the shuffle-free probe plan.  Cross-engine value parity at sf0.001 is
+covered by test_oracle_parity (bloom_firewall is a registry query)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from frames_map_reduce_spark.operators import bloom as BL
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "Colorless green ideas sleep furiously"),
+        (3, "Pack my box with five dozen liquor jugs"),
+        (4, "How vexingly quick daft zebras jump"),
+        (5, "Sphinx of black quartz judge my vow"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _probe_map(spark, table, queries, **spec):
+    out = BL.bloom_probe_index(spark, table, queries, "text", "doc_id",
+                               **spec)
+    return {r["doc_id"]: r["maybe_dup"] for r in out.collect()}
+
+
+def _drop(spark, table):
+    for suffix in ("words", "words_old", "words_compact"):
+        spark.sql(f"DROP TABLE IF EXISTS {table}_{suffix}")
+
+
+def test_bloom_no_false_negatives(spark, corpus):
+    """Every canonical-form member must flag — including case and
+    whitespace variants (the fingerprint normalization contract)."""
+    table = "bloom_t_fn"
+    try:
+        BL.build_bloom_index(corpus, table, "text")
+        variants = spark.createDataFrame(
+            [(101, "the QUICK brown fox   jumps over the lazy dog"),
+             (102, "  Colorless green ideas sleep furiously\n"),
+             (103, "an entirely different document about rivers")],
+            "doc_id long, text string")
+        got = _probe_map(spark, table, variants)
+        assert got[101] is True and got[102] is True
+        # default geometry: 2^22 bits over 5 docs — FP odds ~0
+        assert got[103] is False
+    finally:
+        _drop(spark, table)
+
+
+def test_bloom_extend_monoid_law(spark, corpus):
+    """compact(build(A) ++ extend(B)) must equal build(A ∪ B) word for
+    word — Bloom union IS bit_or per word — and probe verdicts must be
+    identical BEFORE compaction (read-time merge) and after."""
+    a = corpus.filter(F.col("doc_id") <= 2)
+    b = corpus.filter(F.col("doc_id") > 2)
+    try:
+        BL.build_bloom_index(a, "bloom_t_inc", "text")
+        BL.extend_bloom_index(b, "bloom_t_inc", "text")
+        BL.build_bloom_index(corpus, "bloom_t_all", "text")
+
+        probes = corpus.union(spark.createDataFrame(
+            [(9, "a probe that is in neither half")],
+            "doc_id long, text string"))
+        before = _probe_map(spark, "bloom_t_inc", probes)
+        assert before == _probe_map(spark, "bloom_t_all", probes)
+        assert all(before[d] for d in (1, 2, 3, 4, 5)) and not before[9]
+
+        # two generations on disk pre-compact, one after; same words
+        n_gen = spark.table("bloom_t_inc_words").count()
+        BL.compact_bloom_index(spark, "bloom_t_inc")
+        merged = sorted(map(tuple, spark.table("bloom_t_inc_words").collect()))
+        union = sorted(map(tuple, spark.table("bloom_t_all_words").collect()))
+        assert merged == union
+        assert len(merged) <= n_gen
+        assert before == _probe_map(spark, "bloom_t_inc", probes)
+    finally:
+        _drop(spark, "bloom_t_inc")
+        _drop(spark, "bloom_t_all")
+
+
+def test_bloom_false_positives_are_spec(spark):
+    """Under a deliberately saturated geometry (40 members in 128 bits,
+    k=2 — the deterministic spec yields 10 FPs among these 40 probes)
+    some non-members must flag (it's a Bloom filter) — and exactly the
+    rows the DuckDB replay of the spec says, bit for bit."""
+    table = "bloom_t_fp"
+    spec = dict(m_bits=128, k=2)
+    ref_rows = [(i, f"reference corpus document number {i}")
+                for i in range(40)]
+    probe_rows = [(100 + i, f"synthetic non-member probe number {i}")
+                  for i in range(40)]
+    try:
+        ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+        BL.build_bloom_index(ref, table, "text", **spec)
+        probes = spark.createDataFrame(probe_rows,
+                                       "doc_id long, text string")
+        got = _probe_map(spark, table, probes, **spec)
+        assert any(got.values()), "saturated filter must show FPs"
+        assert not all(got.values())
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE ref (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO ref VALUES (?, ?)", ref_rows)
+        con.execute("CREATE TABLE probes (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO probes VALUES (?, ?)", probe_rows)
+        want = dict(con.execute(BL.bloom_firewall_sql(
+            "ref", "probes", "text", "doc_id", **spec)).fetchall())
+        assert got == want
+        # members never miss, even fully saturated
+        got_ref = _probe_map(spark, table, ref, **spec)
+        assert all(got_ref.values())
+    finally:
+        _drop(spark, table)
+
+
+def test_bloom_null_text_contract(spark, corpus):
+    """NULL text has no canonical form: contributes nothing at build,
+    drops out of the probe output (both engines explode/unnest away the
+    NULL position array)."""
+    table = "bloom_t_null"
+    try:
+        with_null = corpus.union(spark.createDataFrame(
+            [(6, None)], "doc_id long, text string"))
+        BL.build_bloom_index(with_null, table, "text")
+        got = _probe_map(spark, table, with_null)
+        assert 6 not in got
+        assert set(got) == {1, 2, 3, 4, 5} and all(got.values())
+    finally:
+        _drop(spark, table)
+
+
+def test_bloom_spec_validation(spark, corpus):
+    with pytest.raises(ValueError, match="power of two"):
+        BL.build_bloom_index(corpus, "bloom_t_bad", "text", m_bits=1000)
+    with pytest.raises(ValueError, match="k must be"):
+        BL.bloom_positions(F.col("text"), k=0)
+    with pytest.raises(ValueError, match="power of two"):
+        BL.bloom_positions_sql("text", m_bits=48)
+
+
+def test_bloom_probe_filter_side_shuffle_free(spark, corpus):
+    """The generation-merging bit_or groupBy on the persisted word table
+    must be exchange-free — that's what bucketing by _word buys the
+    recurring probe path."""
+    from frames_map_reduce_spark.plans import count_exchanges
+
+    table = "bloom_t_plan"
+    try:
+        BL.build_bloom_index(corpus, table, "text")
+        merged = (spark.table(f"{table}_words")
+                       .groupBy("_word").agg(F.bit_or("_bits").alias("_bits")))
+        assert count_exchanges(merged) == 0
+    finally:
+        _drop(spark, table)
