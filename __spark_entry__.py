@@ -1085,6 +1085,41 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.groupBy("source").agg(*aggs)
 
 
+def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 rule-based cleaning profile (functions/text.py c4_rules /
+    c4_kept_lines — Raffel et al. 2020 arXiv:1910.10683 §2.2, the
+    line-level web cleaner next to Gopher's doc-level gate): per-source
+    page pass count, per-rule failure counts, and the line-filter's
+    keep accounting (total vs surviving lines).  Every verdict is a
+    string/integer predicate over one shared line split — engine-exact,
+    no rounding grid.  One projection + one aggregation, pure codegen.
+
+    The synthetic corpus is punctuation-free single-line word soup (the
+    rules would fire identically on every doc), so the query first
+    RE-SENTENCES it deterministically — a period + newline after every
+    6th word, the same regex in both engines — and runs the rules on
+    that derived text: doc length then genuinely drives the
+    sentence-count verdict, and the final unterminated partial line is
+    genuinely cut by the line filter."""
+    docs = _docs(spark, sf_dir)
+    sent = F.regexp_replace(F.col("text"), r"(\w+( \w+){5}) ", "$1.\n")
+    rules = TX.c4_rules(sent)
+    flagged = docs.select(
+        "source",
+        F.size(F.split(sent, "\n")).alias("n_lines"),
+        F.size(TX.c4_kept_lines(sent)).alias("n_kept"),
+        *(c.alias(name) for name, c in rules.items()))
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("pass_c4"), 1).otherwise(0))
+             .cast("bigint").alias("n_pass")]
+    aggs += [F.sum(F.when(~F.col(r), 1).otherwise(0)).cast("bigint")
+              .alias(f"fail_{r[2:]}")
+             for r in rules if r != "pass_c4"]
+    aggs += [F.sum("n_lines").cast("bigint").alias("sum_lines"),
+             F.sum("n_kept").cast("bigint").alias("sum_kept")]
+    return flagged.groupBy("source").agg(*aggs)
+
+
 def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled mixture rebalancing (operators/sampling.py
     temperature_mixture — the XLM-R/mT5 alpha-sampling recipe): per-source
@@ -2736,15 +2771,17 @@ _R7_WINDOW = [
     "minhash_firewall", "ann_ivf", "ann_ivf_indexed", "asof_forward",
     "asof_tolerance", "merge_upsert", "salted_agg", "stream_hourly",
     "stream_sessions", "stream_stateful",
-    "contamination", "quality_score",
+    "contamination",
     # (5) r7 session additions — prove them THIS round rather than
-    # queueing them never-proven into r8 (displaced seven r5-proven
+    # queueing them never-proven into r8 (displaced eight r5-proven
     # fills: sample_stratified, mixture_weights, train_test_split,
-    # strip_markup, chunk_docs, bm25, media_meta — they stay r5-proven
-    # and lead the r8 rotation with the stale-after-r7 set; media's
-    # family keeps an r6 proof via media_features)
+    # strip_markup, chunk_docs, bm25, media_meta, quality_score — they
+    # stay r5-proven and lead the r8 rotation with the stale-after-r7
+    # set; media's family keeps an r6 proof via media_features, and the
+    # quality family is in-window eight ways already)
     "quality_classifier", "temperature_mixture", "stream_classifier",
     "curate_corpus_v3", "gopher_rules", "pack_extend", "bloom_firewall",
+    "c4_rules",
 ]
 
 
@@ -2895,6 +2932,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_classifier": q_stream_classifier,
         "curate_corpus_v3": q_curate_corpus_v3,
         "gopher_rules": q_gopher_rules,
+        "c4_rules": q_c4_rules,
         "pack_extend": q_pack_extend,
     }
 
@@ -3332,6 +3370,32 @@ def oracle_sql() -> dict[str, str]:
                       f"{expr} AS {name}" for name, expr in _r.items())}
                   FROM documents)
             GROUP BY source""")(TX.gopher_rules_sql("text")),
+        # same generated-twin shape as gopher_rules plus the line
+        # filter's keep accounting — all-BIGINT, engine-exact; the
+        # derived-table `sent` is the deterministic re-sentencing shim
+        # (same regex as the Spark side, backref spelled \\1 for RE2)
+        "c4_rules": (lambda _r: f"""
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum(CASE WHEN pass_c4 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_pass,
+                   {", ".join(
+                       f"sum(CASE WHEN NOT {name} THEN 1 ELSE 0 END)::BIGINT"
+                       f" AS fail_{name[2:]}"
+                       for name in _r if name != "pass_c4")},
+                   sum(n_lines)::BIGINT AS sum_lines,
+                   sum(n_kept)::BIGINT AS sum_kept
+            FROM (SELECT source,
+                         len(string_split(text, chr(10))) AS n_lines,
+                         len({TX.c4_kept_lines_sql("text")}) AS n_kept,
+                         {", ".join(
+                             f"{expr} AS {name}"
+                             for name, expr in _r.items())}
+                  FROM (SELECT source,
+                               regexp_replace(text,
+                                   '(\\w+( \\w+){{5}}) ',
+                                   '\\1.' || chr(10), 'g') AS text
+                        FROM documents))
+            GROUP BY source""")(TX.c4_rules_sql("text")),
         # the generated mixture twin nests as a derived table; the
         # rollup over the kept set is all-BIGINT
         "temperature_mixture": f"""

@@ -96,6 +96,7 @@ HEADLINE = [
     "gopher_rules",       # integer rule verdicts, 1 projection + 1 agg
     "pack_extend",        # incremental manifest fold-in (no repack)
     "bloom_firewall",     # build+extend+probe Bloom membership lifecycle
+    "c4_rules",           # line-level C4 cleaner profile, 1 proj + 1 agg
 ]
 
 #: entries that run ONCE per bench session instead of median-of-n: they

@@ -517,3 +517,95 @@ def gopher_rules_sql(col: str) -> dict[str, str]:
     }
     rules["pass_gopher"] = "(" + " AND ".join(rules.values()) + ")"
     return rules
+
+
+# ---------------------------------------------------------------------------
+# C4 quality rules (Raffel et al. 2020, arXiv:1910.10683 §2.2 — the
+# line-level web-corpus cleaner next to Gopher's doc-level gopher_rules)
+# ---------------------------------------------------------------------------
+
+#: a line survives iff it ends in terminal punctuation, has >= 3
+#: whitespace words, and does not mention javascript; a page survives
+#: iff its KEPT text still has >= 5 sentence enders and the raw page
+#: contains no curly brace and no "lorem ipsum".  (The paper's
+#: bad-words-list rule needs an external list and is out of spec here;
+#: compose with `redact_pii`-style expression filters where policy
+#: requires one.)  All decisions are string/integer predicates over ONE
+#: shared line split — no float anywhere, verdicts engine-exact.
+C4_MIN_WORDS_PER_LINE = 3
+C4_MIN_SENTENCES = 5
+C4_TERMINAL_RE = "[.!?\"']$"
+C4_LINE_BANNED = "javascript"
+C4_DOC_BANNED = ("{", "lorem ipsum")
+
+
+def c4_kept_lines(col: Column) -> Column:
+    """The lines of ``col`` that survive C4's line filter, order kept.
+    NULL text -> NULL (the uniform NULL-verdict contract)."""
+    def keep(ln: Column) -> Column:
+        t = F.trim(ln)
+        words = F.filter(F.split(t, WS), lambda w: w != F.lit(""))
+        return (t.rlike(C4_TERMINAL_RE)
+                & (F.size(words) >= C4_MIN_WORDS_PER_LINE)
+                & ~F.lower(t).contains(C4_LINE_BANNED))
+
+    return F.filter(F.split(col, "\n"), keep)
+
+
+def c4_kept_lines_sql(col: str) -> str:
+    term = C4_TERMINAL_RE.replace("'", "''")
+    return (f"list_filter(string_split({col}, chr(10)), ln -> "
+            f"regexp_matches(trim(ln), '{term}') AND "
+            f"len(list_filter(string_split_regex(trim(ln), '{WS}'),"
+            f" w -> w <> '')) >= {C4_MIN_WORDS_PER_LINE} AND "
+            f"NOT contains(lower(trim(ln)), '{C4_LINE_BANNED}'))")
+
+
+def c4_clean(col: Column) -> Column:
+    """C4-cleaned text: the surviving lines re-joined with newlines (the
+    transform half — pair with :func:`c4_rules` for the page gate)."""
+    return F.array_join(c4_kept_lines(col), "\n")
+
+
+def c4_clean_sql(col: str) -> str:
+    # coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+    # array_join([]) is '' — all-lines-cut must yield '' on both sides,
+    # while NULL text stays NULL (same guard shape as gopher's
+    # word_chars twin)
+    return (f"(CASE WHEN {col} IS NULL THEN NULL ELSE"
+            f" coalesce(array_to_string({c4_kept_lines_sql(col)},"
+            f" chr(10)), '') END)")
+
+
+def c4_rules(col: Column) -> dict[str, Column]:
+    """The C4 page-level rules as named BOOLEAN Columns (plus the
+    conjunction under ``"pass_c4"``): enough sentences SURVIVE the line
+    filter, no curly brace (code), no boilerplate filler.  NULL text
+    yields NULL verdicts, like gopher_rules."""
+    n_sent = F.size(F.regexp_extract_all(c4_clean(col), F.lit("[.!?]"), 0))
+    low = F.lower(col)
+    rules: dict[str, Column] = {
+        "r_min_sentences": n_sent >= C4_MIN_SENTENCES,
+        "r_no_brace": ~low.contains(C4_DOC_BANNED[0]),
+        "r_no_lorem": ~low.contains(C4_DOC_BANNED[1]),
+    }
+    conj = None
+    for c in rules.values():
+        conj = c if conj is None else (conj & c)
+    rules["pass_c4"] = conj
+    return rules
+
+
+def c4_rules_sql(col: str) -> dict[str, str]:
+    """DuckDB twins of :func:`c4_rules`, generated from the same
+    constants and the same shared line-filter spec."""
+    n_sent = f"len(regexp_extract_all({c4_clean_sql(col)}, '[.!?]'))"
+    rules = {
+        "r_min_sentences": f"({n_sent} >= {C4_MIN_SENTENCES})",
+        "r_no_brace":
+            f"(NOT contains(lower({col}), '{C4_DOC_BANNED[0]}'))",
+        "r_no_lorem":
+            f"(NOT contains(lower({col}), '{C4_DOC_BANNED[1]}'))",
+    }
+    rules["pass_c4"] = "(" + " AND ".join(rules.values()) + ")"
+    return rules

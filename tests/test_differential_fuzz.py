@@ -521,3 +521,46 @@ def test_classifier_matches_duckdb(spark, texts, labels):
     want_s = sorted(con.sql(f"WITH w AS ({wsql}) {ssql}").fetchall())
     assert got_w == want_w
     assert got_s == want_s
+
+
+_c4_line = st.lists(
+    st.sampled_from(["the", "fox", "ran", "{", "lorem", "ipsum",
+                     "javascript", "x"]),
+    min_size=0, max_size=6).map(" ".join)
+_c4_text = st.one_of(
+    st.none(),
+    st.lists(
+        st.one_of(_c4_line,
+                  _c4_line.map(lambda l: l + "."),     # terminal punct
+                  _c4_line.map(lambda l: l + "?"),
+                  _c4_line.map(lambda l: "  " + l + '!"')),
+        min_size=0, max_size=8).map("\n".join))
+
+
+@given(texts=st.lists(_c4_text, min_size=1, max_size=10))
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_c4_rules_match_duckdb(spark, texts):
+    """Random line-structured text (punctuation endings, braces, lorem
+    ipsum fragments, javascript mentions, leading whitespace, NULLs)
+    through the C4 line filter + page rules vs the generated twins —
+    cleaned text AND every verdict must agree exactly."""
+    from frames_map_reduce_spark.functions.text import (
+        c4_clean, c4_clean_sql, c4_rules, c4_rules_sql)
+
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    pdf["text"] = pdf["text"].astype("string")
+    sdf = spark.createDataFrame(pdf)
+    rules = c4_rules(F.col("text"))
+    got = {r["doc_id"]: tuple(r)[1:] for r in
+           sdf.select("doc_id", c4_clean(F.col("text")).alias("clean"),
+                      *(c.alias(n) for n, c in rules.items()))
+              .collect()}
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    sel = ", ".join(f"{expr} AS {name}"
+                    for name, expr in c4_rules_sql("text").items())
+    want = {r[0]: r[1:] for r in
+            con.sql(f"SELECT doc_id, {c4_clean_sql('text')} AS clean, "
+                    f"{sel} FROM docs").fetchall()}
+    assert got == want

@@ -385,3 +385,40 @@ def test_gopher_rules_per_rule_verdicts(spark):
     assert got["numeric"]["r_alpha_words"] is False
     assert got["nostop"]["r_stopwords"] is False
     assert got["nulltext"]["pass_gopher"] is None  # unknown, not pass
+
+
+def test_c4_rules_and_clean(spark):
+    """C4 line filter + page verdicts: terminal punctuation, 3-word
+    minimum, javascript lines dropped; pages fail on too few surviving
+    sentences, braces, lorem ipsum; NULL text -> NULL verdicts."""
+    from frames_map_reduce_spark.functions.text import c4_clean, c4_rules
+
+    good = "\n".join(["This sentence is long enough to keep."] * 6)
+    rows = [
+        ("good", good),
+        # every line lacks terminal punctuation -> 0 sentences survive
+        ("nopunct", "\n".join(["no terminal punctuation here"] * 6)),
+        # enough sentences but a brace on the page
+        ("brace", good + "\nfunction f() { return 1; }"),
+        ("lorem", good + "\nLorem Ipsum dolor sit amet."),
+        # the javascript line is cut but the page still passes
+        ("jsline", good + "\nPlease enable JavaScript to continue."),
+        ("short", "Tiny.\nAlso tiny.\nThree words here."),
+        ("nulltext", None),
+    ]
+    df = spark.createDataFrame(rows, "tag string, text string")
+    out = df.select("tag", c4_clean(F.col("text")).alias("clean"),
+                    *(c.alias(n)
+                      for n, c in c4_rules(F.col("text")).items()))
+    got = {r["tag"]: r.asDict() for r in out.collect()}
+    assert got["good"]["pass_c4"] is True
+    assert got["nopunct"]["r_min_sentences"] is False
+    assert got["nopunct"]["clean"] == ""
+    assert got["brace"]["r_no_brace"] is False
+    assert got["brace"]["r_min_sentences"] is True  # the filter kept 6
+    assert got["lorem"]["r_no_lorem"] is False
+    assert got["jsline"]["pass_c4"] is True
+    assert "JavaScript" not in got["jsline"]["clean"]
+    assert got["short"]["r_min_sentences"] is False  # 3-word rule cuts 2
+    assert got["nulltext"]["pass_c4"] is None
+    assert got["nulltext"]["clean"] is None
