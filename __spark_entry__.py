@@ -1120,6 +1120,50 @@ def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.groupBy("source").agg(*aggs)
 
 
+def q_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed ingestion ADMISSION GATE — the decision a streaming
+    corpus loader actually makes per incoming document, all four
+    screens in one row: exact membership against the accepted corpus
+    (Bloom firewall, operators/bloom.py), near-duplication against it
+    (persisted MinHash firewall, operators/dedup.py), and rule quality
+    (Gopher word-count × C4 page rules over the re-sentenced text —
+    the two rules this corpus genuinely discriminates on).
+    ``accept`` is the three-valued AND of the screens, NULL-propagating
+    identically in both engines.  FULL oracle: the DuckDB twin composes
+    the Bloom bit replay, the exhaustive cross-corpus Jaccard, and the
+    generated rule expressions over the same %4 split.
+
+    Deployment shape: both indices are train-once (build here so the
+    query is self-contained; the recurring cost is probe-only — see
+    minhash_firewall_build/probe's split bench)."""
+    docs = _docs(spark, sf_dir)
+    ref = docs.filter(F.col("doc_id") % 4 == 0)
+    inc = docs.filter(F.col("doc_id") % 4 != 0)
+    BL.build_bloom_index(ref, "gate_bloom_driver", "text")
+    member = (BL.bloom_probe_index(spark, "gate_bloom_driver", inc,
+                                   "text", "doc_id")
+                .withColumnRenamed("maybe_dup", "is_member"))
+    DD.build_minhash_index(ref, "gate_minhash_driver", "text", "doc_id")
+    nd = (DD.minhash_probe_index(spark, "gate_minhash_driver", inc,
+                                 "text", "doc_id", threshold=0.6)
+            .select("doc_id").distinct()
+            .withColumn("_nd", F.lit(True)))
+    sent = F.regexp_replace(F.col("text"), r"(\w+( \w+){5}) ", "$1.\n")
+    quality = inc.select(
+        "doc_id", "source",
+        (TX.gopher_rules(F.col("text"))["r_word_count"]
+         & TX.c4_rules(sent)["pass_c4"]).alias("quality_ok"))
+    out = (quality.join(member, "doc_id", "left")
+                  .join(nd, "doc_id", "left")
+                  .select("doc_id", "source", "quality_ok", "is_member",
+                          F.coalesce(F.col("_nd"), F.lit(False))
+                           .alias("is_near_dup")))
+    return out.select(
+        "doc_id", "source", "quality_ok", "is_member", "is_near_dup",
+        (F.col("quality_ok") & ~F.col("is_member")
+         & ~F.col("is_near_dup")).alias("accept"))
+
+
 def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled mixture rebalancing (operators/sampling.py
     temperature_mixture — the XLM-R/mT5 alpha-sampling recipe): per-source
@@ -2768,20 +2812,21 @@ _R7_WINDOW = [
     "topk_per_group", "dedup_exact", "dedup_minhash", "dedup_simhash",
     "dedup_ngram_jaccard", "perplexity", "bigram_perplexity",
     "remove_dup_lines", "remove_dup_spans", "curate_corpus",
-    "minhash_firewall", "ann_ivf", "ann_ivf_indexed", "asof_forward",
+    "minhash_firewall", "ann_ivf", "ann_ivf_indexed",
     "asof_tolerance", "merge_upsert", "salted_agg", "stream_hourly",
     "stream_sessions", "stream_stateful",
     "contamination",
     # (5) r7 session additions — prove them THIS round rather than
-    # queueing them never-proven into r8 (displaced eight r5-proven
+    # queueing them never-proven into r8 (displaced nine r5-proven
     # fills: sample_stratified, mixture_weights, train_test_split,
-    # strip_markup, chunk_docs, bm25, media_meta, quality_score — they
-    # stay r5-proven and lead the r8 rotation with the stale-after-r7
-    # set; media's family keeps an r6 proof via media_features, and the
-    # quality family is in-window eight ways already)
+    # strip_markup, chunk_docs, bm25, media_meta, quality_score,
+    # asof_forward — they stay r5-proven and lead the r8 rotation with
+    # the stale-after-r7 set; media's family keeps an r6 proof via
+    # media_features, the quality family is in-window eight ways, and
+    # asof keeps asof_tolerance in-window + asof_sliced/asof_join r6)
     "quality_classifier", "temperature_mixture", "stream_classifier",
     "curate_corpus_v3", "gopher_rules", "pack_extend", "bloom_firewall",
-    "c4_rules",
+    "c4_rules", "ingest_gate",
 ]
 
 
@@ -2933,6 +2978,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus_v3": q_curate_corpus_v3,
         "gopher_rules": q_gopher_rules,
         "c4_rules": q_c4_rules,
+        "ingest_gate": q_ingest_gate,
         "pack_extend": q_pack_extend,
     }
 
@@ -3370,6 +3416,39 @@ def oracle_sql() -> dict[str, str]:
                       f"{expr} AS {name}" for name, expr in _r.items())}
                   FROM documents)
             GROUP BY source""")(TX.gopher_rules_sql("text")),
+        # the composed admission gate: Bloom bit replay + exhaustive
+        # cross-corpus Jaccard + generated rule twins over the same %4
+        # split, joined per incoming doc; accept reproduces the same
+        # three-valued AND
+        "ingest_gate": (lambda wc, c4: f"""
+            WITH _ig_in AS (
+                SELECT doc_id, source, text,
+                       regexp_replace(text, '(\\w+( \\w+){{5}}) ',
+                           '\\1.' || chr(10), 'g') AS sent
+                FROM documents WHERE doc_id % 4 <> 0),
+            _ig_q AS (
+                SELECT doc_id, source,
+                       ({wc} AND {c4}) AS quality_ok
+                FROM _ig_in),
+            _ig_member AS ({BL.bloom_firewall_sql(
+                "documents WHERE doc_id % 4 = 0",
+                "documents WHERE doc_id % 4 <> 0", "text", "doc_id")}),
+            _ig_sh AS (SELECT doc_id, {shingle5} AS sh FROM documents),
+            _ig_nd AS (
+                SELECT DISTINCT a.doc_id
+                FROM _ig_sh a JOIN _ig_sh b
+                  ON (a.doc_id % 4 <> 0) AND (b.doc_id % 4 = 0)
+                WHERE {jaccard5} >= 0.6)
+            SELECT q.doc_id, q.source, q.quality_ok,
+                   m.maybe_dup AS is_member,
+                   (nd.doc_id IS NOT NULL) AS is_near_dup,
+                   (q.quality_ok AND NOT m.maybe_dup
+                    AND nd.doc_id IS NULL) AS accept
+            FROM _ig_q q
+            LEFT JOIN _ig_member m ON m.doc_id = q.doc_id
+            LEFT JOIN _ig_nd nd ON nd.doc_id = q.doc_id""")(
+                TX.gopher_rules_sql("text")["r_word_count"],
+                TX.c4_rules_sql("sent")["pass_c4"]),
         # same generated-twin shape as gopher_rules plus the line
         # filter's keep accounting — all-BIGINT, engine-exact; the
         # derived-table `sent` is the deterministic re-sentencing shim
