@@ -1183,6 +1183,32 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MARKUP_CSV = "/root/repo/tests/fixtures/markup.csv"
+UNICODE_CSV = "/root/repo/tests/fixtures/unicode_punct.csv"
+
+
+def q_normalize_punct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode punctuation normalization (functions/text.py
+    normalize_punct): smart quotes / typographic dashes / exotic spaces
+    / ellipsis / fi-fl ligatures canonicalized to ASCII — the
+    pre-tokenization cleanup that makes fingerprinting and token
+    counting treat typographic and plain spellings as equal.  One
+    translate + four literal replaces, pure codegen, no regex.  Input
+    is a committed unicode-salted fixture (the synthetic documents are
+    plain ASCII); output carries change flags, char-length deltas, and
+    the md5 of the normalized text.  FULL oracle from the same map
+    constants."""
+    schema = T.StructType([
+        T.StructField("row_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    df = spark.read.csv(UNICODE_CSV, header=True, schema=schema)
+    norm = TX.normalize_punct(F.col("text"))
+    return df.select(
+        "row_id",
+        (F.col("text") != norm).alias("changed"),
+        F.length("text").cast("bigint").alias("len_before"),
+        F.length(norm).cast("bigint").alias("len_after"),
+        F.md5(F.encode(norm, "UTF-8")).alias("norm_md5"))
 
 
 def q_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2814,19 +2840,21 @@ _R7_WINDOW = [
     "remove_dup_lines", "remove_dup_spans", "curate_corpus",
     "minhash_firewall", "ann_ivf", "ann_ivf_indexed",
     "asof_tolerance", "merge_upsert", "salted_agg", "stream_hourly",
-    "stream_sessions", "stream_stateful",
+    "stream_sessions",
     "contamination",
     # (5) r7 session additions — prove them THIS round rather than
-    # queueing them never-proven into r8 (displaced nine r5-proven
+    # queueing them never-proven into r8 (displaced ten r5-proven
     # fills: sample_stratified, mixture_weights, train_test_split,
     # strip_markup, chunk_docs, bm25, media_meta, quality_score,
-    # asof_forward — they stay r5-proven and lead the r8 rotation with
-    # the stale-after-r7 set; media's family keeps an r6 proof via
-    # media_features, the quality family is in-window eight ways, and
-    # asof keeps asof_tolerance in-window + asof_sliced/asof_join r6)
+    # asof_forward, stream_stateful — they stay r5-proven and lead the
+    # r8 rotation with the stale-after-r7 set; every displaced family
+    # keeps an in-window or r6 representative: media via
+    # media_features(r6), quality eight ways, asof via asof_tolerance +
+    # asof_sliced/asof_join(r6), streaming via stream_hourly/
+    # stream_sessions/stream_classifier)
     "quality_classifier", "temperature_mixture", "stream_classifier",
     "curate_corpus_v3", "gopher_rules", "pack_extend", "bloom_firewall",
-    "c4_rules", "ingest_gate",
+    "c4_rules", "ingest_gate", "normalize_punct",
 ]
 
 
@@ -2965,6 +2993,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_dup_spans": q_remove_dup_spans,
         "remove_dup_lines": q_remove_dup_lines,
         "strip_markup": q_strip_markup,
+        "normalize_punct": q_normalize_punct,
         "curate_corpus": q_curate_corpus,
         "pack_sequences": q_pack_sequences,
         "semantic_dedup": q_semantic_dedup,
@@ -3232,6 +3261,16 @@ def oracle_sql() -> dict[str, str]:
                    {TX.markup_tag_count_sql('text')} AS n_tags,
                    md5({TX.strip_markup_sql('text')}) AS stripped_md5
             FROM read_csv('{MARKUP_CSV}', header=true,
+                           columns={{'row_id': 'BIGINT', 'text': 'VARCHAR'}})""",
+        # generated from the same PUNCT_SINGLE/PUNCT_MULTI map constants
+        # (translate-then-replace staging, character-for-character)
+        "normalize_punct": f"""
+            SELECT row_id,
+                   (text <> {TX.normalize_punct_sql('text')}) AS changed,
+                   len(text)::BIGINT AS len_before,
+                   len({TX.normalize_punct_sql('text')})::BIGINT AS len_after,
+                   md5({TX.normalize_punct_sql('text')}) AS norm_md5
+            FROM read_csv('{UNICODE_CSV}', header=true,
                            columns={{'row_id': 'BIGINT', 'text': 'VARCHAR'}})""",
         "redact_pii": f"""
             SELECT row_id,

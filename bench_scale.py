@@ -121,6 +121,8 @@ SUPER_LINEAR_ORACLES = {
     "embedding_neardup": "all-pairs cosine twin",
     "dedup_clusters": "recursive CTE over all-pairs Jaccard",
     "leakage_safe_split": "recursive CTE over all-pairs Jaccard",
+    "ingest_gate": "composed twin embeds the exhaustive cross-corpus "
+                   "Jaccard (the near-dup screen)",
 }
 
 

@@ -609,3 +609,58 @@ def c4_rules_sql(col: str) -> dict[str, str]:
     }
     rules["pass_c4"] = "(" + " AND ".join(rules.values()) + ")"
     return rules
+
+
+# ---------------------------------------------------------------------------
+# Unicode punctuation normalization (web-text canonicalizer: smart
+# quotes, typographic dashes, exotic spaces, ellipsis, fi/fl ligatures
+# — the pre-tokenization cleanup every web corpus needs before
+# fingerprinting/token counting treats "don’t" and "don't" as equal)
+# ---------------------------------------------------------------------------
+
+#: 1:1 character map (translate): curly quotes -> ASCII quotes,
+#: en/em/figure/horizontal-bar/minus dashes -> hyphen, NBSP and the
+#: common typographic spaces -> space.  Multi-char expansions and
+#: deletions live in PUNCT_MULTI (translate is strictly 1:1 in both
+#: engines).
+PUNCT_SINGLE = {
+    "‘": "'", "’": "'", "‚": "'", "‛": "'",
+    "“": '"', "”": '"', "„": '"', "‟": '"',
+    "«": '"', "»": '"',
+    "‒": "-", "–": "-", "—": "-", "―": "-",
+    "−": "-",
+    " ": " ", " ": " ", " ": " ", " ": " ",
+}
+#: ordered multi-char rewrites applied AFTER the translate
+PUNCT_MULTI = {
+    "…": "...",   # ellipsis
+    "ﬁ": "fi",    # ligature fi
+    "ﬂ": "fl",    # ligature fl
+    "​": "",      # zero-width space: delete
+}
+_PUNCT_FROM = "".join(PUNCT_SINGLE)
+_PUNCT_TO = "".join(PUNCT_SINGLE.values())
+
+
+def normalize_punct(col: Column) -> Column:
+    """Canonical ASCII punctuation form of ``col`` (NULL stays NULL).
+    One ``translate`` (1:1 map) + |PUNCT_MULTI| literal replaces — pure
+    codegen string expressions, no regex engine involved."""
+    out = F.translate(col, _PUNCT_FROM, _PUNCT_TO)
+    for src, dst in PUNCT_MULTI.items():
+        out = F.replace(out, F.lit(src), F.lit(dst))
+    return out
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def normalize_punct_sql(col: str) -> str:
+    """DuckDB twin of :func:`normalize_punct` — same map constants,
+    same translate-then-replace staging."""
+    out = (f"translate({col}, {_sql_quote(_PUNCT_FROM)},"
+           f" {_sql_quote(_PUNCT_TO)})")
+    for src, dst in PUNCT_MULTI.items():
+        out = f"replace({out}, {_sql_quote(src)}, {_sql_quote(dst)})"
+    return out

@@ -422,3 +422,38 @@ def test_c4_rules_and_clean(spark):
     assert got["short"]["r_min_sentences"] is False  # 3-word rule cuts 2
     assert got["nulltext"]["pass_c4"] is None
     assert got["nulltext"]["clean"] is None
+
+
+def test_normalize_punct(spark):
+    """Unicode canonicalizer: every mapped character rewrites, plain
+    ASCII is a fixed point, NULL stays NULL, and the result matches the
+    generated DuckDB twin character for character."""
+    import duckdb
+
+    from frames_map_reduce_spark.functions.text import (
+        PUNCT_MULTI, PUNCT_SINGLE, normalize_punct, normalize_punct_sql)
+
+    texts = ["don’t “quote” me — it’s 10–20…",
+             "the ﬁrst ﬂight", "zero​width", "plain ascii!", "", None,
+             # every single-char mapping at least once
+             "".join(PUNCT_SINGLE), "".join(PUNCT_MULTI)]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, text string")
+    got = {r["i"]: r["n"] for r in
+           df.select("i", normalize_punct(F.col("text")).alias("n"))
+             .collect()}
+    assert got[0] == "don't \"quote\" me - it's 10-20..."
+    assert got[1] == "the first flight"
+    assert got[2] == "zerowidth"
+    assert got[3] == "plain ascii!"
+    assert got[4] == "" and got[5] is None
+    assert got[6] == "".join(PUNCT_SINGLE.values())
+    assert got[7] == "..." + "fi" + "fl"
+
+    con = duckdb.connect()
+    import pandas as pd
+    con.register("t", pd.DataFrame({
+        "i": range(len(texts)), "text": pd.array(texts, dtype="string")}))
+    want = dict(con.execute(
+        f"SELECT i, {normalize_punct_sql('text')} FROM t").fetchall())
+    assert got == want
