@@ -1120,6 +1120,51 @@ def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.groupBy("source").agg(*aggs)
 
 
+def q_stream_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Bloom membership gate (streaming.stream_bloom_gate):
+    the SAME filter q_bloom_firewall persists — here trained in-plan
+    over the %4==0 corpus (bloom_words, bounded collect ≤ m_bits/32
+    rows) and applied to documents arriving through a file stream as a
+    pure stateless expression (dense word spine as one array literal:
+    no join, no shuffle, no state — the edge-ingestion shape; the
+    bucketed probe is the warehouse shape).  FULL value oracle: the
+    gate computes the exact verdicts bloom_probe_index computes, so the
+    bit-replay twin applies verbatim (NULL-text rows carry a NULL
+    verdict through the stateless gate and are filtered to match the
+    twin's absent-row semantics)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import uuid
+
+    from frames_map_reduce_spark.streaming import stream_bloom_gate
+
+    docs = _docs(spark, sf_dir)
+    ref = docs.filter(F.col("doc_id") % 4 == 0)
+    words = [(r["_word"], r["_bits"])
+             for r in BL.bloom_words(ref, "text").collect()]
+    base = f"/tmp/fmr_stream_bloom_{uuid.uuid4().hex[:12]}"
+    try:
+        stage = f"{base}/in"
+        _os.makedirs(stage)
+        inc = docs.select("doc_id", "text")
+        inc.coalesce(1).write.parquet(f"{base}/f0")
+        _shutil.move(_glob.glob(f"{base}/f0/part-*.parquet")[0],
+                     f"{stage}/0.parquet")
+        stream = spark.readStream.schema(inc.schema).parquet(stage)
+        gated = stream_bloom_gate(stream, words, "text")
+        name = f"stream_bloom_{uuid.uuid4().hex[:8]}"
+        q = (gated.drop("text").writeStream.format("memory")
+                  .queryName(name).outputMode("append")
+                  .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return (spark.table(name)
+                     .filter(F.col("maybe_dup").isNotNull())
+                     .select("doc_id", "maybe_dup"))
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
+
+
 def q_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed ingestion ADMISSION GATE — the decision a streaming
     corpus loader actually makes per incoming document, all four
@@ -2838,23 +2883,24 @@ _R7_WINDOW = [
     "topk_per_group", "dedup_exact", "dedup_minhash", "dedup_simhash",
     "dedup_ngram_jaccard", "perplexity", "bigram_perplexity",
     "remove_dup_lines", "remove_dup_spans", "curate_corpus",
-    "minhash_firewall", "ann_ivf", "ann_ivf_indexed",
+    "minhash_firewall", "ann_ivf",
     "asof_tolerance", "merge_upsert", "salted_agg", "stream_hourly",
     "stream_sessions",
     "contamination",
     # (5) r7 session additions — prove them THIS round rather than
-    # queueing them never-proven into r8 (displaced ten r5-proven
+    # queueing them never-proven into r8 (displaced eleven r5-proven
     # fills: sample_stratified, mixture_weights, train_test_split,
     # strip_markup, chunk_docs, bm25, media_meta, quality_score,
-    # asof_forward, stream_stateful — they stay r5-proven and lead the
-    # r8 rotation with the stale-after-r7 set; every displaced family
-    # keeps an in-window or r6 representative: media via
-    # media_features(r6), quality eight ways, asof via asof_tolerance +
-    # asof_sliced/asof_join(r6), streaming via stream_hourly/
-    # stream_sessions/stream_classifier)
+    # asof_forward, stream_stateful, ann_ivf_indexed — they stay
+    # r5-proven and lead the r8 rotation with the stale-after-r7 set;
+    # every displaced family keeps an in-window or r6 representative:
+    # media via media_features(r6), quality eight ways, asof via
+    # asof_tolerance + asof_sliced/asof_join(r6), streaming via
+    # stream_hourly/stream_sessions/stream_classifier, ANN via
+    # ann_ivf + ann_int8 + ann_srp(r6))
     "quality_classifier", "temperature_mixture", "stream_classifier",
     "curate_corpus_v3", "gopher_rules", "pack_extend", "bloom_firewall",
-    "c4_rules", "ingest_gate", "normalize_punct",
+    "c4_rules", "ingest_gate", "normalize_punct", "stream_bloom",
 ]
 
 
@@ -3008,6 +3054,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "c4_rules": q_c4_rules,
         "ingest_gate": q_ingest_gate,
+        "stream_bloom": q_stream_bloom,
         "pack_extend": q_pack_extend,
     }
 
@@ -3431,6 +3478,11 @@ def oracle_sql() -> dict[str, str]:
         # are part of the deterministic double-hash spec and reproduce
         # bit-for-bit
         "bloom_firewall": BL.bloom_firewall_sql(
+            "documents WHERE doc_id % 4 = 0", "documents",
+            "text", "doc_id"),
+        # the stateless gate computes the exact verdicts the joined
+        # probe computes — the same bit-replay twin applies verbatim
+        "stream_bloom": BL.bloom_firewall_sql(
             "documents WHERE doc_id % 4 = 0", "documents",
             "text", "doc_id"),
         # the oracle is the FULL repack over the whole corpus — hash

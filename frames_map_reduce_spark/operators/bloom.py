@@ -283,3 +283,72 @@ def bloom_firewall_sql(ref_from: str, query_from: str, text_col: str,
                    AS maybe_dup
         FROM _bl_q LEFT JOIN _bl_ref ON _bl_ref.w = _bl_q.pos >> 5
         GROUP BY _bl_q.{id_col}"""
+
+
+# ---------------------------------------------------------------------------
+# Stateless gate form (streaming / map-side ingestion)
+# ---------------------------------------------------------------------------
+
+#: gate-form ceiling: the dense word spine rides in the PLAN as one
+#: array literal (8 B/word in memory), so the stateless form is for
+#: edge-sized filters — 2^24 bits = 512k words ≈ 4 MiB.  Bigger
+#: filters belong to the joined probe (:func:`bloom_probe_index`).
+GATE_MAX_M_BITS = 1 << 24
+
+_POW32 = [1 << b for b in range(32)]
+
+
+def bloom_gate_columns(words, text_col: str,
+                       m_bits: int = DEFAULT_M_BITS,
+                       k: int = DEFAULT_K) -> Column:
+    """The Bloom membership test as a PURE STATELESS EXPRESSION — the
+    ingestion-gate form: the word table rides along as ONE dense array
+    literal, so screening a row touches no join, no shuffle, and no
+    state (exactly what a Structured Streaming gate or a map-side
+    corpus filter needs; :func:`bloom_probe_index` is the right shape
+    when the filter outgrows :data:`GATE_MAX_M_BITS`).
+
+    ``words`` is the collected word table — ``(word_idx, bits)`` rows,
+    e.g. ``spark.table(f"{t}_words").groupBy("_word")
+    .agg(F.bit_or("_bits")).collect()`` (bounded at m_bits/32 rows by
+    construction) — densified here with zeros for untouched words.
+
+    Returns the ``maybe_dup`` Column computing the IDENTICAL verdict to
+    :func:`bloom_probe_index` (NULL text gets a NULL verdict instead of
+    being absent — a stateless expression cannot drop rows; filter on
+    ``text IS NOT NULL`` for exact parity).  Variable bit shifts don't
+    exist as expressions, so the mask is an ``element_at`` into a
+    32-element powers-of-two literal — all integer, engine-exact."""
+    _check_spec(m_bits, k)
+    if m_bits > GATE_MAX_M_BITS:
+        raise ValueError(
+            f"gate form carries the dense spine in-plan; m_bits={m_bits} "
+            f"> {GATE_MAX_M_BITS} — use bloom_probe_index for big filters")
+    dense = [0] * (m_bits // 32)
+    for w, b in words:
+        if not (0 <= int(w) < len(dense)):
+            raise ValueError(f"word index {w} outside [0, {len(dense)})")
+        dense[int(w)] |= int(b)
+    arr = F.lit(dense)
+    pows = F.lit(_POW32)
+
+    def hit(p: Column) -> Column:
+        word = F.element_at(arr, (F.shiftright(p, 5) + 1).cast("int"))
+        mask = F.element_at(pows, ((p % 32) + 1).cast("int"))
+        return F.when(word.bitwiseAND(mask) != 0, 1).otherwise(0)
+
+    pos = bloom_positions(F.col(text_col), m_bits, k)
+    all_set = F.aggregate(pos, F.lit(1), lambda a, p: F.least(a, hit(p)))
+    return all_set == 1
+
+
+def bloom_words(corpus: DataFrame, text_col: str,
+                m_bits: int = DEFAULT_M_BITS,
+                k: int = DEFAULT_K) -> DataFrame:
+    """The (word_idx, bits) word frame of ``corpus`` — the gate-form
+    trainer: ``bloom_words(ref, "text").collect()`` feeds
+    :func:`bloom_gate_columns` / ``streaming.stream_bloom_gate``
+    directly (bounded at m_bits/32 rows by construction), skipping the
+    persisted table when the filter lives inside one ingestion job."""
+    require_columns(corpus, [text_col])
+    return _word_rows(corpus, text_col, m_bits, k)

@@ -443,3 +443,37 @@ def stream_classifier_gate(stream: DataFrame,
     if threshold_micro is not None:
         out = out.filter(F.col("logit_rank") >= int(threshold_micro))
     return out
+
+
+def stream_bloom_gate(stream: DataFrame, words, text_col: str,
+                      m_bits: int | None = None, k: int | None = None,
+                      drop_members: bool = False) -> DataFrame:
+    """Exact-membership Bloom gate at ingestion time: screen every
+    streamed document against a BUILT filter (``operators.bloom``) as a
+    pure stateless expression — the dense word spine travels as one
+    array literal, so the gate adds NO join, NO shuffle, and NO state
+    to the stream (append mode, no watermark; verdicts are the exact
+    booleans ``bloom_probe_index`` computes on the same rows — no false
+    negatives, deterministic false positives).
+
+    ``words`` is the collected word table (``(word_idx, bits)`` rows,
+    bounded at m_bits/32 by construction; merge generations with
+    ``bit_or`` first if the index has uncompacted extends).  Appends
+    ``maybe_dup`` (NULL for NULL text — a stateless expression cannot
+    drop rows); with ``drop_members=True``, passes only rows the filter
+    has definitely never seen (``maybe_dup`` false — the no-false-
+    negative direction, so nothing already accepted ever re-enters)."""
+    from frames_map_reduce_spark.operators.bloom import (
+        DEFAULT_K,
+        DEFAULT_M_BITS,
+        bloom_gate_columns,
+    )
+    require_columns(stream, [text_col])
+    verdict = bloom_gate_columns(
+        words, text_col,
+        m_bits if m_bits is not None else DEFAULT_M_BITS,
+        k if k is not None else DEFAULT_K)
+    out = stream.select("*", verdict.alias("maybe_dup"))
+    if drop_members:
+        out = out.filter(~F.col("maybe_dup"))
+    return out

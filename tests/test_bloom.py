@@ -160,3 +160,34 @@ def test_bloom_probe_filter_side_shuffle_free(spark, corpus):
         assert count_exchanges(merged) == 0
     finally:
         _drop(spark, table)
+
+
+def test_bloom_gate_matches_probe(spark, corpus):
+    """The stateless gate expression must compute the exact verdicts the
+    joined probe computes — including under a saturated geometry where
+    false positives fire — and refuse a spine past the in-plan cap."""
+    table = "bloom_t_gate"
+    spec = dict(m_bits=128, k=2)
+    ref = spark.createDataFrame(
+        [(i, f"reference corpus document number {i}") for i in range(40)],
+        "doc_id long, text string")
+    probes = corpus.union(spark.createDataFrame(
+        [(100 + i, f"synthetic non-member probe number {i}")
+         for i in range(40)] + [(999, None)],
+        "doc_id long, text string"))
+    try:
+        BL.build_bloom_index(ref, table, "text", **spec)
+        want = _probe_map(spark, table, probes, **spec)
+        words = [(r["_word"], r["_bits"])
+                 for r in BL.bloom_words(ref, "text", **spec).collect()]
+        got = {r["doc_id"]: r["v"] for r in probes.select(
+            "doc_id", BL.bloom_gate_columns(words, "text", **spec)
+                        .alias("v")).collect()}
+        # probe drops the NULL-text row; the gate carries it with NULL
+        assert got.pop(999) is None
+        assert 999 not in want
+        assert got == want
+        with pytest.raises(ValueError, match="gate form"):
+            BL.bloom_gate_columns(words, "text", m_bits=1 << 25)
+    finally:
+        _drop(spark, table)
