@@ -1120,6 +1120,30 @@ def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.groupBy("source").agg(*aggs)
 
 
+def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch (operators/frequency.py cms_build /
+    cms_estimate — Cormode & Muthukrishnan 2005), completing the sketch
+    family: HLL cardinality / GK quantiles / MG heavy hitters / CMS
+    point frequency.  Token stream → d×w counter matrix (2-phase agg,
+    map-side combine does the counting) → min-over-counters estimates
+    for every distinct token, next to the true counts.  The geometry is
+    DELIBERATELY small (w=16, d=2 over a ~31-token vocabulary) so
+    collision overcounts are exercised and proven: est ≥ true for every
+    row and the exact overcount values reproduce bit-for-bit (the
+    salted-md5 column spec is shared with the twin).  FULL oracle."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+    sk = FRQ.cms_build(toks, "token", w=16, d=2)
+    est = FRQ.cms_estimate(sk, toks.select("token").distinct(), "token",
+                           w=16, d=2)
+    true = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_count"))
+    return (est.join(true, "token")
+               .select("token", "est_count", "true_count",
+                       (F.col("est_count") - F.col("true_count"))
+                       .cast("bigint").alias("overcount")))
+
+
 def q_stream_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming Bloom membership gate (streaming.stream_bloom_gate):
     the SAME filter q_bloom_firewall persists — here trained in-plan
@@ -2886,21 +2910,22 @@ _R7_WINDOW = [
     "minhash_firewall", "ann_ivf",
     "asof_tolerance", "merge_upsert", "salted_agg", "stream_hourly",
     "stream_sessions",
-    "contamination",
     # (5) r7 session additions — prove them THIS round rather than
-    # queueing them never-proven into r8 (displaced eleven r5-proven
+    # queueing them never-proven into r8 (displaced twelve r5-proven
     # fills: sample_stratified, mixture_weights, train_test_split,
     # strip_markup, chunk_docs, bm25, media_meta, quality_score,
-    # asof_forward, stream_stateful, ann_ivf_indexed — they stay
-    # r5-proven and lead the r8 rotation with the stale-after-r7 set;
-    # every displaced family keeps an in-window or r6 representative:
-    # media via media_features(r6), quality eight ways, asof via
-    # asof_tolerance + asof_sliced/asof_join(r6), streaming via
-    # stream_hourly/stream_sessions/stream_classifier, ANN via
-    # ann_ivf + ann_int8 + ann_srp(r6))
+    # asof_forward, stream_stateful, ann_ivf_indexed, contamination —
+    # they stay r5-proven and lead the r8 rotation with the
+    # stale-after-r7 set; every displaced family keeps an in-window or
+    # r6 representative: media via media_features(r6), quality eight
+    # ways, asof via asof_tolerance + asof_sliced/asof_join(r6),
+    # streaming via stream_hourly/stream_sessions/stream_classifier,
+    # ANN via ann_ivf + ann_int8 + ann_srp(r6), retrieval via
+    # chunk_dedup(r6))
     "quality_classifier", "temperature_mixture", "stream_classifier",
     "curate_corpus_v3", "gopher_rules", "pack_extend", "bloom_firewall",
     "c4_rules", "ingest_gate", "normalize_punct", "stream_bloom",
+    "sketch_cms",
 ]
 
 
@@ -3055,6 +3080,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_rules": q_c4_rules,
         "ingest_gate": q_ingest_gate,
         "stream_bloom": q_stream_bloom,
+        "sketch_cms": q_sketch_cms,
         "pack_extend": q_pack_extend,
     }
 
@@ -3485,6 +3511,20 @@ def oracle_sql() -> dict[str, str]:
         "stream_bloom": BL.bloom_firewall_sql(
             "documents WHERE doc_id % 4 = 0", "documents",
             "text", "doc_id"),
+        # build+estimate replayed from the same salted-md5 column spec;
+        # the deliberately small geometry makes collision overcounts
+        # part of the proven values
+        "sketch_cms": f"""
+            WITH _toks AS (SELECT unnest({TX.tokens_sql('text')}) AS token
+                           FROM documents),
+            _est AS ({FRQ.cms_estimate_sql(
+                "_toks", "(SELECT DISTINCT token FROM _toks)",
+                "token", w=16, d=2)}),
+            _true AS (SELECT token, count(*)::BIGINT AS true_count
+                      FROM _toks GROUP BY token)
+            SELECT e.token, e.est_count, t.true_count,
+                   (e.est_count - t.true_count)::BIGINT AS overcount
+            FROM _est e JOIN _true t USING (token)""",
         # the oracle is the FULL repack over the whole corpus — hash
         # equality proves incremental ≡ repack (every count additive,
         # straddled tail blocks merge exactly), cross-engine

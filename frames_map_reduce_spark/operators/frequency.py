@@ -129,3 +129,101 @@ def heavy_hitters_approx(df: DataFrame, col: str, k: int,
                  .orderBy(F.col("est").desc(), col)
                  .limit(k))
     return top
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch (Cormode & Muthukrishnan 2005): bounded-memory point
+# FREQUENCY estimation, the structure next to Misra-Gries above (MG
+# answers "who is heavy", CMS answers "how often is THIS value" for any
+# value, with est >= true always and est <= true + eps·N w.h.p.).  The
+# d×w counter matrix is a MONOID (element-wise sum), so sketches of
+# corpus shards/days union by appending counter rows and summing at
+# read time — the same append-only lifecycle as the Bloom word table.
+# Hash spec shared with the DuckDB twin via sampling.hash_unit: one
+# salted md5 per (value, row), col = h % w — all integer, engine-exact.
+# ---------------------------------------------------------------------------
+
+CMS_DEFAULT_W = 1 << 12
+CMS_DEFAULT_D = 4
+
+
+def _cms_check(w: int, d: int) -> None:
+    if w < 2 or d < 1 or d > 16:
+        raise ValueError(f"need w >= 2 and 1 <= d <= 16, got w={w} d={d}")
+
+
+def _cms_cols(value, w: int, d: int) -> "F.Column":
+    """array of the d column indices of ``value`` (row r uses salt
+    'cms{r}')."""
+    from frames_map_reduce_spark.operators.sampling import hash_unit
+    return F.array(*[hash_unit(value, f"cms{r}") % w for r in range(d)])
+
+
+def cms_build(df: DataFrame, col: str, w: int = CMS_DEFAULT_W,
+              d: int = CMS_DEFAULT_D) -> DataFrame:
+    """Count-Min sketch of ``df[col]`` (NULLs dropped) as counter rows
+    ``(_row, _col, _count)`` — ≤ d·w rows REGARDLESS of the distinct
+    count (the point of the sketch: a trillion-distinct token stream
+    summarizes into d·w counters).  One posexplode + one 2-phase
+    groupBy; map-side combine does the heavy counting.  Shard sketches
+    union-all into one frame; :func:`cms_estimate` sums generations at
+    read time (monoid)."""
+    _cms_check(w, d)
+    require_columns(df, [col])
+    pos = df.filter(F.col(col).isNotNull()).select(
+        F.posexplode(_cms_cols(F.col(col), w, d)).alias("_row", "_col"))
+    return (pos.groupBy("_row", "_col")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("_count")))
+
+
+def cms_estimate(sketch: DataFrame, queries: DataFrame, col: str,
+                 w: int = CMS_DEFAULT_W, d: int = CMS_DEFAULT_D) -> DataFrame:
+    """Point-frequency estimates for ``queries[col]``: est = min over
+    the d counters each value hashes to (0 if any counter row is
+    absent).  ``est >= true`` always; the overcount is the usual CMS
+    collision mass.  The sketch side is ≤ d·w rows — broadcastable at
+    any corpus scale (AQE picks broadcast; the QUERY side never
+    shuffles more than d rows per probe value)."""
+    _cms_check(w, d)
+    require_columns(queries, [col])
+    probe = queries.select(
+        F.col(col),
+        F.posexplode(_cms_cols(F.col(col), w, d)).alias("_row", "_col"))
+    merged = sketch.groupBy("_row", "_col") \
+                   .agg(F.sum("_count").alias("_count"))
+    return (probe.join(merged, ["_row", "_col"], "left")
+                 .groupBy(col)
+                 .agg(F.min(F.coalesce(F.col("_count"), F.lit(0)))
+                       .cast("bigint").alias("est_count")))
+
+
+def cms_estimate_sql(corpus_from: str, query_from: str, col: str,
+                     w: int = CMS_DEFAULT_W, d: int = CMS_DEFAULT_D) -> str:
+    """DuckDB twin of build→estimate in one statement — same salted-md5
+    column indices (hash_unit_sql), same min-over-counters, so
+    estimates INCLUDING collision overcounts reproduce bit-for-bit."""
+    from frames_map_reduce_spark.operators.sampling import hash_unit_sql
+    _cms_check(w, d)
+
+    def rc_sql(value: str) -> str:
+        # DuckDB has no WITH ORDINALITY: carry the row index inside a
+        # struct list and unnest recursively
+        parts = ", ".join(
+            f"{{'r': {r}, 'c': {hash_unit_sql(value, f'cms{r}')} % {w}}}"
+            for r in range(d))
+        return f"unnest([{parts}], recursive := true)"
+
+    return f"""
+        WITH _cms AS (
+            SELECT r AS _row, c AS _col, count(*)::BIGINT AS _count
+            FROM (SELECT {rc_sql(col)} FROM {corpus_from}
+                  WHERE {col} IS NOT NULL)
+            GROUP BY 1, 2),
+        _probe AS (
+            SELECT {col}, r AS _row, c AS _col
+            FROM (SELECT {col}, {rc_sql(col)} FROM {query_from}))
+        SELECT p.{col},
+               min(coalesce(s._count, 0))::BIGINT AS est_count
+        FROM _probe p
+        LEFT JOIN _cms s ON s._row = p._row AND s._col = p._col
+        GROUP BY p.{col}"""

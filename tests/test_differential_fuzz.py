@@ -564,3 +564,46 @@ def test_c4_rules_match_duckdb(spark, texts):
             con.sql(f"SELECT doc_id, {c4_clean_sql('text')} AS clean, "
                     f"{sel} FROM docs").fetchall()}
     assert got == want
+
+
+_cms_token = st.sampled_from(
+    ["the", "fox", "ran", "x", "yy", "zzz", "12345", "#", "word"])
+
+
+@given(tokens=st.lists(_cms_token, min_size=1, max_size=60),
+       w=st.sampled_from([4, 16, 64]))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cms_matches_duckdb(spark, tokens, w):
+    """Random token streams through Count-Min build+estimate vs the
+    generated twin at deliberately tiny widths — estimates INCLUDING
+    collision overcounts must agree exactly, never undercount, and the
+    sketch monoid (shard union) must equal the one-shot build."""
+    from frames_map_reduce_spark.operators import frequency as FRQ
+
+    pdf = pd.DataFrame({"token": tokens})
+    sdf = spark.createDataFrame(pdf)
+    d = 3
+    sk = FRQ.cms_build(sdf, "token", w=w, d=d)
+    qs = sdf.select("token").distinct()
+    got = {r["token"]: r["est_count"] for r in
+           FRQ.cms_estimate(sk, qs, "token", w=w, d=d).collect()}
+    con = duckdb.connect()
+    con.register("toks", pdf)
+    want = dict(con.execute(FRQ.cms_estimate_sql(
+        "toks", "(SELECT DISTINCT token FROM toks)", "token",
+        w=w, d=d)).fetchall())
+    assert got == want
+    true = pd.Series(tokens).value_counts().to_dict()
+    assert all(got[t] >= c for t, c in true.items())
+
+    # monoid: shard sketches union-all ≡ one-shot build
+    half = len(tokens) // 2
+    a = spark.createDataFrame(pd.DataFrame({"token": tokens[:half] or ["x"]}))
+    b = spark.createDataFrame(pd.DataFrame({"token": tokens[half:] or ["x"]}))
+    if half and len(tokens) > half:
+        sk_ab = FRQ.cms_build(a, "token", w=w, d=d).unionAll(
+            FRQ.cms_build(b, "token", w=w, d=d))
+        got2 = {r["token"]: r["est_count"] for r in
+                FRQ.cms_estimate(sk_ab, qs, "token", w=w, d=d).collect()}
+        assert got2 == got
