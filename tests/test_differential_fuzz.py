@@ -607,3 +607,49 @@ def test_cms_matches_duckdb(spark, tokens, w):
         got2 = {r["token"]: r["est_count"] for r in
                 FRQ.cms_estimate(sk_ab, qs, "token", w=w, d=d).collect()}
         assert got2 == got
+
+
+_bloom_text = st.one_of(
+    st.none(),
+    st.text(alphabet="ab ‘’“”–— \t\n…ﬁx0", min_size=0, max_size=30))
+
+
+@given(ref=st.lists(_bloom_text, min_size=1, max_size=12),
+       probe=st.lists(_bloom_text, min_size=1, max_size=12),
+       m_bits=st.sampled_from([64, 256, 4096]),
+       k=st.sampled_from([1, 3, 7]))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bloom_verdicts_match_duckdb(spark, ref, probe, m_bits, k):
+    """Random unicode-ish corpora and geometries through the Bloom
+    position spec: build-words + probe verdicts (incl. saturated
+    false positives, empty strings, whitespace-only, NULLs) must equal
+    the DuckDB replay exactly.  Uses the gate expression so the whole
+    pure-expression path is exercised without a warehouse table."""
+    from frames_map_reduce_spark.operators import bloom as BL
+
+    ref_pdf = pd.DataFrame({"doc_id": range(len(ref)),
+                            "text": pd.array(ref, dtype="string")})
+    probe_pdf = pd.DataFrame({"doc_id": range(len(probe)),
+                              "text": pd.array(probe, dtype="string")})
+    sref = spark.createDataFrame(ref_pdf)
+    sprobe = spark.createDataFrame(probe_pdf)
+    words = [(r["_word"], r["_bits"]) for r in
+             BL.bloom_words(sref, "text", m_bits=m_bits, k=k).collect()]
+    got = {r["doc_id"]: r["v"] for r in sprobe.select(
+        "doc_id",
+        BL.bloom_gate_columns(words, "text", m_bits=m_bits, k=k)
+          .alias("v")).collect()}
+    con = duckdb.connect()
+    con.register("refs", ref_pdf)
+    con.register("probes", probe_pdf)
+    want = dict(con.execute(BL.bloom_firewall_sql(
+        "refs", "probes", "text", "doc_id",
+        m_bits=m_bits, k=k)).fetchall())
+    # the stateless gate carries NULL-text rows with NULL; the joined
+    # twin drops them — align on the twin's row set + NULL carry
+    for d, v in list(got.items()):
+        if v is None:
+            assert probe_pdf["text"][d] is pd.NA or probe_pdf["text"][d] is None
+            del got[d]
+    assert got == want
