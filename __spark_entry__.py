@@ -1144,6 +1144,31 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .cast("bigint").alias("overcount")))
 
 
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-overlap triage (operators/frequency.py kmv_sketch /
+    kmv_overlap_cols — Bar-Yossef et al. 2002 / Beyer et al. SIGMOD'07):
+    per incoming SOURCE, estimate how much of it is already in the
+    accepted corpus (%4==0) from two k=64 sketches of the canonical
+    text fingerprints — the scale answer to "which shard should the
+    exact dedup look at first" without any distinct join (each set
+    summarizes into 64 hashes regardless of size; every source shares
+    ~25% of its docs with the accepted set by the split's construction,
+    so the estimates are non-trivial and varied).  FULL oracle: same
+    salted hash, same distinct→rank→k-min staging, same combined-k-min
+    estimator, rounded 6dp on both sides."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", TX.normalized(F.col("text")).alias("_norm"))
+    src_sk = FRQ.kmv_sketch(docs, ["source"], "_norm", k=64)
+    ref_sk = FRQ.kmv_sketch(docs.filter(F.col("doc_id") % 4 == 0),
+                            [], "_norm", k=64) \
+                .select(F.col("kmv").alias("kmv_ref"))
+    # bounded-contract broadcast: the ref sketch is ONE row of ≤k hashes
+    joined = src_sk.crossJoin(F.broadcast(ref_sk))
+    cols = FRQ.kmv_overlap_cols(F.col("kmv"), F.col("kmv_ref"), k=64)
+    return joined.select(
+        "source", *(c.alias(name) for name, c in cols.items()))
+
+
 def q_stream_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming Bloom membership gate (streaming.stream_bloom_gate):
     the SAME filter q_bloom_firewall persists — here trained in-plan
@@ -2906,26 +2931,27 @@ _R7_WINDOW = [
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q18", "mr_sum_by_flag",
     "topk_per_group", "dedup_exact", "dedup_minhash", "dedup_simhash",
     "dedup_ngram_jaccard", "perplexity", "bigram_perplexity",
-    "remove_dup_lines", "remove_dup_spans", "curate_corpus",
+    "remove_dup_spans", "curate_corpus",
     "minhash_firewall", "ann_ivf",
     "asof_tolerance", "merge_upsert", "salted_agg", "stream_hourly",
     "stream_sessions",
     # (5) r7 session additions — prove them THIS round rather than
-    # queueing them never-proven into r8 (displaced twelve r5-proven
+    # queueing them never-proven into r8 (displaced thirteen r5-proven
     # fills: sample_stratified, mixture_weights, train_test_split,
     # strip_markup, chunk_docs, bm25, media_meta, quality_score,
-    # asof_forward, stream_stateful, ann_ivf_indexed, contamination —
-    # they stay r5-proven and lead the r8 rotation with the
-    # stale-after-r7 set; every displaced family keeps an in-window or
-    # r6 representative: media via media_features(r6), quality eight
-    # ways, asof via asof_tolerance + asof_sliced/asof_join(r6),
-    # streaming via stream_hourly/stream_sessions/stream_classifier,
-    # ANN via ann_ivf + ann_int8 + ann_srp(r6), retrieval via
-    # chunk_dedup(r6))
+    # asof_forward, stream_stateful, ann_ivf_indexed, contamination,
+    # remove_dup_lines — they stay r5-proven and lead the r8 rotation
+    # with the stale-after-r7 set; every displaced family keeps an
+    # in-window or r6 representative: media via media_features(r6),
+    # quality eight ways, asof via asof_tolerance +
+    # asof_sliced/asof_join(r6), streaming via stream_hourly/
+    # stream_sessions/stream_classifier, ANN via ann_ivf + ann_int8 +
+    # ann_srp(r6), retrieval via chunk_dedup(r6), line dedup via
+    # remove_dup_spans + the curate_corpus compositions)
     "quality_classifier", "temperature_mixture", "stream_classifier",
     "curate_corpus_v3", "gopher_rules", "pack_extend", "bloom_firewall",
     "c4_rules", "ingest_gate", "normalize_punct", "stream_bloom",
-    "sketch_cms",
+    "sketch_cms", "kmv_overlap",
 ]
 
 
@@ -3081,6 +3107,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_gate": q_ingest_gate,
         "stream_bloom": q_stream_bloom,
         "sketch_cms": q_sketch_cms,
+        "kmv_overlap": q_kmv_overlap,
         "pack_extend": q_pack_extend,
     }
 
@@ -3511,6 +3538,27 @@ def oracle_sql() -> dict[str, str]:
         "stream_bloom": BL.bloom_firewall_sql(
             "documents WHERE doc_id % 4 = 0", "documents",
             "text", "doc_id"),
+        # same salted hash, same distinct->rank->k-min staging, same
+        # combined-k-min estimator; the twin nests the two generated
+        # sketch subqueries
+        "kmv_overlap": (lambda ov: f"""
+            WITH _src AS (
+                SELECT * FROM {FRQ.kmv_sketch_sql(
+                    "(SELECT source, "
+                    + TX.normalized_sql("text")
+                    + " AS _norm FROM documents)",
+                    ["source"], "_norm", k=64)} _s),
+            _ref AS (
+                SELECT kmv AS kmv_ref FROM {FRQ.kmv_sketch_sql(
+                    "(SELECT "
+                    + TX.normalized_sql("text")
+                    + " AS _norm FROM documents WHERE doc_id % 4 = 0)",
+                    [], "_norm", k=64)} _r)
+            SELECT source,
+                   {ov["kmv_matches"]} AS kmv_matches,
+                   {ov["kmv_k"]} AS kmv_k,
+                   {ov["est_jaccard"]} AS est_jaccard
+            FROM _src, _ref""")(FRQ.kmv_overlap_sql("kmv", "kmv_ref", k=64)),
         # build+estimate replayed from the same salted-md5 column spec;
         # the deliberately small geometry makes collision overcounts
         # part of the proven values

@@ -36,7 +36,11 @@ from pyspark.sql import functions as F
 
 from frames_map_reduce_spark.schema import require_columns
 
-__all__ = ["heavy_hitters_approx"]
+__all__ = [
+    "heavy_hitters_approx",
+    "cms_build", "cms_estimate", "cms_estimate_sql",
+    "kmv_sketch", "kmv_overlap_cols", "kmv_sketch_sql", "kmv_overlap_sql",
+]
 
 #: marker row per partition carrying its pruned-mass total; NULL value
 #: rows cannot collide with data because NULL values are dropped first.
@@ -227,3 +231,95 @@ def cms_estimate_sql(corpus_from: str, query_from: str, col: str,
         FROM _probe p
         LEFT JOIN _cms s ON s._row = p._row AND s._col = p._col
         GROUP BY p.{col}"""
+
+
+# ---------------------------------------------------------------------------
+# KMV (K-Minimum-Values) set sketch (Bar-Yossef et al. 2002; the
+# Jaccard/union estimators are Beyer et al. SIGMOD'07): a set's k
+# smallest hash values summarize it for CARDINALITY and OVERLAP
+# estimation — the triage tool for "how much do these corpus
+# shards/sources/snapshots overlap" WITHOUT the exact distinct join.
+# k·8 bytes per set regardless of set size; sketches of unions are
+# merge-then-truncate (a monoid, like every summary in this family).
+# Hash spec shared with the DuckDB twin via sampling.hash_unit.
+# ---------------------------------------------------------------------------
+
+KMV_DEFAULT_K = 64
+
+
+def kmv_sketch(df: DataFrame, keys: list[str], value_col: str,
+               k: int = KMV_DEFAULT_K, salt: str = "kmv") -> DataFrame:
+    """Per-``keys``-group KMV sketch of the DISTINCT ``value_col``
+    values (NULLs dropped): one sorted ``array<bigint>`` of ≤k minimum
+    32-bit hashes per group.  Shape: distinct → per-group rank ≤ k →
+    one tiny collect per group (bounded at k elements by construction —
+    never an unbounded collect_set).  The rank's per-group sort spills
+    and truncates streaming; pre-aggregating per-partition minima first
+    is the wide-group optimization, not needed until a group's distinct
+    count dwarfs a partition."""
+    from pyspark.sql import Window
+
+    from frames_map_reduce_spark.operators.sampling import hash_unit
+
+    if k < 2:
+        raise ValueError(f"need k >= 2, got {k}")
+    require_columns(df, [*keys, value_col])
+    h = hash_unit(F.col(value_col), salt)
+    d = (df.filter(F.col(value_col).isNotNull())
+           .select(*keys, h.alias("_h")).distinct())
+    part = [F.col(c) for c in keys] if keys else [F.lit(1)]
+    w = Window.partitionBy(*part).orderBy("_h")
+    ranked = d.withColumn("_rn", F.row_number().over(w)) \
+              .filter(F.col("_rn") <= k)
+    gb = ranked.groupBy(*keys) if keys else ranked.groupBy()
+    return gb.agg(F.sort_array(F.collect_list("_h")).alias("kmv"))
+
+
+def kmv_overlap_cols(a, b, k: int = KMV_DEFAULT_K) -> dict:
+    """Overlap estimators for two joined KMV arrays ``a``/``b``: the
+    combined k-min trick — take the k smallest of the union; the share
+    of those present in BOTH sketches estimates Jaccard.  All array
+    ops over ≤2k elements, pure expressions."""
+    merged = F.slice(F.array_sort(F.array_union(a, b)), 1, k)
+    matches = F.size(F.filter(
+        merged, lambda x: F.array_contains(a, x) & F.array_contains(b, x)))
+    kk = F.size(merged)
+    return {
+        "kmv_matches": matches.cast("bigint"),
+        "kmv_k": kk.cast("bigint"),
+        "est_jaccard": F.round(matches / kk, 6),
+    }
+
+
+def kmv_sketch_sql(from_body: str, keys: list[str], value_col: str,
+                   k: int = KMV_DEFAULT_K, salt: str = "kmv") -> str:
+    """DuckDB twin of :func:`kmv_sketch` (same salted hash, same
+    distinct→rank→sorted-list staging).  ``keys=[]`` yields one row."""
+    from frames_map_reduce_spark.operators.sampling import hash_unit_sql
+    key_sel = (", ".join(keys) + ",") if keys else ""
+    key_grp = f"GROUP BY {', '.join(keys)}" if keys else ""
+    part = f"PARTITION BY {', '.join(keys)}" if keys else ""
+    return f"""(
+        SELECT {key_sel} list_sort(list(_h)) AS kmv
+        FROM (
+            SELECT {key_sel} _h,
+                   row_number() OVER ({part} ORDER BY _h) AS _rn
+            FROM (SELECT DISTINCT {key_sel}
+                         {hash_unit_sql(value_col, salt)} AS _h
+                  FROM {from_body}
+                  WHERE {value_col} IS NOT NULL))
+        WHERE _rn <= {k} {key_grp})"""
+
+
+def kmv_overlap_sql(a: str, b: str, k: int = KMV_DEFAULT_K) -> dict:
+    """DuckDB twins of :func:`kmv_overlap_cols` over joined list
+    columns ``a``/``b``."""
+    merged = f"list_slice(list_sort(list_distinct(list_concat({a}, {b}))), 1, {k})"
+    matches = (f"len(list_filter({merged}, "
+               f"x -> list_contains({a}, x) AND list_contains({b}, x)))")
+    kk = f"len({merged})"
+    return {
+        "kmv_matches": f"{matches}::BIGINT",
+        "kmv_k": f"{kk}::BIGINT",
+        "est_jaccard": f"round({matches} * 1.0 / {kk}, 6)",
+    }

@@ -653,3 +653,51 @@ def test_bloom_verdicts_match_duckdb(spark, ref, probe, m_bits, k):
             assert probe_pdf["text"][d] is pd.NA or probe_pdf["text"][d] is None
             del got[d]
     assert got == want
+
+
+@given(a_vals=st.lists(st.integers(0, 40), min_size=1, max_size=30),
+       b_vals=st.lists(st.integers(20, 60), min_size=1, max_size=30),
+       k=st.sampled_from([4, 16, 64]))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_kmv_matches_duckdb(spark, a_vals, b_vals, k):
+    """Random overlapping value sets through KMV sketch + combined-k-min
+    overlap vs the generated twins: sketches, match counts, and the
+    6dp Jaccard estimates must agree exactly; when k covers the whole
+    union the estimate must equal TRUE Jaccard."""
+    from frames_map_reduce_spark.operators import frequency as FRQ
+
+    rows = ([("a", str(v)) for v in a_vals]
+            + [("b", str(v)) for v in b_vals])
+    pdf = pd.DataFrame(rows, columns=["grp", "val"])
+    sdf = spark.createDataFrame(pdf)
+    sk = FRQ.kmv_sketch(sdf, ["grp"], "val", k=k)
+    got_sk = {r["grp"]: list(r["kmv"]) for r in sk.collect()}
+    a = sk.filter(F.col("grp") == "a").select(F.col("kmv").alias("ka"))
+    b = sk.filter(F.col("grp") == "b").select(F.col("kmv").alias("kb"))
+    cols = FRQ.kmv_overlap_cols(F.col("ka"), F.col("kb"), k=k)
+    got = a.crossJoin(b).select(
+        *(c.alias(n) for n, c in cols.items())).collect()[0].asDict()
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want_sk = {r[0]: list(r[1]) for r in con.execute(
+        "SELECT * FROM " + FRQ.kmv_sketch_sql("t", ["grp"], "val", k=k)
+        + " _x").fetchall()}
+    assert got_sk == want_sk
+    ov = FRQ.kmv_overlap_sql("ka", "kb", k=k)
+    want = con.execute(f"""
+        WITH a AS (SELECT kmv AS ka FROM ({FRQ.kmv_sketch_sql(
+            "(SELECT val FROM t WHERE grp = 'a')", [], "val", k=k)}) _a),
+        b AS (SELECT kmv AS kb FROM ({FRQ.kmv_sketch_sql(
+            "(SELECT val FROM t WHERE grp = 'b')", [], "val", k=k)}) _b)
+        SELECT {ov['kmv_matches']} AS kmv_matches,
+               {ov['kmv_k']} AS kmv_k,
+               {ov['est_jaccard']} AS est_jaccard
+        FROM a, b""").fetchall()[0]
+    assert (got["kmv_matches"], got["kmv_k"], got["est_jaccard"]) == want
+
+    sa, sb = set(map(str, a_vals)), set(map(str, b_vals))
+    if len(sa | sb) <= k:  # sketch covers the union -> estimator exact
+        true_j = round(len(sa & sb) / len(sa | sb), 6)
+        assert got["est_jaccard"] == true_j
