@@ -1144,6 +1144,27 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .cast("bigint").alias("overcount")))
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot corpus diff (operators/cdc.py
+    snapshot_diff) — the data-versioning primitive an incremental
+    pipeline plans from: added/removed/changed/unchanged per doc_id
+    between two deterministic snapshot views of the corpus (old drops
+    doc_id%10==0 and carries a draft suffix on doc_id%7==3; new drops
+    doc_id%10==5), compared on the canonical content FINGERPRINT so
+    the equality is fixed-width.  One key-equality full-outer join.
+    FULL oracle: same markers, same null-safe equality, same CASE
+    precedence in DuckDB."""
+    docs = _docs(spark, sf_dir)
+    drafted = F.when(F.col("doc_id") % 7 == 3,
+                     F.concat(F.col("text"), F.lit(" (draft)"))) \
+               .otherwise(F.col("text"))
+    old = docs.filter(F.col("doc_id") % 10 != 0) \
+              .select("doc_id", TX.fingerprint(drafted).alias("fp"))
+    new = docs.filter(F.col("doc_id") % 10 != 5) \
+              .select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+    return CDC.snapshot_diff(old, new, ["doc_id"], "fp")
+
+
 def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV set-overlap triage (operators/frequency.py kmv_sketch /
     kmv_overlap_cols — Bar-Yossef et al. 2002 / Beyer et al. SIGMOD'07):
@@ -2933,25 +2954,26 @@ _R7_WINDOW = [
     "dedup_ngram_jaccard", "perplexity", "bigram_perplexity",
     "remove_dup_spans", "curate_corpus",
     "minhash_firewall", "ann_ivf",
-    "asof_tolerance", "merge_upsert", "salted_agg", "stream_hourly",
+    "asof_tolerance", "salted_agg", "stream_hourly",
     "stream_sessions",
     # (5) r7 session additions — prove them THIS round rather than
-    # queueing them never-proven into r8 (displaced thirteen r5-proven
+    # queueing them never-proven into r8 (displaced fourteen r5-proven
     # fills: sample_stratified, mixture_weights, train_test_split,
     # strip_markup, chunk_docs, bm25, media_meta, quality_score,
     # asof_forward, stream_stateful, ann_ivf_indexed, contamination,
-    # remove_dup_lines — they stay r5-proven and lead the r8 rotation
-    # with the stale-after-r7 set; every displaced family keeps an
-    # in-window or r6 representative: media via media_features(r6),
-    # quality eight ways, asof via asof_tolerance +
+    # remove_dup_lines, merge_upsert — they stay r5-proven and lead the
+    # r8 rotation with the stale-after-r7 set; every displaced family
+    # keeps an in-window or r6 representative: media via
+    # media_features(r6), quality eight ways, asof via asof_tolerance +
     # asof_sliced/asof_join(r6), streaming via stream_hourly/
     # stream_sessions/stream_classifier, ANN via ann_ivf + ann_int8 +
     # ann_srp(r6), retrieval via chunk_dedup(r6), line dedup via
-    # remove_dup_spans + the curate_corpus compositions)
+    # remove_dup_spans + the curate_corpus compositions, CDC via scd2 +
+    # the new corpus_diff)
     "quality_classifier", "temperature_mixture", "stream_classifier",
     "curate_corpus_v3", "gopher_rules", "pack_extend", "bloom_firewall",
     "c4_rules", "ingest_gate", "normalize_punct", "stream_bloom",
-    "sketch_cms", "kmv_overlap",
+    "sketch_cms", "kmv_overlap", "corpus_diff",
 ]
 
 
@@ -3108,6 +3130,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_bloom": q_stream_bloom,
         "sketch_cms": q_sketch_cms,
         "kmv_overlap": q_kmv_overlap,
+        "corpus_diff": q_corpus_diff,
         "pack_extend": q_pack_extend,
     }
 
@@ -3538,6 +3561,14 @@ def oracle_sql() -> dict[str, str]:
         "stream_bloom": BL.bloom_firewall_sql(
             "documents WHERE doc_id % 4 = 0", "documents",
             "text", "doc_id"),
+        # same markers, same null-safe equality, same CASE precedence;
+        # the snapshot views are the deterministic modular scenario
+        "corpus_diff": CDC.snapshot_diff_sql(
+            "(SELECT doc_id, CASE WHEN doc_id % 7 = 3 "
+            "THEN text || ' (draft)' ELSE text END AS text "
+            "FROM documents WHERE doc_id % 10 <> 0)",
+            "(SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 5)",
+            ["doc_id"], TX.fingerprint_sql("text")),
         # same salted hash, same distinct->rank->k-min staging, same
         # combined-k-min estimator; the twin nests the two generated
         # sketch subqueries

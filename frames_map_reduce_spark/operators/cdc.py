@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 
 from frames_map_reduce_spark.schema import require_columns
 
-__all__ = ["compact_latest", "merge_upsert", "scd2_intervals"]
+__all__ = ["compact_latest", "merge_upsert", "scd2_intervals",
+           "snapshot_diff", "snapshot_diff_sql"]
 
 
 def compact_latest(df: DataFrame, keys: Sequence[str],
@@ -176,3 +177,59 @@ def scd2_intervals(df: DataFrame, keys: Sequence[str], ts_col: str,
     if tombstone is not None:
         out = out.filter(~tombstone)
     return out.withColumn(current, F.col(valid_to).isNull())
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, keys: Sequence[str],
+                  value_col: str) -> DataFrame:
+    """Snapshot-to-snapshot corpus diff — the data-versioning primitive
+    an INCREMENTAL pipeline plans from: classify every key as
+    ``added`` / ``removed`` / ``changed`` / ``unchanged`` between two
+    snapshots, comparing ``value_col`` (pass a content fingerprint for
+    document frames so the compare is a fixed-width equality, not a
+    text compare).  Downstream, only ``added`` + ``changed`` keys need
+    re-embedding/re-scoring and only ``removed`` need index eviction —
+    at 100 TB the diff is one key-equality full-outer join (AQE-sized
+    shuffle on the keys, no other pass over either snapshot).
+
+    Presence is tracked with explicit markers, NOT value nullability —
+    a key present with a NULL value is a real row (NULL == NULL counts
+    as unchanged via null-safe equality), distinct from an absent key.
+
+    Returns ``keys + (value_old, value_new, status)``."""
+    require_columns(old, [*keys, value_col])
+    require_columns(new, [*keys, value_col])
+    o = old.select(*keys, F.col(value_col).alias("value_old"),
+                   F.lit(True).alias("_in_old"))
+    n = new.select(*keys, F.col(value_col).alias("value_new"),
+                   F.lit(True).alias("_in_new"))
+    j = o.join(n, list(keys), "full_outer")
+    status = (
+        F.when(~F.coalesce(F.col("_in_old"), F.lit(False)), "added")
+         .when(~F.coalesce(F.col("_in_new"), F.lit(False)), "removed")
+         .when(F.col("value_old").eqNullSafe(F.col("value_new")),
+               "unchanged")
+         .otherwise("changed"))
+    return j.select(*keys, "value_old", "value_new",
+                    status.alias("status"))
+
+
+def snapshot_diff_sql(old_from: str, new_from: str, keys: Sequence[str],
+                      value_expr: str) -> str:
+    """DuckDB twin of :func:`snapshot_diff` — same markers, same
+    null-safe equality (``IS NOT DISTINCT FROM``), same precedence."""
+    key_list = ", ".join(keys)
+    on = " AND ".join(f"o.{k} IS NOT DISTINCT FROM n.{k}" for k in keys)
+    key_out = ", ".join(f"coalesce(o.{k}, n.{k}) AS {k}" for k in keys)
+    return f"""
+        SELECT {key_out}, o.value_old, n.value_new,
+               CASE WHEN o._in_old IS NULL THEN 'added'
+                    WHEN n._in_new IS NULL THEN 'removed'
+                    WHEN o.value_old IS NOT DISTINCT FROM n.value_new
+                         THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM (SELECT {key_list}, {value_expr} AS value_old,
+                     TRUE AS _in_old FROM {old_from}) o
+        FULL OUTER JOIN
+             (SELECT {key_list}, {value_expr} AS value_new,
+                     TRUE AS _in_new FROM {new_from}) n
+        ON {on}"""

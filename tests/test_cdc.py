@@ -185,3 +185,35 @@ def test_merge_upsert_reserved_column_clash(spark):
         [(1, 2, False)], "k long, v long, _is_delete boolean")
     with pytest.raises(ValueError, match="reserved"):
         merge_upsert(target, changes, ["k"], ["v"])
+
+
+def test_snapshot_diff_statuses(spark):
+    """All four statuses, plus the NULL contracts: NULL==NULL value is
+    unchanged (null-safe equality), NULL vs value is changed, and
+    presence comes from markers, never from value nullability."""
+    import duckdb
+
+    from frames_map_reduce_spark.operators.cdc import (
+        snapshot_diff, snapshot_diff_sql)
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, None), (5, "gone")],
+        "id long, v string")
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, None), (4, "now-set"), (6, "fresh")],
+        "id long, v string")
+    got = {r["id"]: r["status"]
+           for r in snapshot_diff(old, new, ["id"], "v").collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "unchanged",
+                   4: "changed", 5: "removed", 6: "added"}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE o (id BIGINT, v VARCHAR)")
+    con.executemany("INSERT INTO o VALUES (?, ?)",
+                    [(r["id"], r["v"]) for r in old.collect()])
+    con.execute("CREATE TABLE n (id BIGINT, v VARCHAR)")
+    con.executemany("INSERT INTO n VALUES (?, ?)",
+                    [(r["id"], r["v"]) for r in new.collect()])
+    want = {r[0]: r[3] for r in con.execute(
+        snapshot_diff_sql("o", "n", ["id"], "v")).fetchall()}
+    assert got == want
