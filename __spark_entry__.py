@@ -1102,12 +1102,17 @@ def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentence-count verdict, and the final unterminated partial line is
     genuinely cut by the line filter."""
     docs = _docs(spark, sf_dir)
-    sent = F.regexp_replace(F.col("text"), r"(\w+( \w+){5}) ", "$1.\n")
-    rules = TX.c4_rules(sent)
-    flagged = docs.select(
+    # project the re-sentenced text and the kept-lines array ONCE:
+    # Catalyst does not CSE higher-order-function lambdas, so referencing
+    # c4_kept_lines from every rule would re-run the per-line pipeline
+    staged = docs.select(
+        "source", TX.resentence(F.col("text")).alias("_sent"),
+        TX.c4_kept_lines(TX.resentence(F.col("text"))).alias("_kept"))
+    rules = TX.c4_rules(F.col("_sent"), kept=F.col("_kept"))
+    flagged = staged.select(
         "source",
-        F.size(F.split(sent, "\n")).alias("n_lines"),
-        F.size(TX.c4_kept_lines(sent)).alias("n_kept"),
+        F.size(F.split(F.col("_sent"), "\n")).alias("n_lines"),
+        F.size(F.col("_kept")).alias("n_kept"),
         *(c.alias(name) for name, c in rules.items()))
     aggs = [F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum(F.when(F.col("pass_c4"), 1).otherwise(0))
@@ -1263,11 +1268,11 @@ def q_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "text", "doc_id", threshold=0.6)
             .select("doc_id").distinct()
             .withColumn("_nd", F.lit(True)))
-    sent = F.regexp_replace(F.col("text"), r"(\w+( \w+){5}) ", "$1.\n")
     quality = inc.select(
         "doc_id", "source",
         (TX.gopher_rules(F.col("text"))["r_word_count"]
-         & TX.c4_rules(sent)["pass_c4"]).alias("quality_ok"))
+         & TX.c4_rules(TX.resentence(F.col("text")))["pass_c4"])
+        .alias("quality_ok"))
     out = (quality.join(member, "doc_id", "left")
                   .join(nd, "doc_id", "left")
                   .select("doc_id", "source", "quality_ok", "is_member",
@@ -3633,8 +3638,7 @@ def oracle_sql() -> dict[str, str]:
         "ingest_gate": (lambda wc, c4: f"""
             WITH _ig_in AS (
                 SELECT doc_id, source, text,
-                       regexp_replace(text, '(\\w+( \\w+){{5}}) ',
-                           '\\1.' || chr(10), 'g') AS sent
+                       {TX.resentence_sql("text")} AS sent
                 FROM documents WHERE doc_id % 4 <> 0),
             _ig_q AS (
                 SELECT doc_id, source,
@@ -3661,8 +3665,8 @@ def oracle_sql() -> dict[str, str]:
                 TX.c4_rules_sql("sent")["pass_c4"]),
         # same generated-twin shape as gopher_rules plus the line
         # filter's keep accounting — all-BIGINT, engine-exact; the
-        # derived-table `sent` is the deterministic re-sentencing shim
-        # (same regex as the Spark side, backref spelled \\1 for RE2)
+        # re-sentencing shim and the pre-computed kept-lines list both
+        # come from the shared TX generators (same staging as Spark)
         "c4_rules": (lambda _r: f"""
             SELECT source, count(*)::BIGINT AS n_docs,
                    sum(CASE WHEN pass_c4 THEN 1 ELSE 0 END)::BIGINT
@@ -3675,16 +3679,16 @@ def oracle_sql() -> dict[str, str]:
                    sum(n_kept)::BIGINT AS sum_kept
             FROM (SELECT source,
                          len(string_split(text, chr(10))) AS n_lines,
-                         len({TX.c4_kept_lines_sql("text")}) AS n_kept,
+                         len(_kept) AS n_kept,
                          {", ".join(
                              f"{expr} AS {name}"
                              for name, expr in _r.items())}
-                  FROM (SELECT source,
-                               regexp_replace(text,
-                                   '(\\w+( \\w+){{5}}) ',
-                                   '\\1.' || chr(10), 'g') AS text
-                        FROM documents))
-            GROUP BY source""")(TX.c4_rules_sql("text")),
+                  FROM (SELECT source, text,
+                               {TX.c4_kept_lines_sql("text")} AS _kept
+                        FROM (SELECT source,
+                                     {TX.resentence_sql("text")} AS text
+                              FROM documents)))
+            GROUP BY source""")(TX.c4_rules_sql("text", kept="_kept")),
         # the generated mixture twin nests as a derived table; the
         # rollup over the kept set is all-BIGINT
         "temperature_mixture": f"""

@@ -442,10 +442,12 @@ def gopher_rules(col: Column) -> dict[str, Column]:
     n_sym = F.size(F.regexp_extract_all(col, F.lit(_SYMBOL_RE), 0))
     lines = F.split(col, "\n")
     n_lines = F.size(lines)
+    # line_trim, not trim(): kills the Java-`$`-before-final-terminator
+    # vs RE2-`$`-end-only divergence on lines ending \r / NEL / LS / PS
     n_bullet = F.size(F.filter(
-        lines, lambda ln: F.trim(ln).rlike(_BULLET_RE)))
+        lines, lambda ln: line_trim(ln).rlike(_BULLET_RE)))
     n_ell = F.size(F.filter(
-        lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$")))
+        lines, lambda ln: line_trim(ln).rlike(r"(\.\.\.|…)$")))
     n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
     low = tokens(col)  # lowercase spec, shared with stopword_ratio
     # when(isNotNull): the membership test runs over a LITERAL array, so
@@ -489,9 +491,11 @@ def gopher_rules_sql(col: str) -> dict[str, str]:
     lines = f"string_split({col}, chr(10))"
     n_lines = f"len({lines})"
     n_bullet = (f"len(list_filter({lines},"
-                f" ln -> regexp_matches(trim(ln), '{_BULLET_RE}')))")
+                f" ln -> regexp_matches({line_trim_sql('ln')},"
+                f" '{_BULLET_RE}')))")
     n_ell = (f"len(list_filter({lines},"
-             f" ln -> regexp_matches(trim(ln), '(\\.\\.\\.|…)$')))")
+             f" ln -> regexp_matches({line_trim_sql('ln')},"
+             f" '(\\.\\.\\.|…)$')))")
     n_alpha = f"len(list_filter({toks}, t -> regexp_matches(t, '[a-zA-Z]')))"
     low = tokens_sql(col)
     lst = "[" + ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS) + "]"
@@ -538,12 +542,35 @@ C4_TERMINAL_RE = "[.!?\"']$"
 C4_LINE_BANNED = "javascript"
 C4_DOC_BANNED = ("{", "lorem ipsum")
 
+#: line-EDGE trim class: the tokenization whitespace set plus the
+#: Unicode line terminators (NEL, LS, PS).  Needed because Java's `$`
+#: (non-MULTILINE) matches BEFORE a single final line terminator while
+#: RE2's `$` matches only at end-of-text — a line ending "...\r" (CRLF
+#: split on \n) would pass the terminal-punctuation rlike on Spark and
+#: fail it in the DuckDB twin.  Trimming the terminators off the line
+#: edges FIRST makes the two `$` semantics coincide by construction.
+#: Kept separate from WS_CHARS: widening the tokenization class would
+#: change token counts engine-wide.
+LINE_EDGE_CHARS = WS_CHARS + "\\x{85}\\x{2028}\\x{2029}"
+_LINE_EDGE_RE = f"^[{LINE_EDGE_CHARS}]+|[{LINE_EDGE_CHARS}]+$"
+
+
+def line_trim(col: Column) -> Column:
+    """Line-edge trim over the shared explicit class (both engines) —
+    unlike ``trim()``, also strips tabs, CR, and the Unicode line
+    terminators, so end-of-line anchors agree across engines."""
+    return F.regexp_replace(col, _LINE_EDGE_RE, "")
+
+
+def line_trim_sql(col: str) -> str:
+    return f"regexp_replace({col}, '{_LINE_EDGE_RE}', '', 'g')"
+
 
 def c4_kept_lines(col: Column) -> Column:
     """The lines of ``col`` that survive C4's line filter, order kept.
     NULL text -> NULL (the uniform NULL-verdict contract)."""
     def keep(ln: Column) -> Column:
-        t = F.trim(ln)
+        t = line_trim(ln)
         words = F.filter(F.split(t, WS), lambda w: w != F.lit(""))
         return (t.rlike(C4_TERMINAL_RE)
                 & (F.size(words) >= C4_MIN_WORDS_PER_LINE)
@@ -554,11 +581,12 @@ def c4_kept_lines(col: Column) -> Column:
 
 def c4_kept_lines_sql(col: str) -> str:
     term = C4_TERMINAL_RE.replace("'", "''")
+    t = line_trim_sql("ln")
     return (f"list_filter(string_split({col}, chr(10)), ln -> "
-            f"regexp_matches(trim(ln), '{term}') AND "
-            f"len(list_filter(string_split_regex(trim(ln), '{WS}'),"
+            f"regexp_matches({t}, '{term}') AND "
+            f"len(list_filter(string_split_regex({t}, '{WS}'),"
             f" w -> w <> '')) >= {C4_MIN_WORDS_PER_LINE} AND "
-            f"NOT contains(lower(trim(ln)), '{C4_LINE_BANNED}'))")
+            f"NOT contains(lower({t}), '{C4_LINE_BANNED}'))")
 
 
 def c4_clean(col: Column) -> Column:
@@ -577,12 +605,19 @@ def c4_clean_sql(col: str) -> str:
             f" chr(10)), '') END)")
 
 
-def c4_rules(col: Column) -> dict[str, Column]:
+def c4_rules(col: Column, kept: Column | None = None) -> dict[str, Column]:
     """The C4 page-level rules as named BOOLEAN Columns (plus the
     conjunction under ``"pass_c4"``): enough sentences SURVIVE the line
     filter, no curly brace (code), no boilerplate filler.  NULL text
-    yields NULL verdicts, like gopher_rules."""
-    n_sent = F.size(F.regexp_extract_all(c4_clean(col), F.lit("[.!?]"), 0))
+    yields NULL verdicts, like gopher_rules.
+
+    ``kept``: pass a pre-projected :func:`c4_kept_lines` column to
+    share the line-filter work with other consumers (Catalyst does not
+    CSE higher-order-function lambdas, so inlining it here would re-run
+    the whole per-line pipeline per rule reference)."""
+    joined = (F.array_join(kept, "\n") if kept is not None
+              else c4_clean(col))
+    n_sent = F.size(F.regexp_extract_all(joined, F.lit("[.!?]"), 0))
     low = F.lower(col)
     rules: dict[str, Column] = {
         "r_min_sentences": n_sent >= C4_MIN_SENTENCES,
@@ -596,10 +631,16 @@ def c4_rules(col: Column) -> dict[str, Column]:
     return rules
 
 
-def c4_rules_sql(col: str) -> dict[str, str]:
+def c4_rules_sql(col: str, kept: str | None = None) -> dict[str, str]:
     """DuckDB twins of :func:`c4_rules`, generated from the same
-    constants and the same shared line-filter spec."""
-    n_sent = f"len(regexp_extract_all({c4_clean_sql(col)}, '[.!?]'))"
+    constants and the same shared line-filter spec.  ``kept`` mirrors
+    the Spark side: a pre-computed kept-lines list expression."""
+    if kept is not None:
+        joined = (f"(CASE WHEN {col} IS NULL THEN NULL ELSE"
+                  f" coalesce(array_to_string({kept}, chr(10)), '') END)")
+    else:
+        joined = c4_clean_sql(col)
+    n_sent = f"len(regexp_extract_all({joined}, '[.!?]'))"
     rules = {
         "r_min_sentences": f"({n_sent} >= {C4_MIN_SENTENCES})",
         "r_no_brace":
@@ -664,3 +705,23 @@ def normalize_punct_sql(col: str) -> str:
     for src, dst in PUNCT_MULTI.items():
         out = f"replace({out}, {_sql_quote(src)}, {_sql_quote(dst)})"
     return out
+
+
+# ---------------------------------------------------------------------------
+# Testdata shim: deterministic re-sentencing.  The synthetic corpus is
+# punctuation-free single-line word soup; queries that exercise
+# sentence/line rules re-structure it with ONE shared regex (a period +
+# newline after every 6th word) so the rules genuinely discriminate.
+# One constant generates both engines' rewrites — they cannot drift.
+# ---------------------------------------------------------------------------
+
+RESENTENCE_RE = r"(\w+( \w+){5}) "
+
+
+def resentence(col: Column) -> Column:
+    return F.regexp_replace(col, RESENTENCE_RE, "$1.\n")
+
+
+def resentence_sql(col: str) -> str:
+    return (f"regexp_replace({col}, '{RESENTENCE_RE}', "
+            f"'\\1.' || chr(10), 'g')")

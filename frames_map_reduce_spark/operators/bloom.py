@@ -161,6 +161,11 @@ def build_bloom_index(corpus: DataFrame, table: str, text_col: str,
     require_columns(corpus, [text_col])
     write_bucketed(_word_rows(corpus, text_col, m_bits, k),
                    f"{table}_words", ["_word"], n_buckets)
+    # persist the geometry beside the bits (like the IVF centroid
+    # array): a mismatched extend/probe would silently destroy the
+    # no-false-negative guarantee, so the catalog owns the spec and
+    # extend/probe validate against it
+    _set_bloom_spec(corpus.sparkSession, table, m_bits, k)
 
 
 def extend_bloom_index(corpus_delta: DataFrame, table: str, text_col: str,
@@ -178,6 +183,7 @@ def extend_bloom_index(corpus_delta: DataFrame, table: str, text_col: str,
 
     require_columns(corpus_delta, [text_col])
     spark = corpus_delta.sparkSession
+    _require_bloom_spec(spark, table, m_bits, k)
     nb = _bloom_num_buckets(spark, table)
     write_bucketed(_word_rows(corpus_delta, text_col, m_bits, k),
                    f"{table}_words", ["_word"], nb, mode="append")
@@ -200,6 +206,7 @@ def bloom_probe_index(spark: SparkSession, table: str, queries: DataFrame,
     exchanges), and a final groupBy ANDs the k bit tests per document.
     The accepted corpus's text is never touched."""
     require_columns(queries, [text_col, id_col])
+    _require_bloom_spec(spark, table, m_bits, k)
     words = (spark.table(f"{table}_words")
                   .groupBy("_word").agg(F.bit_or("_bits").alias("_bits")))
     qpos = queries.select(
@@ -227,6 +234,7 @@ def compact_bloom_index(spark: SparkSession, table: str) -> None:
     from frames_map_reduce_spark.sources import write_bucketed
 
     nb = _bloom_num_buckets(spark, table)
+    spec = _bloom_spec(spark, table)
     merged = (spark.table(f"{table}_words")
                    .groupBy("_word").agg(F.bit_or("_bits").alias("_bits")))
     tmp = f"{table}_words_compact"
@@ -242,6 +250,8 @@ def compact_bloom_index(spark: SparkSession, table: str) -> None:
     spark.sql(f"ALTER TABLE `{table}_words` RENAME TO `{old}`")
     spark.sql(f"ALTER TABLE `{tmp}` RENAME TO `{table}_words`")
     spark.sql(f"DROP TABLE `{old}`")
+    if spec is not None:  # the compacted table carries the spec forward
+        _set_bloom_spec(spark, table, *spec)
     # drop any cached file listing under the NEW name (plans created
     # BEFORE the compact hold the old snapshot and must be re-created —
     # re-collecting one raises FAILED_READ_FILE, same contract as
@@ -255,6 +265,34 @@ def _bloom_num_buckets(spark: SparkSession, table: str) -> int:
     desc = spark.sql(f"DESCRIBE TABLE EXTENDED {table}_words") \
                 .filter(F.col("col_name") == "Num Buckets").first()
     return int(desc["data_type"]) if desc else 64
+
+
+def _set_bloom_spec(spark: SparkSession, table: str,
+                    m_bits: int, k: int) -> None:
+    spark.sql(f"ALTER TABLE `{table}_words` SET TBLPROPERTIES "
+              f"('fmr.bloom.m_bits' = '{m_bits}', 'fmr.bloom.k' = '{k}')")
+
+
+def _bloom_spec(spark: SparkSession, table: str) -> tuple[int, int] | None:
+    props = {r["key"]: r["value"] for r in
+             spark.sql(f"SHOW TBLPROPERTIES `{table}_words`").collect()}
+    if "fmr.bloom.m_bits" not in props:
+        return None  # externally-created word table: convention applies
+    return int(props["fmr.bloom.m_bits"]), int(props["fmr.bloom.k"])
+
+
+def _require_bloom_spec(spark: SparkSession, table: str,
+                        m_bits: int, k: int) -> None:
+    """Refuse a geometry that differs from the one the index was built
+    with — positions computed in a different bit space read the wrong
+    words and return false `maybe_dup = false` verdicts, the exact
+    guarantee the firewall drops documents on."""
+    spec = _bloom_spec(spark, table)
+    if spec is not None and spec != (m_bits, k):
+        raise ValueError(
+            f"bloom index `{table}` was built with m_bits={spec[0]}, "
+            f"k={spec[1]} — got m_bits={m_bits}, k={k}; the geometry is "
+            f"part of the index (rebuild to change it)")
 
 
 # ---------------------------------------------------------------------------

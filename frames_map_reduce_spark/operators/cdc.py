@@ -196,21 +196,34 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: Sequence[str],
     as unchanged via null-safe equality), distinct from an absent key.
 
     Returns ``keys + (value_old, value_new, status)``."""
+    from functools import reduce
+
     require_columns(old, [*keys, value_col])
     require_columns(new, [*keys, value_col])
+    # dataset aliases: both snapshots often derive from ONE source frame
+    # (two views of the same corpus), which trips Spark's ambiguous-
+    # self-join detection unless columns are alias-qualified
     o = old.select(*keys, F.col(value_col).alias("value_old"),
-                   F.lit(True).alias("_in_old"))
+                   F.lit(True).alias("_in_old")).alias("_sd_o")
     n = new.select(*keys, F.col(value_col).alias("value_new"),
-                   F.lit(True).alias("_in_new"))
-    j = o.join(n, list(keys), "full_outer")
+                   F.lit(True).alias("_in_new")).alias("_sd_n")
+    # NULL-SAFE key equality, matching the twin's IS NOT DISTINCT FROM:
+    # a name-list join would never match NULL keys and misclassify the
+    # same NULL-keyed row as removed+added
+    cond = reduce(lambda a, b: a & b,
+                  [F.col(f"_sd_o.{k}").eqNullSafe(F.col(f"_sd_n.{k}"))
+                   for k in keys])
+    j = o.join(n, cond, "full_outer")
     status = (
         F.when(~F.coalesce(F.col("_in_old"), F.lit(False)), "added")
          .when(~F.coalesce(F.col("_in_new"), F.lit(False)), "removed")
          .when(F.col("value_old").eqNullSafe(F.col("value_new")),
                "unchanged")
          .otherwise("changed"))
-    return j.select(*keys, "value_old", "value_new",
-                    status.alias("status"))
+    return j.select(
+        *[F.coalesce(F.col(f"_sd_o.{k}"), F.col(f"_sd_n.{k}")).alias(k)
+          for k in keys],
+        "value_old", "value_new", status.alias("status"))
 
 
 def snapshot_diff_sql(old_from: str, new_from: str, keys: Sequence[str],

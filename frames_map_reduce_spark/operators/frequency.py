@@ -190,7 +190,11 @@ def cms_estimate(sketch: DataFrame, queries: DataFrame, col: str,
     shuffles more than d rows per probe value)."""
     _cms_check(w, d)
     require_columns(queries, [col])
-    probe = queries.select(
+    # NULLs dropped like cms_build: Spark's concat-NULL hash would miss
+    # every counter (est 0) while DuckDB's concat SKIPS NULL args and
+    # hashes the bare salt to real cells — neither is a frequency of
+    # anything, so NULL probes are out of the contract on both sides
+    probe = queries.filter(F.col(col).isNotNull()).select(
         F.col(col),
         F.posexplode(_cms_cols(F.col(col), w, d)).alias("_row", "_col"))
     merged = sketch.groupBy("_row", "_col") \
@@ -225,7 +229,8 @@ def cms_estimate_sql(corpus_from: str, query_from: str, col: str,
             GROUP BY 1, 2),
         _probe AS (
             SELECT {col}, r AS _row, c AS _col
-            FROM (SELECT {col}, {rc_sql(col)} FROM {query_from}))
+            FROM (SELECT {col}, {rc_sql(col)} FROM {query_from}
+                  WHERE {col} IS NOT NULL))
         SELECT p.{col},
                min(coalesce(s._count, 0))::BIGINT AS est_count
         FROM _probe p

@@ -191,3 +191,26 @@ def test_bloom_gate_matches_probe(spark, corpus):
             BL.bloom_gate_columns(words, "text", m_bits=1 << 25)
     finally:
         _drop(spark, table)
+
+
+def test_bloom_spec_is_part_of_the_index(spark, corpus):
+    """The geometry is persisted at build; a mismatched extend or probe
+    must refuse loudly (a silent mismatch would break the
+    no-false-negative guarantee), and compaction carries the spec."""
+    table = "bloom_t_spec"
+    try:
+        BL.build_bloom_index(corpus, table, "text", m_bits=1 << 20, k=5)
+        with pytest.raises(ValueError, match="built with m_bits"):
+            BL.extend_bloom_index(corpus, table, "text")  # default 2^22/7
+        with pytest.raises(ValueError, match="built with m_bits"):
+            BL.bloom_probe_index(spark, table, corpus, "text", "doc_id",
+                                 m_bits=1 << 20, k=7)
+        # the matching spec passes, survives extend AND compact
+        BL.extend_bloom_index(corpus, table, "text", m_bits=1 << 20, k=5)
+        BL.compact_bloom_index(spark, table)
+        got = _probe_map(spark, table, corpus, m_bits=1 << 20, k=5)
+        assert all(got.values())
+        with pytest.raises(ValueError, match="built with m_bits"):
+            BL.bloom_probe_index(spark, table, corpus, "text", "doc_id")
+    finally:
+        _drop(spark, table)

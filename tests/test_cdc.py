@@ -217,3 +217,16 @@ def test_snapshot_diff_statuses(spark):
     want = {r[0]: r[3] for r in con.execute(
         snapshot_diff_sql("o", "n", ["id"], "v")).fetchall()}
     assert got == want
+
+
+def test_snapshot_diff_null_keys(spark):
+    """NULL keys must match null-safely (IS NOT DISTINCT FROM), exactly
+    like the SQL twin — a name-list join would split one NULL-keyed row
+    into a phantom removed+added pair."""
+    from frames_map_reduce_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame([(None, "a"), (1, "x")], "id long, v string")
+    new = spark.createDataFrame([(None, "a"), (1, "y")], "id long, v string")
+    got = {r["id"]: r["status"]
+           for r in snapshot_diff(old, new, ["id"], "v").collect()}
+    assert got == {None: "unchanged", 1: "changed"}

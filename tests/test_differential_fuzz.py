@@ -533,6 +533,10 @@ _c4_text = st.one_of(
         st.one_of(_c4_line,
                   _c4_line.map(lambda l: l + "."),     # terminal punct
                   _c4_line.map(lambda l: l + "?"),
+                  _c4_line.map(lambda l: l + ".\r"),   # CRLF ending: the
+                  # Java-$-before-final-terminator vs RE2-$-end-only
+                  # divergence line_trim exists to kill
+                  _c4_line.map(lambda l: l + ".\u2028"),
                   _c4_line.map(lambda l: "  " + l + '!"')),
         min_size=0, max_size=8).map("\n".join))
 
@@ -585,7 +589,8 @@ def test_cms_matches_duckdb(spark, tokens, w):
     sdf = spark.createDataFrame(pdf)
     d = 3
     sk = FRQ.cms_build(sdf, "token", w=w, d=d)
-    qs = sdf.select("token").distinct()
+    qs = sdf.select("token").distinct().unionAll(
+        spark.createDataFrame([(None,)], "token string"))
     got = {r["token"]: r["est_count"] for r in
            FRQ.cms_estimate(sk, qs, "token", w=w, d=d).collect()}
     con = duckdb.connect()
