@@ -178,7 +178,14 @@ def extend_bloom_index(corpus_delta: DataFrame, table: str, text_col: str,
     recorded at build (enforced by the catalog).  Generations accumulate
     one word-table copy per extend in the worst case; fold them back to
     one row per word with :func:`compact_bloom_index` when probe-side
-    read amplification matters.  Spec parameters must match the build."""
+    read amplification matters.  Spec parameters must match the build
+    (validated against the persisted table properties).
+
+    ORDERING GOTCHA: probe results are LAZY plans over the live word
+    table.  Materialize the verdicts (collect, or write to a staging
+    table) BEFORE extending — a verdict plan re-evaluated after the
+    extend screens against the already-extended filter and reports
+    every extended document as a member."""
     from frames_map_reduce_spark.sources import write_bucketed
 
     require_columns(corpus_delta, [text_col])
