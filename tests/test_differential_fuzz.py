@@ -706,3 +706,39 @@ def test_kmv_matches_duckdb(spark, a_vals, b_vals, k):
     if len(sa | sb) <= k:  # sketch covers the union -> estimator exact
         true_j = round(len(sa & sb) / len(sa | sb), 6)
         assert got["est_jaccard"] == true_j
+
+
+_diff_key = st.one_of(st.none(), st.integers(0, 8))
+_diff_val = st.one_of(st.none(), st.sampled_from(["a", "b", "c"]))
+
+
+@given(old=st.dictionaries(_diff_key, _diff_val, max_size=8),
+       new=st.dictionaries(_diff_key, _diff_val, max_size=8))
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_snapshot_diff_matches_duckdb(spark, old, new):
+    """Random snapshots (NULL keys, NULL values, disjoint/overlapping
+    key sets) through snapshot_diff vs the generated twin — statuses,
+    carried values, and the NULL-key null-safe match must agree
+    exactly."""
+    from frames_map_reduce_spark.operators.cdc import (
+        snapshot_diff, snapshot_diff_sql)
+
+    o_rows = list(old.items()) or [(99, "x")]
+    n_rows = list(new.items()) or [(98, "y")]
+    sdf_o = spark.createDataFrame(o_rows, "id long, v string")
+    sdf_n = spark.createDataFrame(n_rows, "id long, v string")
+    skey = lambda t: tuple((x is None, x) for x in t)
+    got = sorted(((r["id"], r["value_old"], r["value_new"], r["status"])
+                  for r in snapshot_diff(sdf_o, sdf_n, ["id"], "v")
+                  .collect()), key=skey)
+    con = duckdb.connect()
+    con.register("o_t", pd.DataFrame(o_rows, columns=["id", "v"]))
+    con.register("n_t", pd.DataFrame(n_rows, columns=["id", "v"]))
+    want = sorted(map(tuple, con.execute(
+        snapshot_diff_sql("o_t", "n_t", ["id"], "v")).fetchall()),
+        key=skey)
+    # duckdb returns ints/None; normalize pandas NA
+    norm = lambda rows: [tuple(None if pd.isna(x) else x for x in r)
+                         for r in rows]
+    assert norm(got) == norm(want)
