@@ -968,7 +968,7 @@ def label_outliers_sql(table: str, vec_col: str, id_col: str,
             FROM _q GROUP BY {label_col}, _pos),
         _dist AS (
             SELECT _q.{id_col}, _q.{label_col},
-                   sum((_qv - _cv) * (_qv - _cv)) AS dist_q
+                   CAST(sum((_qv - _cv) * (_qv - _cv)) AS BIGINT) AS dist_q
             FROM _q JOIN _cent
               ON _q.{label_col} = _cent.{label_col} AND _q._pos = _cent._pos
             GROUP BY _q.{id_col}, _q.{label_col})

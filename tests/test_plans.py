@@ -177,8 +177,10 @@ def test_pack_sequences_plan_shape(documents):
     from frames_map_reduce_spark.operators.packing import pack_sequences
     from frames_map_reduce_spark.plans import explain_formatted
 
+    # n_buckets pinned: the sf0.001 fixture is below the "auto" serial
+    # threshold (the auto dial has its own tests in test_sampling.py)
     df = pack_sequences(documents, TX.token_count(F.col("text")), 256,
-                        order_by=["doc_id"], by=["source"])
+                        order_by=["doc_id"], by=["source"], n_buckets=64)
     plan = explain_formatted(df)
     assert plan.count("Window") >= 2
     # formatted explain lists every node twice (tree + detail section):

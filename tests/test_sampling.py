@@ -226,6 +226,60 @@ def test_pack_two_phase_parallelism_and_fallback(spark):
     assert "rangepartitioning" not in executed_plan(off).lower()
 
 
+def test_pack_auto_n_buckets_resolution(spark, documents):
+    """The ``n_buckets="auto"`` dial (r7 verdict #2): small FILE-BACKED
+    inputs resolve to the serial window (1), large Catalyst size
+    estimates to the two-phase path with buckets scaling in [8, 1024],
+    stat-less sources (parallelized local collections report the
+    Long.MaxValue sentinel) to the scale-safe 64, and the resolved plan
+    shapes match (no rangepartitioning below threshold, _pid above)."""
+    from frames_map_reduce_spark.operators.packing import (
+        _AUTO_BUCKET_BYTES, _AUTO_SERIAL_BYTES, _resolve_n_buckets,
+        _running_offsets, pack_sequences)
+    from frames_map_reduce_spark.plans import executed_plan
+
+    small = documents.select("doc_id", (F.col("n_chars") % 9 + 1)
+                             .alias("sz"))  # sf0.001 parquet: real stats
+    assert _resolve_n_buckets(small, "auto") == 1
+    # spark.range's plan estimate is 8 bytes/row — a deterministic way
+    # to exceed the serial threshold without materializing anything
+    big = spark.range(2 * _AUTO_SERIAL_BYTES // 8).select(
+        F.col("id"), (F.col("id") % 9 + 1).alias("sz"))
+    assert _resolve_n_buckets(big, "auto") >= 8
+    huge = spark.range(4 * _AUTO_BUCKET_BYTES)  # ≥ 32 buckets' worth
+    assert 8 <= _resolve_n_buckets(huge, "auto") <= 64
+    # a local collection has NO stats — never mistake the sentinel for
+    # a 4-exabyte input (serial would also be wrong if it IS big)
+    local = spark.createDataFrame([(i, i % 9 + 1) for i in range(100)],
+                                  "id long, sz long")
+    assert _resolve_n_buckets(local, "auto") == 64
+    # explicit ints pass through untouched; junk is rejected
+    assert _resolve_n_buckets(small, 64) == 64
+    with pytest.raises(ValueError, match="auto"):
+        _resolve_n_buckets(small, "sixty-four")
+    # plan shape follows the resolution
+    assert "rangepartitioning" not in executed_plan(
+        pack_sequences(small, "sz", 17, order_by=["doc_id"])).lower()
+    off_big = _running_offsets(big, F.col("sz"), ["id"], (),
+                               n_buckets="auto", drop_nonpositive=False)
+    assert "rangepartitioning" in executed_plan(off_big).lower()
+
+
+def test_pack_auto_two_phase_engages_at_sf1(spark):
+    """At sf1.0 the registry's pack_sequences query (auto n_buckets)
+    must still take the TWO-PHASE path (r7 verdict #2's guard: the
+    adaptive dial may not quietly re-serialize the scale path)."""
+    import os
+    sf1 = "/tmp/fmr_sf1.0"
+    if not os.path.isdir(sf1):
+        pytest.skip("sf1.0 replica not generated (bench_scale.py)")
+    import __spark_entry__ as E
+    from frames_map_reduce_spark.plans import explain_formatted
+    df = E.queries()["pack_sequences"](spark, sf1)
+    plan = explain_formatted(df)
+    assert "_pid" in plan  # the bucketed cumsum partitions on (by, _pid)
+
+
 def test_deterministic_shuffle_is_stable_permutation(spark):
     """shuffle_pos is a 0-based permutation, identical across re-runs
     and across n_buckets choices (bucketing is structural, never

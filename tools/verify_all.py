@@ -9,6 +9,9 @@ Gates, in order (each recorded with wall time and pass/fail; a failing
 gate does not stop the later ones — the artifact should show the WHOLE
 wall, not the first brick):
 
+0. oracle_types — tools/lint_oracle_types.py binds every oracle in
+   DuckDB and fails on HUGEINT/DECIMAL/unsigned output columns (the
+   r7 label_outliers hash-red class).
 1. pytest  — the unit/law/fuzz suite, including the sf0.001 oracle
    parity run of every registry query (tests/test_oracle_parity.py).
 2. parity@sf0.01 — the same differential suite at the driver's
@@ -48,6 +51,8 @@ def run_gate(name: str, cmd: list[str], env: dict | None = None) -> dict:
 def main() -> None:
     fast = "--fast" in sys.argv
     gates: dict[str, dict] = {}
+    gates["oracle_types"] = run_gate(
+        "oracle_types", [sys.executable, "tools/lint_oracle_types.py"])
     gates["pytest"] = run_gate(
         "pytest", [sys.executable, "-m", "pytest", "tests/", "-q"])
     gates["parity_sf0.01"] = run_gate(
