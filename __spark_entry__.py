@@ -1034,7 +1034,7 @@ def q_curate_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   n_buckets=_QCLF_BUCKETS,
                                   salt=_QCLF_SALT, carry=("source",))
     kept = SMP.top_fraction(scores, ["source"], "logit_rank", "doc_id",
-                            num=1, den=2)
+                            num=1, den=2, materialize="local_checkpoint")
     return (kept.groupBy("source")
                 .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"),
                      F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
@@ -1533,16 +1533,28 @@ def q_corpus_to_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two-phase bucket-cut whose global rank is preceding-bucket
     count + within-bucket row_number, so selection parallelism is no
     longer bounded by the number of sources (the serial window form is
-    its fuzz-pinned spec, and remains the DuckDB twin below).  FULL
-    composed oracle: the table-parametric twins nest verbatim."""
-    docs = _docs(spark, sf_dir)
+    its fuzz-pinned spec, and remains the DuckDB twin below).  The cut
+    reads a LOCAL-CHECKPOINTED ``ranked`` (r7 verdict #3): the curation
+    lineage (line dedup → LM score → join) is referenced three times by
+    the two-phase cut and exchange reuse cannot dedupe it (each branch
+    prunes differently), so the skinny 4-column rank frame is computed
+    ONCE into executor blocks — measured 2.2× on this composed query.
+    FULL composed oracle: the table-parametric twins nest verbatim."""
+    # plain scan, not _docs: the line-dedup aggregation exchanges
+    # re-distribute within the cheap line-split stage, so the widening
+    # repartition would shuffle the full text for stages that are
+    # already parallel — measured 1.4 s slower WITH it once ranked is
+    # checkpointed (at cluster scale the scan has native splits and
+    # ensure_parallelism is a no-op anyway)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     cleaned = DD.remove_duplicated_lines(docs, "text", "doc_id")
     scored = QL.unigram_lm_score(cleaned, "clean_text", "doc_id",
                                  rank_key=True)
     ranked = (docs.select("doc_id", "source")
                   .join(scored.select("doc_id", "n_tokens", "lp_rank"),
                         "doc_id"))
-    kept = SMP.top_fraction(ranked, ["source"], "lp_rank", "doc_id", 3, 5)
+    kept = SMP.top_fraction(ranked, ["source"], "lp_rank", "doc_id", 3, 5,
+                            materialize="local_checkpoint")
     return PK.pack_sequences(kept, "n_tokens", 256,
                              order_by=["doc_id"], by=["source"])
 

@@ -298,7 +298,7 @@ _TF_CACHE: list = []
 def top_fraction(df: DataFrame, by: Sequence[str], score_col: str,
                  id_col: str, num: int, den: int,
                  n_buckets: int = 256,
-                 persist_input: bool = False) -> DataFrame:
+                 materialize: str | None = None) -> DataFrame:
     """Keep each ``by`` group's best ``floor(num/den · n)`` rows under
     the total order (``score_col`` DESC, ``id_col`` ASC) — the budgeted
     quality cut of a curation pipeline ("keep each source's top 60%"),
@@ -342,21 +342,41 @@ def top_fraction(df: DataFrame, by: Sequence[str], score_col: str,
             "quantize the score first so the cut cannot wobble at a "
             "float rounding boundary")
     # the two-phase cut references df THREE times (bounds agg, bucket
-    # counts, final join+window).  For ALL-JVM lineages AQE's exchange
-    # reuse already dedupes the shared subplans and a persist is a
-    # measured LOSS (sf0.1 composed pipeline: 8-16 s cached vs 4-6 s
-    # uncached — the cache build breaks whole-stage pipelining), hence
-    # default OFF.  Set persist_input=True when df's lineage contains a
-    # PYTHON stage (mapInPandas/applyInPandas): those recompute per
-    # reference — the engine-wide cache-vs-recompute rule (README
-    # "Python only where expressions can't go").  The returned plan
-    # references the persisted frame, hence the swap-cache.
-    if persist_input:
+    # counts, final join+window).  Exchange reuse does NOT cover the
+    # shared lineage: each branch prunes a different column set, so the
+    # canonicalized exchange subtrees differ and every branch recomputes
+    # df from the source (r7 verdict #3 — measured on the composed sf0.1
+    # curation pipeline; an explicit repartition barrier recovered only
+    # ~16% because ColumnPruning pushes distinct Projects below the
+    # exchange too).  ``materialize`` picks the barrier:
+    #
+    # - None (default): recompute per branch — right for a cheap df
+    #   (plain scan + projections), where 3 pruned columnar scans beat
+    #   any materialization.
+    # - "local_checkpoint": truncate the lineage and compute df ONCE
+    #   into executor-local blocks — the measured winner for expensive
+    #   multi-join/explode lineages (sf0.1 composed pipeline medians:
+    #   3.2 s vs 5.3 s persisted vs 6.9 s recomputed).  Non-reliable
+    #   storage: an executor loss fails the JOB instead of a stage —
+    #   acceptable for a batch curation query whose alternative is a
+    #   ~6x lineage recompute; at cluster scale, jobs needing stage
+    #   retry should write df to a table and rerank from that.
+    # - "persist": storage-level cache (the returned plan references
+    #   the cached frame — swap-cache lifetime).  Dominated by
+    #   local_checkpoint in every measurement (the InMemoryTableScan
+    #   breaks whole-stage pipelining) but survives executor loss.
+    if materialize == "local_checkpoint":
+        df = df.localCheckpoint(eager=False)
+    elif materialize == "persist":
         from pyspark import StorageLevel
         from frames_map_reduce_spark.session import drain_persist_cache
         drain_persist_cache(_TF_CACHE)
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
         _TF_CACHE.append(df)
+    elif materialize is not None:
+        raise ValueError(
+            f"materialize must be None, 'local_checkpoint' or 'persist', "
+            f"got {materialize!r}")
     score = F.col(score_col).cast("bigint")
     bounds = (df.groupBy(*[F.col(c) for c in by])
                 .agg(F.count(F.lit(1)).alias("_tf_n"),

@@ -448,6 +448,36 @@ def test_top_fraction_contracts(spark):
         assert "_tf_b" in spec or "_tf_ab" in spec, spec
 
 
+def test_top_fraction_materialize_modes(spark, documents):
+    """r7 verdict #3: ``materialize`` is a pure execution hint — every
+    mode keeps EXACTLY the same rows — and "local_checkpoint" truncates
+    the lineage so the cut's three references read ONE computed frame
+    (no documents scan survives into the final plan; plain exchange
+    reuse provably does NOT cover the triple reference because each
+    branch prunes a different column set)."""
+    from frames_map_reduce_spark.operators.sampling import top_fraction
+    from frames_map_reduce_spark.plans import executed_plan
+    ranked = documents.select("doc_id", "source",
+                              (F.col("n_chars") % 97).alias("r"))
+    base = sorted(r["doc_id"] for r in top_fraction(
+        ranked, ["source"], "r", "doc_id", 3, 5).collect())
+    for mode in ("persist", "local_checkpoint"):
+        got = sorted(r["doc_id"] for r in top_fraction(
+            ranked, ["source"], "r", "doc_id", 3, 5,
+            materialize=mode).collect())
+        assert got == base, mode
+    with pytest.raises(ValueError, match="materialize"):
+        top_fraction(ranked, ["source"], "r", "doc_id", 3, 5,
+                     materialize="cache")
+    ckpt = top_fraction(ranked, ["source"], "r", "doc_id", 3, 5,
+                        materialize="local_checkpoint")
+    plan = executed_plan(ckpt)
+    # the heavy lineage is BEHIND the checkpoint: the final plan scans
+    # the materialized RDD, never the parquet source
+    assert "ExistingRDD" in plan, plan[:2000]
+    assert "documents" not in plan, plan[:2000]
+
+
 def test_temperature_mixture_flattens_toward_uniform(spark):
     from frames_map_reduce_spark.operators.sampling import temperature_mixture
     # 1000 'big' rows vs 50 'small' rows: at T=0.5 the big source must be
