@@ -578,14 +578,57 @@ def bench_minhash_firewall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("jaccard_sim", 6).alias("jaccard"))
 
 
+def bench_gate_build(spark: SparkSession, sf_dir: str) -> None:
+    """Bench-only (r7 verdict #5): the train-once half of q_ingest_gate
+    in isolation — build BOTH firewalls (Bloom word table + MinHash
+    bucketed index) over the accepted %4==0 corpus.  Amortized one-time
+    cost in the deployment shape; the recurring cost is gate_probe."""
+    docs = _docs(spark, sf_dir)
+    ref = docs.filter(F.col("doc_id") % 4 == 0)
+    BL.build_bloom_index(ref, "gate_bloom_bench", "text")
+    DD.build_minhash_index(ref, "gate_minhash_bench", "text", "doc_id")
+
+
+def bench_gate_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only (r7 verdict #5): the query-many half of q_ingest_gate
+    against the indices bench_gate_build persisted — the per-batch cost
+    the admission gate actually pays recurring: Bloom probe + MinHash
+    probe + rule screens, composed to the same three-valued accept."""
+    docs = _docs(spark, sf_dir)
+    inc = docs.filter(F.col("doc_id") % 4 != 0)
+    member = (BL.bloom_probe_index(spark, "gate_bloom_bench", inc,
+                                   "text", "doc_id")
+                .withColumnRenamed("maybe_dup", "is_member"))
+    nd = (DD.minhash_probe_index(spark, "gate_minhash_bench", inc,
+                                 "text", "doc_id", threshold=0.6)
+            .select("doc_id").distinct()
+            .withColumn("_nd", F.lit(True)))
+    quality = inc.select(
+        "doc_id", "source",
+        (TX.gopher_rules(F.col("text"))["r_word_count"]
+         & TX.c4_rules(TX.resentence(F.col("text")))["pass_c4"])
+        .alias("quality_ok"))
+    out = (quality.join(member, "doc_id", "left")
+                  .join(nd, "doc_id", "left")
+                  .select("doc_id", "source", "quality_ok", "is_member",
+                          F.coalesce(F.col("_nd"), F.lit(False))
+                           .alias("is_near_dup")))
+    return out.select(
+        "doc_id", "source", "quality_ok", "is_member", "is_near_dup",
+        (F.col("quality_ok") & ~F.col("is_member")
+         & ~F.col("is_near_dup")).alias("accept"))
+
+
 def bench_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Callables bench.py times that are NOT registry queries: the
-    firewall build/probe split models the amortized-build deployment
-    shape; its end-to-end composition (q_minhash_firewall) stays the
-    oracled registry entry."""
+    build/probe splits model the amortized-build deployment shape; the
+    end-to-end compositions (q_minhash_firewall, q_ingest_gate) stay
+    the oracled registry entries."""
     return {
         "minhash_firewall_build": bench_minhash_firewall_build,
         "minhash_firewall_probe": bench_minhash_firewall_probe,
+        "gate_build": bench_gate_build,
+        "gate_probe": bench_gate_probe,
     }
 
 
@@ -612,6 +655,29 @@ def q_bloom_firewall(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = BL.bloom_probe_index(spark, "bloom_index_driver", docs,
                                "text", "doc_id")
     return out.select("doc_id", "maybe_dup")
+
+
+def q_bloom_gen_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generation monitor of the Bloom extend lifecycle
+    (operators/bloom.py bloom_index_generation_stats, r7 verdict
+    stretch): build over doc_id %8==0, extend twice (%8==4, %8==2),
+    then read the one-row stats — read amplification (n_rows vs
+    n_words), worst-word generations, merged popcount over the
+    geometry, and the ``needs_compaction`` policy verdict at
+    max_read_amp=2 (three generations over a shared word base trips
+    it).  All-BIGINT + one BOOLEAN; FULL oracle: the DuckDB twin
+    replays the same three batches through the same double-hash word
+    packing (extend writes exactly one merged row set per batch, so
+    generations are engine-exact, not an implementation accident)."""
+    docs = _docs(spark, sf_dir)
+    BL.build_bloom_index(docs.filter(F.col("doc_id") % 8 == 0),
+                         "bloom_genstats_driver", "text")
+    BL.extend_bloom_index(docs.filter(F.col("doc_id") % 8 == 4),
+                          "bloom_genstats_driver", "text")
+    BL.extend_bloom_index(docs.filter(F.col("doc_id") % 8 == 2),
+                          "bloom_genstats_driver", "text")
+    return BL.bloom_index_generation_stats(spark, "bloom_genstats_driver",
+                                           max_read_amp=2)
 
 
 def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -998,7 +1064,8 @@ def q_stream_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         gated = stream_classifier_gate(stream, w_rows, "text",
                                        n_buckets=_QCLF_BUCKETS,
                                        salt=_QCLF_SALT)
-        name = f"stream_clf_{uuid.uuid4().hex[:8]}"
+        # fixed sink name: reps replace the table (see q_stream_bloom)
+        name = "stream_clf_sink"
         q = (gated.drop("text").writeStream.format("memory")
                   .queryName(name).outputMode("append")
                   .trigger(availableNow=True).start())
@@ -1200,7 +1267,7 @@ def q_stream_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SAME filter q_bloom_firewall persists — here trained in-plan
     over the %4==0 corpus (bloom_words, bounded collect ≤ m_bits/32
     rows) and applied to documents arriving through a file stream as a
-    pure stateless expression (dense word spine as one array literal:
+    pure stateless expression (dense word spine as one BINARY literal:
     no join, no shuffle, no state — the edge-ingestion shape; the
     bucketed probe is the warehouse shape).  FULL value oracle: the
     gate computes the exact verdicts bloom_probe_index computes, so the
@@ -1228,7 +1295,11 @@ def q_stream_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                      f"{stage}/0.parquet")
         stream = spark.readStream.schema(inc.schema).parquet(stage)
         gated = stream_bloom_gate(stream, words, "text")
-        name = f"stream_bloom_{uuid.uuid4().hex[:8]}"
+        # FIXED sink name (r7 ADVICE): restarting a memory-sink query
+        # under the same name REPLACES its temp table, so bench reps
+        # overwrite the ~50k verdict rows instead of pinning one copy
+        # per rep in driver memory for the session lifetime
+        name = "stream_bloom_sink"
         q = (gated.drop("text").writeStream.format("memory")
                   .queryName(name).outputMode("append")
                   .trigger(availableNow=True).start())
@@ -1236,6 +1307,64 @@ def q_stream_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (spark.table(name)
                      .filter(F.col("maybe_dup").isNotNull())
                      .select("doc_id", "maybe_dup"))
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
+
+
+def q_stream_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed STREAMING admission gate
+    (streaming.stream_ingest_gate, r7 verdict stretch — the streaming
+    twin of q_ingest_gate's recurring shape): documents arrive through
+    a file stream and pass the two trained stateless screens in ONE
+    pass — Bloom membership against the %4==0 accepted corpus (same
+    filter q_bloom_firewall persists) and the hashed log-odds quality
+    model (same weights as q_quality_classifier) — emitting the
+    three-valued ``accept`` per document.  No join, no shuffle, no
+    state.  FULL value oracle: both gates compute the exact integers /
+    booleans their batch forms compute, so the twin composes the Bloom
+    bit replay with the batch train+score twin and the same
+    NULL-propagating AND (NULL-text rows carry NULL verdicts through
+    the stateless gates and are filtered to match the twins'
+    absent-row semantics)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import uuid
+
+    from frames_map_reduce_spark.streaming import stream_ingest_gate
+
+    docs = _docs(spark, sf_dir)
+    ref = docs.filter(F.col("doc_id") % 4 == 0)
+    words = [(r["_word"], r["_bits"])
+             for r in BL.bloom_words(ref, "text").collect()]
+    labeled = docs.withColumn("_is_en", F.col("lang") == F.lit("en"))
+    weights = [(r["bucket"], r["weight"]) for r in
+               CLF.train_logodds_classifier(labeled, "text", "_is_en",
+                                            n_buckets=_QCLF_BUCKETS,
+                                            salt=_QCLF_SALT).collect()]
+    base = f"/tmp/fmr_stream_ingest_{uuid.uuid4().hex[:12]}"
+    try:
+        stage = f"{base}/in"
+        _os.makedirs(stage)
+        inc = docs.select("doc_id", "source", "text")
+        inc.coalesce(1).write.parquet(f"{base}/f0")
+        _shutil.move(_glob.glob(f"{base}/f0/part-*.parquet")[0],
+                     f"{stage}/0.parquet")
+        stream = spark.readStream.schema(inc.schema).parquet(stage)
+        gated = stream_ingest_gate(stream, words, weights, "text",
+                                   n_buckets=_QCLF_BUCKETS,
+                                   salt=_QCLF_SALT)
+        # fixed sink name: reps replace the table (see q_stream_bloom)
+        name = "stream_ingest_sink"
+        q = (gated.drop("text").writeStream.format("memory")
+                  .queryName(name).outputMode("append")
+                  .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return (spark.table(name)
+                     .filter(F.col("maybe_dup").isNotNull()
+                             & F.col("quality_ok").isNotNull())
+                     .select("doc_id", "source", "maybe_dup",
+                             "quality_ok", "accept"))
     finally:
         _shutil.rmtree(base, ignore_errors=True)
 
@@ -1252,6 +1381,19 @@ def q_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically in both engines.  FULL oracle: the DuckDB twin composes
     the Bloom bit replay, the exhaustive cross-corpus Jaccard, and the
     generated rule expressions over the same %4 split.
+
+    ORACLE CORPUS INVARIANT (r7 ADVICE — inherited from the
+    minhash_firewall convention): the Spark side screens near-dups via
+    LSH banding (16 bands × 8 rows) VERIFIED by exact Jaccard, while
+    the twin is exhaustive all-pairs Jaccard ≥ 0.6 — they agree only
+    because this corpus's true near-dup pairs sit far above the 0.6
+    threshold (a pair at Jaccard ≈ 0.6 has only ~24% banding detection
+    probability; at 0.8+ it is ~98%+).  The synthetic near-dups are
+    generated as whole-document copies with small edits (measured at
+    sf0.01: every oracle-flagged cross-split pair has Jaccard ≥ 0.97),
+    so the hash match is stable; if the testdata ever
+    gains near-THRESHOLD pairs, replay the banding candidate set in
+    the twin instead of exhaustive Jaccard.
 
     Deployment shape: both indices are train-once (build here so the
     query is self-contained; the recurring cost is probe-only — see
@@ -2933,64 +3075,49 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_tpch_q1(spark, "/root/testdata/sf0.001")
 
 
-#: Round-7 driver window (r6 verdict #1: close the ledger completely).
+#: Round-8 driver window (r7 verdict #4: rotate to the r5-stale set).
 #: Composition, in priority order:
-#: (1) the NINE never-driver-proven queries — the five r6 additions
-#:     (pack_sequences, semantic_dedup, label_outliers, mislabel_knn,
-#:     corpus_to_sequences) plus the four added this round
-#:     (zorder_pruning, bpe_token_count, pack_bpe_sequences, ann_int8 —
-#:     the int8 retrieval row displaced token_stats, which stays
-#:     r5-proven and leads the r8 queue with its family still
-#:     in-window via bpe_token_count/quality_score);
-#: (2) the three r4-stale queries (repetition_stats, redact_pii,
-#:     top_ngrams — PROVENANCE.json `stale_after_next_round`);
-#: (3) queries whose SEMANTICS changed since their last driver proof:
-#:     sketch_heavy_hitters (r6 failure guard), funnel / scd2 (r6
-#:     integer-exact means), pack_shards (r7 two-phase offsets —
-#:     results fuzz-pinned identical, re-proven anyway on principle);
-#: (4) 35 more of the r5-proven set, so after this round no query's
-#:     most recent driver proof is older than r5.
-#: The 11 r5-proven rows that did not fit (range_join, cdc_compact,
-#: topk_native, sessionize, unpivot, ann_bruteforce, text_quality,
-#: lang_id, percentile_native, dedup_clusters, embedding_neardup — each
-#: family still represented in-window) lead the r8 rotation queue and
-#: are re-proven at sf0.001 by the local parity suite on every pytest
-#: run.
-_R7_WINDOW = [
-    # (1) never driver-proven
-    "pack_sequences", "semantic_dedup", "label_outliers", "mislabel_knn",
-    "corpus_to_sequences", "zorder_pruning", "bpe_token_count",
-    "pack_bpe_sequences", "ann_int8",
-    # (2) last proof is r4
-    "repetition_stats", "redact_pii", "top_ngrams",
-    # (3) changed since last proof
-    "sketch_heavy_hitters", "funnel", "scd2", "pack_shards",
-    # (4) r5-proven fill
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q18", "mr_sum_by_flag",
-    "topk_per_group", "dedup_exact", "dedup_minhash", "dedup_simhash",
-    "dedup_ngram_jaccard", "perplexity", "bigram_perplexity",
-    "remove_dup_spans", "curate_corpus",
-    "minhash_firewall", "ann_ivf",
-    "asof_tolerance", "salted_agg", "stream_hourly",
-    "stream_sessions",
-    # (5) r7 session additions — prove them THIS round rather than
-    # queueing them never-proven into r8 (displaced fourteen r5-proven
-    # fills: sample_stratified, mixture_weights, train_test_split,
-    # strip_markup, chunk_docs, bm25, media_meta, quality_score,
-    # asof_forward, stream_stateful, ann_ivf_indexed, contamination,
-    # remove_dup_lines, merge_upsert — they stay r5-proven and lead the
-    # r8 rotation with the stale-after-r7 set; every displaced family
-    # keeps an in-window or r6 representative: media via
-    # media_features(r6), quality eight ways, asof via asof_tolerance +
-    # asof_sliced/asof_join(r6), streaming via stream_hourly/
-    # stream_sessions/stream_classifier, ANN via ann_ivf + ann_int8 +
-    # ann_srp(r6), retrieval via chunk_dedup(r6), line dedup via
-    # remove_dup_spans + the curate_corpus compositions, CDC via scd2 +
-    # the new corpus_diff)
-    "quality_classifier", "temperature_mixture", "stream_classifier",
-    "curate_corpus_v3", "gopher_rules", "pack_extend", "bloom_firewall",
-    "c4_rules", "ingest_gate", "normalize_punct", "stream_bloom",
-    "sketch_cms", "kmv_overlap", "corpus_diff",
+#: (1) label_outliers — the ONE red r7 row (oracle-side HUGEINT type
+#:     leak, values proven identical): re-proven after the BIGINT cast
+#:     (r7 verdict #1);
+#: (2) the TWO queries added this round, proven in their debut round
+#:     per r7 practice: bloom_gen_stats (extend-lifecycle generation
+#:     monitor + compaction policy, r7 stretch #8) and
+#:     stream_ingest_gate (composed stateless streaming admission gate,
+#:     r7 stretch #9);
+#: (3) ALL 26 r5-stale queries (PROVENANCE.json
+#:     `stale_after_next_round` with last_proven_round=5 — the exact
+#:     list r7 verdict #4 names);
+#: (4) queries whose PLANS changed this round, re-proven on principle
+#:     (outputs fuzz-pinned identical): the four pack queries +
+#:     corpus_to_sequences + curate_corpus_v3 (auto n_buckets /
+#:     local-checkpointed top_fraction, r7 verdict #2/#3) and
+#:     kmv_overlap (empty-union guard, r7 ADVICE);
+#: (5) 14 of the r6-proven set as fill, oldest families first.
+#: The 36 r6-proven rows that did not fit lead the r9 rotation queue
+#: (each family still represented in-window or r7-proven) and are
+#: re-proven at sf0.001 by the local parity suite on every pytest run.
+_R8_WINDOW = [
+    # (1) the red row, fixed
+    "label_outliers",
+    # (2) this round's additions
+    "bloom_gen_stats", "stream_ingest_gate",
+    # (3) the 26 r5-stale queries
+    "ann_bruteforce", "ann_ivf_indexed", "asof_forward", "bm25",
+    "cdc_compact", "chunk_docs", "contamination", "dedup_clusters",
+    "embedding_neardup", "lang_id", "media_meta", "merge_upsert",
+    "mixture_weights", "percentile_native", "quality_score",
+    "range_join", "remove_dup_lines", "sample_stratified", "sessionize",
+    "stream_stateful", "strip_markup", "text_quality", "token_stats",
+    "topk_native", "train_test_split", "unpivot",
+    # (4) plan-changed this round
+    "pack_sequences", "pack_shards", "pack_extend", "pack_bpe_sequences",
+    "corpus_to_sequences", "curate_corpus_v3", "kmv_overlap",
+    # (5) r6-proven fill
+    "aggregate_fold_year", "anti_join", "asof_join", "assign_keys",
+    "clean_corpus", "collect_sorted", "cube_revenue", "events_hourly",
+    "fingerprint", "flatmap_tokens", "group_median", "join_revenue",
+    "pivot", "running_total",
 ]
 
 
@@ -3001,12 +3128,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries only, so proof rotates round-over-round.  PROVENANCE.json
     (regenerated by ``python tools/provenance.py``) is the
     machine-readable query → last-driver-proven-round ledger; the
-    window is ``_R7_WINDOW`` above (chosen from that ledger, rationale
+    window is ``_R8_WINDOW`` above (chosen from that ledger, rationale
     in its comment), applied as a reordering of the stable base dict
     below — below-window entries keep their relative order, which is
     the r8 rotation queue."""
     base = _queries_base()
-    window = {k: base[k] for k in _R7_WINDOW}
+    window = {k: base[k] for k in _R8_WINDOW}
     assert len(window) == 50, f"window must be exactly 50, got {len(window)}"
     return {**window, **{k: v for k, v in base.items() if k not in window}}
 
@@ -3149,6 +3276,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap": q_kmv_overlap,
         "corpus_diff": q_corpus_diff,
         "pack_extend": q_pack_extend,
+        "bloom_gen_stats": q_bloom_gen_stats,
+        "stream_ingest_gate": q_stream_ingest_gate,
     }
 
 
@@ -3578,6 +3707,36 @@ def oracle_sql() -> dict[str, str]:
         "stream_bloom": BL.bloom_firewall_sql(
             "documents WHERE doc_id % 4 = 0", "documents",
             "text", "doc_id"),
+        # the composed streaming gate: both stateless screens compute
+        # their batch forms' exact values, so the twin joins the Bloom
+        # bit replay with the batch train+score twin (INNER: the Spark
+        # side filters the NULL-verdict rows, matching each twin's
+        # absent-row semantics) and re-derives the same AND
+        "stream_ingest_gate": f"""
+            WITH _member AS ({BL.bloom_firewall_sql(
+                "documents WHERE doc_id % 4 = 0", "documents",
+                "text", "doc_id")}),
+            _weights AS ({CLF.train_logodds_classifier_sql(
+                "(SELECT text, (lang = 'en') AS _is_en FROM documents)",
+                "text", "_is_en",
+                n_buckets=_QCLF_BUCKETS, salt=_QCLF_SALT)}),
+            _scores AS ({CLF.classifier_score_sql(
+                "documents", "_weights", "text", "doc_id",
+                n_buckets=_QCLF_BUCKETS, salt=_QCLF_SALT,
+                carry=("source",))})
+            SELECT s.doc_id, s.source, m.maybe_dup,
+                   (s.logit_rank >= 0) AS quality_ok,
+                   (NOT m.maybe_dup AND s.logit_rank >= 0) AS accept
+            FROM _scores s JOIN _member m ON m.doc_id = s.doc_id""",
+        # generation replay: extend writes exactly one merged word-row
+        # set per batch, so rows-per-word is engine-derivable from the
+        # same three modular batches; popcount over bit_or is the
+        # compaction-integrity invariant
+        "bloom_gen_stats": BL.bloom_generation_stats_sql(
+            ["(SELECT * FROM documents WHERE doc_id % 8 = 0)",
+             "(SELECT * FROM documents WHERE doc_id % 8 = 4)",
+             "(SELECT * FROM documents WHERE doc_id % 8 = 2)"],
+            "text", max_read_amp=2),
         # same markers, same null-safe equality, same CASE precedence;
         # the snapshot views are the deterministic modular scenario
         "corpus_diff": CDC.snapshot_diff_sql(

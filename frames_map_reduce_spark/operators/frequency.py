@@ -284,7 +284,15 @@ def kmv_overlap_cols(a, b, k: int = KMV_DEFAULT_K) -> dict:
     """Overlap estimators for two joined KMV arrays ``a``/``b``: the
     combined k-min trick — take the k smallest of the union; the share
     of those present in BOTH sketches estimates Jaccard.  All array
-    ops over ≤2k elements, pure expressions."""
+    ops over ≤2k elements, pure expressions.
+
+    Empty-sketch guard (r7 ADVICE): both sketches empty → the union has
+    0 elements and the estimate is NULL (not an ANSI division-by-zero
+    error).  NOTE the cross-engine asymmetry when building that case:
+    ``kmv_sketch`` over an EMPTY group on Spark returns ``[]``
+    (``collect_list``), while DuckDB's ``list()`` aggregate returns
+    NULL — a twin replaying an empty reference set must
+    ``coalesce(kmv, [])`` before these expressions."""
     merged = F.slice(F.array_sort(F.array_union(a, b)), 1, k)
     matches = F.size(F.filter(
         merged, lambda x: F.array_contains(a, x) & F.array_contains(b, x)))
@@ -292,7 +300,7 @@ def kmv_overlap_cols(a, b, k: int = KMV_DEFAULT_K) -> dict:
     return {
         "kmv_matches": matches.cast("bigint"),
         "kmv_k": kk.cast("bigint"),
-        "est_jaccard": F.round(matches / kk, 6),
+        "est_jaccard": F.when(kk > 0, F.round(matches / kk, 6)),
     }
 
 
@@ -318,7 +326,10 @@ def kmv_sketch_sql(from_body: str, keys: list[str], value_col: str,
 
 def kmv_overlap_sql(a: str, b: str, k: int = KMV_DEFAULT_K) -> dict:
     """DuckDB twins of :func:`kmv_overlap_cols` over joined list
-    columns ``a``/``b``."""
+    columns ``a``/``b``.  Same empty-union guard (explicit CASE, not
+    DuckDB's silent NULL-on-division-by-zero); see the empty-sketch
+    NULL-vs-[] note on :func:`kmv_overlap_cols` — replaying an empty
+    reference set needs ``coalesce({a}, [])`` upstream of these."""
     merged = f"list_slice(list_sort(list_distinct(list_concat({a}, {b}))), 1, {k})"
     matches = (f"len(list_filter({merged}, "
                f"x -> list_contains({a}, x) AND list_contains({b}, x)))")
@@ -326,5 +337,6 @@ def kmv_overlap_sql(a: str, b: str, k: int = KMV_DEFAULT_K) -> dict:
     return {
         "kmv_matches": f"{matches}::BIGINT",
         "kmv_k": f"{kk}::BIGINT",
-        "est_jaccard": f"round({matches} * 1.0 / {kk}, 6)",
+        "est_jaccard": (f"CASE WHEN {kk} > 0 THEN "
+                        f"round({matches} * 1.0 / {kk}, 6) END"),
     }

