@@ -78,6 +78,11 @@ LOGIT_SCALE = 1_000_000
 #: is always positive.  Offset sums overflow BIGINT only beyond ~8e9
 #: tokens per document — far past any real document.
 LOGIT_OFFSET = 1 << 30
+#: gate-form cap (the GATE_MAX_M_BITS convention): the stateless gate
+#: carries the dense weight table as one in-plan array literal — ~9 s
+#: of plan-build at 2^16 elements is the practical ceiling; past it the
+#: broadcast-join ``classifier_score`` is the right shape anyway.
+GATE_MAX_BUCKETS = 1 << 16
 
 
 def _bucket(token: Column, n_buckets: int, salt: str) -> Column:
@@ -254,7 +259,17 @@ def classifier_gate_columns(weights: Sequence[tuple[int, int]],
         raise ValueError(
             f"weights must cover exactly [0, {n_buckets}) — got "
             f"{len(got)} rows; pass train_logodds_classifier(...).collect()")
-    arr = F.lit([int(w) for _, w in got])
+    if n_buckets > GATE_MAX_BUCKETS:
+        raise ValueError(
+            f"gate form carries the dense weight table in-plan; "
+            f"n_buckets={n_buckets} > {GATE_MAX_BUCKETS} — use "
+            f"classifier_score (broadcast join) for big tables")
+    # numpy array, NOT a python list: F.lit(list) expands to CreateArray
+    # with one literal child per element (the r8 bloom-spine lesson —
+    # measured 1.3 s/query at 1024 elements, 29 s at 65536); the ndarray
+    # path builds ONE ArrayType literal (0.4 s / 9 s respectively)
+    import numpy as _np
+    arr = F.lit(_np.asarray([int(w) for _, w in got], dtype=_np.int64))
     toks = TX.tokens(F.col(text_col))
     wts = F.transform(
         toks,
