@@ -976,6 +976,26 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TKZ.subword_counts(_docs(spark, sf_dir), "text", "doc_id")
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary INDUCTION on the corpus (functions/tokenizer.py
+    learn_bpe_merges, Sennrich et al. arXiv:1508.07909 — the train half
+    whose apply half is q_bpe_token_count's greedy encode): one
+    distributed wordish word-frequency aggregation with a deterministic
+    top-20k cap (count DESC, word ASC — TakeOrderedAndProject, never a
+    single-task global sort), then the classic merge loop over that
+    BOUNDED dictionary (the standard trainer shape: iterate a counts
+    dict, not the stream).  48 merges, ties broken lexicographically so
+    the sequence is a pure function of the dictionary.  FULL oracle:
+    training is data-dependent, so the twin REPLAYS bpe_merge_spec over
+    the dictionary DuckDB computes from the same parquet (the
+    ivf-centroid replay convention) — hash equality proves both the
+    distributed dictionary (cap order included) and the merge
+    sequence."""
+    docs = _docs(spark, sf_dir)
+    return TKZ.learn_bpe_merges(docs, "text", n_merges=48,
+                                max_words=20_000)
+
+
 def q_pack_bpe_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pack_sequences budgeted in TOKENIZER tokens (r6 verdict #7): the
     packed-manifest query whose block budget counts what the trainer
@@ -3093,7 +3113,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     corpus_to_sequences + curate_corpus_v3 (auto n_buckets /
 #:     local-checkpointed top_fraction, r7 verdict #2/#3) and
 #:     kmv_overlap (empty-union guard, r7 ADVICE);
-#: (5) 14 of the r6-proven set as fill, oldest families first.
+#: (5) 13 of the r6-proven set as fill, oldest families first,
+#:     plus bpe_train (the third query added this round — BPE
+#:     vocabulary induction, proven in its debut round; running_total
+#:     stays r6-proven and leads the r9 queue).
 #: The 36 r6-proven rows that did not fit lead the r9 rotation queue
 #: (each family still represented in-window or r7-proven) and are
 #: re-proven at sf0.001 by the local parity suite on every pytest run.
@@ -3117,7 +3140,7 @@ _R8_WINDOW = [
     "aggregate_fold_year", "anti_join", "asof_join", "assign_keys",
     "clean_corpus", "collect_sorted", "cube_revenue", "events_hourly",
     "fingerprint", "flatmap_tokens", "group_median", "join_revenue",
-    "pivot", "running_total",
+    "pivot", "bpe_train",
 ]
 
 
@@ -3263,6 +3286,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_to_sequences": q_corpus_to_sequences,
         "zorder_pruning": q_zorder_pruning,
         "bpe_token_count": q_bpe_token_count,
+        "bpe_train": q_bpe_train,
         "pack_bpe_sequences": q_pack_bpe_sequences,
         "quality_classifier": q_quality_classifier,
         "temperature_mixture": q_temperature_mixture,
@@ -3287,6 +3311,31 @@ def _sql_tokens(col: str) -> str:
 
 _IVF_ORACLE_CACHE: dict[str, str] = {}
 _SEMDEDUP_ORACLE_CACHE: dict[str, str] = {}
+_BPE_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _bpe_train_oracle() -> str:
+    """Generate (cached per fixture) the bpe_train DuckDB twin by
+    replaying :func:`tokenizer.bpe_merge_spec` over the word-frequency
+    dictionary DuckDB computes from the SAME documents parquet (same
+    wordish spec, same deterministic top-20k cap) — identical sf-dir
+    resolution to :func:`_ivf_oracle`.  The emitted SQL is a VALUES
+    literal of the replayed merges, so the driver's hash compare proves
+    the Spark dictionary + merge loop end-to-end."""
+    import os
+
+    import duckdb as _duckdb
+    sf_dir = (os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
+              or os.environ.get("SPARK_GRAFT_TEST_SF_DIR")
+              or "/root/testdata/sf0.01")
+    path = os.path.join(sf_dir, "documents.parquet")
+    if path not in _BPE_ORACLE_CACHE:
+        con = _duckdb.connect()
+        rows = con.sql(TKZ.bpe_word_counts_sql(
+            f"'{path}'", "text", max_words=20_000)).fetchall()
+        merges = TKZ.bpe_merge_spec(rows, n_merges=48)
+        _BPE_ORACLE_CACHE[path] = TKZ.bpe_merges_values_sql(merges)
+    return _BPE_ORACLE_CACHE[path]
 
 
 def _semantic_dedup_oracle() -> str:
@@ -3626,6 +3675,9 @@ def oracle_sql() -> dict[str, str]:
             ["doc_id"], ["source"]),
         # the greedy subword encode as a recursive CTE whose step CASE
         # is generated from the same frozen inventory (tokenizer.py)
+        # data-dependent: generated by replaying the merge spec over
+        # the DuckDB-computed dictionary (see _bpe_train_oracle)
+        "bpe_train": _bpe_train_oracle(),
         "bpe_token_count": TKZ.subword_counts_sql(
             "documents", "text", "doc_id"),
         # …and the packing twin over those counts, nested verbatim

@@ -106,6 +106,7 @@ HEADLINE = [
     # round-8 additions
     "bloom_gen_stats",    # extend-lifecycle generation monitor (1 agg)
     "stream_ingest_gate",  # composed stateless streaming admission gate
+    "bpe_train",          # BPE vocab induction: distributed dict + merges
 ]
 
 #: entries that model amortized ONE-TIME work (index builds): repeating

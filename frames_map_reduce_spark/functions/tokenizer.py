@@ -13,12 +13,17 @@ merge sequence reduces to a vocabulary for encoding; greedy
 longest-match over it is how production tokenizers encode at serving
 time) — named honestly: it does not replay a specific merge order.
 
-Why this design and not merge-loop BPE: the encode must be EXACTLY
-replayable as a DuckDB oracle.  Greedy longest-match is a left-to-right
-scan — one recursive CTE whose step is a closed-form CASE expression
-generated from the same inventory (``subword_step_case_sql``), so both
-engines execute the identical spec and the driver can hash-compare
-results.  A data-dependent merge loop has no such closed form.
+Why this design and not merge-loop BPE at ENCODE time: the encode must
+be EXACTLY replayable as a DuckDB oracle.  Greedy longest-match is a
+left-to-right scan — one recursive CTE whose step is a closed-form CASE
+expression generated from the same inventory
+(``subword_step_case_sql``), so both engines execute the identical spec
+and the driver can hash-compare results.  A data-dependent merge loop
+has no such closed form — so TRAINING (``learn_bpe_merges``, r8) is
+proven the other way: the merge sequence is a pure function of the
+word-frequency dictionary (``bpe_merge_spec``), and the oracle replays
+that function over the dictionary DuckDB computes from the same parquet
+(the ivf-centroid replay convention).
 
 Scale shape (Spark side): pre-tokenization is the shared regexp
 expression (JVM, codegen); the per-word scan is an Arrow-batched
@@ -39,7 +44,9 @@ from frames_map_reduce_spark.functions import text as TX
 from frames_map_reduce_spark.schema import require_columns
 
 __all__ = ["SUBWORD_VOCAB", "encode_word_len", "subword_counts",
-           "subword_counts_sql", "subword_step_case_sql"]
+           "subword_counts_sql", "subword_step_case_sql",
+           "bpe_merge_spec", "learn_bpe_merges",
+           "bpe_word_counts_sql", "bpe_merges_values_sql"]
 
 #: The fixed multi-character subword inventory (lowercase; single
 #: characters are implicit fallback tokens and MUST NOT be listed).
@@ -160,3 +167,124 @@ def subword_counts_sql(table: str, text_col: str, id_col: str) -> str:
                CAST(sum(_tk) AS BIGINT) AS n_subwords
         FROM _enc WHERE _pos > len(_w)
         GROUP BY {id_col}"""
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary induction (the TRAIN half; the greedy encode above is
+# the APPLY half)
+# ---------------------------------------------------------------------------
+
+def bpe_merge_spec(word_counts, n_merges: int):
+    """The executable BPE-training spec (Sennrich et al., ACL 2016,
+    arXiv:1508.07909 — learn merges over a WORD-FREQUENCY DICTIONARY,
+    not the raw token stream): starting from single characters, repeat
+    ``n_merges`` times — count adjacent symbol pairs weighted by word
+    frequency, merge the most frequent pair (ties broken by the
+    lexicographically SMALLEST (left, right), so the result is a pure
+    function of the dictionary), stop early when no pair occurs twice.
+
+    Pure Python over the BOUNDED dictionary — deterministic by
+    construction, shared verbatim by the Spark operator and the oracle
+    generator (the ivf-centroid replay convention).  Returns
+    ``[(rank, left, right, pair_count), …]``."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    seqs: list[tuple[list[str], int]] = [
+        (list(w), int(c)) for w, c in word_counts if w]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(int(n_merges)):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in seqs:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), cnt = best
+        if cnt < 2:
+            break
+        merges.append((rank, left, right, cnt))
+        joined = left + right
+        for syms, _ in seqs:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == left and syms[i + 1] == right:
+                    syms[i:i + 2] = [joined]
+                else:
+                    i += 1
+    return merges
+
+
+def learn_bpe_merges(df: DataFrame, text_col: str,
+                     n_merges: int = 48,
+                     max_words: int = 50_000) -> DataFrame:
+    """Train a BPE merge table ON the corpus — the induction step the
+    fixed :data:`SUBWORD_VOCAB` stands in for at apply time.  Returns
+    ``(merge_rank, left, right, merged, pair_count)``, one row per
+    learned merge in order.
+
+    Scale shape — the 100 TB part is the CORPUS SCAN, and only that
+    part is distributed: one wordish pre-tokenization + explode + 2-
+    phase count gives the word-frequency dictionary; the top
+    ``max_words`` cut (count DESC, word ASC — a total order, so the cap
+    is deterministic cross-engine) lowers to TakeOrderedAndProject
+    (per-partition partial top-k, never a global single-task sort).
+    The merge loop then runs driver-side over the ≤``max_words``-row
+    dictionary — the standard BPE-training shape (production trainers
+    iterate a counts dict, not the stream; arXiv:1508.07909 §3.2), and
+    a bounded collect by contract, not an unbounded one.
+
+    Cross-engine proof: training is data-dependent, so the DuckDB twin
+    is generated by REPLAYING :func:`bpe_merge_spec` over the same
+    dictionary computed by DuckDB from the same parquet (the
+    ivf-centroid replay convention) — hash equality proves both the
+    distributed dictionary and the merge sequence."""
+    require_columns(df, [text_col])
+    if max_words < 1:
+        raise ValueError(f"max_words must be >= 1, got {max_words}")
+    counts = (df.select(F.explode(TX.wordish_tokens(F.col(text_col)))
+                         .alias("_w"))
+                .groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
+                .orderBy(F.col("_c").desc(), F.col("_w"))
+                .limit(int(max_words)))
+    rows = [(r["_w"], r["_c"]) for r in counts.collect()]
+    merges = bpe_merge_spec(rows, n_merges)
+    spark = df.sparkSession
+    schema = ("merge_rank bigint, left string, right string, "
+              "merged string, pair_count bigint")
+    data = [(rk, lt, rt, lt + rt, ct) for rk, lt, rt, ct in merges]
+    return spark.createDataFrame(data, schema)
+
+
+def bpe_word_counts_sql(table: str, text_col: str,
+                        max_words: int = 50_000) -> str:
+    """DuckDB twin of the dictionary stage of :func:`learn_bpe_merges`
+    (same wordish spec, same deterministic cap order) — the oracle
+    generator runs this, feeds the rows to :func:`bpe_merge_spec`, and
+    emits the merges as a VALUES literal."""
+    return (f"SELECT _w, count(*) AS _c FROM "
+            f"(SELECT unnest(regexp_extract_all(lower({text_col}), "
+            f"'{TX.WORDISH}')) AS _w FROM {table}) "
+            f"GROUP BY _w ORDER BY _c DESC, _w LIMIT {int(max_words)}")
+
+
+def bpe_merges_values_sql(merges) -> str:
+    """Render replayed merges as a standalone DuckDB SELECT with the
+    exact output schema of :func:`learn_bpe_merges`."""
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+    if not merges:
+        return ('SELECT CAST(NULL AS BIGINT) AS merge_rank, '
+                'CAST(NULL AS VARCHAR) AS "left", '
+                'CAST(NULL AS VARCHAR) AS "right", '
+                'CAST(NULL AS VARCHAR) AS merged, '
+                'CAST(NULL AS BIGINT) AS pair_count WHERE FALSE')
+    vals = ", ".join(
+        f"({rk}, {q(lt)}, {q(rt)}, {q(lt + rt)}, {ct})"
+        for rk, lt, rt, ct in merges)
+    # "left"/"right" are reserved words in DuckDB — quoted throughout
+    return (f'SELECT CAST(merge_rank AS BIGINT) AS merge_rank, "left", '
+            f'"right", merged, CAST(pair_count AS BIGINT) AS pair_count '
+            f'FROM (VALUES {vals}) AS '
+            f't(merge_rank, "left", "right", merged, pair_count)')

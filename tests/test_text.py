@@ -457,3 +457,57 @@ def test_normalize_punct(spark):
     want = dict(con.execute(
         f"SELECT i, {normalize_punct_sql('text')} FROM t").fetchall())
     assert got == want
+
+
+def test_bpe_merge_spec_classic_example():
+    """The Sennrich (arXiv:1508.07909 §3.2) worked example: over
+    {low:5, lower:2, newest:6, widest:3} the first merges are
+    (e,s) -> (es,t) [9 = newest+widest each] then the 'low' stem [7],
+    with the documented (count DESC, pair ASC) tie-break and the
+    <2-count early stop."""
+    from frames_map_reduce_spark.functions.tokenizer import bpe_merge_spec
+    m = bpe_merge_spec([("low", 5), ("lower", 2),
+                        ("newest", 6), ("widest", 3)], 6)
+    assert m[0] == (0, "e", "s", 9)
+    assert m[1] == (1, "es", "t", 9)
+    assert m[2] == (2, "l", "o", 7)
+    assert m[3] == (3, "lo", "w", 7)
+    # determinism: identical input -> identical sequence (dict-order
+    # independence is the point of the explicit tie-break)
+    assert m == bpe_merge_spec([("newest", 6), ("widest", 3),
+                                ("lower", 2), ("low", 5)], 6)
+    # early stop: a dictionary where every pair is unique stops cold
+    assert bpe_merge_spec([("ab", 1), ("cd", 1)], 10) == []
+    # empty words are ignored, single-char words contribute no pairs
+    assert bpe_merge_spec([("", 9), ("x", 9)], 3) == []
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_merge_spec([("ab", 2)], 0)
+
+
+def test_learn_bpe_merges_matches_replay(spark, documents):
+    """learn_bpe_merges ≡ bpe_merge_spec over the DuckDB-computed
+    dictionary (the oracle convention, pinned here end-to-end), the cap
+    order is deterministic, and the output carries the merged form."""
+    from frames_map_reduce_spark.functions.tokenizer import (
+        bpe_merge_spec, bpe_merges_values_sql, bpe_word_counts_sql,
+        learn_bpe_merges)
+    from tests.conftest import SF_DIR
+
+    out = learn_bpe_merges(documents, "text", n_merges=12,
+                           max_words=5_000)
+    got = sorted(tuple(r) for r in out.collect())
+    assert len(got) == 12
+    assert all(r[3] == r[1] + r[2] for r in got)  # merged = left+right
+
+    import duckdb
+    con = duckdb.connect()
+    rows = con.sql(bpe_word_counts_sql(
+        f"'{SF_DIR}/documents.parquet'", "text", max_words=5_000)).fetchall()
+    merges = bpe_merge_spec(rows, 12)
+    want = sorted(con.sql(bpe_merges_values_sql(merges)).fetchall())
+    assert got == want
+    # the quoting path: tokens can BE a single quote
+    quoted = bpe_merges_values_sql([(0, "'", "s", 7)])
+    assert con.sql(quoted).fetchall() == [(0, "'", "s", "'s", 7)]
+    # empty merges render a typed empty relation
+    assert con.sql(bpe_merges_values_sql([])).fetchall() == []
