@@ -3330,9 +3330,12 @@ def _bpe_train_oracle() -> str:
               or "/root/testdata/sf0.01")
     path = os.path.join(sf_dir, "documents.parquet")
     if path not in _BPE_ORACLE_CACHE:
+        # driver testdata is a single file; the sf1.0 replica is a
+        # Spark-written DIRECTORY — glob it for DuckDB
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
         con = _duckdb.connect()
         rows = con.sql(TKZ.bpe_word_counts_sql(
-            f"'{path}'", "text", max_words=20_000)).fetchall()
+            f"'{src}'", "text", max_words=20_000)).fetchall()
         merges = TKZ.bpe_merge_spec(rows, n_merges=48)
         _BPE_ORACLE_CACHE[path] = TKZ.bpe_merges_values_sql(merges)
     return _BPE_ORACLE_CACHE[path]
