@@ -754,3 +754,35 @@ def test_snapshot_diff_matches_duckdb(spark, old, new):
     norm = lambda rows: [tuple(None if pd.isna(x) else x for x in r)
                          for r in rows]
     assert norm(got) == norm(want)
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary induction vs its dictionary replay on generated corpora
+# ---------------------------------------------------------------------------
+
+@given(texts=st.lists(_gopher_text_nonnull, min_size=1, max_size=8),
+       max_words=st.sampled_from([3, 10, 1000]))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_train_matches_replay(spark, texts, max_words):
+    """Random corpora through learn_bpe_merges vs the oracle recipe
+    (DuckDB word counts under the SAME deterministic cap → the shared
+    merge spec): pins the wordish-regex parity AND the cap's
+    (count DESC, word ASC) ORDER BY … LIMIT agreement cross-engine —
+    the two places the data-dependent training could drift."""
+    from frames_map_reduce_spark.functions.tokenizer import (
+        bpe_merge_spec, bpe_word_counts_sql, learn_bpe_merges)
+
+    pdf = pd.DataFrame({"doc_id": range(len(texts)),
+                        "text": pd.array(texts, dtype="string")})
+    sdf = spark.createDataFrame(pdf)
+    got = sorted(tuple(r) for r in
+                 learn_bpe_merges(sdf, "text", n_merges=8,
+                                  max_words=max_words).collect())
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    rows = con.sql(bpe_word_counts_sql("docs", "text",
+                                       max_words=max_words)).fetchall()
+    want = sorted((rk, lt, rt, lt + rt, ct)
+                  for rk, lt, rt, ct in bpe_merge_spec(rows, 8))
+    assert got == want
