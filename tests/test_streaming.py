@@ -423,3 +423,56 @@ def test_stream_classifier_gate_threshold_filters(spark, documents, tmp_path):
     q.awaitTermination()
     got = sorted(r["doc_id"] for r in spark.table("sg_gate").collect())
     assert got == expect
+
+
+def test_stream_ingest_gate_is_stateless_and_matches_batch(spark, documents):
+    """The composed admission gate (r8): applied to a STATIC frame, the
+    whole plan is one exchange-free, join-free stage (the stateless
+    contract both component gates promise — the literal word spine and
+    weight table never induce a shuffle), and the verdicts equal the
+    batch forms' composition: accept = NOT probe-verdict AND
+    score-rank >= 0, NULL-propagating."""
+    from frames_map_reduce_spark.operators import bloom as BL
+    from frames_map_reduce_spark.operators import classifier as CLF
+    from frames_map_reduce_spark.plans import executed_plan
+    from frames_map_reduce_spark.streaming import stream_ingest_gate
+
+    ref = documents.filter(F.col("doc_id") % 4 == 0)
+    words = [(r["_word"], r["_bits"])
+             for r in BL.bloom_words(ref, "text").collect()]
+    labeled = documents.withColumn("_en", F.col("lang") == "en")
+    weights = [(r["bucket"], r["weight"]) for r in
+               CLF.train_logodds_classifier(labeled, "text", "_en",
+                                            n_buckets=64,
+                                            salt="sig").collect()]
+    gated = stream_ingest_gate(documents.select("doc_id", "text"),
+                               words, weights, "text",
+                               n_buckets=64, salt="sig")
+    plan = executed_plan(gated)
+    assert "Exchange" not in plan, plan[:1500]
+    for node in ("Join", "HashAggregate", "Window"):
+        assert node not in plan, (node, plan[:1500])
+
+    got = {r["doc_id"]: (r["maybe_dup"], r["quality_ok"], r["accept"])
+           for r in gated.collect()}
+    probe = {r["doc_id"]: r["maybe_dup"] for r in
+             documents.select(
+                 "doc_id",
+                 BL.bloom_gate_columns(words, "text").alias("maybe_dup"))
+             .collect()}
+    score = {r["doc_id"]: r["logit_rank"] for r in
+             CLF.classifier_score(documents, spark.createDataFrame(
+                 weights, "bucket int, weight long"), "text", "doc_id",
+                 n_buckets=64, salt="sig").collect()}
+    for d, (m, q, a) in got.items():
+        assert m == probe[d]
+        expect_q = (score[d] >= 0) if d in score else None
+        assert q == expect_q
+        # three-valued AND: a definite False wins; otherwise NULL
+        # propagates; otherwise plain boolean AND
+        if m is True or expect_q is False:
+            assert a is False
+        elif m is None or expect_q is None:
+            assert a is None
+        else:
+            assert a == ((not m) and expect_q)
