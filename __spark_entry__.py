@@ -680,6 +680,43 @@ def q_bloom_gen_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                            max_read_amp=2)
 
 
+def q_bloom_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compaction POLICY proven end-to-end (r8 verdict #6): build
+    over doc_id %8==0, extend twice (%8==4, %8==2) — the monitor reads
+    ``needs_compaction = true`` at max_read_amp=2 — then
+    ``compact_bloom_index`` and read the monitor again: one generation
+    per word, ``n_rows == n_words``, and IDENTICAL ``set_bits`` (bit_or
+    is the merge, so compaction must preserve the popcount — the
+    monitor's own integrity invariant, now driver-checked rather than
+    unit-asserted).  Both reads carry ``expected_fpr`` — the occupancy
+    estimate (set_bits/m_bits)^k computed by repeated multiplication so
+    the double is bit-identical cross-engine (operators/bloom.py
+    expected_fpr, r8 verdict #3).
+
+    The before-read is materialized (1 row) before compacting: the
+    compact rewrites the word table underneath, and a pre-compact plan
+    re-collected afterwards reads the wrong snapshot by contract.
+
+    FULL oracle: before-twin replays the three batches through the
+    generation-stats SQL; after-twin replays their UNION as one batch —
+    compaction ≡ build-on-union per word is exactly the monoid law the
+    lifecycle relies on."""
+    docs = _docs(spark, sf_dir)
+    t = "bloom_compact_driver"
+    BL.build_bloom_index(docs.filter(F.col("doc_id") % 8 == 0), t, "text")
+    BL.extend_bloom_index(docs.filter(F.col("doc_id") % 8 == 4), t, "text")
+    BL.extend_bloom_index(docs.filter(F.col("doc_id") % 8 == 2), t, "text")
+    before = (BL.expected_fpr(spark, t, max_read_amp=2)
+                .withColumn("stage", F.lit("before_compact")))
+    before = spark.createDataFrame(before.collect(), before.schema)
+    BL.compact_bloom_index(spark, t)
+    after = (BL.expected_fpr(spark, t, max_read_amp=2)
+               .withColumn("stage", F.lit("after_compact")))
+    cols = ["stage", "n_words", "n_rows", "max_generations", "set_bits",
+            "m_bits", "needs_compaction", "expected_fpr"]
+    return before.select(*cols).unionByName(after.select(*cols))
+
+
 def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The APPLY half of span dedup (dedup.remove_duplicated_spans):
     flagged duplicated 8-gram spans are cut out of each document and the
@@ -3301,6 +3338,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": q_corpus_diff,
         "pack_extend": q_pack_extend,
         "bloom_gen_stats": q_bloom_gen_stats,
+        "bloom_compact_roundtrip": q_bloom_compact_roundtrip,
         "stream_ingest_gate": q_stream_ingest_gate,
     }
 
@@ -3792,6 +3830,26 @@ def oracle_sql() -> dict[str, str]:
              "(SELECT * FROM documents WHERE doc_id % 8 = 4)",
              "(SELECT * FROM documents WHERE doc_id % 8 = 2)"],
             "text", max_read_amp=2),
+        # before-twin = the 3-batch generation replay; after-twin = the
+        # SAME documents as ONE batch (compaction ≡ build-on-union per
+        # word — the bit_or monoid law), fpr^k by the shared
+        # repeated-multiplication spec so the double is engine-exact
+        "bloom_compact_roundtrip": f"""
+            SELECT 'before_compact' AS stage, n_words, n_rows,
+                   max_generations, set_bits, m_bits, needs_compaction,
+                   expected_fpr
+            FROM ({BL.expected_fpr_sql(
+                ["(SELECT * FROM documents WHERE doc_id % 8 = 0)",
+                 "(SELECT * FROM documents WHERE doc_id % 8 = 4)",
+                 "(SELECT * FROM documents WHERE doc_id % 8 = 2)"],
+                "text", max_read_amp=2)})
+            UNION ALL
+            SELECT 'after_compact' AS stage, n_words, n_rows,
+                   max_generations, set_bits, m_bits, needs_compaction,
+                   expected_fpr
+            FROM ({BL.expected_fpr_sql(
+                ["(SELECT * FROM documents WHERE doc_id % 8 IN (0, 4, 2))"],
+                "text", max_read_amp=2)})""",
         # same markers, same null-safe equality, same CASE precedence;
         # the snapshot views are the deterministic modular scenario
         "corpus_diff": CDC.snapshot_diff_sql(

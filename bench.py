@@ -120,14 +120,22 @@ def _commit_record(here: str) -> None:
     """Commit the refreshed BENCH_FULL.json in the same step that wrote
     it (r7 verdict #7: the record sat modified/uncommitted in the
     worktree after every bench run, so the committed history lagged the
-    driver artifact).  Best-effort: disabled via
-    SPARK_GRAFT_BENCH_NO_COMMIT=1, silently skipped when git is absent,
-    the file is unchanged, or the tree is not a repo — a failed commit
-    must never fail the bench."""
+    driver artifact).  NOTE: this mutates git history as a side effect
+    of running the benchmark — deliberate for this repo's per-round
+    driver workflow, documented here per r8 ADVICE.  Best-effort:
+    disabled via SPARK_GRAFT_BENCH_NO_COMMIT=1, silently skipped when
+    git is absent, the file is unchanged, the tree is not a repo, or
+    HEAD is detached (committing onto a detached HEAD strands the
+    record on no branch) — a failed commit must never fail the bench."""
     import subprocess
     if os.environ.get("SPARK_GRAFT_BENCH_NO_COMMIT"):
         return
     try:
+        head = subprocess.run(
+            ["git", "symbolic-ref", "-q", "HEAD"],
+            cwd=here, capture_output=True, timeout=30)
+        if head.returncode != 0:  # detached HEAD
+            return
         changed = subprocess.run(
             ["git", "status", "--porcelain", "--", "BENCH_FULL.json"],
             cwd=here, capture_output=True, text=True, timeout=30)

@@ -249,8 +249,12 @@ def test_bloom_generation_stats_policy(spark, corpus):
         # twin replay of the same three batches
         rows = [(r["doc_id"], r["text"]) for r in corpus.collect()]
         con = duckdb.connect()
+        # escape single quotes: the fixture corpus is quote-free today,
+        # but an unescaped f-string literal would break the twin the day
+        # it is not (r8 ADVICE)
         con.sql("CREATE TABLE b AS SELECT * FROM (VALUES "
-                + ",".join(f"({i}, '{t}')" for i, t in rows)
+                + ",".join(f"({i}, '{t.replace(chr(39), chr(39) * 2)}')"
+                           for i, t in rows)
                 + ") AS t(doc_id, text)")
         twin = con.sql(BL.bloom_generation_stats_sql(
             ["b", "b", "b"], "text", m_bits=1 << 12, k=3,
@@ -267,3 +271,79 @@ def test_bloom_generation_stats_policy(spark, corpus):
             BL.bloom_index_generation_stats(spark, table, max_read_amp=0)
     finally:
         _drop(spark, table)
+
+
+def test_expected_fpr_and_twin(spark, corpus):
+    """r8 verdict #3: the FPR the current fill implies.  The column is
+    (set_bits/m_bits)^k computed by ONE division and k-1
+    multiplications — IEEE-correctly-rounded ops in both engines — so
+    the Spark double and the DuckDB twin's double are BIT-identical,
+    not merely close.  Empirically the measured false-positive rate at
+    a deliberately-overfull geometry should be within a small factor
+    of the estimate (it is an occupancy estimate, not a bound)."""
+    import math
+    import struct
+
+    table = "bloom_t_fpr"
+    try:
+        BL.build_bloom_index(corpus, table, "text", m_bits=1 << 10, k=3)
+        row = BL.expected_fpr(spark, table).collect()[0]
+        fill = row["set_bits"] / row["m_bits"]
+        # exact repeated-multiplication replay in Python (same IEEE ops)
+        assert row["expected_fpr"] == fill * fill * fill
+        assert 0.0 < row["expected_fpr"] < 1.0
+        # bit-identical in the DuckDB twin
+        rows = [(r["doc_id"], r["text"]) for r in corpus.collect()]
+        con = duckdb.connect()
+        con.sql("CREATE TABLE b AS SELECT * FROM (VALUES "
+                + ",".join(f"({i}, '{t.replace(chr(39), chr(39) * 2)}')"
+                           for i, t in rows)
+                + ") AS t(doc_id, text)")
+        twin = con.sql(BL.expected_fpr_sql(
+            ["b"], "text", m_bits=1 << 10, k=3)).fetchdf()
+        assert (struct.pack("<d", row["expected_fpr"])
+                == struct.pack("<d", float(twin["expected_fpr"][0])))
+        assert math.isfinite(row["expected_fpr"])
+    finally:
+        _drop(spark, table)
+
+
+def test_stats_raise_without_geometry(spark, corpus):
+    """r8 ADVICE: a word table without a recorded geometry must RAISE
+    from the monitor (and expected_fpr), not fall back to
+    DEFAULT_M_BITS — the fallback misreports fill for any
+    non-default-geometry index."""
+    table = "bloom_t_nospec"
+    try:
+        BL.build_bloom_index(corpus, table, "text", m_bits=1 << 12, k=3)
+        spark.sql(f"ALTER TABLE {table}_words UNSET TBLPROPERTIES "
+                  f"('fmr.bloom.m_bits', 'fmr.bloom.k')")
+        with pytest.raises(ValueError, match="geometry"):
+            BL.bloom_index_generation_stats(spark, table)
+        with pytest.raises(ValueError, match="geometry"):
+            BL.expected_fpr(spark, table)
+    finally:
+        _drop(spark, table)
+
+
+def test_suggest_geometry():
+    """Inverse design sanity: the classic optima land within the
+    bits-per-item band the textbook table gives (~9.6 bits/item at 1%,
+    ~14.4 at 0.1%), m rounds UP to a power of two, k >= 1, and the
+    reported fpr_at_n is <= the target (power-of-two rounding only
+    ever ADDS slack).  The 10^9-member sizing the docstring documents
+    is checked literally."""
+    g = BL.suggest_geometry(100_000, 0.01)
+    assert g["m_bits"] >= 9.5 * 100_000 and g["m_bits"] & (g["m_bits"] - 1) == 0
+    assert g["fpr_at_n"] <= 0.01 and g["k"] >= 1
+    assert g["word_rows"] == g["m_bits"] // 32
+    assert g["bytes"] == g["m_bits"] // 8
+    g9 = BL.suggest_geometry(10 ** 9, 1e-3)
+    assert g9["m_bits"] == 1 << 34 and g9["fpr_at_n"] <= 1e-3
+    g9b = BL.suggest_geometry(10 ** 9, 1e-6)
+    assert g9b["m_bits"] == 1 << 35 and g9b["fpr_at_n"] <= 1e-6
+    import pytest as _pt
+    with _pt.raises(ValueError, match="n_items"):
+        BL.suggest_geometry(0, 0.01)
+    with _pt.raises(ValueError, match="target_fpr"):
+        BL.suggest_geometry(10, 1.5)

@@ -229,7 +229,7 @@ def test_pack_two_phase_parallelism_and_fallback(spark):
 def test_pack_auto_n_buckets_resolution(spark, documents):
     """The ``n_buckets="auto"`` dial (r7 verdict #2): small FILE-BACKED
     inputs resolve to the serial window (1), large Catalyst size
-    estimates to the two-phase path with buckets scaling in [8, 1024],
+    estimates to the two-phase path with buckets scaling in [8, 64],
     stat-less sources (parallelized local collections report the
     Long.MaxValue sentinel) to the scale-safe 64, and the resolved plan
     shapes match (no rangepartitioning below threshold, _pid above)."""
