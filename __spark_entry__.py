@@ -1033,6 +1033,30 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 max_words=20_000)
 
 
+def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The train→apply arc closed (r8 verdict #7): induce the BPE
+    vocabulary FROM the corpus (q_bpe_train's exact settings — 48
+    merges over the deterministic top-20k dictionary), reduce the merge
+    sequence to its greedy-encode inventory (merges_to_inventory — the
+    serving-time convention: a trained BPE's merges reduce to a
+    vocabulary for encoding), then encode the SAME corpus against it:
+    per-document ``(doc_id, n_words, n_subwords)``.
+
+    Scale shape: train is the distributed dictionary + bounded merge
+    loop (q_bpe_train); apply is one Arrow-batched mapInPandas scan
+    with the learned inventory indexed once in the closure — no
+    per-row Python beyond the scan the frozen-vocab encode already
+    pays.  FULL oracle: the twin replays the training over DuckDB's
+    dictionary, reduces it through the SAME merges_to_inventory, and
+    runs the recursive-CTE greedy encode with the CASE step generated
+    from the LEARNED inventory — hash equality proves dictionary,
+    merge loop, inventory reduction, and encode in one row set."""
+    docs = _docs(spark, sf_dir)
+    inv = TKZ.learn_bpe_inventory(docs, "text", n_merges=48,
+                                  max_words=20_000)
+    return TKZ.subword_counts(docs, "text", "doc_id", inventory=inv)
+
+
 def q_pack_bpe_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pack_sequences budgeted in TOKENIZER tokens (r6 verdict #7): the
     packed-manifest query whose block budget counts what the trainer
@@ -3324,6 +3348,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_pruning": q_zorder_pruning,
         "bpe_token_count": q_bpe_token_count,
         "bpe_train": q_bpe_train,
+        "bpe_train_encode": q_bpe_train_encode,
         "pack_bpe_sequences": q_pack_bpe_sequences,
         "quality_classifier": q_quality_classifier,
         "temperature_mixture": q_temperature_mixture,
@@ -3349,17 +3374,16 @@ def _sql_tokens(col: str) -> str:
 
 _IVF_ORACLE_CACHE: dict[str, str] = {}
 _SEMDEDUP_ORACLE_CACHE: dict[str, str] = {}
-_BPE_ORACLE_CACHE: dict[str, str] = {}
+_BPE_ORACLE_CACHE: dict[str, list] = {}
 
 
-def _bpe_train_oracle() -> str:
-    """Generate (cached per fixture) the bpe_train DuckDB twin by
-    replaying :func:`tokenizer.bpe_merge_spec` over the word-frequency
-    dictionary DuckDB computes from the SAME documents parquet (same
-    wordish spec, same deterministic top-20k cap) — identical sf-dir
-    resolution to :func:`_ivf_oracle`.  The emitted SQL is a VALUES
-    literal of the replayed merges, so the driver's hash compare proves
-    the Spark dictionary + merge loop end-to-end."""
+def _bpe_replayed_merges() -> list:
+    """Replay (cached per fixture) the BPE training over the
+    word-frequency dictionary DuckDB computes from the SAME documents
+    parquet (same wordish spec, same deterministic top-20k cap) —
+    identical sf-dir resolution to :func:`_ivf_oracle`.  Shared by the
+    bpe_train twin (merges as a VALUES literal) and the
+    bpe_train_encode twin (merges reduced to the learned inventory)."""
     import os
 
     import duckdb as _duckdb
@@ -3374,9 +3398,27 @@ def _bpe_train_oracle() -> str:
         con = _duckdb.connect()
         rows = con.sql(TKZ.bpe_word_counts_sql(
             f"'{src}'", "text", max_words=20_000)).fetchall()
-        merges = TKZ.bpe_merge_spec(rows, n_merges=48)
-        _BPE_ORACLE_CACHE[path] = TKZ.bpe_merges_values_sql(merges)
+        _BPE_ORACLE_CACHE[path] = TKZ.bpe_merge_spec(rows, n_merges=48)
     return _BPE_ORACLE_CACHE[path]
+
+
+def _bpe_train_oracle() -> str:
+    """bpe_train twin: the replayed merges as a VALUES literal, so the
+    driver's hash compare proves the Spark dictionary + merge loop
+    end-to-end."""
+    return TKZ.bpe_merges_values_sql(_bpe_replayed_merges())
+
+
+def _bpe_train_encode_oracle() -> str:
+    """bpe_train_encode twin: the replayed merges reduced to the
+    learned inventory (merges_to_inventory — the same reduction the
+    Spark query applies), then the SAME recursive-CTE greedy encode the
+    frozen-vocab twin uses, with its CASE step generated from the
+    LEARNED inventory.  Hash equality proves the whole arc: distributed
+    dictionary → merge loop → inventory → per-document encode."""
+    inv = TKZ.merges_to_inventory(_bpe_replayed_merges())
+    return TKZ.subword_counts_sql("documents", "text", "doc_id",
+                                  inventory=inv)
 
 
 def _semantic_dedup_oracle() -> str:
@@ -3719,6 +3761,7 @@ def oracle_sql() -> dict[str, str]:
         # data-dependent: generated by replaying the merge spec over
         # the DuckDB-computed dictionary (see _bpe_train_oracle)
         "bpe_train": _bpe_train_oracle(),
+        "bpe_train_encode": _bpe_train_encode_oracle(),
         "bpe_token_count": TKZ.subword_counts_sql(
             "documents", "text", "doc_id"),
         # …and the packing twin over those counts, nested verbatim

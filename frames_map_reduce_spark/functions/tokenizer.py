@@ -45,7 +45,8 @@ from frames_map_reduce_spark.schema import require_columns
 
 __all__ = ["SUBWORD_VOCAB", "encode_word_len", "subword_counts",
            "subword_counts_sql", "subword_step_case_sql",
-           "bpe_merge_spec", "learn_bpe_merges",
+           "bpe_merge_spec", "learn_bpe_merges", "merges_to_inventory",
+           "learn_bpe_inventory",
            "bpe_word_counts_sql", "bpe_merges_values_sql"]
 
 #: The fixed multi-character subword inventory (lowercase; single
@@ -79,25 +80,52 @@ SUBWORD_VOCAB: tuple[str, ...] = (
     "10", "20", "19", "00",
 )
 
-_BY_LEN: dict[int, frozenset[str]] = {}
-for _w in SUBWORD_VOCAB:
-    _BY_LEN.setdefault(len(_w), set()).add(_w)  # type: ignore[arg-type]
-_BY_LEN = {k: frozenset(v) for k, v in _BY_LEN.items()}
-_LENS_DESC: tuple[int, ...] = tuple(sorted(_BY_LEN, reverse=True))
-assert 1 not in _BY_LEN, "single chars are the implicit fallback"
-assert len(set(SUBWORD_VOCAB)) == len(SUBWORD_VOCAB), "duplicate entry"
+def _index_inventory(
+        inventory: tuple[str, ...],
+) -> tuple[dict[int, frozenset[str]], tuple[int, ...]]:
+    """Length-indexed lookup for the greedy scan.  Validates the
+    inventory contract: multi-character entries only (single chars are
+    the implicit fallback), no duplicates."""
+    by_len: dict[int, set[str]] = {}
+    seen: set[str] = set()
+    for w in inventory:
+        if len(w) < 2:
+            raise ValueError(
+                f"inventory entry {w!r} is a single character — single "
+                f"chars are the implicit fallback and must not be listed")
+        if w in seen:
+            raise ValueError(f"duplicate inventory entry {w!r}")
+        seen.add(w)
+        by_len.setdefault(len(w), set()).add(w)
+    frozen = {k: frozenset(v) for k, v in by_len.items()}
+    return frozen, tuple(sorted(frozen, reverse=True))
 
 
-def encode_word_len(word: str) -> int:
+_BY_LEN, _LENS_DESC = _index_inventory(SUBWORD_VOCAB)
+
+
+def encode_word_len(word: str,
+                    inventory: tuple[str, ...] | None = None) -> int:
     """Number of subword tokens the greedy longest-prefix encode emits
-    for ``word`` — the executable spec both engines implement."""
+    for ``word`` — the executable spec both engines implement.  The
+    default inventory is the frozen :data:`SUBWORD_VOCAB`; pass a
+    LEARNED one (:func:`merges_to_inventory`) to encode against an
+    induced vocabulary.  For batch encoding, index once and reuse
+    (:func:`subword_counts` does)."""
+    by_len, lens_desc = ((_BY_LEN, _LENS_DESC) if inventory is None
+                         else _index_inventory(inventory))
+    return _encode_len(word, by_len, lens_desc)
+
+
+def _encode_len(word: str, by_len: dict[int, frozenset[str]],
+                lens_desc: tuple[int, ...]) -> int:
     n = len(word)
     pos = 0
     count = 0
     while pos < n:
         step = 1
-        for ln in _LENS_DESC:
-            if word[pos:pos + ln] in _BY_LEN[ln]:
+        for ln in lens_desc:
+            if word[pos:pos + ln] in by_len[ln]:
                 step = ln
                 break
         pos += step
@@ -105,13 +133,22 @@ def encode_word_len(word: str) -> int:
     return count
 
 
-def subword_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def subword_counts(df: DataFrame, text_col: str, id_col: str,
+                   inventory: tuple[str, ...] | None = None) -> DataFrame:
     """Per-document subword budget: ``(id_col, n_words, n_subwords)``
     over the shared wordish pre-tokenization; documents with zero
     wordish tokens are absent (the LM-scorer convention).  The scan is
     one Arrow-batched mapInPandas stage; everything before it is JVM
-    regexp."""
+    regexp.
+
+    ``inventory`` defaults to the frozen :data:`SUBWORD_VOCAB`; pass a
+    LEARNED inventory (:func:`learn_bpe_inventory`) to close the
+    train→apply arc: encode against the vocabulary induced from the
+    corpus itself.  The inventory is indexed ONCE here and ships in the
+    task closure (tiny, frozen for the job's lifetime)."""
     require_columns(df, [text_col, id_col])
+    by_len, lens_desc = ((_BY_LEN, _LENS_DESC) if inventory is None
+                         else _index_inventory(inventory))
     toks = (df.select(F.col(id_col),
                       TX.wordish_tokens(F.col(text_col)).alias("_w"))
               .filter(F.size("_w") > 0))
@@ -126,27 +163,38 @@ def subword_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             for i, words in zip(pdf[id_col], pdf["_w"]):
                 ids.append(i)
                 nw.append(len(words))
-                ns.append(sum(encode_word_len(w) for w in words))
+                ns.append(sum(_encode_len(w, by_len, lens_desc)
+                              for w in words))
             yield pd.DataFrame({id_col: ids, "n_words": nw,
                                 "n_subwords": ns})
 
     return toks.mapInPandas(run, schema=out_schema)
 
 
-def subword_step_case_sql(word_expr: str, pos_expr: str) -> str:
-    """The greedy step as a closed-form CASE over the frozen inventory:
+def subword_step_case_sql(word_expr: str, pos_expr: str,
+                          inventory: tuple[str, ...] | None = None) -> str:
+    """The greedy step as a closed-form CASE over the inventory:
     length of the longest inventory entry matching at ``pos_expr``
-    (1-indexed), else 1 — generated from the SAME ``SUBWORD_VOCAB`` the
-    Spark encoder uses, so the two cannot drift."""
+    (1-indexed), else 1 — generated from the SAME inventory the Spark
+    encoder uses (default: the frozen ``SUBWORD_VOCAB``), so the two
+    cannot drift.  Entries are quote-escaped: the frozen vocab is
+    alphanumeric, but a LEARNED inventory may merge wordish single
+    symbols that include a quote."""
+    by_len, lens_desc = ((_BY_LEN, _LENS_DESC) if inventory is None
+                         else _index_inventory(inventory))
+    if not by_len:  # empty LEARNED inventory: every char is a token
+        return "1"
     arms = []
-    for ln in _LENS_DESC:
-        lits = ", ".join(f"'{w}'" for w in sorted(_BY_LEN[ln]))
+    for ln in lens_desc:
+        lits = ", ".join("'" + w.replace("'", "''") + "'"
+                         for w in sorted(by_len[ln]))
         arms.append(f"WHEN substr({word_expr}, {pos_expr}, {ln}) "
                     f"IN ({lits}) THEN {ln}")
     return "CASE " + " ".join(arms) + " ELSE 1 END"
 
 
-def subword_counts_sql(table: str, text_col: str, id_col: str) -> str:
+def subword_counts_sql(table: str, text_col: str, id_col: str,
+                       inventory: tuple[str, ...] | None = None) -> str:
     """DuckDB twin of :func:`subword_counts`: same wordish
     pre-tokenization spec, then the greedy scan as a recursive CTE —
     every word instance advances one token per iteration via the same
@@ -154,7 +202,7 @@ def subword_counts_sql(table: str, text_col: str, id_col: str) -> str:
     the token count."""
     words = (f"SELECT {id_col}, unnest(regexp_extract_all("
              f"lower({text_col}), '{TX.WORDISH}')) AS _w FROM {table}")
-    step = subword_step_case_sql("_w", "_pos")
+    step = subword_step_case_sql("_w", "_pos", inventory=inventory)
     return f"""
         WITH RECURSIVE _words AS ({words}),
         _enc({id_col}, _w, _pos, _tk) AS (
@@ -240,6 +288,19 @@ def learn_bpe_merges(df: DataFrame, text_col: str,
     dictionary computed by DuckDB from the same parquet (the
     ivf-centroid replay convention) — hash equality proves both the
     distributed dictionary and the merge sequence."""
+    merges = _learn_merges(df, text_col, n_merges, max_words)
+    spark = df.sparkSession
+    schema = ("merge_rank bigint, left string, right string, "
+              "merged string, pair_count bigint")
+    data = [(rk, lt, rt, lt + rt, ct) for rk, lt, rt, ct in merges]
+    return spark.createDataFrame(data, schema)
+
+
+def _learn_merges(df: DataFrame, text_col: str, n_merges: int,
+                  max_words: int) -> list[tuple[int, str, str, int]]:
+    """Shared train internals: distributed dictionary (explode +
+    2-phase count + deterministic TakeOrderedAndProject cap), then the
+    merge spec over the bounded collect."""
     require_columns(df, [text_col])
     if max_words < 1:
         raise ValueError(f"max_words must be >= 1, got {max_words}")
@@ -249,12 +310,37 @@ def learn_bpe_merges(df: DataFrame, text_col: str,
                 .orderBy(F.col("_c").desc(), F.col("_w"))
                 .limit(int(max_words)))
     rows = [(r["_w"], r["_c"]) for r in counts.collect()]
-    merges = bpe_merge_spec(rows, n_merges)
-    spark = df.sparkSession
-    schema = ("merge_rank bigint, left string, right string, "
-              "merged string, pair_count bigint")
-    data = [(rk, lt, rt, lt + rt, ct) for rk, lt, rt, ct in merges]
-    return spark.createDataFrame(data, schema)
+    return bpe_merge_spec(rows, n_merges)
+
+
+def merges_to_inventory(merges) -> tuple[str, ...]:
+    """The greedy-encode inventory a learned merge table induces: the
+    set of merged symbols.  A trained BPE's merge sequence reduces to a
+    vocabulary for encoding (the module docstring's serving-time
+    convention); greedy longest-prefix match depends only on the SET of
+    entries, so order is dropped — the tuple is sorted for determinism.
+    Deduped (the same merged STRING can arise from different pairs,
+    e.g. ('a','bc') and ('ab','c')); every merge of wordish symbols is
+    ≥2 chars, satisfying the inventory contract by construction."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for rk, lt, rt, _ct in merges:
+        m = lt + rt
+        if m not in seen:
+            seen.add(m)
+            out.append(m)
+    return tuple(sorted(out))
+
+
+def learn_bpe_inventory(df: DataFrame, text_col: str,
+                        n_merges: int = 48,
+                        max_words: int = 50_000) -> tuple[str, ...]:
+    """Train → inventory in one call: :func:`learn_bpe_merges`'
+    induction reduced to the greedy-encode vocabulary — feed it to
+    :func:`subword_counts`'s ``inventory=`` to encode the corpus with
+    the vocabulary induced FROM the corpus (the train→apply arc)."""
+    return merges_to_inventory(_learn_merges(df, text_col,
+                                             n_merges, max_words))
 
 
 def bpe_word_counts_sql(table: str, text_col: str,

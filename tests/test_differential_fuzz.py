@@ -786,3 +786,41 @@ def test_bpe_train_matches_replay(spark, texts, max_words):
     want = sorted((rk, lt, rt, lt + rt, ct)
                   for rk, lt, rt, ct in bpe_merge_spec(rows, 8))
     assert got == want
+
+
+@given(texts=st.lists(_gopher_text_nonnull, min_size=1, max_size=8),
+       n_merges=st.sampled_from([1, 4, 12]))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_train_encode_matches_replay(spark, texts, n_merges):
+    """The train→apply arc on random corpora (r8 verdict #7): induce an
+    inventory from the corpus, encode the corpus against it — Spark's
+    mapInPandas greedy scan vs the DuckDB recursive-CTE twin whose CASE
+    step is generated from the inventory the Python replay induces from
+    DuckDB's own dictionary.  Pins the inventory reduction
+    (merges_to_inventory dedup/ordering), the learned-CASE generation
+    (including quote-escaping), and the encode itself on shapes the
+    fixed fixture lacks — tiny vocabularies where merges cascade into
+    long symbols, and corpora where no pair repeats (empty inventory)."""
+    from frames_map_reduce_spark.functions.tokenizer import (
+        bpe_merge_spec, bpe_word_counts_sql, learn_bpe_inventory,
+        merges_to_inventory, subword_counts, subword_counts_sql)
+
+    pdf = pd.DataFrame({"doc_id": range(len(texts)),
+                        "text": pd.array(texts, dtype="string")})
+    sdf = spark.createDataFrame(pdf)
+    inv = learn_bpe_inventory(sdf, "text", n_merges=n_merges,
+                              max_words=1000)
+    got = sorted(map(tuple, subword_counts(sdf, "text", "doc_id",
+                                           inventory=inv).collect()))
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    rows = con.sql(bpe_word_counts_sql("docs", "text",
+                                       max_words=1000)).fetchall()
+    want_inv = merges_to_inventory(bpe_merge_spec(rows, n_merges))
+    assert inv == want_inv  # the induced inventories agree first
+    want = sorted(map(tuple,
+                      con.sql(subword_counts_sql("docs", "text", "doc_id",
+                                                 inventory=want_inv))
+                         .fetchall()))
+    assert got == want

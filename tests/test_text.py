@@ -511,3 +511,46 @@ def test_learn_bpe_merges_matches_replay(spark, documents):
     assert con.sql(quoted).fetchall() == [(0, "'", "s", "'s", 7)]
     # empty merges render a typed empty relation
     assert con.sql(bpe_merges_values_sql([])).fetchall() == []
+
+
+def test_merges_to_inventory_and_learned_encode(spark, documents):
+    """The train→apply arc (r8 verdict #7): merges reduce to a greedy
+    inventory (deduped — the same merged string can arise from two
+    different pairs — and order-free), the inventory-parameterized
+    encode agrees with its DuckDB twin on the fixture corpus, and the
+    inventory contract (no single chars, no duplicates) is enforced."""
+    import duckdb
+
+    from frames_map_reduce_spark.functions.tokenizer import (
+        encode_word_len, learn_bpe_inventory, merges_to_inventory,
+        subword_counts, subword_counts_sql, subword_step_case_sql)
+    from tests.conftest import SF_DIR
+
+    # reduction: dedup + sort; counts/ranks are irrelevant to the set
+    inv = merges_to_inventory([(0, "a", "bc", 9), (1, "ab", "c", 8),
+                               (2, "t", "h", 7)])
+    assert inv == ("abc", "th")
+    # greedy encode against a learned inventory, Python spec level
+    assert encode_word_len("abcth", inventory=inv) == 2
+    assert encode_word_len("abcth") != 2  # frozen vocab differs ('th'+1?)
+    # contract enforcement
+    with pytest.raises(ValueError, match="single character"):
+        subword_counts(documents, "text", "doc_id", inventory=("a",))
+    with pytest.raises(ValueError, match="duplicate"):
+        encode_word_len("x", inventory=("ab", "ab"))
+    # quote-escaping in the learned CASE + empty-inventory degenerate
+    assert "''s'" in subword_step_case_sql("_w", "_pos", inventory=("'s",))
+    assert subword_step_case_sql("_w", "_pos", inventory=()) == "1"
+
+    # the full arc on the fixture corpus vs the DuckDB twin
+    learned = learn_bpe_inventory(documents, "text", n_merges=12,
+                                  max_words=5_000)
+    assert learned and all(len(w) >= 2 for w in learned)
+    got = sorted(map(tuple, subword_counts(documents, "text", "doc_id",
+                                           inventory=learned).collect()))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW docs AS SELECT * FROM "
+            f"'{SF_DIR}/documents.parquet'")
+    want = sorted(map(tuple, con.sql(subword_counts_sql(
+        "docs", "text", "doc_id", inventory=learned)).fetchall()))
+    assert got == want
