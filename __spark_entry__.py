@@ -1406,11 +1406,18 @@ def q_stream_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit replay with the batch train+score twin and the same
     NULL-propagating AND (NULL-text rows carry NULL verdicts through
     the stateless gates and are filtered to match the twins'
-    absent-row semantics)."""
-    import glob as _glob
-    import os as _os
+    absent-row semantics).
+
+    Rig (r8 verdict #4 — measure the GATE, not the rig): the stream
+    input is staged as 8 parquet splits (source parallelism = the
+    gate's real scale dial; the old coalesce(1) staging made the sf1.0
+    point measure a single-split read), and the sink is a native
+    parquet streaming sink under a deterministic pre-cleaned /tmp path
+    (the old 500k-row memory sink pinned the scale run in driver
+    memory).  The returned plan reads the sink directory, so the
+    directory must outlive the call — pre-cleaning at entry (not
+    post-cleaning at exit) is what makes reps safe."""
     import shutil as _shutil
-    import uuid
 
     from frames_map_reduce_spark.streaming import stream_ingest_gate
 
@@ -1423,31 +1430,83 @@ def q_stream_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                CLF.train_logodds_classifier(labeled, "text", "_is_en",
                                             n_buckets=_QCLF_BUCKETS,
                                             salt=_QCLF_SALT).collect()]
-    base = f"/tmp/fmr_stream_ingest_{uuid.uuid4().hex[:12]}"
-    try:
-        stage = f"{base}/in"
-        _os.makedirs(stage)
-        inc = docs.select("doc_id", "source", "text")
-        inc.coalesce(1).write.parquet(f"{base}/f0")
-        _shutil.move(_glob.glob(f"{base}/f0/part-*.parquet")[0],
-                     f"{stage}/0.parquet")
-        stream = spark.readStream.schema(inc.schema).parquet(stage)
-        gated = stream_ingest_gate(stream, words, weights, "text",
-                                   n_buckets=_QCLF_BUCKETS,
-                                   salt=_QCLF_SALT)
-        # fixed sink name: reps replace the table (see q_stream_bloom)
-        name = "stream_ingest_sink"
-        q = (gated.drop("text").writeStream.format("memory")
-                  .queryName(name).outputMode("append")
-                  .trigger(availableNow=True).start())
-        q.awaitTermination()
-        return (spark.table(name)
-                     .filter(F.col("maybe_dup").isNotNull()
-                             & F.col("quality_ok").isNotNull())
-                     .select("doc_id", "source", "maybe_dup",
-                             "quality_ok", "accept"))
-    finally:
-        _shutil.rmtree(base, ignore_errors=True)
+    base = "/tmp/fmr_stream_ingest"
+    _shutil.rmtree(base, ignore_errors=True)
+    inc = docs.select("doc_id", "source", "text")
+    inc.repartition(8).write.parquet(f"{base}/in")
+    stream = spark.readStream.schema(inc.schema).parquet(f"{base}/in")
+    gated = stream_ingest_gate(stream, words, weights, "text",
+                               n_buckets=_QCLF_BUCKETS,
+                               salt=_QCLF_SALT)
+    q = (gated.drop("text").writeStream.format("parquet")
+              .option("path", f"{base}/out")
+              .option("checkpointLocation", f"{base}/ckpt")
+              .outputMode("append")
+              .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.read.parquet(f"{base}/out")
+                 .filter(F.col("maybe_dup").isNotNull()
+                         & F.col("quality_ok").isNotNull())
+                 .select("doc_id", "source", "maybe_dup",
+                         "quality_ok", "accept"))
+
+
+def q_stream_ingest_gate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL streaming admission gate (streaming.
+    stream_ingest_gate_v2, r8 verdict #2) — the streaming twin of the
+    batch q_ingest_gate's screen set: Bloom membership and classifier
+    quality as stateless expressions in the streaming plan, PLUS
+    near-duplication against the persisted MinHash index (built on the
+    %4==0 accepted corpus) as a foreachBatch micro-batch probe — sign
+    the batch, pruned bucketed index scan, broadcast joins, zero corpus
+    exchanges.  Verdict per document:
+    ``accept = NOT maybe_dup AND quality_ok AND NOT is_near_dup``.
+
+    Rig: multi-split staging (8 files), per-batch-overwrite parquet
+    sink (idempotent under foreachBatch's at-least-once), deterministic
+    pre-cleaned /tmp paths so reps replace prior output and the
+    returned plan's source outlives the call.
+
+    FULL oracle: all three screens compute their batch forms' exact
+    values, so the twin composes the Bloom bit replay + the classifier
+    train+score twin (INNER joins — NULL-verdict rows are filtered,
+    each twin's absent-row semantics) + the exhaustive cross-corpus
+    Jaccard ≥ 0.6 near-dup set (LEFT join coalesced to False — the
+    probe's no-shingles convention).  Inherits q_ingest_gate's ORACLE
+    CORPUS INVARIANT: LSH banding vs exhaustive Jaccard agree because
+    this corpus's true near-dup pairs sit far above the threshold
+    (measured ≥ 0.97); self-pairs of the %4==0 split are exact
+    duplicates (Jaccard 1), detected with certainty."""
+    import shutil as _shutil
+
+    from frames_map_reduce_spark.streaming import stream_ingest_gate_v2
+
+    docs = _docs(spark, sf_dir)
+    ref = docs.filter(F.col("doc_id") % 4 == 0)
+    words = [(r["_word"], r["_bits"])
+             for r in BL.bloom_words(ref, "text").collect()]
+    labeled = docs.withColumn("_is_en", F.col("lang") == F.lit("en"))
+    weights = [(r["bucket"], r["weight"]) for r in
+               CLF.train_logodds_classifier(labeled, "text", "_is_en",
+                                            n_buckets=_QCLF_BUCKETS,
+                                            salt=_QCLF_SALT).collect()]
+    DD.build_minhash_index(ref, "streamgate_mh_driver", "text", "doc_id")
+    base = "/tmp/fmr_stream_ingest_v2"
+    _shutil.rmtree(base, ignore_errors=True)
+    inc = docs.select("doc_id", "source", "text")
+    inc.repartition(8).write.parquet(f"{base}/in")
+    stream = spark.readStream.schema(inc.schema).parquet(f"{base}/in")
+    q = stream_ingest_gate_v2(stream, words, weights, "text", "doc_id",
+                              "streamgate_mh_driver", f"{base}/out",
+                              n_buckets=_QCLF_BUCKETS, salt=_QCLF_SALT,
+                              threshold=0.6,
+                              checkpoint=f"{base}/ckpt")
+    q.awaitTermination()
+    return (spark.read.parquet(f"{base}/out")
+                 .filter(F.col("maybe_dup").isNotNull()
+                         & F.col("quality_ok").isNotNull())
+                 .select("doc_id", "source", "maybe_dup", "quality_ok",
+                         "is_near_dup", "accept"))
 
 
 def q_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1990,8 +2049,6 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     then returned as a batch DataFrame.  Semantically identical to the
     batch query, so it shares the same oracle: the streaming path is held
     to full value parity, not just a rows-only check."""
-    import uuid
-
     from frames_map_reduce_spark.mapreduce import unpack_no_op as _noop
     from frames_map_reduce_spark.streaming import stream_map_reduce, stream_to_memory
 
@@ -2003,7 +2060,8 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold=folds.count_star("n")
              & folds.of(F.round(F.sum("value"), 2), "sum_value"),
         ts_col="ts", window="1 hour", watermark="1 hour")
-    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    # fixed sink name: reps replace the table (see q_stream_bloom)
+    name = "stream_hourly_sink"
     q = stream_to_memory(result, name, output_mode="complete")
     q.awaitTermination()
     return spark.table(name).select(
@@ -2070,7 +2128,8 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                  & folds.of(F.round(F.sum("value"), 2), "sum_value"),
             ts_col="ts", window="1 hour", slide="30 minutes",
             watermark="30 minutes")
-        name = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+        # fixed sink name: reps replace the table (see q_stream_bloom)
+        name = "stream_sliding_sink"
         q = stream_to_memory(result, name, output_mode="append")
         q.awaitTermination()
         # the memory sink holds the rows in driver memory, so the staging
@@ -2105,7 +2164,6 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag-based sessionization — boundary semantics are session_window's
     (a gap of exactly 30:00 STARTS a new session, i.e. merge iff
     diff < gap), which the oracle mirrors with ``>= 1800000000`` µs."""
-    import uuid
 
     from frames_map_reduce_spark.streaming import stream_sessions, stream_to_memory
 
@@ -2115,7 +2173,8 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold=folds.count_star("n_events")
              & folds.of(F.round(F.sum("value"), 2), "sum_value"),
         gap="30 minutes", watermark="1 hour")
-    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    # fixed sink name: reps replace the table (see q_stream_bloom)
+    name = "stream_sessions_sink"
     q = stream_to_memory(per_session, name, output_mode="complete")
     q.awaitTermination()
     return (spark.table(name)
@@ -2131,13 +2190,13 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     across micro-batches.  Under availableNow the final state equals the
     batch group-by count, so this arbitrary-stateful path gets a FULL
     value oracle, not a rows-only check."""
-    import uuid
 
     from frames_map_reduce_spark.streaming import stream_stateful_counts
 
     stream = _event_stream(spark, sf_dir).select("event_type")
     counts = stream_stateful_counts(stream, "event_type")
-    name = f"stream_stateful_{uuid.uuid4().hex[:8]}"
+    # fixed sink name: reps replace the table (see q_stream_bloom)
+    name = "stream_stateful_sink"
     q = (counts.writeStream.format("memory").queryName(name)
                .outputMode("update").trigger(availableNow=True).start())
     q.awaitTermination()
@@ -2152,7 +2211,6 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     click events joined to the same user's view events within the
     preceding hour, summarized per user.  Under availableNow every pair
     is emitted, so the batch BETWEEN join is a FULL value oracle."""
-    import uuid
 
     from frames_map_reduce_spark.streaming import stream_stream_join
 
@@ -2165,7 +2223,8 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.col("event_id").alias("view_id")))
     joined = stream_stream_join(clicks, views, ["user_id"],
                                 "c_ts", "v_ts", lookback="1 hour")
-    name = f"stream_join_{uuid.uuid4().hex[:8]}"
+    # fixed sink name: reps replace the table (see q_stream_bloom)
+    name = "stream_join_sink"
     q = (joined.writeStream.format("memory").queryName(name)
                .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
@@ -2193,7 +2252,8 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (enriched.groupBy("segment")
                    .agg(F.count(F.lit(1)).alias("n"),
                         F.round(F.sum("value"), 2).alias("sum_value")))
-    return stream_to_memory(agg, f"stream_enrich_{uuid.uuid4().hex[:8]}")
+    # fixed sink name: reps replace the table (see q_stream_bloom)
+    return stream_to_memory(agg, "stream_enrich_sink")
 
 
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2203,13 +2263,13 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (finite replayed input), so the batch DISTINCT is a FULL value
     oracle; the bounded-state dropDuplicatesWithinWatermark regime is
     exercised in tests."""
-    import uuid
 
     from frames_map_reduce_spark.streaming import stream_dedup
 
     stream = _event_stream(spark, sf_dir).select("user_id", "event_type")
     dd = stream_dedup(stream, ["user_id", "event_type"])
-    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    # fixed sink name: reps replace the table (see q_stream_bloom)
+    name = "stream_dedup_sink"
     q = (dd.writeStream.format("memory").queryName(name)
            .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
@@ -3054,7 +3114,8 @@ def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                      f"{stage}/0.parquet")
         stream = spark.readStream.schema(inc.schema).parquet(stage)
         out = stream_near_dup(stream, ref, "text", "doc_id", threshold=0.6)
-        name = f"stream_neardup_{uuid.uuid4().hex[:8]}"
+        # fixed sink name: reps replace the table (see q_stream_bloom)
+        name = "stream_neardup_sink"
         q = stream_to_memory(out, name, output_mode="append")
         q.awaitTermination()
         return spark.table(name).select(
@@ -3365,6 +3426,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_gen_stats": q_bloom_gen_stats,
         "bloom_compact_roundtrip": q_bloom_compact_roundtrip,
         "stream_ingest_gate": q_stream_ingest_gate,
+        "stream_ingest_gate_v2": q_stream_ingest_gate_v2,
     }
 
 
@@ -3864,6 +3926,35 @@ def oracle_sql() -> dict[str, str]:
                    (s.logit_rank >= 0) AS quality_ok,
                    (NOT m.maybe_dup AND s.logit_rank >= 0) AS accept
             FROM _scores s JOIN _member m ON m.doc_id = s.doc_id""",
+        # the FULL streaming gate: the stateless twins above plus the
+        # exhaustive cross-corpus Jaccard near-dup set (the ingest_gate
+        # convention, same corpus invariant) — LEFT-joined and coalesced
+        # to False exactly like the probe's no-shingles convention
+        "stream_ingest_gate_v2": f"""
+            WITH _member AS ({BL.bloom_firewall_sql(
+                "documents WHERE doc_id % 4 = 0", "documents",
+                "text", "doc_id")}),
+            _weights AS ({CLF.train_logodds_classifier_sql(
+                "(SELECT text, (lang = 'en') AS _is_en FROM documents)",
+                "text", "_is_en",
+                n_buckets=_QCLF_BUCKETS, salt=_QCLF_SALT)}),
+            _scores AS ({CLF.classifier_score_sql(
+                "documents", "_weights", "text", "doc_id",
+                n_buckets=_QCLF_BUCKETS, salt=_QCLF_SALT,
+                carry=("source",))}),
+            _v2_sh AS (SELECT doc_id, {shingle5} AS sh FROM documents),
+            _v2_nd AS (
+                SELECT DISTINCT a.doc_id
+                FROM _v2_sh a JOIN _v2_sh b ON (b.doc_id % 4 = 0)
+                WHERE {jaccard5} >= 0.6)
+            SELECT s.doc_id, s.source, m.maybe_dup,
+                   (s.logit_rank >= 0) AS quality_ok,
+                   (nd.doc_id IS NOT NULL) AS is_near_dup,
+                   (NOT m.maybe_dup AND s.logit_rank >= 0
+                    AND nd.doc_id IS NULL) AS accept
+            FROM _scores s
+            JOIN _member m ON m.doc_id = s.doc_id
+            LEFT JOIN _v2_nd nd ON nd.doc_id = s.doc_id""",
         # generation replay: extend writes exactly one merged word-row
         # set per batch, so rows-per-word is engine-derivable from the
         # same three modular batches; popcount over bit_or is the
