@@ -2253,7 +2253,10 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .agg(F.count(F.lit(1)).alias("n"),
                         F.round(F.sum("value"), 2).alias("sum_value")))
     # fixed sink name: reps replace the table (see q_stream_bloom)
-    return stream_to_memory(agg, "stream_enrich_sink")
+    q = stream_to_memory(agg, "stream_enrich_sink")
+    q.awaitTermination()
+    return spark.table("stream_enrich_sink").select("segment", "n",
+                                                    "sum_value")
 
 
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3217,52 +3220,57 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_tpch_q1(spark, "/root/testdata/sf0.001")
 
 
-#: Round-8 driver window (r7 verdict #4: rotate to the r5-stale set).
+#: Round-9 driver window (r8 verdict #1: rotate to the r6-stale set).
 #: Composition, in priority order:
-#: (1) label_outliers — the ONE red r7 row (oracle-side HUGEINT type
-#:     leak, values proven identical): re-proven after the BIGINT cast
-#:     (r7 verdict #1);
-#: (2) the TWO queries added this round, proven in their debut round
-#:     per r7 practice: bloom_gen_stats (extend-lifecycle generation
-#:     monitor + compaction policy, r7 stretch #8) and
-#:     stream_ingest_gate (composed stateless streaming admission gate,
-#:     r7 stretch #9);
-#: (3) ALL 26 r5-stale queries (PROVENANCE.json
-#:     `stale_after_next_round` with last_proven_round=5 — the exact
-#:     list r7 verdict #4 names);
-#: (4) queries whose PLANS changed this round, re-proven on principle
-#:     (outputs fuzz-pinned identical): the four pack queries +
-#:     corpus_to_sequences + curate_corpus_v3 (auto n_buckets /
-#:     local-checkpointed top_fraction, r7 verdict #2/#3) and
-#:     kmv_overlap (empty-union guard, r7 ADVICE);
-#: (5) 13 of the r6-proven set as fill, oldest families first,
-#:     plus bpe_train (the third query added this round — BPE
-#:     vocabulary induction, proven in its debut round; running_total
-#:     stays r6-proven and leads the r9 queue).
-#: The 36 r6-proven rows that did not fit lead the r9 rotation queue
-#: (each family still represented in-window or r7-proven) and are
-#: re-proven at sf0.001 by the local parity suite on every pytest run.
-_R8_WINDOW = [
-    # (1) the red row, fixed
-    "label_outliers",
-    # (2) this round's additions
-    "bloom_gen_stats", "stream_ingest_gate",
-    # (3) the 26 r5-stale queries
-    "ann_bruteforce", "ann_ivf_indexed", "asof_forward", "bm25",
-    "cdc_compact", "chunk_docs", "contamination", "dedup_clusters",
-    "embedding_neardup", "lang_id", "media_meta", "merge_upsert",
-    "mixture_weights", "percentile_native", "quality_score",
-    "range_join", "remove_dup_lines", "sample_stratified", "sessionize",
-    "stream_stateful", "strip_markup", "text_quality", "token_stats",
-    "topk_native", "train_test_split", "unpivot",
-    # (4) plan-changed this round
-    "pack_sequences", "pack_shards", "pack_extend", "pack_bpe_sequences",
-    "corpus_to_sequences", "curate_corpus_v3", "kmv_overlap",
-    # (5) r6-proven fill
-    "aggregate_fold_year", "anti_join", "asof_join", "assign_keys",
-    "clean_corpus", "collect_sorted", "cube_revenue", "events_hourly",
-    "fingerprint", "flatmap_tokens", "group_median", "join_revenue",
-    "pivot", "bpe_train",
+#: (1) the FOUR queries added this round, proven in their debut round
+#:     per established practice: stream_ingest_gate_v2 (the full
+#:     streaming admission gate with the foreachBatch MinHash probe,
+#:     r8 verdict #2), bloom_compact_roundtrip (the compaction policy
+#:     proven end-to-end with expected_fpr, r8 verdict #3/#6),
+#:     bpe_train_encode (the BPE train→apply arc, r8 verdict #7), and
+#:     stream_enrich (stream-static broadcast enrichment — defined
+#:     since r2 but never registered: the one stream operator with no
+#:     driver row until now);
+#: (2) ALL 37 r6-stale queries (PROVENANCE.json
+#:     `stale_after_next_round` with last_proven_round=6 — the exact
+#:     list r8 verdict #1 names);
+#: (3) queries whose PLANS or rigs changed this round, re-proven on
+#:     principle: stream_ingest_gate (de-rigged: 8-split staging +
+#:     parquet sink, r8 verdict #4), stream_hourly / stream_sessions /
+#:     stream_stateful (fixed sink names, r8 verdict #5 — sliding/
+#:     join/dedup/near_dup are already in (2)), bpe_token_count +
+#:     bpe_train (encoder/trainer refactor for the learned-inventory
+#:     parameterization), bloom_gen_stats (strict missing-geometry
+#:     raise, r8 ADVICE);
+#: (4) remaining slots to the oldest r7-proven rows most adjacent to
+#:     this round's changes: bloom_firewall (geometry family) and
+#:     ingest_gate (the batch twin whose oracle corpus invariant
+#:     stream_ingest_gate_v2 inherits).
+#: The r7-proven rows that did not fit (tpch_*, dedup_*, minhash_
+#: firewall, sketches, …) lead the r10 rotation queue and are re-proven
+#: at sf0.001 by the local parity suite on every pytest run.
+_R9_WINDOW = [
+    # (1) this round's additions
+    "stream_ingest_gate_v2", "bloom_compact_roundtrip",
+    "bpe_train_encode", "stream_enrich",
+    # (2) the 37 r6-stale queries
+    "ann_bruteforce_joined", "ann_srp", "asof_sliced",
+    "assign_keys_and_data", "chunk_dedup", "combine_key_maps",
+    "corpus_report", "curate_corpus_v2", "dup_spans", "events_json",
+    "fold_all", "fold_all_monoid", "fold_all_numeric", "frame_concat",
+    "good_rows", "leakage_safe_split", "length_histogram",
+    "media_features", "null_propagating", "pandas_fold",
+    "read_csv_permissive", "retention", "rollup_revenue",
+    "running_total", "shuffle_pos", "sketch_distinct",
+    "sketch_quantiles", "split_on_data", "sql_revenue", "stream_dedup",
+    "stream_join", "stream_near_dup", "stream_sliding", "to_frame",
+    "weighted_mean", "weighted_sample", "zorder_extents",
+    # (3) plan/rig changed this round
+    "stream_ingest_gate", "stream_hourly", "stream_sessions",
+    "stream_stateful", "bpe_token_count", "bpe_train",
+    "bloom_gen_stats",
+    # (4) change-adjacent r7 fill
+    "bloom_firewall", "ingest_gate",
 ]
 
 
@@ -3273,12 +3281,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries only, so proof rotates round-over-round.  PROVENANCE.json
     (regenerated by ``python tools/provenance.py``) is the
     machine-readable query → last-driver-proven-round ledger; the
-    window is ``_R8_WINDOW`` above (chosen from that ledger, rationale
+    window is ``_R9_WINDOW`` above (chosen from that ledger, rationale
     in its comment), applied as a reordering of the stable base dict
     below — below-window entries keep their relative order, which is
-    the r8 rotation queue."""
+    the r9 rotation queue."""
     base = _queries_base()
-    window = {k: base[k] for k in _R8_WINDOW}
+    window = {k: base[k] for k in _R9_WINDOW}
     assert len(window) == 50, f"window must be exactly 50, got {len(window)}"
     return {**window, **{k: v for k, v in base.items() if k not in window}}
 
@@ -3320,6 +3328,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "to_frame": q_to_frame,
         "read_csv_permissive": q_read_csv_permissive,
         "stream_join": q_stream_join,
+        "stream_enrich": q_stream_enrich,
         "stream_dedup": q_stream_dedup,
         "asof_join": q_asof_join,
         "clean_corpus": q_clean_corpus,
@@ -4294,6 +4303,15 @@ def oracle_sql() -> dict[str, str]:
               ON c.user_id = v.user_id
              AND v.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts
             GROUP BY c.user_id""",
+        # stream-static enrichment: availableNow replays the full input,
+        # so the batch LEFT join (unmatched user_ids keep a NULL
+        # segment group) + rollup is the full value twin
+        "stream_enrich": """
+            SELECT c.c_mktsegment AS segment,
+                   count(*) AS n,
+                   round(sum(e.value), 2) AS sum_value
+            FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+            GROUP BY segment""",
         "events_json": """
             SELECT event_type,
                    round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
