@@ -107,6 +107,11 @@ HEADLINE = [
     "bloom_gen_stats",    # extend-lifecycle generation monitor (1 agg)
     "stream_ingest_gate",  # composed stateless streaming admission gate
     "bpe_train",          # BPE vocab induction: distributed dict + merges
+    # round-9 additions
+    "stream_ingest_gate_v2",  # full streaming gate: + foreachBatch probe
+    "bloom_compact_roundtrip",  # compaction policy + expected_fpr monitor
+    "bpe_train_encode",   # train -> learned-inventory encode composition
+    "stream_enrich",      # stream-static broadcast enrichment rollup
 ]
 
 #: entries that model amortized ONE-TIME work (index builds): repeating

@@ -824,3 +824,53 @@ def test_bpe_train_encode_matches_replay(spark, texts, n_merges):
                                                  inventory=want_inv))
                          .fetchall()))
     assert got == want
+
+
+@given(b_vals=st.lists(st.integers(0, 60), min_size=0, max_size=20),
+       k=st.sampled_from([4, 16]))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_kmv_empty_reference_matches_duckdb(spark, b_vals, k):
+    """The empty-sketch case the r7 ADVICE guard made well-defined (r8
+    verdict stretch): an EMPTY reference side (all-NULL values, so the
+    sketch has zero elements) against an arbitrary — possibly also
+    empty — other side.  Spark's collect_list gives [], DuckDB's list()
+    gives NULL (the documented asymmetry: the twin coalesces to []);
+    both engines must agree on matches/k, and when BOTH sides are empty
+    the union has 0 elements and est_jaccard is NULL on both — never an
+    ANSI division error."""
+    from frames_map_reduce_spark.operators import frequency as FRQ
+
+    rows = ([("a", None)]  # zero hashable values on the reference side
+            + [("b", str(v)) for v in b_vals] + [("b", None)])
+    pdf = pd.DataFrame(rows, columns=["grp", "val"])
+    sdf = spark.createDataFrame(pdf, "grp string, val string")
+    # keys=[] — the GLOBAL sketch, the one shape where an empty input
+    # still yields a row (Spark: [], DuckDB: NULL); a keyed all-NULL
+    # group simply vanishes on both engines (no asymmetry to guard)
+    a = (FRQ.kmv_sketch(sdf.filter(F.col("grp") == "a"), [], "val", k=k)
+            .select(F.col("kmv").alias("ka")))
+    b = (FRQ.kmv_sketch(sdf.filter(F.col("grp") == "b"), [], "val", k=k)
+            .select(F.col("kmv").alias("kb")))
+    cols = FRQ.kmv_overlap_cols(F.col("ka"), F.col("kb"), k=k)
+    got = a.crossJoin(b).select(
+        *(c.alias(n) for n, c in cols.items())).collect()[0].asDict()
+    assert got["kmv_matches"] == 0
+    if not b_vals:
+        assert got["kmv_k"] == 0 and got["est_jaccard"] is None
+    else:
+        assert got["kmv_k"] > 0 and got["est_jaccard"] == 0.0
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    ov = FRQ.kmv_overlap_sql("ka", "kb", k=k)
+    want = con.execute(f"""
+        WITH a AS (SELECT coalesce(kmv, []) AS ka FROM ({FRQ.kmv_sketch_sql(
+            "(SELECT val FROM t WHERE grp = 'a')", [], "val", k=k)}) _a),
+        b AS (SELECT coalesce(kmv, []) AS kb FROM ({FRQ.kmv_sketch_sql(
+            "(SELECT val FROM t WHERE grp = 'b')", [], "val", k=k)}) _b)
+        SELECT {ov['kmv_matches']} AS kmv_matches,
+               {ov['kmv_k']} AS kmv_k,
+               {ov['est_jaccard']} AS est_jaccard
+        FROM a, b""").fetchall()[0]
+    assert (got["kmv_matches"], got["kmv_k"], got["est_jaccard"]) == want
