@@ -123,6 +123,8 @@ SUPER_LINEAR_ORACLES = {
     "leakage_safe_split": "recursive CTE over all-pairs Jaccard",
     "ingest_gate": "composed twin embeds the exhaustive cross-corpus "
                    "Jaccard (the near-dup screen)",
+    "stream_ingest_gate_v2": "composed twin embeds the exhaustive "
+                             "cross-corpus Jaccard (the near-dup screen)",
 }
 
 
