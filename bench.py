@@ -118,7 +118,11 @@ HEADLINE = [
 #: them at full median-of-n would let the builds dominate the suite
 #: total, but a single sample is throttle-exposed (r7 verdict #5) — so
 #: they run min(3, n_reps) samples and report a real median + IQR.
-ONCE = {"minhash_firewall_build", "gate_build"}
+ONCE = {"minhash_firewall_build", "gate_build",
+        # embeds the one-time double-index build (MinHash + Bloom words
+        # + classifier train) ahead of the streamed probe — same
+        # amortization class as gate_build
+        "stream_ingest_gate_v2"}
 
 
 def _commit_record(here: str) -> None:
