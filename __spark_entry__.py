@@ -619,16 +619,58 @@ def bench_gate_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
          & ~F.col("is_near_dup")).alias("accept"))
 
 
+def bench_stream_gate_v2_probe(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Bench-only (the gate_build/gate_probe convention applied to the
+    r9 streaming gate): the RECURRING half of q_stream_ingest_gate_v2
+    against the indices bench_gate_build persisted — collect the word
+    spine from the built table, train the weight table, stage the
+    8-split stream, and run the full foreachBatch gate (stateless
+    screens + per-batch MinHash probe + parquet sink).  The registry
+    row stays the self-contained oracled composition; this row is the
+    deployment number (what a running stream pays after the one-time
+    gate_build)."""
+    import shutil as _shutil
+
+    from frames_map_reduce_spark.streaming import stream_ingest_gate_v2
+
+    docs = _docs(spark, sf_dir)
+    words = [(r["_word"], r["_bits"]) for r in
+             spark.table("gate_bloom_bench_words")
+                  .groupBy("_word").agg(F.bit_or("_bits").alias("_bits"))
+                  .collect()]
+    labeled = docs.withColumn("_is_en", F.col("lang") == F.lit("en"))
+    weights = [(r["bucket"], r["weight"]) for r in
+               CLF.train_logodds_classifier(labeled, "text", "_is_en",
+                                            n_buckets=_QCLF_BUCKETS,
+                                            salt=_QCLF_SALT).collect()]
+    base = "/tmp/fmr_stream_gate_v2_bench"
+    _shutil.rmtree(base, ignore_errors=True)
+    inc = docs.select("doc_id", "source", "text")
+    inc.repartition(8).write.parquet(f"{base}/in")
+    stream = spark.readStream.schema(inc.schema).parquet(f"{base}/in")
+    q = stream_ingest_gate_v2(stream, words, weights, "text", "doc_id",
+                              "gate_minhash_bench", f"{base}/out",
+                              n_buckets=_QCLF_BUCKETS, salt=_QCLF_SALT,
+                              threshold=0.6,
+                              checkpoint=f"{base}/ckpt")
+    q.awaitTermination()
+    return (spark.read.parquet(f"{base}/out")
+                 .select("doc_id", "maybe_dup", "quality_ok",
+                         "is_near_dup", "accept"))
+
+
 def bench_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Callables bench.py times that are NOT registry queries: the
     build/probe splits model the amortized-build deployment shape; the
-    end-to-end compositions (q_minhash_firewall, q_ingest_gate) stay
-    the oracled registry entries."""
+    end-to-end compositions (q_minhash_firewall, q_ingest_gate,
+    q_stream_ingest_gate_v2) stay the oracled registry entries."""
     return {
         "minhash_firewall_build": bench_minhash_firewall_build,
         "minhash_firewall_probe": bench_minhash_firewall_probe,
         "gate_build": bench_gate_build,
         "gate_probe": bench_gate_probe,
+        "stream_gate_v2_probe": bench_stream_gate_v2_probe,
     }
 
 

@@ -107,8 +107,12 @@ HEADLINE = [
     "bloom_gen_stats",    # extend-lifecycle generation monitor (1 agg)
     "stream_ingest_gate",  # composed stateless streaming admission gate
     "bpe_train",          # BPE vocab induction: distributed dict + merges
-    # round-9 additions
-    "stream_ingest_gate_v2",  # full streaming gate: + foreachBatch probe
+    # round-9 additions; the full streaming gate is benched as its
+    # recurring half (stream_gate_v2_probe, after gate_build) per the
+    # r7 #5 split convention — the composed registry row
+    # stream_ingest_gate_v2 stays the oracled end-to-end entry
+    "stream_gate_v2_probe",  # recurring: stateless screens + per-batch
+                             # MinHash probe + parquet sink, streamed
     "bloom_compact_roundtrip",  # compaction policy + expected_fpr monitor
     "bpe_train_encode",   # train -> learned-inventory encode composition
     "stream_enrich",      # stream-static broadcast enrichment rollup
@@ -118,11 +122,7 @@ HEADLINE = [
 #: them at full median-of-n would let the builds dominate the suite
 #: total, but a single sample is throttle-exposed (r7 verdict #5) — so
 #: they run min(3, n_reps) samples and report a real median + IQR.
-ONCE = {"minhash_firewall_build", "gate_build",
-        # embeds the one-time double-index build (MinHash + Bloom words
-        # + classifier train) ahead of the streamed probe — same
-        # amortization class as gate_build
-        "stream_ingest_gate_v2"}
+ONCE = {"minhash_firewall_build", "gate_build"}
 
 
 def _commit_record(here: str) -> None:
