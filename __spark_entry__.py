@@ -1608,6 +1608,28 @@ def q_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
          & ~F.col("is_near_dup")).alias("accept"))
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/sampling.py dsir_resample,
+    Xie et al. arXiv:2302.03169): select each source's top HALF of the
+    raw corpus (doc_id %5 != 0) toward the distribution of the %5==0
+    seed slice, inclusion ∝ the hashed-feature importance weight
+    p_target/p_raw via Gumbel-top-k over exact BIGINT micro-log-odds.
+    Composes three proven pieces — the hashed log-odds trainer (the
+    importance model IS target-vs-raw NB log-odds), the broadcast-join
+    scorer, and the distributed integer top_fraction cut — plus the
+    hash-seeded Gumbel perturbation.  FULL oracle: train + score twins
+    nest verbatim, the priority twin is generated from the same spec
+    (one -ln(-ln(u)) float stage, micro-quantized — the lp_rank risk
+    class), and the cut replays as the serial row_number form
+    top_fraction is fuzz-pinned against."""
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("doc_id") % 5 == 0)
+    raw = docs.filter(F.col("doc_id") % 5 != 0)
+    return SMP.dsir_resample(raw, target, "text", "doc_id", 1, 2,
+                             by=("source",), n_buckets=_QCLF_BUCKETS,
+                             salt="dsir")
+
+
 def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled mixture rebalancing (operators/sampling.py
     temperature_mixture — the XLM-R/mT5 alpha-sampling recipe): per-source
@@ -3284,9 +3306,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     bpe_train (encoder/trainer refactor for the learned-inventory
 #:     parameterization), bloom_gen_stats (strict missing-geometry
 #:     raise, r8 ADVICE);
-#: (4) remaining slots to the oldest r7-proven rows most adjacent to
-#:     this round's changes: bloom_firewall (geometry family) and
-#:     ingest_gate (the batch twin whose oracle corpus invariant
+#: (4) dsir_select — the fifth query added this round (DSIR importance
+#:     resampling, proven in its debut round) — and the last slot to
+#:     ingest_gate, the oldest r7-proven row most adjacent to this
+#:     round's changes (the batch twin whose oracle corpus invariant
 #:     stream_ingest_gate_v2 inherits).
 #: The r7-proven rows that did not fit (tpch_*, dedup_*, minhash_
 #: firewall, sketches, …) lead the r10 rotation queue and are re-proven
@@ -3311,8 +3334,8 @@ _R9_WINDOW = [
     "stream_ingest_gate", "stream_hourly", "stream_sessions",
     "stream_stateful", "bpe_token_count", "bpe_train",
     "bloom_gen_stats",
-    # (4) change-adjacent r7 fill
-    "bloom_firewall", "ingest_gate",
+    # (4) the fifth r9 debut + change-adjacent r7 fill
+    "dsir_select", "ingest_gate",
 ]
 
 
@@ -3464,6 +3487,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bpe_sequences": q_pack_bpe_sequences,
         "quality_classifier": q_quality_classifier,
         "temperature_mixture": q_temperature_mixture,
+        "dsir_select": q_dsir_select,
         "stream_classifier": q_stream_classifier,
         "curate_corpus_v3": q_curate_corpus_v3,
         "gopher_rules": q_gopher_rules,
@@ -4166,6 +4190,37 @@ def oracle_sql() -> dict[str, str]:
             FROM ({SMP.temperature_mixture_sql(
                 "documents", "source", "doc_id", 0.5, "tmix")})
             GROUP BY source""",
+        # DSIR: importance model = target-vs-raw log-odds twin over the
+        # union pool, score twin over the raw split, the generated
+        # Gumbel-priority twin, and the serial row_number form of the
+        # top_fraction cut (fuzz-pinned equivalent)
+        "dsir_select": f"""
+            WITH _dsir_pool AS (
+                SELECT text AS _dsir_text, TRUE AS _dsir_t
+                FROM documents WHERE doc_id % 5 = 0
+                UNION ALL
+                SELECT text AS _dsir_text, FALSE AS _dsir_t
+                FROM documents WHERE doc_id % 5 <> 0),
+            _dsir_w AS ({CLF.train_logodds_classifier_sql(
+                "_dsir_pool", "_dsir_text", "_dsir_t",
+                n_buckets=_QCLF_BUCKETS, salt="dsir")}),
+            _dsir_s AS ({CLF.classifier_score_sql(
+                "(SELECT * FROM documents WHERE doc_id % 5 <> 0)",
+                "_dsir_w", "text", "doc_id",
+                n_buckets=_QCLF_BUCKETS, salt="dsir",
+                carry=("source",))}),
+            _dsir_p AS (
+                SELECT *, {SMP.dsir_priority_sql(
+                    "doc_id", "logit_sum", salt="dsir")} AS dsir_priority
+                FROM _dsir_s),
+            _dsir_r AS (
+                SELECT *, row_number() OVER (PARTITION BY source
+                           ORDER BY dsir_priority DESC, doc_id) AS _rn,
+                       count(*) OVER (PARTITION BY source) AS _n
+                FROM _dsir_p)
+            SELECT doc_id, source, n_tokens, logit_sum, logit_rank,
+                   dsir_priority
+            FROM _dsir_r WHERE _rn * 2 <= _n""",
         # composed twin: curation stages nest verbatim, selection ranks
         # on the same integer lp_rank key with the same integer rank
         # compare, and pack_sequences_sql runs over the kept-CTE

@@ -116,6 +116,7 @@ HEADLINE = [
     "bloom_compact_roundtrip",  # compaction policy + expected_fpr monitor
     "bpe_train_encode",   # train -> learned-inventory encode composition
     "stream_enrich",      # stream-static broadcast enrichment rollup
+    "dsir_select",        # DSIR importance resampling toward a target
 ]
 
 #: entries that model amortized ONE-TIME work (index builds): repeating

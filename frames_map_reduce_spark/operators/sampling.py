@@ -43,6 +43,7 @@ __all__ = [
     "stratified_sample", "weighted_mixture", "weighted_mixture_sql_pred",
     "weighted_sample", "weighted_sample_sql", "es_priority_sql",
     "temperature_mixture", "temperature_mixture_sql",
+    "dsir_resample", "dsir_priority", "dsir_priority_sql",
 ]
 
 _SCALE = 1 << 32  # 8 hex chars
@@ -518,3 +519,116 @@ def temperature_mixture_sql(table: str, source_col: str, key_col: str,
         SELECT t.* FROM {table} t
         JOIN _tm_thr USING ({source_col})
         WHERE {h} < _tm_thr"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling: select raw data toward a target
+# distribution
+# ---------------------------------------------------------------------------
+
+def dsir_priority(id_col: str, logit_sum, salt: str = "dsir",
+                  gumbel: bool = True) -> Column:
+    """The DSIR selection key in integer micro-log-odds: the document's
+    importance log-weight (``logit_sum``, the exact BIGINT
+    micro-log-odds sum of its hashed features — see
+    :func:`dsir_resample`) plus, when ``gumbel`` is set, a hash-seeded
+    Gumbel(0,1) perturbation quantized to micro-units.
+
+    Gumbel-top-k over ``s_i + G_i`` IS weighted sampling without
+    replacement with inclusion ∝ exp(s_i) (the Gumbel-max trick — the
+    log-domain form of the Efraimidis–Spirakis race
+    :func:`weighted_sample` runs in linear space; equivalent schemes,
+    but exp(s) would overflow doubles at corpus-scale logit sums, so
+    the selection must stay in the log domain).  The uniform is the
+    engine's salted md5 of ``id_col`` under ``salt + "|g"`` — change
+    the salt to redraw, re-runs reproduce the same subset.
+
+    Exactness: u is exact in double ((h + 0.5)/2^32 — power-of-two
+    division), the two ``ln`` calls are the one float stage, and the
+    result is micro-quantized (round-half-away, both engines) back to
+    integer — the ``lp_rank`` risk class: a cross-engine flip needs the
+    true value within ~1 ulp of a half-micro-unit boundary."""
+    from frames_map_reduce_spark.operators.classifier import LOGIT_SCALE
+
+    pri = F.col(logit_sum) if isinstance(logit_sum, str) else logit_sum
+    if not gumbel:
+        return pri.cast("bigint")
+    u = ((hash_unit(F.col(id_col), salt + "|g") + F.lit(0.5))
+         / F.lit(float(_SCALE)))
+    g = -F.log(-F.log(u))
+    return (pri + F.round(g * F.lit(LOGIT_SCALE)).cast("bigint")) \
+        .cast("bigint")
+
+
+def dsir_priority_sql(id_col: str, logit_sum: str, salt: str = "dsir",
+                      gumbel: bool = True) -> str:
+    """DuckDB twin of :func:`dsir_priority` (generated from the same
+    spec): identical hash, identical -ln(-ln(u)) staging, identical
+    micro-quantization."""
+    from frames_map_reduce_spark.operators.classifier import LOGIT_SCALE
+
+    if not gumbel:
+        return f"CAST({logit_sum} AS BIGINT)"
+    u = f"(({hash_unit_sql(id_col, salt + '|g')} + 0.5) / {float(_SCALE)!r})"
+    return (f"CAST({logit_sum} + CAST(round(-ln(-ln({u})) * {LOGIT_SCALE})"
+            f" AS BIGINT) AS BIGINT)")
+
+
+def dsir_resample(raw: DataFrame, target: DataFrame, text_col: str,
+                  id_col: str, num: int, den: int,
+                  by: Sequence[str] = (), n_buckets: int = 1 << 14,
+                  salt: str = "dsir", gumbel: bool = True,
+                  select_buckets=256,
+                  materialize: str | None = None) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR — Xie et al.,
+    NeurIPS 2023, arXiv:2302.03169): select ``num/den`` of the RAW
+    corpus (per ``by`` group) toward the distribution of a TARGET set,
+    with inclusion odds ∝ the hashed-feature importance weight
+    ``p_target(x) / p_raw(x)``.
+
+    The importance model is the engine's hashed multinomial
+    (``operators.classifier``): under add-one-smoothed hashed unigram
+    bag-of-words, ``log p_t(x)/p_r(x) = Σ_tokens log-odds(bucket)`` —
+    exactly the log-odds table :func:`train_logodds_classifier` fits on
+    a target-vs-raw label, and the exact BIGINT ``logit_sum``
+    :func:`classifier_score` emits.  (The DSIR paper hashes unigrams +
+    bigrams; this implementation reuses the engine's frozen unigram
+    feature spec — the estimator family is identical, the feature set
+    is the documented delta.)  Selection is Gumbel-top-k over
+    ``logit_sum + Gumbel_micro`` (:func:`dsir_priority` — sampling
+    without replacement ∝ exp(logit_sum), i.e. ∝ the importance
+    weight), cut by the distributed integer :func:`top_fraction`;
+    ``gumbel=False`` degenerates to the deterministic hard top-fraction
+    by importance ("heuristic classification" in the paper's taxonomy).
+
+    Scale shape, end to end: one explode + 2-phase agg to train (the
+    weight table is ``n_buckets`` rows — broadcast), one explode +
+    broadcast join + 2-phase agg to score, pure projections for the
+    priority, and the two-phase bucket-cut to select — no driver-side
+    state, nothing quadratic, no Python anywhere.
+
+    Output: the scored frame filtered to the kept rows — ``(by…,
+    id_col, n_tokens, logit_sum, logit_rank, dsir_priority)``; join
+    back on ``id_col`` for payload columns."""
+    from frames_map_reduce_spark.operators.classifier import (
+        classifier_score,
+        train_logodds_classifier,
+    )
+
+    require_columns(raw, [text_col, id_col, *by])
+    require_columns(target, [text_col])
+    pool = (target.select(F.col(text_col).alias("_dsir_text"),
+                          F.lit(True).alias("_dsir_t"))
+                  .unionByName(
+                      raw.select(F.col(text_col).alias("_dsir_text"),
+                                 F.lit(False).alias("_dsir_t"))))
+    weights = train_logodds_classifier(pool, "_dsir_text", "_dsir_t",
+                                       n_buckets=n_buckets, salt=salt)
+    scored = classifier_score(raw, weights, text_col, id_col,
+                              n_buckets=n_buckets, salt=salt, carry=by)
+    scored = scored.withColumn(
+        "dsir_priority",
+        dsir_priority(id_col, F.col("logit_sum"), salt=salt,
+                      gumbel=gumbel))
+    return top_fraction(scored, by, "dsir_priority", id_col, num, den,
+                        n_buckets=select_buckets, materialize=materialize)

@@ -874,3 +874,49 @@ def test_kmv_empty_reference_matches_duckdb(spark, b_vals, k):
                {ov['est_jaccard']} AS est_jaccard
         FROM a, b""").fetchall()[0]
     assert (got["kmv_matches"], got["kmv_k"], got["est_jaccard"]) == want
+
+
+@given(texts=st.lists(_gopher_text_nonnull, min_size=4, max_size=12),
+       gumbel=st.booleans())
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_dsir_resample_matches_duckdb(spark, texts, gumbel):
+    """Random corpora through DSIR importance resampling vs the composed
+    DuckDB twin — pins the target-vs-raw union pool staging, the
+    generated Gumbel-priority spec (hash, -ln(-ln(u)), micro
+    quantization), and the top_fraction cut's serial row_number
+    equivalence, on corpora with empty docs and heavy token overlap."""
+    from frames_map_reduce_spark.operators import sampling as SMP
+    from frames_map_reduce_spark.operators.classifier import (
+        classifier_score_sql, train_logodds_classifier_sql)
+
+    pdf = pd.DataFrame({"doc_id": range(len(texts)),
+                        "text": pd.array(texts, dtype="string")})
+    sdf = spark.createDataFrame(pdf)
+    target = sdf.filter(F.col("doc_id") % 3 == 0)
+    raw = sdf.filter(F.col("doc_id") % 3 != 0)
+    got = sorted(map(tuple, SMP.dsir_resample(
+        raw, target, "text", "doc_id", 2, 3, by=(), n_buckets=64,
+        salt="fz", gumbel=gumbel).collect()))
+
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    pri = SMP.dsir_priority_sql("doc_id", "logit_sum", salt="fz",
+                                gumbel=gumbel)
+    want = sorted(map(tuple, con.sql(f"""
+        WITH _pool AS (
+            SELECT text AS _t, TRUE AS _y FROM docs WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT text AS _t, FALSE AS _y FROM docs WHERE doc_id % 3 <> 0),
+        _w AS ({train_logodds_classifier_sql("_pool", "_t", "_y",
+                                             n_buckets=64, salt="fz")}),
+        _s AS ({classifier_score_sql(
+            "(SELECT * FROM docs WHERE doc_id % 3 <> 0)", "_w",
+            "text", "doc_id", n_buckets=64, salt="fz")}),
+        _p AS (SELECT *, {pri} AS dsir_priority FROM _s),
+        _r AS (SELECT *, row_number() OVER (ORDER BY dsir_priority DESC,
+                                            doc_id) AS _rn,
+                      count(*) OVER () AS _n FROM _p)
+        SELECT doc_id, n_tokens, logit_sum, logit_rank, dsir_priority
+        FROM _r WHERE _rn * 3 <= 2 * _n""").fetchall()))
+    assert got == want

@@ -584,3 +584,40 @@ def test_pack_sequences_extend_global_pack_and_fuzz(spark):
                                     order_by=["id"], by=by)
         full = pack_sequences(df, "sz", 5, order_by=["id"], by=by)
         assert rows_sorted(inc) == rows_sorted(full), (trial, cut, rows)
+
+
+def test_dsir_selects_toward_target(spark, documents):
+    """DSIR semantics on the fixture corpus: with gumbel=False the cut
+    is the deterministic top half by importance weight, so the kept
+    set's mean per-token log-importance must exceed the dropped set's
+    (the selection pulls toward the target distribution); with the
+    Gumbel perturbation the same holds in aggregate and the output is
+    reproducible (same salt → same subset).  Also pins the output
+    contract and the fraction arithmetic."""
+    from frames_map_reduce_spark.operators.sampling import dsir_resample
+
+    target = documents.filter(F.col("lang") == "en")
+    raw = documents.filter(F.col("lang") != "en")
+    hard = dsir_resample(raw, target, "text", "doc_id", 1, 2, by=(),
+                         n_buckets=256, salt="t", gumbel=False)
+    assert set(hard.columns) == {"doc_id", "n_tokens", "logit_sum",
+                                 "logit_rank", "dsir_priority"}
+    n_scored = raw.filter(F.col("text").isNotNull()).count()
+    kept = hard.collect()
+    # floor(n/2) of the SCORED rows (tokenless docs are absent)
+    assert 0 < len(kept) <= n_scored // 2 + 1
+    kept_ids = {r["doc_id"] for r in kept}
+    scored_all = dsir_resample(raw, target, "text", "doc_id", 1, 1,
+                               by=(), n_buckets=256, salt="t",
+                               gumbel=False).collect()
+    dropped = [r for r in scored_all if r["doc_id"] not in kept_ids]
+    mean = lambda rs: (sum(r["logit_rank"] for r in rs) / len(rs))  # noqa: E731
+    assert mean(kept) > mean(dropped)
+    # gumbel path: deterministic under the same salt
+    g1 = {r["doc_id"] for r in dsir_resample(
+        raw, target, "text", "doc_id", 1, 2, by=(), n_buckets=256,
+        salt="t").collect()}
+    g2 = {r["doc_id"] for r in dsir_resample(
+        raw, target, "text", "doc_id", 1, 2, by=(), n_buckets=256,
+        salt="t").collect()}
+    assert g1 == g2 and len(g1) == len(kept)
