@@ -621,3 +621,24 @@ def test_dsir_selects_toward_target(spark, documents):
         raw, target, "text", "doc_id", 1, 2, by=(), n_buckets=256,
         salt="t").collect()}
     assert g1 == g2 and len(g1) == len(kept)
+
+
+def test_dsir_plan_shape(spark, documents):
+    """DSIR's 100 TB contract in the plan: the weight-table join is a
+    broadcast (never a shuffled join on the token stream), nothing is
+    a cartesian product, and no Python appears anywhere (train, score,
+    priority, and cut are all JVM expressions — the whole pipeline is
+    codegen + hash aggregates)."""
+    from frames_map_reduce_spark.operators.sampling import dsir_resample
+    from frames_map_reduce_spark.plans import executed_plan
+
+    target = documents.filter(F.col("lang") == "en")
+    raw = documents.filter(F.col("lang") != "en")
+    out = dsir_resample(raw, target, "text", "doc_id", 1, 2, by=(),
+                        n_buckets=256, salt="p")
+    plan = executed_plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+               "MapInPandas"):
+        assert py not in plan, py
