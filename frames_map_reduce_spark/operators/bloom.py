@@ -150,17 +150,35 @@ def _mask_expr(pos_col: str) -> Column:
 # ---------------------------------------------------------------------------
 
 def build_bloom_index(corpus: DataFrame, table: str, text_col: str,
-                      m_bits: int = DEFAULT_M_BITS, k: int = DEFAULT_K,
-                      n_buckets: int = 64) -> None:
+                      m_bits=DEFAULT_M_BITS, k: int = DEFAULT_K,
+                      n_buckets: int = 64,
+                      target_fpr: float = 1e-3) -> tuple[int, int]:
     """Build ``{table}_words`` — the bucketed Bloom word table — over the
     corpus's canonical text forms.  One shuffle (the bit_or groupBy, with
     map-side combine) + one bucketed write; the corpus text is read once
     and never again.  Probe-time ``m_bits``/``k`` must match the build —
     they define the filter the way the centroid array defines an IVF
-    index."""
+    index.  Returns the ``(m_bits, k)`` actually built (also persisted;
+    read it back any time with :func:`bloom_geometry`).
+
+    ``m_bits="auto"`` (r8 verdict #3, the turnkey form of the sizing
+    loop): one ``approx_count_distinct`` over the canonical forms sizes
+    the filter via :func:`suggest_geometry` for ``target_fpr``, and the
+    chosen ``k`` overrides the ``k`` argument.  The ±~2% HLL counting
+    error is absorbed by the power-of-two round-up (which already
+    over-provisions by up to 2×); pass explicit integers when the
+    geometry must be bit-reproducible across corpora."""
     from frames_map_reduce_spark.sources import write_bucketed
 
     require_columns(corpus, [text_col])
+    if m_bits == "auto":
+        n_items = corpus.agg(
+            F.approx_count_distinct(TX.normalized(F.col(text_col)))
+             .alias("n")).collect()[0]["n"]
+        geo = suggest_geometry(max(int(n_items), 1), target_fpr)
+        m_bits, k = geo["m_bits"], geo["k"]
+    elif not isinstance(m_bits, int):
+        raise ValueError(f"m_bits must be an int or 'auto', got {m_bits!r}")
     write_bucketed(_word_rows(corpus, text_col, m_bits, k),
                    f"{table}_words", ["_word"], n_buckets)
     # persist the geometry beside the bits (like the IVF centroid
@@ -168,6 +186,28 @@ def build_bloom_index(corpus: DataFrame, table: str, text_col: str,
     # no-false-negative guarantee, so the catalog owns the spec and
     # extend/probe validate against it
     _set_bloom_spec(corpus.sparkSession, table, m_bits, k)
+    return m_bits, k
+
+
+def bloom_geometry(spark: SparkSession, table: str) -> tuple[int, int]:
+    """The persisted ``(m_bits, k)`` of a built index — the values
+    extend/probe must be called with (the catalog owns the spec; an
+    ``m_bits="auto"`` build picks them data-dependently, so callers
+    read them back here).  Raises ValueError on a missing index or a
+    table with no recorded geometry, same contract as the monitor."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        spec = _bloom_spec(spark, table)
+    except AnalysisException as exc:
+        raise ValueError(
+            f"no bloom index `{table}` (word table not found)") from exc
+    if spec is None:
+        raise ValueError(
+            f"`{table}_words` has no recorded bloom geometry "
+            f"(fmr.bloom.m_bits) — it was not created by "
+            f"build_bloom_index")
+    return spec
 
 
 def extend_bloom_index(corpus_delta: DataFrame, table: str, text_col: str,

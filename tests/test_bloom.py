@@ -347,3 +347,29 @@ def test_suggest_geometry():
         BL.suggest_geometry(0, 0.01)
     with _pt.raises(ValueError, match="target_fpr"):
         BL.suggest_geometry(10, 1.5)
+
+
+def test_auto_geometry_build(spark, corpus):
+    """The turnkey sizing form: m_bits="auto" counts the canonical
+    forms, sizes via suggest_geometry, persists the chosen spec (read
+    back with bloom_geometry), and the probe at that spec keeps the
+    no-false-negative guarantee.  Explicit non-int m_bits other than
+    'auto' is rejected."""
+    table = "bloom_t_auto"
+    try:
+        m, k = BL.build_bloom_index(corpus, table, "text",
+                                    m_bits="auto", target_fpr=0.01)
+        assert (m, k) == BL.bloom_geometry(spark, table)
+        assert m & (m - 1) == 0 and k >= 1
+        # 5 docs at 1% -> suggest_geometry floors at one word (2^5 bits)
+        ref = BL.suggest_geometry(5, 0.01)
+        assert m == ref["m_bits"] and k == ref["k"]
+        got = _probe_map(spark, table, corpus, m_bits=m, k=k)
+        assert all(got.values())  # members never miss
+        with pytest.raises(ValueError, match="auto"):
+            BL.build_bloom_index(corpus, "bloom_t_bad2", "text",
+                                 m_bits=2.5)
+        with pytest.raises(ValueError, match="no bloom index"):
+            BL.bloom_geometry(spark, "bloom_t_nonexistent")
+    finally:
+        _drop(spark, table)
