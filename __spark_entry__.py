@@ -759,6 +759,68 @@ def q_bloom_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return before.select(*cols).unionByName(after.select(*cols))
 
 
+#: bloom_resize_roundtrip constants — shared by the rig and its oracle
+#: so the deliberately-overfull geometry and the re-size target are one
+#: spec: 1024 bits / k=4 is crowded far past 1e-2 by even the sf0.001
+#: corpus slice, and 1e-2 is the rebuild's design target.
+_RESIZE_M0, _RESIZE_K0, _RESIZE_TARGET = 1024, 4, 1e-2
+
+
+def q_bloom_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RE-SIZE policy proven end-to-end (r9 verdict #2) — the arc
+    the monitor + suggest_geometry exist for: build at a deliberately
+    tiny geometry (1024 bits, k=4) over doc_id %8==0, extend twice
+    (%8==4, %8==2) — ``expected_fpr`` reads far above the 1e-2 target
+    (the filter is overfull; no extend can fix that, geometry is
+    immutable per index) — then ``rebuild_bloom_index(m_bits="auto")``
+    re-signs the SAME accepted corpus at the geometry
+    ``suggest_geometry`` picks for the target, swaps it in under the
+    live name, and the monitor reads back under target.  ``n_items``
+    is the exact normalized-form distinct count (engine-exact, unlike
+    HLL estimates which differ across engines — the documented
+    cross-reproducible form of the auto path; the HLL form is
+    unit/scale-tested).  ``within_target`` is computed from the same
+    repeated-multiplication double on both engines, so the verdict
+    booleans are part of the hash proof, not just the narrative.
+
+    The before-read is materialized (1 row) before the rebuild: the
+    swap rewrites the word table underneath, and a pre-swap plan
+    re-collected afterwards reads the wrong snapshot by contract.
+
+    FULL oracle: before-twin replays the three batches through the
+    generation-stats SQL at (1024, 4); after-twin replays their UNION
+    as one batch at the geometry suggest_geometry picks for the
+    fixture's exact distinct count (computed at oracle-generation time
+    from the same parquet — the IVF/BPE data-dependent-constant
+    convention)."""
+    docs = _docs(spark, sf_dir)
+    t = "bloom_resize_driver"
+    for sfx in ("words_old", "words_rebuild"):  # crashed-run leftovers
+        spark.sql(f"DROP TABLE IF EXISTS {t}_{sfx}")
+    BL.build_bloom_index(docs.filter(F.col("doc_id") % 8 == 0), t, "text",
+                         m_bits=_RESIZE_M0, k=_RESIZE_K0)
+    BL.extend_bloom_index(docs.filter(F.col("doc_id") % 8 == 4), t, "text",
+                          m_bits=_RESIZE_M0, k=_RESIZE_K0)
+    BL.extend_bloom_index(docs.filter(F.col("doc_id") % 8 == 2), t, "text",
+                          m_bits=_RESIZE_M0, k=_RESIZE_K0)
+    before = (BL.expected_fpr(spark, t)
+                .withColumn("stage", F.lit("overfull")))
+    before = spark.createDataFrame(before.collect(), before.schema)
+    corpus = docs.filter((F.col("doc_id") % 8).isin(0, 4, 2))
+    n_exact = corpus.agg(F.count_distinct(TX.normalized(F.col("text")))
+                          .alias("n")).first()["n"]
+    BL.rebuild_bloom_index(corpus, t, "text", m_bits="auto",
+                           n_items=n_exact, target_fpr=_RESIZE_TARGET)
+    after = (BL.expected_fpr(spark, t)
+               .withColumn("stage", F.lit("rebuilt")))
+    cols = ["stage", "n_words", "n_rows", "max_generations", "set_bits",
+            "m_bits", "needs_compaction", "expected_fpr"]
+    out = before.select(*cols).unionByName(after.select(*cols))
+    return out.withColumn(
+        "within_target",
+        F.col("expected_fpr") <= F.lit(_RESIZE_TARGET))
+
+
 def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The APPLY half of span dedup (dedup.remove_duplicated_spans):
     flagged duplicated 8-gram spans are cut out of each document and the
@@ -3500,6 +3562,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_extend": q_pack_extend,
         "bloom_gen_stats": q_bloom_gen_stats,
         "bloom_compact_roundtrip": q_bloom_compact_roundtrip,
+        "bloom_resize_roundtrip": q_bloom_resize_roundtrip,
         "stream_ingest_gate": q_stream_ingest_gate,
         "stream_ingest_gate_v2": q_stream_ingest_gate_v2,
     }
@@ -3512,6 +3575,54 @@ def _sql_tokens(col: str) -> str:
 _IVF_ORACLE_CACHE: dict[str, str] = {}
 _SEMDEDUP_ORACLE_CACHE: dict[str, str] = {}
 _BPE_ORACLE_CACHE: dict[str, list] = {}
+_RESIZE_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _bloom_resize_oracle() -> str:
+    """bloom_resize_roundtrip twin: before = the 3-batch generation
+    replay at the deliberately tiny (1024, 4) geometry; after = the
+    SAME documents as ONE batch at the geometry ``suggest_geometry``
+    picks for the fixture's exact normalized-form distinct count —
+    computed here at oracle-generation time from the same parquet
+    (DuckDB exact COUNT(DISTINCT), which the rig mirrors with Spark's
+    exact ``count_distinct``: identical by definition, unlike the HLL
+    estimates the no-n_items auto path uses).  Both stages carry
+    ``within_target`` from the shared repeated-multiplication fill^k,
+    so the re-size verdict is hash-proven on both engines."""
+    import os
+
+    import duckdb as _duckdb
+
+    from frames_map_reduce_spark.operators.bloom import suggest_geometry
+    sf_dir = (os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
+              or os.environ.get("SPARK_GRAFT_TEST_SF_DIR")
+              or "/root/testdata/sf0.01")
+    path = os.path.join(sf_dir, "documents.parquet")
+    if path not in _RESIZE_ORACLE_CACHE:
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con = _duckdb.connect()
+        n_exact = con.sql(
+            f"SELECT count(DISTINCT {TX.normalized_sql('text')}) "
+            f"FROM '{src}' WHERE doc_id % 8 IN (0, 4, 2)").fetchone()[0]
+        geo = suggest_geometry(max(int(n_exact), 1), _RESIZE_TARGET)
+        batches = ["(SELECT * FROM documents WHERE doc_id % 8 = 0)",
+                   "(SELECT * FROM documents WHERE doc_id % 8 = 4)",
+                   "(SELECT * FROM documents WHERE doc_id % 8 = 2)"]
+        union = ["(SELECT * FROM documents WHERE doc_id % 8 IN (0, 4, 2))"]
+        _RESIZE_ORACLE_CACHE[path] = f"""
+            SELECT 'overfull' AS stage, n_words, n_rows, max_generations,
+                   set_bits, m_bits, needs_compaction, expected_fpr,
+                   (expected_fpr <= {_RESIZE_TARGET!r}) AS within_target
+            FROM ({BL.expected_fpr_sql(batches, "text",
+                                       m_bits=_RESIZE_M0, k=_RESIZE_K0)})
+            UNION ALL
+            SELECT 'rebuilt' AS stage, n_words, n_rows, max_generations,
+                   set_bits, m_bits, needs_compaction, expected_fpr,
+                   (expected_fpr <= {_RESIZE_TARGET!r}) AS within_target
+            FROM ({BL.expected_fpr_sql(union, "text",
+                                       m_bits=geo["m_bits"],
+                                       k=geo["k"])})"""
+    return _RESIZE_ORACLE_CACHE[path]
 
 
 def _bpe_replayed_merges() -> list:
@@ -4880,5 +4991,14 @@ def oracle_sql() -> dict[str, str]:
     except Exception as exc:  # noqa: BLE001 — degrade, don't break all
         import sys
         print(f"# semantic_dedup oracle unavailable for this fixture: {exc}",
+              file=sys.stderr)
+    # Same data-dependent-constant guard for the Bloom re-size twin
+    # (the after-geometry derives from the fixture's exact distinct
+    # count at oracle-generation time).
+    try:
+        out["bloom_resize_roundtrip"] = _bloom_resize_oracle()
+    except Exception as exc:  # noqa: BLE001 — degrade, don't break all
+        import sys
+        print(f"# bloom_resize oracle unavailable for this fixture: {exc}",
               file=sys.stderr)
     return out
