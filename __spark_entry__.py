@@ -1967,6 +1967,37 @@ def q_corpus_to_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                              order_by=["doc_id"], by=["source"])
 
 
+def q_corpus_to_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAST arc from raw corpus to model-ready training rows (r9
+    verdict #3): curate → encode → pack, emitting the actual
+    ``array<int>`` token-ID sequences a trainer consumes — where
+    q_corpus_to_sequences proves the packing MANIFEST (counts), this
+    ships the token streams themselves.  Stages: (1) curate with a
+    Gopher-A1.1-style word-count band (30 ≤ wordish tokens ≤ 90 —
+    rule 1 of Rae et al. arXiv:2112.11446 Table A1, band scaled to the
+    synthetic corpus where docs run 10–100 words); (2) encode survivors
+    with the frozen-inventory greedy subword encoder emitting IDs
+    (tokenizer.encode_ids — ID space: inventory tuple order, then
+    ``len(inventory) + codepoint`` for single-char fallbacks); (3)
+    concat-and-chunk the ID streams into 256-token sequences per source
+    (packing.pack_token_ids — same two-phase offsets as pack_sequences,
+    then one posexplode + one bounded-group reassembly; output volume
+    is the token stream, the irreducible cost of materializing it).
+
+    FULL composed oracle: the band predicate + the recursive-CTE greedy
+    scan emitting matched IDs (encode_ids_sql) + the window-offset
+    chunking twin (pack_token_ids_sql), nested verbatim — hash equality
+    proves every ID in every sequence, order included."""
+    docs = _docs(spark, sf_dir)
+    n_words = F.size(TX.wordish_tokens(F.col("text")))
+    kept = (docs.filter((n_words >= 30) & (n_words <= 90))
+                .select("doc_id", "source", "text"))
+    ids = TKZ.encode_ids(kept, "text", "doc_id")
+    with_src = ids.join(kept.select("doc_id", "source"), "doc_id")
+    return PK.pack_token_ids(with_src, "token_ids", 256,
+                             order_by=["doc_id"], by=["source"])
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup (operators/similarity.py semantic_dedup,
     arXiv:2303.09540): 32-cluster k-means, within-cluster cosine pairs,
@@ -3542,6 +3573,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "semantic_dedup": q_semantic_dedup,
         "corpus_to_sequences": q_corpus_to_sequences,
+        "corpus_to_token_ids": q_corpus_to_token_ids,
         "zorder_pruning": q_zorder_pruning,
         "bpe_token_count": q_bpe_token_count,
         "bpe_train": q_bpe_train,
@@ -3648,6 +3680,20 @@ def _bpe_replayed_merges() -> list:
             f"'{src}'", "text", max_words=20_000)).fetchall()
         _BPE_ORACLE_CACHE[path] = TKZ.bpe_merge_spec(rows, n_merges=48)
     return _BPE_ORACLE_CACHE[path]
+
+
+def _corpus_to_token_ids_oracle() -> str:
+    """corpus_to_token_ids twin: Gopher word-count band → ID-emitting
+    recursive-CTE greedy scan → window-offset chunking, nested
+    verbatim (all three twins are table-parametric)."""
+    band = (f"(SELECT doc_id, source, text FROM documents "
+            f"WHERE len(regexp_extract_all(lower(text), '{TX.WORDISH}')) "
+            f"BETWEEN 30 AND 90)")
+    enc = TKZ.encode_ids_sql(band, "text", "doc_id")
+    joined = (f"(SELECT e.doc_id, d.source, e.token_ids "
+              f"FROM ({enc}) e JOIN documents d USING (doc_id))")
+    return PK.pack_token_ids_sql(joined, "token_ids", 256,
+                                 ["doc_id"], ["source"])
 
 
 def _bpe_train_oracle() -> str:
@@ -4353,6 +4399,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM (
                 {PK.pack_sequences_sql('kept', 'n_tokens', 256,
                                        ['doc_id'], ['source'])})""",
+        # band predicate + ID-emitting recursive-CTE greedy scan +
+        # window-offset chunking, nested verbatim: every ID in every
+        # sequence is hash-proven, order included
+        "corpus_to_token_ids": _corpus_to_token_ids_oracle(),
         "dedup_clusters": f"""
             WITH RECURSIVE
             sh AS (SELECT doc_id, {shingle5} AS sh FROM documents),

@@ -45,6 +45,8 @@ from frames_map_reduce_spark.schema import require_columns
 
 __all__ = ["SUBWORD_VOCAB", "encode_word_len", "subword_counts",
            "subword_counts_sql", "subword_step_case_sql",
+           "encode_word_ids", "encode_ids", "encode_ids_sql",
+           "token_id_step_sql",
            "bpe_merge_spec", "learn_bpe_merges", "merges_to_inventory",
            "learn_bpe_inventory",
            "bpe_word_counts_sql", "bpe_merges_values_sql"]
@@ -213,6 +215,145 @@ def subword_counts_sql(table: str, text_col: str, id_col: str,
         SELECT {id_col},
                count(*) AS n_words,
                CAST(sum(_tk) AS BIGINT) AS n_subwords
+        FROM _enc WHERE _pos > len(_w)
+        GROUP BY {id_col}"""
+
+
+# ---------------------------------------------------------------------------
+# Token-ID emission (r9 verdict #3): the `array<int>` sequences a
+# training pipeline actually ships, not just their counts
+# ---------------------------------------------------------------------------
+#
+# The ID space is part of the tokenizer spec, frozen with the
+# inventory: entry i of the inventory TUPLE (in its given order — the
+# frozen SUBWORD_VOCAB's declaration order, or the sorted order
+# merges_to_inventory emits) gets ID i; the single-character fallback
+# for codepoint c gets ID len(inventory) + c.  Total-ordered, no
+# collisions, and both halves are computable in closed form by either
+# engine — no side lookup table ships with the data.
+
+def _id_index(inventory: tuple[str, ...] | None):
+    inv = SUBWORD_VOCAB if inventory is None else tuple(inventory)
+    by_len, lens_desc = ((_BY_LEN, _LENS_DESC) if inventory is None
+                         else _index_inventory(inv))
+    return inv, {w: i for i, w in enumerate(inv)}, by_len, lens_desc
+
+
+def encode_word_ids(word: str,
+                    inventory: tuple[str, ...] | None = None) -> list[int]:
+    """The token-ID sequence the greedy longest-prefix encode emits for
+    ``word`` — the executable spec of the ID space (module section
+    comment above).  ``len(encode_word_ids(w)) == encode_word_len(w)``
+    by construction."""
+    inv, id_of, by_len, lens_desc = _id_index(inventory)
+    return _encode_ids(word, id_of, len(inv), by_len, lens_desc)
+
+
+def _encode_ids(word: str, id_of: dict[str, int], n_inv: int,
+                by_len: dict[int, frozenset[str]],
+                lens_desc: tuple[int, ...]) -> list[int]:
+    n = len(word)
+    pos = 0
+    out: list[int] = []
+    while pos < n:
+        step = 1
+        tid = -1
+        for ln in lens_desc:
+            sw = word[pos:pos + ln]
+            if sw in by_len[ln]:
+                step, tid = ln, id_of[sw]
+                break
+        if tid < 0:
+            tid = n_inv + ord(word[pos])
+        out.append(tid)
+        pos += step
+    return out
+
+
+def encode_ids(df: DataFrame, text_col: str, id_col: str,
+               inventory: tuple[str, ...] | None = None) -> DataFrame:
+    """Per-document token-ID emission: ``(id_col, token_ids)`` with
+    ``token_ids: array<int>`` — the greedy subword IDs of every wordish
+    token in document order, concatenated.  The model-ready form of
+    :func:`subword_counts` (which emits only the budget); documents
+    with zero wordish tokens are absent (same convention).
+
+    Scale shape: identical to the count form — JVM regexp
+    pre-tokenization, then ONE Arrow-batched mapInPandas scan, linear
+    in characters, no shuffle; output volume is the token stream itself
+    (the irreducible cost of emitting it).  The inventory and its ID
+    index ship once in the task closure."""
+    require_columns(df, [text_col, id_col])
+    inv, id_of, by_len, lens_desc = _id_index(inventory)
+    n_inv = len(inv)
+    toks = (df.select(F.col(id_col),
+                      TX.wordish_tokens(F.col(text_col)).alias("_w"))
+              .filter(F.size("_w") > 0))
+    id_type = toks.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, token_ids array<int>"
+
+    def run(batches) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            ids, seqs = [], []
+            for i, words in zip(pdf[id_col], pdf["_w"]):
+                ids.append(i)
+                flat: list[int] = []
+                for w in words:
+                    flat.extend(_encode_ids(w, id_of, n_inv,
+                                            by_len, lens_desc))
+                seqs.append(flat)
+            yield pd.DataFrame({id_col: ids, "token_ids": seqs})
+
+    return toks.mapInPandas(run, schema=out_schema)
+
+
+def token_id_step_sql(word_expr: str, pos_expr: str,
+                      inventory: tuple[str, ...] | None = None) -> str:
+    """The matched token's ID at ``pos_expr`` as a closed-form CASE —
+    the ID-emitting companion of :func:`subword_step_case_sql`: one arm
+    per inventory entry (longest lengths first, mirroring the greedy
+    scan), falling back to ``len(inventory) + unicode(char)``.
+    Generated from the SAME inventory tuple the Spark encoder indexes,
+    so the ID spaces cannot drift."""
+    inv, id_of, by_len, lens_desc = _id_index(inventory)
+    fallback = (f"{len(inv)} + unicode(substr({word_expr}, {pos_expr}, 1))")
+    if not by_len:
+        return fallback
+    arms = []
+    for ln in lens_desc:
+        for w in sorted(by_len[ln]):
+            lit = "'" + w.replace("'", "''") + "'"
+            arms.append(f"WHEN substr({word_expr}, {pos_expr}, {ln}) "
+                        f"= {lit} THEN {id_of[w]}")
+    return ("CASE " + " ".join(arms)
+            + f" ELSE {fallback} END")
+
+
+def encode_ids_sql(table: str, text_col: str, id_col: str,
+                   inventory: tuple[str, ...] | None = None) -> str:
+    """DuckDB twin of :func:`encode_ids`: the same recursive-CTE greedy
+    scan as :func:`subword_counts_sql`, accumulating the matched IDs
+    instead of the count.  Word order is preserved through the indexed
+    list_transform (DuckDB has no WITH ORDINALITY) and the final
+    ``flatten(list(… ORDER BY _wi))`` — document order is part of the
+    spec, token streams are sequences, not bags."""
+    words = (f"SELECT {id_col}, _u.x AS _w, _u.i AS _wi FROM "
+             f"(SELECT {id_col}, unnest(list_transform("
+             f"regexp_extract_all(lower({text_col}), '{TX.WORDISH}'), "
+             f"(x, i) -> {{'x': x, 'i': i}})) AS _u FROM {table})")
+    step = subword_step_case_sql("_w", "_pos", inventory=inventory)
+    tid = token_id_step_sql("_w", "_pos", inventory=inventory)
+    return f"""
+        WITH RECURSIVE _words AS ({words}),
+        _enc({id_col}, _wi, _w, _pos, _ids) AS (
+            SELECT {id_col}, _wi, _w, 1, CAST([] AS INTEGER[])
+            FROM _words
+            UNION ALL
+            SELECT {id_col}, _wi, _w, _pos + ({step}),
+                   list_append(_ids, CAST(({tid}) AS INTEGER))
+            FROM _enc WHERE _pos <= len(_w))
+        SELECT {id_col}, flatten(list(_ids ORDER BY _wi)) AS token_ids
         FROM _enc WHERE _pos > len(_w)
         GROUP BY {id_col}"""
 

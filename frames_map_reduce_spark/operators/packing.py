@@ -48,6 +48,7 @@ from frames_map_reduce_spark.session import drain_persist_cache
 
 __all__ = ["pack_shards", "pack_sequences", "pack_sequences_extend",
            "pack_sequences_sql",
+           "pack_token_ids", "pack_token_ids_sql",
            "write_packed_shards"]
 
 _INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
@@ -328,6 +329,82 @@ SELECT {by_cols}{seq_col},
        CAST(sum(CASE WHEN _start >= {seq_col} * {block} THEN 1 ELSE 0 END)
             AS BIGINT) AS n_starts
 FROM _blocks GROUP BY {by_cols}{seq_col}
+"""
+
+
+def pack_token_ids(df: DataFrame, ids_col: str, block: int,
+                   order_by: Sequence[str], by: Sequence[str] = (),
+                   seq_col: str = "seq_id",
+                   n_buckets: int | str = "auto") -> DataFrame:
+    """Concat-and-chunk packing of TOKEN-ID STREAMS — the model-ready
+    form of :func:`pack_sequences` (r9 verdict #3): documents'
+    ``ids_col`` arrays (``tokenizer.encode_ids`` output) are logically
+    concatenated in ``order_by`` order within each ``by`` group and cut
+    into ``block``-token sequences, documents straddling boundaries.
+    Where pack_sequences returns the per-sequence MANIFEST (counts),
+    this returns the sequences themselves: one row per
+    (``by``…, ``seq_col``) with ``token_ids: array<int>`` (exactly
+    ``block`` IDs everywhere except each group's final partial block)
+    and ``n_tokens``.  Empty-array rows occupy no block and are
+    excluded (the pack_sequences zero-size convention).
+
+    Scale shape: the offsets are the same two-phase bucketed BIGINT
+    prefix sum; then ONE posexplode (a row per token — the irreducible
+    cost of materializing the stream) and one 2-phase aggregation whose
+    groups are bounded at ``block`` IDs, reassembled in-group by an
+    integer array_sort (position within block is ``_gpos % block``,
+    unique by construction).  Nothing driver-side, nothing quadratic;
+    output volume ≈ input token volume, as it must be."""
+    if block <= 0:
+        raise ValueError(f"block must be positive, got {block}")
+    if not order_by:
+        raise ValueError("order_by must name at least one column")
+    require_columns(df, [*by, *order_by, ids_col])
+    off = _running_offsets(df, F.size(F.col(ids_col)).cast("bigint"),
+                           order_by, by, n_buckets, drop_nonpositive=True)
+    tok = (off.select(*[F.col(c) for c in by], F.col("_start"),
+                      F.posexplode(F.col(ids_col)).alias("_i", "_id"))
+              .withColumn("_gpos", F.col("_start") + F.col("_i"))
+              .withColumn(seq_col, F.expr(f"_gpos div {int(block)}")))
+    slot = (F.col("_gpos") % block).cast("int")
+    return (tok.groupBy(*[F.col(c) for c in by], F.col(seq_col))
+               .agg(F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct(slot.alias("o"),
+                                     F.col("_id").alias("t")))),
+                        lambda s: s["t"]).alias("token_ids"),
+                    F.count(F.lit(1)).cast("bigint").alias("n_tokens")))
+
+
+def pack_token_ids_sql(table_expr: str, ids_expr: str, block: int,
+                       order_by: Sequence[str], by: Sequence[str] = (),
+                       seq_col: str = "seq_id") -> str:
+    """DuckDB twin of :func:`pack_token_ids`: same BIGINT window
+    offsets, same ``//`` floor block ids, token order re-established by
+    ``list(… ORDER BY _gpos)`` (the indexed list_transform supplies the
+    within-document position DuckDB's unnest lacks)."""
+    part = f"PARTITION BY {', '.join(by)} " if by else ""
+    order = ", ".join(order_by)
+    by_cols = "".join(f"{c}, " for c in by)
+    return f"""
+WITH _ptsized AS (
+    SELECT {by_cols}{order}, {ids_expr} AS _ids,
+           CAST(len({ids_expr}) AS BIGINT) AS _sz
+    FROM {table_expr}),
+ _ptoff AS (
+    SELECT *, CAST(sum(_sz) OVER ({part}ORDER BY {order}
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _end
+    FROM _ptsized WHERE _sz > 0),
+ _pttok AS (
+    SELECT {by_cols}(_end - _sz) + _u.i - 1 AS _gpos, _u.x AS _id
+    FROM (SELECT {by_cols}_end, _sz,
+                 unnest(list_transform(_ids,
+                        (x, i) -> {{'x': x, 'i': i}})) AS _u
+          FROM _ptoff) _t)
+SELECT {by_cols}_gpos // {int(block)} AS {seq_col},
+       list(_id ORDER BY _gpos) AS token_ids,
+       count(*)::BIGINT AS n_tokens
+FROM _pttok GROUP BY {by_cols}{seq_col}
 """
 
 

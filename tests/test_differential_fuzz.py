@@ -920,3 +920,54 @@ def test_dsir_resample_matches_duckdb(spark, texts, gumbel):
         SELECT doc_id, n_tokens, logit_sum, logit_rank, dsir_priority
         FROM _r WHERE _rn * 3 <= 2 * _n""").fetchall()))
     assert got == want
+
+
+@given(texts=st.lists(_gopher_text_nonnull, min_size=1, max_size=6),
+       n_merges=st.sampled_from([0, 4, 12]),
+       block=st.sampled_from([7, 64]))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_token_id_pipeline_matches_duckdb(spark, texts, n_merges, block):
+    """Token-ID emission + stream chunking on random corpora (r9
+    verdict #3): encode_ids (frozen OR learned inventory — n_merges=0
+    means frozen) against the ID-emitting recursive-CTE twin, then
+    pack_token_ids against the window-offset chunking twin — every ID
+    in every sequence, order included, at a block size small enough
+    that most documents straddle boundaries."""
+    from frames_map_reduce_spark.functions.tokenizer import (
+        encode_ids, encode_ids_sql, learn_bpe_inventory)
+    from frames_map_reduce_spark.operators.packing import (
+        pack_token_ids, pack_token_ids_sql)
+
+    pdf = pd.DataFrame({"doc_id": range(len(texts)),
+                        "text": pd.array(texts, dtype="string")})
+    sdf = spark.createDataFrame(pdf)
+    inv = (None if n_merges == 0
+           else learn_bpe_inventory(sdf, "text", n_merges=n_merges,
+                                    max_words=1000))
+    ids = encode_ids(sdf, "text", "doc_id", inventory=inv)
+    got_ids = {r["doc_id"]: list(r["token_ids"]) for r in ids.collect()}
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want_ids = {k: list(v) for k, v in con.sql(
+        encode_ids_sql("docs", "text", "doc_id",
+                       inventory=inv)).fetchall()}
+    assert got_ids == want_ids
+
+    packed = pack_token_ids(ids, "token_ids", block, order_by=["doc_id"])
+    got = sorted((r["seq_id"], tuple(r["token_ids"]), r["n_tokens"])
+                 for r in packed.collect())
+    if not got_ids:  # all-empty corpus: nothing to pack on either side
+        assert got == []
+        return
+    con.register("ids_tbl", pd.DataFrame(
+        {"doc_id": list(got_ids), "token_ids": list(got_ids.values())}))
+    want = sorted((s, tuple(t), n) for s, t, n in con.sql(
+        pack_token_ids_sql("ids_tbl", "token_ids", block,
+                           ["doc_id"])).fetchall())
+    assert got == want
+    # structural laws: every sequence but the last is exactly `block`
+    # IDs; totals conserve
+    if got:
+        assert all(n == block for _, _, n in got[:-1])
+        assert sum(n for _, _, n in got) == sum(map(len, got_ids.values()))

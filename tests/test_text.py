@@ -353,6 +353,50 @@ def test_subword_counts_matches_python_replay(spark, documents):
             assert r["doc_id"] not in got
 
 
+def test_encode_ids_matches_python_replay(spark, documents):
+    """Token-ID emission (r9 verdict #3) vs a driver-side replay of the
+    same spec — every ID in every document, order included — and the
+    structural laws: len(ids) == n_subwords, IDs < len(inventory) are
+    inventory indices, IDs >= len(inventory) decode to codepoints."""
+    import re
+    from frames_map_reduce_spark.functions.text import WORDISH
+    from frames_map_reduce_spark.functions.tokenizer import (
+        SUBWORD_VOCAB, encode_ids, encode_word_ids, subword_counts)
+    got = {r["doc_id"]: list(r["token_ids"])
+           for r in encode_ids(documents, "text", "doc_id").collect()}
+    counts = {r["doc_id"]: r["n_subwords"]
+              for r in subword_counts(documents, "text", "doc_id").collect()}
+    n_inv = len(SUBWORD_VOCAB)
+    for r in documents.select("doc_id", "text").collect():
+        ws = re.findall(WORDISH, (r["text"] or "").lower())
+        if not ws:
+            assert r["doc_id"] not in got
+            continue
+        want = [t for w in ws for t in encode_word_ids(w)]
+        assert got[r["doc_id"]] == want, r["doc_id"]
+        assert len(want) == counts[r["doc_id"]]
+        for w in ws:
+            for tid in encode_word_ids(w):
+                if tid < n_inv:
+                    assert SUBWORD_VOCAB[tid] in w
+                else:
+                    assert chr(tid - n_inv) in w
+
+
+def test_encode_word_ids_id_space():
+    """The frozen ID space: inventory tuple order, then
+    len(inventory) + codepoint for single-char fallbacks."""
+    from frames_map_reduce_spark.functions.tokenizer import (
+        SUBWORD_VOCAB, encode_word_ids)
+    n = len(SUBWORD_VOCAB)
+    assert encode_word_ids("the") == [SUBWORD_VOCAB.index("the")]
+    assert encode_word_ids("q") == [n + ord("q")]
+    # learned inventory: IDs index the LEARNED tuple
+    inv = ("ab", "abc")
+    assert encode_word_ids("abcq", inventory=inv) == [1, len(inv) + ord("q")]
+    assert encode_word_ids("abq", inventory=inv) == [0, len(inv) + ord("q")]
+
+
 def test_gopher_rules_per_rule_verdicts(spark):
     from frames_map_reduce_spark.functions.text import gopher_rules
 
