@@ -1692,6 +1692,23 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                              salt="dsir")
 
 
+def q_dsir_select_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dsir_select at the DSIR paper's FULL feature set (r9 verdict
+    #4): ``ngram=(1, 2)`` hashes joined adjacent bigrams alongside the
+    unigrams (arXiv:2302.03169 §3 — the importance model hashes
+    unigrams + bigrams; classifier.feature_tokens, a pure slice-zip
+    array expression, no Python).  Same target/raw split, same
+    Gumbel-top-k selection; ``n_tokens`` counts FEATURES (2·tokens − 1
+    per document).  FULL oracle: identical nesting with the
+    bigram-feature twins."""
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("doc_id") % 5 == 0)
+    raw = docs.filter(F.col("doc_id") % 5 != 0)
+    return SMP.dsir_resample(raw, target, "text", "doc_id", 1, 2,
+                             by=("source",), n_buckets=_QCLF_BUCKETS,
+                             salt="dsir", ngram=(1, 2))
+
+
 def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled mixture rebalancing (operators/sampling.py
     temperature_mixture — the XLM-R/mT5 alpha-sampling recipe): per-source
@@ -3582,6 +3599,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "temperature_mixture": q_temperature_mixture,
         "dsir_select": q_dsir_select,
+        "dsir_select_bigram": q_dsir_select_bigram,
         "stream_classifier": q_stream_classifier,
         "curate_corpus_v3": q_curate_corpus_v3,
         "gopher_rules": q_gopher_rules,
@@ -4366,6 +4384,36 @@ def oracle_sql() -> dict[str, str]:
                 "_dsir_w", "text", "doc_id",
                 n_buckets=_QCLF_BUCKETS, salt="dsir",
                 carry=("source",))}),
+            _dsir_p AS (
+                SELECT *, {SMP.dsir_priority_sql(
+                    "doc_id", "logit_sum", salt="dsir")} AS dsir_priority
+                FROM _dsir_s),
+            _dsir_r AS (
+                SELECT *, row_number() OVER (PARTITION BY source
+                           ORDER BY dsir_priority DESC, doc_id) AS _rn,
+                       count(*) OVER (PARTITION BY source) AS _n
+                FROM _dsir_p)
+            SELECT doc_id, source, n_tokens, logit_sum, logit_rank,
+                   dsir_priority
+            FROM _dsir_r WHERE _rn * 2 <= _n""",
+        # same nesting at the paper's full (1,2)-gram feature set: the
+        # bigram stream is the same slice-zip-join construction in both
+        # engines (classifier.feature_tokens_sql)
+        "dsir_select_bigram": f"""
+            WITH _dsir_pool AS (
+                SELECT text AS _dsir_text, TRUE AS _dsir_t
+                FROM documents WHERE doc_id % 5 = 0
+                UNION ALL
+                SELECT text AS _dsir_text, FALSE AS _dsir_t
+                FROM documents WHERE doc_id % 5 <> 0),
+            _dsir_w AS ({CLF.train_logodds_classifier_sql(
+                "_dsir_pool", "_dsir_text", "_dsir_t",
+                n_buckets=_QCLF_BUCKETS, salt="dsir", ngram=(1, 2))}),
+            _dsir_s AS ({CLF.classifier_score_sql(
+                "(SELECT * FROM documents WHERE doc_id % 5 <> 0)",
+                "_dsir_w", "text", "doc_id",
+                n_buckets=_QCLF_BUCKETS, salt="dsir",
+                carry=("source",), ngram=(1, 2))}),
             _dsir_p AS (
                 SELECT *, {SMP.dsir_priority_sql(
                     "doc_id", "logit_sum", salt="dsir")} AS dsir_priority

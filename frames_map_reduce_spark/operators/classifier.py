@@ -65,6 +65,7 @@ __all__ = [
     "train_logodds_classifier", "train_logodds_classifier_sql",
     "classifier_score", "classifier_score_sql",
     "classifier_gate_columns",
+    "feature_tokens", "feature_tokens_sql",
     "LOGIT_SCALE", "LOGIT_OFFSET",
 ]
 
@@ -93,9 +94,53 @@ def _bucket_sql(token: str, n_buckets: int, salt: str) -> str:
     return f"({hash_unit_sql(token, salt)} % {n_buckets})"
 
 
+def _check_ngram(ngram) -> tuple[int, int]:
+    ng = tuple(ngram)
+    if ng not in ((1, 1), (1, 2)):
+        raise ValueError(f"ngram must be (1, 1) or (1, 2), got {ngram!r}")
+    return ng
+
+
+def feature_tokens(col: Column, ngram=(1, 1)) -> Column:
+    """The classifier's hashed-feature stream for a text column: the
+    engine's whitespace tokens at the default ``ngram=(1, 1)``;
+    ``(1, 2)`` appends joined adjacent bigrams (``"a b"`` — whitespace
+    tokens cannot contain a space, so the join is collision-free), the
+    DSIR paper's feature set (Xie et al. arXiv:2302.03169 §3 hashes
+    unigrams + bigrams).  Pure array expressions — codegen, no
+    Python."""
+    toks = TX.tokens(col)
+    if _check_ngram(ngram) == (1, 1):
+        return toks
+    n1 = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+    bi = F.zip_with(F.slice(toks, F.lit(1), n1),
+                    F.slice(toks, F.lit(2), n1),
+                    lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.concat(toks, bi)
+
+
+def feature_tokens_sql(col: str, ngram=(1, 1)) -> str:
+    """DuckDB twin of :func:`feature_tokens` — same token spec, same
+    slice-zip-join bigram construction (1-based inclusive list slices;
+    ``t[1:0]`` is ``[]`` so single-token documents contribute no
+    bigram, matching Spark's zero-length slice)."""
+    t = TX.tokens_sql(col)
+    if _check_ngram(ngram) == (1, 1):
+        return t
+    # the NULL guard matches Spark's concat (NULL in → NULL out);
+    # DuckDB's list_concat SKIPS NULL args (the documented concat trap)
+    # — immaterial under unnest (both yield zero rows) but the twins
+    # should agree at the projection level too
+    return (f"CASE WHEN {t} IS NULL THEN NULL ELSE "
+            f"list_concat({t}, list_transform(list_zip("
+            f"({t})[1:greatest(len({t}) - 1, 0)], ({t})[2:len({t})]), "
+            f"p -> p[1] || ' ' || p[2])) END")
+
+
 def train_logodds_classifier(df: DataFrame, text_col: str, label_col: str,
                              n_buckets: int = 4096,
-                             salt: str = "clf") -> DataFrame:
+                             salt: str = "clf",
+                             ngram=(1, 1)) -> DataFrame:
     """Train a hashed log-odds classifier: ``(bucket BIGINT,
     weight BIGINT)`` with one row for EVERY bucket in ``[0, n_buckets)``.
 
@@ -108,13 +153,19 @@ def train_logodds_classifier(df: DataFrame, text_col: str, label_col: str,
     gate (collisions blur individual tokens but the aggregate logit
     concentrates); production language filters use 2^18-2^21.  The table
     is ``n_buckets`` rows either way — broadcastable by construction.
+
+    ``ngram=(1, 2)`` hashes joined adjacent bigrams alongside the
+    unigrams (:func:`feature_tokens`) — the DSIR paper's feature set;
+    the spec (including ``ngram``) is part of the model and must match
+    at scoring time.
     """
     require_columns(df, [text_col, label_col])
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     lab = F.col(label_col).cast("boolean")
     occ = (df.select(lab.alias("_pos"),
-                     F.explode(TX.tokens(F.col(text_col))).alias("_tok"))
+                     F.explode(feature_tokens(F.col(text_col), ngram))
+                      .alias("_tok"))
              .select("_pos", _bucket(F.col("_tok"), n_buckets, salt).alias("bucket"))
              .groupBy("bucket")
              .agg(F.sum(F.when(F.col("_pos"), 1).otherwise(0)).alias("_p"),
@@ -142,12 +193,13 @@ def train_logodds_classifier(df: DataFrame, text_col: str, label_col: str,
 def train_logodds_classifier_sql(table: str, text_col: str, label_col: str,
                                  n_buckets: int = 4096,
                                  salt: str = "clf",
-                                 pred: str = "TRUE") -> str:
+                                 pred: str = "TRUE",
+                                 ngram=(1, 1)) -> str:
     """DuckDB twin of :func:`train_logodds_classifier` (generated, not
     hand-kept): same tokenizer spec, same hash/bucket arithmetic, same
     smoothing formula and micro-quantization.  ``pred`` optionally
     restricts the training rows (WHERE clause body)."""
-    toks = TX.tokens_sql(text_col)
+    toks = feature_tokens_sql(text_col, ngram)
     bucket = _bucket_sql("_tok", n_buckets, salt)
     d = repr(float(n_buckets))
     return f"""
@@ -175,7 +227,8 @@ def train_logodds_classifier_sql(table: str, text_col: str, label_col: str,
 
 def classifier_score(df: DataFrame, weights: DataFrame, text_col: str,
                      id_col: str, n_buckets: int, salt: str = "clf",
-                     carry: Sequence[str] = ()) -> DataFrame:
+                     carry: Sequence[str] = (),
+                     ngram=(1, 1)) -> DataFrame:
     """Score every document against a trained weight table.
 
     Output per document (tokenless documents are absent — mirror in any
@@ -185,14 +238,17 @@ def classifier_score(df: DataFrame, weights: DataFrame, text_col: str,
     integer mean in micro-log-odds — the per-token-normalized score a
     keep/drop threshold compares against).
 
-    ``n_buckets``/``salt`` MUST match training (the bucket function is
-    part of the model).  The weight table is explicitly broadcast — it
-    is ``n_buckets`` rows by construction.
+    ``n_buckets``/``salt``/``ngram`` MUST match training (the feature
+    and bucket functions are part of the model).  The weight table is
+    explicitly broadcast — it is ``n_buckets`` rows by construction.
+    With ``ngram=(1, 2)``, ``n_tokens`` counts FEATURES (unigrams +
+    bigrams = 2·tokens − 1 per document), the paper's normalization.
     """
     require_columns(df, [text_col, id_col, *carry])
     require_columns(weights, ["bucket", "weight"])
     toks = (df.select(id_col, *carry,
-                      F.explode(TX.tokens(F.col(text_col))).alias("_tok"))
+                      F.explode(feature_tokens(F.col(text_col), ngram))
+                       .alias("_tok"))
               .select(id_col, *carry,
                       _bucket(F.col("_tok"), n_buckets, salt).alias("bucket")))
     scored = toks.join(F.broadcast(weights), "bucket")
@@ -211,12 +267,14 @@ def classifier_score(df: DataFrame, weights: DataFrame, text_col: str,
 
 def classifier_score_sql(table: str, weights_cte: str, text_col: str,
                          id_col: str, n_buckets: int, salt: str = "clf",
-                         carry: Sequence[str] = ()) -> str:
+                         carry: Sequence[str] = (),
+                         ngram=(1, 1)) -> str:
     """DuckDB twin of :func:`classifier_score`.  ``weights_cte`` is the
     NAME of a CTE (or table) with ``(bucket, weight)`` — compose it from
     :func:`train_logodds_classifier_sql` in the caller's WITH clause."""
     cs = "".join(f", {c}" for c in carry)
     bucket = _bucket_sql("_tok", n_buckets, salt)
+    feats = feature_tokens_sql(text_col, ngram)
     return f"""
         SELECT {id_col}{cs},
                count(*)::BIGINT AS n_tokens,
@@ -224,7 +282,7 @@ def classifier_score_sql(table: str, weights_cte: str, text_col: str,
                CAST((2 * sum(weight + {LOGIT_OFFSET}) + count(*))
                     // (2 * count(*)) - {LOGIT_OFFSET} AS BIGINT) AS logit_rank
         FROM (SELECT {id_col}{cs}, {bucket} AS bucket
-              FROM (SELECT {id_col}{cs}, unnest({TX.tokens_sql(text_col)}) AS _tok
+              FROM (SELECT {id_col}{cs}, unnest({feats}) AS _tok
                     FROM {table}))
         JOIN {weights_cte} USING (bucket)
         GROUP BY {id_col}{cs}"""

@@ -579,7 +579,8 @@ def dsir_resample(raw: DataFrame, target: DataFrame, text_col: str,
                   by: Sequence[str] = (), n_buckets: int = 1 << 14,
                   salt: str = "dsir", gumbel: bool = True,
                   select_buckets=256,
-                  materialize: str | None = None) -> DataFrame:
+                  materialize: str | None = None,
+                  ngram=(1, 1)) -> DataFrame:
     """Data Selection with Importance Resampling (DSIR — Xie et al.,
     NeurIPS 2023, arXiv:2302.03169): select ``num/den`` of the RAW
     corpus (per ``by`` group) toward the distribution of a TARGET set,
@@ -591,10 +592,11 @@ def dsir_resample(raw: DataFrame, target: DataFrame, text_col: str,
     bag-of-words, ``log p_t(x)/p_r(x) = Σ_tokens log-odds(bucket)`` —
     exactly the log-odds table :func:`train_logodds_classifier` fits on
     a target-vs-raw label, and the exact BIGINT ``logit_sum``
-    :func:`classifier_score` emits.  (The DSIR paper hashes unigrams +
-    bigrams; this implementation reuses the engine's frozen unigram
-    feature spec — the estimator family is identical, the feature set
-    is the documented delta.)  Selection is Gumbel-top-k over
+    :func:`classifier_score` emits.  ``ngram=(1, 2)`` hashes joined
+    adjacent bigrams alongside the unigrams
+    (``classifier.feature_tokens``) — the paper's exact feature set
+    (arXiv:2302.03169 §3 hashes unigrams + bigrams); the default stays
+    the engine's frozen unigram spec.  Selection is Gumbel-top-k over
     ``logit_sum + Gumbel_micro`` (:func:`dsir_priority` — sampling
     without replacement ∝ exp(logit_sum), i.e. ∝ the importance
     weight), cut by the distributed integer :func:`top_fraction`;
@@ -623,9 +625,11 @@ def dsir_resample(raw: DataFrame, target: DataFrame, text_col: str,
                       raw.select(F.col(text_col).alias("_dsir_text"),
                                  F.lit(False).alias("_dsir_t"))))
     weights = train_logodds_classifier(pool, "_dsir_text", "_dsir_t",
-                                       n_buckets=n_buckets, salt=salt)
+                                       n_buckets=n_buckets, salt=salt,
+                                       ngram=ngram)
     scored = classifier_score(raw, weights, text_col, id_col,
-                              n_buckets=n_buckets, salt=salt, carry=by)
+                              n_buckets=n_buckets, salt=salt, carry=by,
+                              ngram=ngram)
     scored = scored.withColumn(
         "dsir_priority",
         dsir_priority(id_col, F.col("logit_sum"), salt=salt,

@@ -150,3 +150,47 @@ def test_train_hot_token_skew_and_exactness(spark):
                                 / ((neg_b + 1.0) * (100_000 + float(D))))
                        * CLF.LOGIT_SCALE))
     assert got[hot_b] == expect
+
+
+def test_feature_tokens_bigram_laws(spark):
+    """The (1,2)-gram feature stream (r9 verdict #4, the DSIR paper's
+    feature set): unigrams ++ joined adjacent bigrams, 2n-1 features
+    for an n-token document, single-token and empty documents degrade
+    to unigrams-only, and the Spark/DuckDB constructions agree."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from frames_map_reduce_spark.operators.classifier import (
+        feature_tokens, feature_tokens_sql)
+
+    rows = [(1, "the quick brown fox"), (2, "single"), (3, ""),
+            (4, None), (5, "a  b\tc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["f"] for r in df.select(
+        "doc_id", feature_tokens(F.col("text"), (1, 2)).alias("f"))
+        .collect()}
+    assert got[1] == ["the", "quick", "brown", "fox",
+                      "the quick", "quick brown", "brown fox"]
+    assert got[2] == ["single"]
+    assert got[3] == []
+    assert got[4] is None
+    assert got[5] == ["a", "b", "c", "a b", "b c"]
+    for d, f in got.items():
+        if f:
+            n = sum(1 for t in f if " " not in t)
+            assert len(f) == 2 * n - 1
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = dict(con.sql(
+        f"SELECT doc_id, {feature_tokens_sql('text', (1, 2))} "
+        f"FROM t").fetchall())
+    assert {k: (list(v) if v is not None else None)
+            for k, v in want.items()} == got
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="ngram"):
+        feature_tokens(F.col("text"), (2, 3))
+    with _pt.raises(ValueError, match="ngram"):
+        feature_tokens_sql("text", (1, 3))

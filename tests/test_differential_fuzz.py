@@ -496,10 +496,11 @@ _CLF_EXAMPLES = int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "15"))
 
 
 @given(texts=st.lists(_gopher_text_nonnull, min_size=2, max_size=10),
-       labels=st.lists(st.booleans(), min_size=10, max_size=10))
+       labels=st.lists(st.booleans(), min_size=10, max_size=10),
+       ngram=st.sampled_from([(1, 1), (1, 2)]))
 @settings(max_examples=_CLF_EXAMPLES, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
-def test_classifier_matches_duckdb(spark, texts, labels):
+def test_classifier_matches_duckdb(spark, texts, labels, ngram):
     # strategy note (r8): the non-null branch is drawn DIRECTLY, not
     # via `.filter(t is not None)` — under some seeds the filter form
     # rejected enough draws to trip FailedHealthCheck.filter_too_much,
@@ -518,18 +519,19 @@ def test_classifier_matches_duckdb(spark, texts, labels):
     sdf = spark.createDataFrame(pdf)
     D, SALT = 16, "fz"
     w = CLF.train_logodds_classifier(sdf, "text", "pos", n_buckets=D,
-                                     salt=SALT)
+                                     salt=SALT, ngram=ngram)
     s = CLF.classifier_score(sdf, w, "text", "doc_id", n_buckets=D,
-                             salt=SALT)
+                             salt=SALT, ngram=ngram)
     got_w = sorted(tuple(r) for r in w.collect())
     got_s = sorted(tuple(r) for r in s.collect())
     con = duckdb.connect()
     con.register("docs", pdf)
     wsql = CLF.train_logodds_classifier_sql("docs", "text", "pos",
-                                            n_buckets=D, salt=SALT)
+                                            n_buckets=D, salt=SALT,
+                                            ngram=ngram)
     want_w = sorted(con.sql(wsql).fetchall())
     ssql = CLF.classifier_score_sql("docs", "w", "text", "doc_id",
-                                    n_buckets=D, salt=SALT)
+                                    n_buckets=D, salt=SALT, ngram=ngram)
     want_s = sorted(con.sql(f"WITH w AS ({wsql}) {ssql}").fetchall())
     assert got_w == want_w
     assert got_s == want_s
