@@ -1224,10 +1224,7 @@ def q_stream_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbatim (tokenless rows carry n_tokens=0 through the stateless
     gate and are filtered to match the score SQL's absent-row
     semantics)."""
-    import glob as _glob
-    import os as _os
     import shutil as _shutil
-    import uuid
 
     from frames_map_reduce_spark.streaming import stream_classifier_gate
 
@@ -1237,35 +1234,32 @@ def q_stream_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
               CLF.train_logodds_classifier(labeled, "text", "_is_en",
                                            n_buckets=_QCLF_BUCKETS,
                                            salt=_QCLF_SALT).collect()]
-    base = f"/tmp/fmr_stream_clf_{uuid.uuid4().hex[:12]}"
-    try:
-        stage = f"{base}/in"
-        _os.makedirs(stage)
-        inc = docs.select("doc_id", "source", "text")
-        inc.coalesce(1).write.parquet(f"{base}/f0")
-        _shutil.move(_glob.glob(f"{base}/f0/part-*.parquet")[0],
-                     f"{stage}/0.parquet")
-        stream = spark.readStream.schema(inc.schema).parquet(stage)
-        gated = stream_classifier_gate(stream, w_rows, "text",
-                                       n_buckets=_QCLF_BUCKETS,
-                                       salt=_QCLF_SALT)
-        # fixed sink name: reps replace the table (see q_stream_bloom)
-        name = "stream_clf_sink"
-        q = (gated.drop("text").writeStream.format("memory")
-                  .queryName(name).outputMode("append")
-                  .trigger(availableNow=True).start())
-        q.awaitTermination()
-        return (spark.table(name)
-                     .filter(F.col("n_tokens") > 0)
-                     .groupBy("source")
-                     .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-                          F.sum(F.when(F.col("logit_rank") >= 0, 1)
-                                 .otherwise(0)).cast("bigint")
-                           .alias("n_keep"),
-                          F.sum("logit_sum").cast("bigint")
-                           .alias("logit_total")))
-    finally:
-        _shutil.rmtree(base, ignore_errors=True)
+    # deterministic pre-cleaned staging (r9 verdict #7 — the
+    # q_stream_ingest_gate convention; the memory sink holds its rows
+    # in driver memory, so no post-run cleanup is needed or wanted)
+    base = "/tmp/fmr_stream_clf"
+    _shutil.rmtree(base, ignore_errors=True)
+    inc = docs.select("doc_id", "source", "text")
+    inc.write.parquet(f"{base}/in")
+    stream = spark.readStream.schema(inc.schema).parquet(f"{base}/in")
+    gated = stream_classifier_gate(stream, w_rows, "text",
+                                   n_buckets=_QCLF_BUCKETS,
+                                   salt=_QCLF_SALT)
+    # fixed sink name: reps replace the table (see q_stream_bloom)
+    name = "stream_clf_sink"
+    q = (gated.drop("text").writeStream.format("memory")
+              .queryName(name).outputMode("append")
+              .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+                 .filter(F.col("n_tokens") > 0)
+                 .groupBy("source")
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                      F.sum(F.when(F.col("logit_rank") >= 0, 1)
+                             .otherwise(0)).cast("bigint")
+                       .alias("n_keep"),
+                      F.sum("logit_sum").cast("bigint")
+                       .alias("logit_total")))
 
 
 def q_curate_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1459,10 +1453,7 @@ def q_stream_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-replay twin applies verbatim (NULL-text rows carry a NULL
     verdict through the stateless gate and are filtered to match the
     twin's absent-row semantics)."""
-    import glob as _glob
-    import os as _os
     import shutil as _shutil
-    import uuid
 
     from frames_map_reduce_spark.streaming import stream_bloom_gate
 
@@ -1470,30 +1461,25 @@ def q_stream_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = docs.filter(F.col("doc_id") % 4 == 0)
     words = [(r["_word"], r["_bits"])
              for r in BL.bloom_words(ref, "text").collect()]
-    base = f"/tmp/fmr_stream_bloom_{uuid.uuid4().hex[:12]}"
-    try:
-        stage = f"{base}/in"
-        _os.makedirs(stage)
-        inc = docs.select("doc_id", "text")
-        inc.coalesce(1).write.parquet(f"{base}/f0")
-        _shutil.move(_glob.glob(f"{base}/f0/part-*.parquet")[0],
-                     f"{stage}/0.parquet")
-        stream = spark.readStream.schema(inc.schema).parquet(stage)
-        gated = stream_bloom_gate(stream, words, "text")
-        # FIXED sink name (r7 ADVICE): restarting a memory-sink query
-        # under the same name REPLACES its temp table, so bench reps
-        # overwrite the ~50k verdict rows instead of pinning one copy
-        # per rep in driver memory for the session lifetime
-        name = "stream_bloom_sink"
-        q = (gated.drop("text").writeStream.format("memory")
-                  .queryName(name).outputMode("append")
-                  .trigger(availableNow=True).start())
-        q.awaitTermination()
-        return (spark.table(name)
-                     .filter(F.col("maybe_dup").isNotNull())
-                     .select("doc_id", "maybe_dup"))
-    finally:
-        _shutil.rmtree(base, ignore_errors=True)
+    # deterministic pre-cleaned staging (r9 verdict #7)
+    base = "/tmp/fmr_stream_bloom"
+    _shutil.rmtree(base, ignore_errors=True)
+    inc = docs.select("doc_id", "text")
+    inc.write.parquet(f"{base}/in")
+    stream = spark.readStream.schema(inc.schema).parquet(f"{base}/in")
+    gated = stream_bloom_gate(stream, words, "text")
+    # FIXED sink name (r7 ADVICE): restarting a memory-sink query
+    # under the same name REPLACES its temp table, so bench reps
+    # overwrite the ~50k verdict rows instead of pinning one copy
+    # per rep in driver memory for the session lifetime
+    name = "stream_bloom_sink"
+    q = (gated.drop("text").writeStream.format("memory")
+              .queryName(name).outputMode("append")
+              .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+                 .filter(F.col("maybe_dup").isNotNull())
+                 .select("doc_id", "maybe_dup"))
 
 
 def q_stream_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2268,7 +2254,6 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob as _glob
     import os as _os
     import shutil as _shutil
-    import uuid
 
     from frames_map_reduce_spark.mapreduce import unpack_no_op as _noop
     from frames_map_reduce_spark.streaming import stream_map_reduce, stream_to_memory
@@ -2276,43 +2261,42 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
 
-    base = f"/tmp/fmr_stream_sliding_{uuid.uuid4().hex[:12]}"
-    try:
-        stage = f"{base}/in"
-        _os.makedirs(stage)
-        tick = spark.createDataFrame(
-            [(-1, max_ts + _dtm.timedelta(minutes=31), -1, "tick", 0.0, "{}")],
-            schema=ev.schema)
-        late = (ev.orderBy("ts", "event_id").limit(100)
-                  .withColumn("event_id", F.col("event_id") + F.lit(10_000_000)))
-        for i, df in enumerate((ev, tick, late)):
-            out = f"{base}/f{i}"
-            df.coalesce(1).write.parquet(out)
-            part = _glob.glob(f"{out}/part-*.parquet")[0]
-            dst = f"{stage}/{i}.parquet"
-            _shutil.move(part, dst)
-            # file source processes oldest-mtime first: force the batch order
-            _os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+    # deterministic pre-cleaned staging (r9 verdict #7); the per-file
+    # move + mtime stamping stays — the THREE-batch arrival order is
+    # the scenario under test (maxFilesPerTrigger=1, oldest first)
+    base = "/tmp/fmr_stream_sliding"
+    _shutil.rmtree(base, ignore_errors=True)
+    stage = f"{base}/in"
+    _os.makedirs(stage)
+    tick = spark.createDataFrame(
+        [(-1, max_ts + _dtm.timedelta(minutes=31), -1, "tick", 0.0, "{}")],
+        schema=ev.schema)
+    late = (ev.orderBy("ts", "event_id").limit(100)
+              .withColumn("event_id", F.col("event_id") + F.lit(10_000_000)))
+    for i, df in enumerate((ev, tick, late)):
+        out = f"{base}/f{i}"
+        df.coalesce(1).write.parquet(out)
+        part = _glob.glob(f"{out}/part-*.parquet")[0]
+        dst = f"{stage}/{i}.parquet"
+        _shutil.move(part, dst)
+        # file source processes oldest-mtime first: force the batch order
+        _os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
 
-        stream = (spark.readStream.schema(ev.schema)
-                       .option("maxFilesPerTrigger", "1").parquet(stage))
-        result = stream_map_reduce(
-            stream, _noop(), keys=["event_type"],
-            fold=folds.count_star("n")
-                 & folds.of(F.round(F.sum("value"), 2), "sum_value"),
-            ts_col="ts", window="1 hour", slide="30 minutes",
-            watermark="30 minutes")
-        # fixed sink name: reps replace the table (see q_stream_bloom)
-        name = "stream_sliding_sink"
-        q = stream_to_memory(result, name, output_mode="append")
-        q.awaitTermination()
-        # the memory sink holds the rows in driver memory, so the staging
-        # files can go as soon as the query has terminated
-        return spark.table(name).select(
-            F.col("window.start").alias("window_start"),
-            "event_type", "n", "sum_value")
-    finally:
-        _shutil.rmtree(base, ignore_errors=True)
+    stream = (spark.readStream.schema(ev.schema)
+                   .option("maxFilesPerTrigger", "1").parquet(stage))
+    result = stream_map_reduce(
+        stream, _noop(), keys=["event_type"],
+        fold=folds.count_star("n")
+             & folds.of(F.round(F.sum("value"), 2), "sum_value"),
+        ts_col="ts", window="1 hour", slide="30 minutes",
+        watermark="30 minutes")
+    # fixed sink name: reps replace the table (see q_stream_bloom)
+    name = "stream_sliding_sink"
+    q = stream_to_memory(result, name, output_mode="append")
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("window.start").alias("window_start"),
+        "event_type", "n", "sum_value")
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3271,10 +3255,7 @@ def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exhaustive cross-corpus Jaccard — exact for the same reason as
     dedup_minhash (corpus pairs sit at J >= 0.93 or < 0.32; 16x8 banding
     misses a J=0.93 pair with p ~ 2e-6)."""
-    import glob as _glob
-    import os as _os
     import shutil as _shutil
-    import uuid
 
     from frames_map_reduce_spark.streaming import (
         stream_near_dup, stream_to_memory)
@@ -3282,23 +3263,18 @@ def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     ref = docs.filter(F.col("doc_id") % 4 == 0)
     inc = docs.filter(F.col("doc_id") % 4 != 0)
-    base = f"/tmp/fmr_stream_neardup_{uuid.uuid4().hex[:12]}"
-    try:
-        stage = f"{base}/in"
-        _os.makedirs(stage)
-        inc.coalesce(1).write.parquet(f"{base}/f0")
-        _shutil.move(_glob.glob(f"{base}/f0/part-*.parquet")[0],
-                     f"{stage}/0.parquet")
-        stream = spark.readStream.schema(inc.schema).parquet(stage)
-        out = stream_near_dup(stream, ref, "text", "doc_id", threshold=0.6)
-        # fixed sink name: reps replace the table (see q_stream_bloom)
-        name = "stream_neardup_sink"
-        q = stream_to_memory(out, name, output_mode="append")
-        q.awaitTermination()
-        return spark.table(name).select(
-            F.col("doc_id").alias("id_in"), "ref_id", "jaccard")
-    finally:
-        _shutil.rmtree(base, ignore_errors=True)
+    # deterministic pre-cleaned staging (r9 verdict #7)
+    base = "/tmp/fmr_stream_neardup"
+    _shutil.rmtree(base, ignore_errors=True)
+    inc.write.parquet(f"{base}/in")
+    stream = spark.readStream.schema(inc.schema).parquet(f"{base}/in")
+    out = stream_near_dup(stream, ref, "text", "doc_id", threshold=0.6)
+    # fixed sink name: reps replace the table (see q_stream_bloom)
+    name = "stream_neardup_sink"
+    q = stream_to_memory(out, name, output_mode="append")
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("doc_id").alias("id_in"), "ref_id", "jaccard")
 
 
 def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
