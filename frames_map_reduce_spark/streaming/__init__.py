@@ -522,7 +522,8 @@ def stream_ingest_gate_v2(stream: DataFrame, words, weights,
                           m_bits: int | None = None,
                           k: int | None = None,
                           threshold: float = 0.6,
-                          checkpoint: str | None = None):
+                          checkpoint: str | None = None,
+                          max_probe_buckets: int = 1_000_000):
     """The FULL streaming admission gate (r8 verdict #2) — all three of
     the batch ``ingest_gate``'s screens at ingestion time: exact
     membership (Bloom) and model quality (classifier) as stateless
@@ -545,9 +546,26 @@ def stream_ingest_gate_v2(stream: DataFrame, words, weights,
     Each micro-batch OVERWRITES its own ``batch_id=N`` partition
     directory under ``sink_dir`` — foreachBatch is at-least-once, and
     per-batch overwrite makes replays idempotent (the
-    ``stream_merge_snapshot`` convention); read the gated output with
-    ``spark.read.parquet(sink_dir)``.  Returns the started
-    StreamingQuery."""
+    ``stream_merge_snapshot`` convention — proven by
+    ``tests/test_streaming.py::test_gate_v2_replay_idempotent``); read
+    the gated output with ``spark.read.parquet(sink_dir)``.  Returns
+    the started StreamingQuery.
+
+    MICRO-BATCH SIZE IS THE CALLER'S CONTRACT (r9 ADVICE): the probe
+    stage driver-collects the batch's distinct bucket keys and refuses
+    past ``max_probe_buckets`` (the firewall's bounded-collect
+    contract, ``dedup.minhash_probe_index``) — and under
+    ``trigger(availableNow)`` a file source with NO rate limit delivers
+    the ENTIRE backlog as one micro-batch.  Bound the batch on the
+    SOURCE, where Spark's rate limits live (they are readStream
+    options, not sink options): ``.option("maxFilesPerTrigger", N)`` /
+    ``.option("maxBytesPerTrigger", ...)`` on the file source sizes
+    each micro-batch at roughly ``files × rows_per_file × bands``
+    bucket keys, which must stay under ``max_probe_buckets``.  Raising
+    ``max_probe_buckets`` instead trades driver memory (~dozens of
+    bytes per bucket key) for batch size — a knowing dial, surfaced
+    here so the backstop never has to be bypassed by forking the
+    gate."""
     import os
 
     from frames_map_reduce_spark.operators.dedup import minhash_probe_index
@@ -563,7 +581,8 @@ def stream_ingest_gate_v2(stream: DataFrame, words, weights,
             return
         spark = batch_df.sparkSession
         nd = (minhash_probe_index(spark, minhash_table, batch_df,
-                                  text_col, id_col, threshold=threshold)
+                                  text_col, id_col, threshold=threshold,
+                                  max_probe_buckets=max_probe_buckets)
                 .select(id_col).distinct()
                 .withColumn("_nd", F.lit(True)))
         out = (batch_df.join(F.broadcast(nd), id_col, "left")

@@ -551,3 +551,52 @@ def test_stream_ingest_gate_v2_matches_batch_composition(spark, documents,
     finally:
         for suffix in ("_buckets", "_shingles"):
             spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+
+
+def test_gate_v2_replay_idempotent(spark, documents, tmp_path):
+    """The per-batch-overwrite idempotence claim PROVEN (r9 verdict
+    stretch #8): foreachBatch is at-least-once, so the same micro-batch
+    can be redelivered — simulated here by running the gate TWICE over
+    the same staged input with a FRESH checkpoint (the second run
+    replays every batch under the same batch ids).  The sink must read
+    identically row-for-row after the replay: same rows, same verdict
+    values, no duplicates accumulated."""
+    from frames_map_reduce_spark.operators import bloom as BL
+    from frames_map_reduce_spark.operators import classifier as CLF
+    from frames_map_reduce_spark.operators import dedup as DD
+    from frames_map_reduce_spark.streaming import stream_ingest_gate_v2
+
+    ref = documents.filter(F.col("doc_id") % 4 == 0)
+    words = [(r["_word"], r["_bits"])
+             for r in BL.bloom_words(ref, "text").collect()]
+    labeled = documents.withColumn("_en", F.col("lang") == "en")
+    weights = [(r["bucket"], r["weight"]) for r in
+               CLF.train_logodds_classifier(labeled, "text", "_en",
+                                            n_buckets=64,
+                                            salt="sig").collect()]
+    table = "t_sgv2_replay_mh"
+    try:
+        DD.build_minhash_index(ref, table, "text", "doc_id")
+        inc = documents.select("doc_id", "source", "text")
+        stage = str(tmp_path / "in")
+        inc.repartition(2).write.parquet(stage)
+        sink = str(tmp_path / "out")
+
+        def run(ckpt: str) -> None:
+            stream = (spark.readStream.schema(inc.schema)
+                           .option("maxFilesPerTrigger", 1).parquet(stage))
+            q = stream_ingest_gate_v2(
+                stream, words, weights, "text", "doc_id", table,
+                sink, n_buckets=64, salt="sig", threshold=0.6,
+                checkpoint=str(tmp_path / ckpt))
+            q.awaitTermination()
+
+        run("ckpt1")
+        first = sorted(map(tuple, spark.read.parquet(sink).collect()))
+        assert first  # the first delivery produced rows
+        run("ckpt2")  # fresh checkpoint = full redelivery, same batch ids
+        second = sorted(map(tuple, spark.read.parquet(sink).collect()))
+        assert second == first
+    finally:
+        for suffix in ("_buckets", "_shingles"):
+            spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
