@@ -117,13 +117,24 @@ HEADLINE = [
     "bpe_train_encode",   # train -> learned-inventory encode composition
     "stream_enrich",      # stream-static broadcast enrichment rollup
     "dsir_select",        # DSIR importance resampling toward a target
+    # round-10 additions; gate_build is decomposed (r9 verdict #5) so
+    # the 12-13 s number attributes to its pieces mechanically
+    "gate_build_bloom",     # component: Bloom word-table build alone
+    "gate_build_minhash",   # component: MinHash sign + 2 bucketed writes
+    "gate_build_autosize",  # component: the approx_count_distinct pass
+                            # m_bits="auto" adds (n_items= saves exactly this)
+    "bloom_resize_roundtrip",  # overfull -> rebuild-at-suggested-geometry
+    "corpus_to_token_ids",  # curate -> encode IDs -> pack token streams
+    "dsir_select_bigram",   # DSIR at the paper's (1,2)-gram feature set
 ]
 
 #: entries that model amortized ONE-TIME work (index builds): repeating
 #: them at full median-of-n would let the builds dominate the suite
 #: total, but a single sample is throttle-exposed (r7 verdict #5) — so
 #: they run min(3, n_reps) samples and report a real median + IQR.
-ONCE = {"minhash_firewall_build", "gate_build"}
+ONCE = {"minhash_firewall_build", "gate_build", "gate_build_bloom",
+        "gate_build_minhash", "gate_build_autosize",
+        "bloom_resize_roundtrip"}
 
 
 def _commit_record(here: str) -> None:
@@ -186,6 +197,22 @@ def main() -> None:
     li.select("l_orderkey").repartition(32) \
       .mapInPandas(_ident, "l_orderkey long").count()
 
+    # CALIBRATION (r9 verdict #6): a constant-work CPU row — a fixed
+    # 2^28-element modular-sum over spark.range on 32 partitions, pure
+    # whole-stage codegen, zero I/O, independent of sf — sampled with
+    # the same median-of-n protocol and recorded in every BENCH_FULL
+    # refresh.  Same-HEAD runs on this host scatter up to ~1.5× from
+    # thermal throttling; dividing a round's per-query medians by its
+    # calibration median (or comparing the two rounds' calibration
+    # rows first) separates host drift from plan regressions
+    # mechanically.  Kept OUT of `queries`/the suite total: it
+    # measures the host, not the engine.
+    def _calibration_once() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 1 << 28, 1, 32).selectExpr(
+            "sum((id % 1000003) * 2 + 1) AS chk").collect()
+        return time.perf_counter() - t0
+
     # median-of-5 per query with the IQR published next to it: this host
     # intermittently throttles under sustained load (observed ±50% on
     # identical runs; r3/r4 "regressions" on frozen code were noise), and
@@ -196,6 +223,10 @@ def main() -> None:
     # machine noise by construction.  Caches/persists are per-DataFrame
     # lineages rebuilt each call, so every sample measures the same work.
     n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+    cal_samples = sorted(_calibration_once() for _ in range(n_reps))
+    cal_median = round(statistics.median(cal_samples), 3)
+    print(f"# calibration: median {cal_median}s of "
+          f"{[round(s, 2) for s in cal_samples]}", file=sys.stderr)
     timings: dict[str, float] = {}
     iqr: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
@@ -245,6 +276,15 @@ def main() -> None:
         # not recurring suite time
         "n_once": {name: min(3, n_reps) for name in ONCE
                    if name in timings},
+        # host-speed reference for cross-round normalization (r9
+        # verdict #6): constant work, zero I/O — per-query ratios
+        # divided by the calibration ratio cancel host drift
+        "calibration": {
+            "median": cal_median,
+            "samples": [round(s, 3) for s in cal_samples],
+            "work": "spark.range(2^28) modular sum, 32 partitions, "
+                    "whole-stage codegen, no I/O",
+        },
         "stat": "median",
         "noise_note": ("host throttles intermittently (±50% observed on "
                        "identical runs); treat a per-query delta within "
@@ -264,6 +304,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "calibration": cal_median,
         "sf": sf,
     }))
 
