@@ -582,11 +582,48 @@ def bench_gate_build(spark: SparkSession, sf_dir: str) -> None:
     """Bench-only (r7 verdict #5): the train-once half of q_ingest_gate
     in isolation — build BOTH firewalls (Bloom word table + MinHash
     bucketed index) over the accepted %4==0 corpus.  Amortized one-time
-    cost in the deployment shape; the recurring cost is gate_probe."""
+    cost in the deployment shape; the recurring cost is gate_probe.
+    Component breakdown (r9 verdict #5): gate_build_bloom /
+    gate_build_minhash / gate_build_autosize time the three pieces
+    separately."""
     docs = _docs(spark, sf_dir)
     ref = docs.filter(F.col("doc_id") % 4 == 0)
     BL.build_bloom_index(ref, "gate_bloom_bench", "text")
     DD.build_minhash_index(ref, "gate_minhash_bench", "text", "doc_id")
+
+
+def bench_gate_build_bloom(spark: SparkSession, sf_dir: str) -> None:
+    """Bench-only (r9 verdict #5 — gate_build decomposed): the Bloom
+    half alone, at the same fixed default geometry gate_build uses.
+    One corpus scan → explode → bit_or groupBy → bucketed write."""
+    docs = _docs(spark, sf_dir)
+    ref = docs.filter(F.col("doc_id") % 4 == 0)
+    BL.build_bloom_index(ref, "gate_bloom_comp_bench", "text")
+
+
+def bench_gate_build_minhash(spark: SparkSession, sf_dir: str) -> None:
+    """Bench-only (r9 verdict #5): the MinHash half alone — sign the
+    corpus (one Arrow stage) + write the two bucketed index tables.
+    Expected to dominate gate_build: signing is the Python-side work."""
+    docs = _docs(spark, sf_dir)
+    ref = docs.filter(F.col("doc_id") % 4 == 0)
+    DD.build_minhash_index(ref, "gate_minhash_comp_bench", "text",
+                           "doc_id")
+
+
+def bench_gate_build_autosize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only (r9 verdict #5): the cost ``m_bits="auto"`` ADDS to a
+    Bloom build — the one ``approx_count_distinct`` pass over the
+    corpus's canonical forms.  This pass cannot fuse into the word-row
+    scan (the count picks the geometry, and the geometry defines the
+    position spec the word rows are computed under — the count must
+    complete first; recorded decision on bloom.build_bloom_index), so
+    its isolated cost is exactly what ``n_items=`` saves when the
+    cardinality is already known."""
+    docs = _docs(spark, sf_dir)
+    ref = docs.filter(F.col("doc_id") % 4 == 0)
+    return ref.agg(
+        F.approx_count_distinct(TX.normalized(F.col("text"))).alias("n"))
 
 
 def bench_gate_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -669,6 +706,9 @@ def bench_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_firewall_build": bench_minhash_firewall_build,
         "minhash_firewall_probe": bench_minhash_firewall_probe,
         "gate_build": bench_gate_build,
+        "gate_build_bloom": bench_gate_build_bloom,
+        "gate_build_minhash": bench_gate_build_minhash,
+        "gate_build_autosize": bench_gate_build_autosize,
         "gate_probe": bench_gate_probe,
         "stream_gate_v2_probe": bench_stream_gate_v2_probe,
     }
@@ -3370,58 +3410,51 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_tpch_q1(spark, "/root/testdata/sf0.001")
 
 
-#: Round-9 driver window (r8 verdict #1: rotate to the r6-stale set).
+#: Round-10 driver window (r9 verdict #1: rotate to the r7-stale set).
 #: Composition, in priority order:
-#: (1) the FOUR queries added this round, proven in their debut round
-#:     per established practice: stream_ingest_gate_v2 (the full
-#:     streaming admission gate with the foreachBatch MinHash probe,
-#:     r8 verdict #2), bloom_compact_roundtrip (the compaction policy
-#:     proven end-to-end with expected_fpr, r8 verdict #3/#6),
-#:     bpe_train_encode (the BPE train→apply arc, r8 verdict #7), and
-#:     stream_enrich (stream-static broadcast enrichment — defined
-#:     since r2 but never registered: the one stream operator with no
-#:     driver row until now);
-#: (2) ALL 37 r6-stale queries (PROVENANCE.json
-#:     `stale_after_next_round` with last_proven_round=6 — the exact
-#:     list r8 verdict #1 names);
-#: (3) queries whose PLANS or rigs changed this round, re-proven on
-#:     principle: stream_ingest_gate (de-rigged: 8-split staging +
-#:     parquet sink, r8 verdict #4), stream_hourly / stream_sessions /
-#:     stream_stateful (fixed sink names, r8 verdict #5 — sliding/
-#:     join/dedup/near_dup are already in (2)), bpe_token_count +
-#:     bpe_train (encoder/trainer refactor for the learned-inventory
-#:     parameterization), bloom_gen_stats (strict missing-geometry
-#:     raise, r8 ADVICE);
-#: (4) dsir_select — the fifth query added this round (DSIR importance
-#:     resampling, proven in its debut round) — and the last slot to
-#:     ingest_gate, the oldest r7-proven row most adjacent to this
-#:     round's changes (the batch twin whose oracle corpus invariant
-#:     stream_ingest_gate_v2 inherits).
-#: The r7-proven rows that did not fit (tpch_*, dedup_*, minhash_
-#: firewall, sketches, …) lead the r10 rotation queue and are re-proven
-#: at sf0.001 by the local parity suite on every pytest run.
-_R9_WINDOW = [
+#: (1) the THREE queries added this round, proven in their debut round
+#:     per established practice: bloom_resize_roundtrip (the
+#:     monitor → suggest_geometry → rebuild arc, r9 verdict #2),
+#:     corpus_to_token_ids (curate → encode IDs → pack token streams,
+#:     r9 verdict #3), dsir_select_bigram (DSIR at the paper's full
+#:     (1,2)-gram feature set, r9 verdict #4);
+#: (2) ALL 38 r7-stale queries (PROVENANCE.json
+#:     `stale_after_next_round` entries with last_proven_round=7 after
+#:     ingesting CORRECTNESS_r09 — the exact list r9 verdict #1 names);
+#: (3) queries whose RIGS changed this round, re-proven on principle:
+#:     stream_sliding + stream_near_dup (uuid staging retired to
+#:     pre-cleaned deterministic dirs, r9 verdict #7 — stream_bloom and
+#:     stream_classifier, the other two de-uuid'd rigs, are already in
+#:     (2));
+#: (4) seven r8-proven fills adjacent to this round's module changes
+#:     (packing.py gained pack_token_ids, classifier.py gained the
+#:     ngram feature stream, sampling.py threads it): the five packing
+#:     rows, curate_corpus_v3 (classifier train→score→cut), and
+#:     mixture_weights (sampling).  Default-ngram plans are expression-
+#:     identical, so these re-prove no-regression, not new behavior.
+#: The r8-proven rows that did not fit lead the r11 rotation queue and
+#: are re-proven at sf0.001 by the local parity suite on every pytest
+#: run.
+_R10_WINDOW = [
     # (1) this round's additions
-    "stream_ingest_gate_v2", "bloom_compact_roundtrip",
-    "bpe_train_encode", "stream_enrich",
-    # (2) the 37 r6-stale queries
-    "ann_bruteforce_joined", "ann_srp", "asof_sliced",
-    "assign_keys_and_data", "chunk_dedup", "combine_key_maps",
-    "corpus_report", "curate_corpus_v2", "dup_spans", "events_json",
-    "fold_all", "fold_all_monoid", "fold_all_numeric", "frame_concat",
-    "good_rows", "leakage_safe_split", "length_histogram",
-    "media_features", "null_propagating", "pandas_fold",
-    "read_csv_permissive", "retention", "rollup_revenue",
-    "running_total", "shuffle_pos", "sketch_distinct",
-    "sketch_quantiles", "split_on_data", "sql_revenue", "stream_dedup",
-    "stream_join", "stream_near_dup", "stream_sliding", "to_frame",
-    "weighted_mean", "weighted_sample", "zorder_extents",
-    # (3) plan/rig changed this round
-    "stream_ingest_gate", "stream_hourly", "stream_sessions",
-    "stream_stateful", "bpe_token_count", "bpe_train",
-    "bloom_gen_stats",
-    # (4) the fifth r9 debut + change-adjacent r7 fill
-    "dsir_select", "ingest_gate",
+    "bloom_resize_roundtrip", "corpus_to_token_ids", "dsir_select_bigram",
+    # (2) the 38 r7-stale queries
+    "ann_int8", "ann_ivf", "asof_tolerance", "bigram_perplexity",
+    "bloom_firewall", "c4_rules", "corpus_diff", "curate_corpus",
+    "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
+    "dedup_simhash", "funnel", "gopher_rules", "minhash_firewall",
+    "mislabel_knn", "mr_sum_by_flag", "normalize_punct", "perplexity",
+    "quality_classifier", "redact_pii", "remove_dup_spans",
+    "repetition_stats", "salted_agg", "scd2", "semantic_dedup",
+    "sketch_cms", "sketch_heavy_hitters", "stream_bloom",
+    "stream_classifier", "temperature_mixture", "top_ngrams",
+    "topk_per_group", "tpch_q1", "tpch_q18", "tpch_q3", "tpch_q5",
+    "zorder_pruning",
+    # (3) rig changed this round (uuid staging retired)
+    "stream_sliding", "stream_near_dup",
+    # (4) module-adjacent r8 fills
+    "pack_sequences", "pack_shards", "pack_extend", "pack_bpe_sequences",
+    "corpus_to_sequences", "curate_corpus_v3", "mixture_weights",
 ]
 
 
@@ -3432,12 +3465,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries only, so proof rotates round-over-round.  PROVENANCE.json
     (regenerated by ``python tools/provenance.py``) is the
     machine-readable query → last-driver-proven-round ledger; the
-    window is ``_R9_WINDOW`` above (chosen from that ledger, rationale
+    window is ``_R10_WINDOW`` above (chosen from that ledger, rationale
     in its comment), applied as a reordering of the stable base dict
     below — below-window entries keep their relative order, which is
-    the r9 rotation queue."""
+    the r10 rotation queue."""
     base = _queries_base()
-    window = {k: base[k] for k in _R9_WINDOW}
+    window = {k: base[k] for k in _R10_WINDOW}
     assert len(window) == 50, f"window must be exactly 50, got {len(window)}"
     return {**window, **{k: v for k, v in base.items() if k not in window}}
 
