@@ -1350,6 +1350,36 @@ def q_pack_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     order_by=["doc_id"], by=["source"])
 
 
+def q_token_ids_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental TOKEN-STREAM packing (operators/packing.py
+    pack_token_ids_extend) — the q_pack_extend arc carried to the
+    model-ready form: the corpus's first ~80% of doc_ids is encoded and
+    packed as the PRIOR output, the remaining batch is encoded and
+    folded in WITHOUT re-encoding or re-packing the old corpus (the
+    daily shape: encode the delta, extend the shards; each group's
+    straddled tail sequence completes by slot-ordered concatenation).
+    The 80% cut is the integer expression ``(4·max_id) div 5`` so both
+    engines draw the identical boundary.  Oracle: encode_ids_sql +
+    pack_token_ids_sql over the FULL corpus — hash equality proves
+    incremental ≡ full repack cross-engine, every ID in every straddled
+    tail included."""
+    docs = _docs(spark, sf_dir)
+    src = docs.select("doc_id", "source", "text")
+    cut = src.agg(F.expr("(4 * max(doc_id)) div 5").alias("_cut"))
+    tagged = src.crossJoin(F.broadcast(cut))
+    old = tagged.filter(F.col("doc_id") < F.col("_cut")).drop("_cut")
+    new = tagged.filter(F.col("doc_id") >= F.col("_cut")).drop("_cut")
+
+    def ids_of(part: DataFrame) -> DataFrame:
+        enc = TKZ.encode_ids(part, "text", "doc_id")
+        return enc.join(part.select("doc_id", "source"), "doc_id")
+
+    prior = PK.pack_token_ids(ids_of(old), "token_ids", 256,
+                              order_by=["doc_id"], by=["source"])
+    return PK.pack_token_ids_extend(prior, ids_of(new), "token_ids", 256,
+                                    order_by=["doc_id"], by=["source"])
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher rule-based quality profile (functions/text.py gopher_rules
     — Rae et al. 2021 arXiv:2112.11446 Appendix A1.1, the canonical
@@ -3412,12 +3442,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Round-10 driver window (r9 verdict #1: rotate to the r7-stale set).
 #: Composition, in priority order:
-#: (1) the THREE queries added this round, proven in their debut round
+#: (1) the FOUR queries added this round, proven in their debut round
 #:     per established practice: bloom_resize_roundtrip (the
 #:     monitor → suggest_geometry → rebuild arc, r9 verdict #2),
 #:     corpus_to_token_ids (curate → encode IDs → pack token streams,
 #:     r9 verdict #3), dsir_select_bigram (DSIR at the paper's full
-#:     (1,2)-gram feature set, r9 verdict #4);
+#:     (1,2)-gram feature set, r9 verdict #4), token_ids_extend (the
+#:     incremental encode-the-delta/extend-the-shards arc — the
+#:     pack_extend law carried to token streams);
 #: (2) ALL 38 r7-stale queries (PROVENANCE.json
 #:     `stale_after_next_round` entries with last_proven_round=7 after
 #:     ingesting CORRECTNESS_r09 — the exact list r9 verdict #1 names);
@@ -3426,18 +3458,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     pre-cleaned deterministic dirs, r9 verdict #7 — stream_bloom and
 #:     stream_classifier, the other two de-uuid'd rigs, are already in
 #:     (2));
-#: (4) seven r8-proven fills adjacent to this round's module changes
-#:     (packing.py gained pack_token_ids, classifier.py gained the
-#:     ngram feature stream, sampling.py threads it): the five packing
-#:     rows, curate_corpus_v3 (classifier train→score→cut), and
-#:     mixture_weights (sampling).  Default-ngram plans are expression-
-#:     identical, so these re-prove no-regression, not new behavior.
+#: (4) six r8-proven fills adjacent to this round's module changes
+#:     (packing.py gained pack_token_ids(_extend), classifier.py gained
+#:     the ngram feature stream): the five packing rows and
+#:     curate_corpus_v3 (classifier train→score→cut).  Default-ngram
+#:     plans are expression-identical, so these re-prove no-regression,
+#:     not new behavior.
 #: The r8-proven rows that did not fit lead the r11 rotation queue and
 #: are re-proven at sf0.001 by the local parity suite on every pytest
 #: run.
 _R10_WINDOW = [
     # (1) this round's additions
     "bloom_resize_roundtrip", "corpus_to_token_ids", "dsir_select_bigram",
+    "token_ids_extend",
     # (2) the 38 r7-stale queries
     "ann_int8", "ann_ivf", "asof_tolerance", "bigram_perplexity",
     "bloom_firewall", "c4_rules", "corpus_diff", "curate_corpus",
@@ -3454,7 +3487,7 @@ _R10_WINDOW = [
     "stream_sliding", "stream_near_dup",
     # (4) module-adjacent r8 fills
     "pack_sequences", "pack_shards", "pack_extend", "pack_bpe_sequences",
-    "corpus_to_sequences", "curate_corpus_v3", "mixture_weights",
+    "corpus_to_sequences", "curate_corpus_v3",
 ]
 
 
@@ -3619,6 +3652,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap": q_kmv_overlap,
         "corpus_diff": q_corpus_diff,
         "pack_extend": q_pack_extend,
+        "token_ids_extend": q_token_ids_extend,
         "bloom_gen_stats": q_bloom_gen_stats,
         "bloom_compact_roundtrip": q_bloom_compact_roundtrip,
         "bloom_resize_roundtrip": q_bloom_resize_roundtrip,
@@ -3717,6 +3751,17 @@ def _corpus_to_token_ids_oracle() -> str:
             f"WHERE len(regexp_extract_all(lower(text), '{TX.WORDISH}')) "
             f"BETWEEN 30 AND 90)")
     enc = TKZ.encode_ids_sql(band, "text", "doc_id")
+    joined = (f"(SELECT e.doc_id, d.source, e.token_ids "
+              f"FROM ({enc}) e JOIN documents d USING (doc_id))")
+    return PK.pack_token_ids_sql(joined, "token_ids", 256,
+                                 ["doc_id"], ["source"])
+
+
+def _token_ids_extend_oracle() -> str:
+    """token_ids_extend twin: the FULL-corpus encode + repack —
+    incremental ≡ repack is the law under proof (the pack_extend
+    convention applied to token streams)."""
+    enc = TKZ.encode_ids_sql("documents", "text", "doc_id")
     joined = (f"(SELECT e.doc_id, d.source, e.token_ids "
               f"FROM ({enc}) e JOIN documents d USING (doc_id))")
     return PK.pack_token_ids_sql(joined, "token_ids", 256,
@@ -4460,6 +4505,9 @@ def oracle_sql() -> dict[str, str]:
         # window-offset chunking, nested verbatim: every ID in every
         # sequence is hash-proven, order included
         "corpus_to_token_ids": _corpus_to_token_ids_oracle(),
+        # full-corpus encode+repack: hash equality proves the
+        # incremental extend ≡ repack law cross-engine
+        "token_ids_extend": _token_ids_extend_oracle(),
         "dedup_clusters": f"""
             WITH RECURSIVE
             sh AS (SELECT doc_id, {shingle5} AS sh FROM documents),

@@ -126,6 +126,7 @@ HEADLINE = [
     "bloom_resize_roundtrip",  # overfull -> rebuild-at-suggested-geometry
     "corpus_to_token_ids",  # curate -> encode IDs -> pack token streams
     "dsir_select_bigram",   # DSIR at the paper's (1,2)-gram feature set
+    "token_ids_extend",     # incremental encode-delta/extend-shards arc
 ]
 
 #: entries that model amortized ONE-TIME work (index builds): repeating

@@ -49,6 +49,7 @@ from frames_map_reduce_spark.session import drain_persist_cache
 __all__ = ["pack_shards", "pack_sequences", "pack_sequences_extend",
            "pack_sequences_sql",
            "pack_token_ids", "pack_token_ids_sql",
+           "pack_token_ids_extend",
            "write_packed_shards"]
 
 _INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
@@ -362,6 +363,14 @@ def pack_token_ids(df: DataFrame, ids_col: str, block: int,
     require_columns(df, [*by, *order_by, ids_col])
     off = _running_offsets(df, F.size(F.col(ids_col)).cast("bigint"),
                            order_by, by, n_buckets, drop_nonpositive=True)
+    return _pack_ids_tail(off, ids_col, block, by, seq_col)
+
+
+def _pack_ids_tail(off: DataFrame, ids_col: str, block: int,
+                   by: Sequence[str], seq_col: str) -> DataFrame:
+    """Shared tail of :func:`pack_token_ids` / :func:`pack_token_ids_extend`:
+    offsets → one posexplode → block ids → bounded-group integer
+    array_sort reassembly."""
     tok = (off.select(*[F.col(c) for c in by], F.col("_start"),
                       F.posexplode(F.col(ids_col)).alias("_i", "_id"))
               .withColumn("_gpos", F.col("_start") + F.col("_i"))
@@ -374,6 +383,87 @@ def pack_token_ids(df: DataFrame, ids_col: str, block: int,
                                      F.col("_id").alias("t")))),
                         lambda s: s["t"]).alias("token_ids"),
                     F.count(F.lit(1)).cast("bigint").alias("n_tokens")))
+
+
+def pack_token_ids_extend(prior_packed: DataFrame, new_df: DataFrame,
+                          ids_col: str, block: int,
+                          order_by: Sequence[str], by: Sequence[str] = (),
+                          seq_col: str = "seq_id",
+                          n_buckets: int | str = "auto") -> DataFrame:
+    """Incremental :func:`pack_token_ids`: fold a batch of NEW
+    documents' ID streams into an existing packed output WITHOUT
+    re-encoding or re-packing the corpus — the token-stream twin of
+    :func:`pack_sequences_extend`, and the arc a daily training-data
+    pipeline actually runs (encode the delta, extend the shards).
+
+    State needed from the prior pack: each group's total token count
+    (``sum(n_tokens)`` — exact BIGINT, carried by the packed frame
+    itself) and each group's one PARTIAL tail sequence, whose IDs the
+    first new tokens complete.  New offsets resume from the total, so
+    the straddled tail's delta slots start exactly where the prior
+    partial left off — the merge is a slot-ordered concatenation
+    (prior IDs first), every other sequence passes through or is
+    delta-only.
+
+    CONTRACT (same as pack_sequences_extend, equality-pinned by the
+    registry oracle): within each group, every new document's
+    ``order_by`` key sorts AFTER all previously packed documents' —
+    monotone ingestion ids.  Under it the result is BIT-IDENTICAL to
+    ``pack_token_ids(old ∪ new)``; groups unseen in the prior start at
+    offset 0, groups with no new documents pass through unchanged.
+
+    Scale shape: one aggregation over the prior manifest's counts
+    (tiny, broadcast), the same offsets/posexplode/agg as
+    :func:`pack_token_ids` over the NEW batch only, then one
+    key-partitioned merge whose per-group concat is bounded at
+    ``block`` IDs."""
+    if block <= 0:
+        raise ValueError(f"block must be positive, got {block}")
+    if not order_by:
+        raise ValueError("order_by must name at least one column")
+    require_columns(new_df, [*by, *order_by, ids_col])
+    require_columns(prior_packed, [*by, seq_col, "token_ids", "n_tokens"])
+    sized = _running_offsets(new_df,
+                             F.size(F.col(ids_col)).cast("bigint"),
+                             order_by, by, n_buckets,
+                             drop_nonpositive=True)
+    prior_tot = (prior_packed.groupBy(*[F.col(c) for c in by])
+                             .agg(F.sum("n_tokens").cast("bigint")
+                                   .alias("_prior")))
+    if by:
+        shifted = (sized.join(F.broadcast(prior_tot.select(
+                        *[prior_tot[c].alias(f"_pg{i}")
+                          for i, c in enumerate(by)], "_prior")),
+                        _reduce(lambda a, b: a & b,
+                                [sized[c].eqNullSafe(F.col(f"_pg{i}"))
+                                 for i, c in enumerate(by)], F.lit(True)),
+                        "left")
+                        .drop(*[f"_pg{i}" for i in range(len(by))]))
+    else:
+        shifted = (sized.withColumn("_jk", F.lit(1))
+                        .join(F.broadcast(
+                            prior_tot.withColumn("_jk", F.lit(1))),
+                              "_jk", "left")
+                        .drop("_jk"))
+    shifted = (shifted
+               .withColumn("_prior", F.coalesce("_prior", F.lit(0))
+                            .cast("bigint"))
+               .withColumn("_start", F.col("_start") + F.col("_prior"))
+               .withColumn("_end", F.col("_end") + F.col("_prior")))
+    delta = _pack_ids_tail(shifted, ids_col, block, by, seq_col)
+    keep = [*by, seq_col, "token_ids", "n_tokens"]
+    # the straddled tail merges prior-IDs-first: the monotone contract
+    # puts every delta slot after the prior partial's slots, so the
+    # marker-ordered concat IS the slot order
+    merged = (prior_packed.select(*keep).withColumn("_m", F.lit(0))
+              .unionByName(delta.select(*keep).withColumn("_m", F.lit(1))))
+    return (merged.groupBy(*[F.col(c) for c in by], F.col(seq_col))
+                  .agg(F.flatten(F.transform(
+                           F.array_sort(F.collect_list(
+                               F.struct(F.col("_m").alias("m"),
+                                        F.col("token_ids").alias("t")))),
+                           lambda s: s["t"])).alias("token_ids"),
+                       F.sum("n_tokens").cast("bigint").alias("n_tokens")))
 
 
 def pack_token_ids_sql(table_expr: str, ids_expr: str, block: int,

@@ -973,3 +973,18 @@ def test_token_id_pipeline_matches_duckdb(spark, texts, n_merges, block):
     if got:
         assert all(n == block for _, _, n in got[:-1])
         assert sum(n for _, _, n in got) == sum(map(len, got_ids.values()))
+    # incremental ≡ repack (pack_token_ids_extend) at every prefix cut:
+    # the monotone-ingestion contract holds by construction (doc_id
+    # order), so extend(pack(old), new) must equal the full pack
+    from frames_map_reduce_spark.operators.packing import (
+        pack_token_ids_extend)
+    for cut in {1, len(texts) // 2}:
+        old = ids.filter(F.col("doc_id") < cut)
+        new = ids.filter(F.col("doc_id") >= cut)
+        prior = pack_token_ids(old, "token_ids", block,
+                               order_by=["doc_id"])
+        inc = pack_token_ids_extend(prior, new, "token_ids", block,
+                                    order_by=["doc_id"])
+        got_inc = sorted((r["seq_id"], tuple(r["token_ids"]),
+                          r["n_tokens"]) for r in inc.collect())
+        assert got_inc == got, f"cut={cut}"
