@@ -46,7 +46,7 @@ from frames_map_reduce_spark.schema import require_columns
 __all__ = ["SUBWORD_VOCAB", "encode_word_len", "subword_counts",
            "subword_counts_sql", "subword_step_case_sql",
            "encode_word_ids", "encode_ids", "encode_ids_sql",
-           "token_id_step_sql",
+           "token_id_step_sql", "decode_word_ids", "token_id_decode_sql",
            "bpe_merge_spec", "learn_bpe_merges", "merges_to_inventory",
            "learn_bpe_inventory",
            "bpe_word_counts_sql", "bpe_merges_values_sql"]
@@ -306,6 +306,45 @@ def encode_ids(df: DataFrame, text_col: str, id_col: str,
             yield pd.DataFrame({id_col: ids, "token_ids": seqs})
 
     return toks.mapInPandas(run, schema=out_schema)
+
+
+def decode_word_ids(ids, inventory: tuple[str, ...] | None = None) -> str:
+    """Invert :func:`encode_word_ids`: the subword string each ID names,
+    concatenated — ``decode_word_ids(encode_word_ids(w)) == w`` for
+    every word, the losslessness law of the ID space (greedy encoding
+    partitions the word into inventory entries and single chars; IDs
+    name them bijectively, so the word reassembles exactly).  Raises on
+    an ID outside the space (< 0, or a codepoint past the Unicode
+    range)."""
+    inv, _id_of, _by_len, _lens = _id_index(inventory)
+    n = len(inv)
+    out: list[str] = []
+    for tid in ids:
+        if 0 <= tid < n:
+            out.append(inv[tid])
+        elif n <= tid <= n + 0x10FFFF:
+            out.append(chr(tid - n))
+        else:
+            raise ValueError(f"token id {tid} outside the ID space "
+                             f"(inventory size {n})")
+    return "".join(out)
+
+
+def token_id_decode_sql(id_expr: str,
+                        inventory: tuple[str, ...] | None = None) -> str:
+    """DuckDB twin of the per-ID half of :func:`decode_word_ids`: the
+    subword string for one ID — a CASE over the inventory tuple, else
+    ``chr(id - len(inventory))`` (DuckDB's chr is codepoint-correct,
+    unlike Spark SQL's mod-256 ``char``, which is why the Spark-side
+    decode lives in Python, not an expression)."""
+    inv, _id_of, by_len, _lens = _id_index(inventory)
+    fallback = f"chr(CAST({id_expr} - {len(inv)} AS INTEGER))"
+    if not by_len:
+        return fallback
+    arms = " ".join(
+        f"WHEN {id_expr} = {i} THEN '" + w.replace("'", "''") + "'"
+        for i, w in enumerate(inv))
+    return f"CASE {arms} ELSE {fallback} END"
 
 
 def token_id_step_sql(word_expr: str, pos_expr: str,

@@ -598,3 +598,46 @@ def test_merges_to_inventory_and_learned_encode(spark, documents):
     want = sorted(map(tuple, con.sql(subword_counts_sql(
         "docs", "text", "doc_id", inventory=learned)).fetchall()))
     assert got == want
+
+
+def test_decode_word_ids_roundtrip():
+    """The losslessness law of the ID space: decode(encode(w)) == w for
+    every wordish token — frozen and learned inventories, unicode
+    fallbacks included — and the DuckDB per-ID decode CASE agrees with
+    the Python inverse on every ID the encoder can emit."""
+    import duckdb
+
+    from frames_map_reduce_spark.functions.tokenizer import (
+        SUBWORD_VOCAB, decode_word_ids, encode_word_ids,
+        token_id_decode_sql)
+
+    words = ["the", "nation", "quick", "x", "ß", "≈", "10000",
+             "pneumonoultramicroscopic", "q'q"]
+    for w in words:
+        assert decode_word_ids(encode_word_ids(w)) == w, w
+    inv = ("ab", "abc", "o'k")  # quote in a learned entry
+    for w in ("abcab", "o'kx", "zz"):
+        assert decode_word_ids(encode_word_ids(w, inventory=inv),
+                               inventory=inv) == w, w
+
+    con = duckdb.connect()
+    n = len(SUBWORD_VOCAB)
+    ids = list(range(n)) + [n + ord(c) for c in "aß≈'9"]
+    case = token_id_decode_sql("_id")
+    got = dict(con.execute(
+        f"SELECT _id, {case} FROM (SELECT unnest(?) AS _id)",
+        [ids]).fetchall())
+    for tid in ids:
+        assert got[tid] == decode_word_ids([tid]), tid
+    # learned-inventory twin, quote-escaped
+    case2 = token_id_decode_sql("_id", inventory=inv)
+    got2 = dict(con.execute(
+        f"SELECT _id, {case2} FROM (SELECT unnest([0, 1, 2, ?]) AS _id)",
+        [len(inv) + ord("'")]).fetchall())
+    assert got2[2] == "o'k" and got2[len(inv) + ord("'")] == "'"
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="outside"):
+        decode_word_ids([-1])
+    with _pt.raises(ValueError, match="outside"):
+        decode_word_ids([n + 0x110000])
