@@ -210,3 +210,33 @@ def test_semantic_dedup_reuses_persisted_assignment(spark, embeddings):
     assert plan.count("InMemoryTableScan") >= 3, plan[:1500]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_token_ids_plan_shape(spark, documents):
+    """pack_token_ids' scale contract (r10): ONE Python stage (the
+    Arrow encode — mapInPandas is the one loop expressions cannot
+    express), ONE Generate (the per-token posexplode), the bounded
+    reassembly as an ordinary 2-phase object-hash aggregation, the
+    offsets joined back via BROADCAST, and no nested-loop / cartesian /
+    sort-merge join anywhere — output volume is the token stream and
+    nothing else grows."""
+    from frames_map_reduce_spark.functions.tokenizer import encode_ids
+    from frames_map_reduce_spark.operators.packing import pack_token_ids
+
+    src = documents.select("doc_id", "source", "text")
+    ids = encode_ids(src, "text", "doc_id") \
+        .join(src.select("doc_id", "source"), "doc_id")
+    out = pack_token_ids(ids, "token_ids", 256,
+                         order_by=["doc_id"], by=["source"], n_buckets=64)
+    plan = explain_formatted(out)
+    # exactly one Arrow python stage: the greedy encode ("NodeName ("
+    # matches tree + detail-header, twice per physical node — the bare
+    # name also matches the detail section's function-argument line)
+    assert plan.count("MapInPandas (") == 2
+    assert "BatchEvalPython" not in plan        # no row-at-a-time UDF
+    # exactly one Generate: the per-token posexplode
+    assert plan.count("Generate") == 2
+    assert "BroadcastHashJoin" in plan          # offsets join back
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "_pid" in plan                       # two-phase offsets engaged
