@@ -361,10 +361,11 @@ def rebuild_bloom_index(corpus: DataFrame, table: str, text_col: str,
     from frames_map_reduce_spark.sources import write_bucketed
 
     require_columns(corpus, [text_col])
-    # resolve the bucket spec from the LIVE table first: rebuilding a
-    # nonexistent index is a build, and should fail the same way
-    nb = _bloom_num_buckets(spark, table) if n_buckets is None \
-        else int(n_buckets)
+    # resolve the bucket spec from the LIVE table first — even under an
+    # explicit n_buckets override: rebuilding a nonexistent index is a
+    # build, and must fail loudly BEFORE any write (not mid-swap)
+    live_nb = _bloom_num_buckets(spark, table)
+    nb = live_nb if n_buckets is None else int(n_buckets)
     if m_bits == "auto":
         if k is not None:
             raise ValueError(
