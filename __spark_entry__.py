@@ -535,6 +535,19 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .limit(20))
 
 
+def q_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Low-entropy junk filter (operators/quality.py
+    token_entropy_profile): per-document token-distribution Shannon
+    entropy in EXACT INTEGER micronats (per-distinct-token ln quantized
+    before the BIGINT sums — the classifier's micro-log-odds staging
+    discipline), so the bottom-25 removal list rides on an
+    engine-stable integer key.  Explode → (doc, token) count → one
+    per-doc agg; nothing quadratic, nothing driver-side."""
+    docs = _docs(spark, sf_dir)
+    prof = QL.token_entropy_profile(docs, "text", "doc_id")
+    return prof.orderBy("entropy_micro", "doc_id").limit(25)
+
+
 def q_minhash_firewall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch near-dup firewall against a PERSISTED minhash index
     (dedup.build_minhash_index / minhash_probe_index) — the
@@ -2695,6 +2708,24 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.count(F.lit(1)).alias("n_orders")))
 
 
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection (operators/temporal.py
+    rolling_zscore): each event's value against the mean/std of its
+    user's previous 20 events, windowed moments kept as EXACT BIGINT
+    sums (milli-quantized values) so z itself — one sqrt + one division
+    on integer inputs — is bit-identical cross-engine and the DISCRETE
+    cut |z| >= 2.5 is engine-stable.  One shuffle on user_id, O(window)
+    state per key."""
+    ev = _events(spark, sf_dir)
+    from frames_map_reduce_spark.operators.temporal import rolling_zscore
+    scored = rolling_zscore(ev, "value", "ts", ["user_id"], "event_id",
+                            window=20, min_periods=8)
+    return (scored.filter(F.abs("z") >= 2.5)
+                  .select("user_id", "event_id",
+                          F.round("value", 2).alias("value"),
+                          "n_window", F.round("z", 6).alias("z")))
+
+
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-stage aggregation (skew.salted_aggregate): each hot
     key is split into 16 salted sub-keys for the heavy first pass, then
@@ -3485,9 +3516,15 @@ _R10_WINDOW = [
     "zorder_pruning",
     # (3) rig changed this round (uuid staging retired)
     "stream_sliding", "stream_near_dup",
-    # (4) module-adjacent r8 fills
-    "pack_sequences", "pack_shards", "pack_extend", "pack_bpe_sequences",
+    # (4) module-adjacent r8 fills (pack_sequences and pack_shards moved
+    # to the r11 queue mid-round to make room for the session's two
+    # debuts — debuts outrank expression-identical no-regression
+    # re-proofs; packing.py coverage stays via pack_extend /
+    # pack_bpe_sequences / corpus_to_sequences)
+    "pack_extend", "pack_bpe_sequences",
     "corpus_to_sequences", "curate_corpus_v3",
+    # (5) mid-round debuts: entropy junk filter + rolling z-score
+    "entropy_filter", "anomaly_zscore",
 ]
 
 
@@ -3658,6 +3695,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_resize_roundtrip": q_bloom_resize_roundtrip,
         "stream_ingest_gate": q_stream_ingest_gate,
         "stream_ingest_gate_v2": q_stream_ingest_gate_v2,
+        "entropy_filter": q_entropy_filter,
+        "anomaly_zscore": q_anomaly_zscore,
     }
 
 
@@ -5156,4 +5195,15 @@ def oracle_sql() -> dict[str, str]:
         import sys
         print(f"# bloom_resize oracle unavailable for this fixture: {exc}",
               file=sys.stderr)
+    out["entropy_filter"] = (
+        "SELECT * FROM ("
+        + QL.token_entropy_profile_sql("documents", "text", "doc_id")
+        + ") ORDER BY entropy_micro, doc_id LIMIT 25")
+    from frames_map_reduce_spark.operators.temporal import rolling_zscore_sql
+    out["anomaly_zscore"] = f"""
+        SELECT user_id, event_id, round(value, 2) AS value,
+               n_window, round(z, 6) AS z
+        FROM ({rolling_zscore_sql("events", "value", "ts", ["user_id"],
+                                  "event_id", window=20, min_periods=8)})
+        WHERE abs(z) >= 2.5"""
     return out

@@ -127,6 +127,8 @@ HEADLINE = [
     "corpus_to_token_ids",  # curate -> encode IDs -> pack token streams
     "dsir_select_bigram",   # DSIR at the paper's (1,2)-gram feature set
     "token_ids_extend",     # incremental encode-delta/extend-shards arc
+    "entropy_filter",       # exact-integer micronat entropy bottom-k
+    "anomaly_zscore",       # BIGINT windowed moments trailing z-score
 ]
 
 #: entries that model amortized ONE-TIME work (index builds): repeating

@@ -316,3 +316,106 @@ def bigram_lm_score_sql(table: str, text_col: str, id_col: str,
         SELECT {id_col}, n_tokens, avg_logprob,
                round(exp(-avg_logprob), 3) AS perplexity
         FROM agg"""
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution entropy (exact integer micronats)
+# ---------------------------------------------------------------------------
+
+#: fixed-point scale for entropy staging: per-distinct-token ln values are
+#: quantized to MICROnats before the per-document accumulation, so every
+#: sum is a BIGINT (order-independent — bit-identical under any partitioning
+#: and any engine; the same staging discipline as the classifier's
+#: micro-log-odds).  1e-6 nat is far below any filtering threshold's noise
+#: floor.
+_ENTROPY_SCALE = 1_000_000
+
+
+def token_entropy_profile(df: DataFrame, text_col: str, id_col: str,
+                          carry: Sequence[str] = ()) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution, in exact
+    integer micronats — the "low-entropy junk" quality signal (keyword
+    stuffing, degenerate repetition, boilerplate loops score near 0;
+    natural prose scores near ln of its length).  The same family of
+    distributional gates as Gopher's repetition rules, but a single
+    scalar that composes with threshold cuts.
+
+    ``H = ln(n) − (1/n)·Σ_t c_t·ln(c_t)`` over the document's distinct
+    tokens ``t`` with occurrence counts ``c_t`` (``n = Σ c_t``) —
+    algebraically identical to ``−Σ p·ln p`` but staged so the only
+    per-token float op is one ``ln`` that is immediately quantized:
+
+    - per (doc, token): ``q = round(ln(c)·1e6)::BIGINT · c`` (``ln(1)=0``,
+      so singleton tokens contribute exactly 0);
+    - per doc: BIGINT sums, then
+      ``entropy_micro = round(ln(n)·1e6) − halfup(Σq / n)`` with the
+      half-up integer division ``(2·Σq + n) div (2·n)`` (non-negative
+      operands, so Spark ``div`` truncation and DuckDB ``//`` flooring
+      agree).
+
+    Downstream DISCRETE decisions (threshold cuts, bottom-k membership)
+    must ride on ``entropy_micro`` — it is engine-stable; ``entropy``
+    (``entropy_micro/1e6``, one correctly-rounded division) and ``ttr``
+    (type-token ratio, one correctly-rounded division, 6dp) are
+    convenience projections.
+
+    Tokenless documents are absent from the output (mirror in any SQL
+    twin).
+
+    Scale shape: explode → (doc, token) count → one per-doc aggregation.
+    Map-side partial aggregation collapses within-partition repeats, so a
+    pathological document costs bandwidth proportional to its DISTINCT
+    tokens.  Nothing quadratic, nothing driver-side.
+    """
+    require_columns(df, [text_col, id_col, *carry])
+    counts = (df.select(id_col, *carry,
+                        F.explode(TX.tokens(F.col(text_col))).alias("_tok"))
+                .groupBy(id_col, *carry, "_tok")
+                .agg(F.count(F.lit(1)).alias("_c")))
+    q = (F.round(F.log(F.col("_c").cast("double")) * _ENTROPY_SCALE, 0)
+          .cast("bigint") * F.col("_c"))
+    per_doc = (counts.groupBy(id_col, *carry)
+                     .agg(F.sum("_c").alias("n_tokens"),
+                          F.count(F.lit(1)).alias("n_types"),
+                          F.sum(q).alias("_qs")))
+    h = (F.round(F.log(F.col("n_tokens").cast("double")) * _ENTROPY_SCALE, 0)
+          .cast("bigint")
+         - F.expr("(2 * _qs + n_tokens) div (2 * n_tokens)"))
+    return per_doc.select(
+        id_col, *carry,
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_types").cast("bigint").alias("n_types"),
+        h.alias("entropy_micro"),
+        (h.cast("double") / _ENTROPY_SCALE).alias("entropy"),
+        F.round(F.try_divide(F.col("n_types").cast("double"),
+                             F.col("n_tokens").cast("double")), 6)
+         .alias("ttr"))
+
+
+def token_entropy_profile_sql(table: str, text_col: str, id_col: str,
+                              carry: Sequence[str] = ()) -> str:
+    """DuckDB twin of :func:`token_entropy_profile` (differential oracle):
+    the same micronat quantize-then-BIGINT-sum staging, verbatim."""
+    cs = "".join(f", {c}" for c in carry)
+    toks = TX.tokens_sql(text_col)
+    s = _ENTROPY_SCALE
+    return f"""
+        SELECT {id_col}{cs}, n_tokens, n_types,
+               entropy_micro,
+               entropy_micro::DOUBLE / {s} AS entropy,
+               round(n_types::DOUBLE / n_tokens, 6) AS ttr
+        FROM (SELECT {id_col}{cs},
+                     n_tokens::BIGINT AS n_tokens,
+                     n_types::BIGINT AS n_types,
+                     (CAST(round(ln(n_tokens::DOUBLE) * {s}, 0) AS BIGINT)
+                      - (2 * _qs + n_tokens) // (2 * n_tokens))::BIGINT
+                         AS entropy_micro
+              FROM (SELECT {id_col}{cs}, sum(_c) AS n_tokens,
+                           count(*) AS n_types,
+                           sum(CAST(round(ln(_c::DOUBLE) * {s}, 0) AS BIGINT)
+                               * _c) AS _qs
+                    FROM (SELECT {id_col}{cs}, _tok, count(*) AS _c
+                          FROM (SELECT {id_col}{cs}, unnest({toks}) AS _tok
+                                FROM {table})
+                          GROUP BY {id_col}{cs}, _tok)
+                    GROUP BY {id_col}{cs}))"""

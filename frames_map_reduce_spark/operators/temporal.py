@@ -211,3 +211,101 @@ def range_join(points: DataFrame, intervals: DataFrame, point_ts: str,
     joined = p.join(i, [*by_cols, "_bkt"]).filter(
         F.col(point_ts).between(F.col(start_col), F.col(end_col)))
     return joined.drop("_bkt")
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly detection (exact integer windowed moments)
+# ---------------------------------------------------------------------------
+
+#: fixed-point scale for rolling z-scores: values quantize to MILLI-units
+#: before the windowed sums, so every windowed aggregate is a BIGINT —
+#: order-independent and bit-identical cross-engine.  Milli (not micro)
+#: keeps the sum-of-squares far from BIGINT overflow: |v| ≤ 1e6 milli
+#: (a raw value of 1000) gives v² ≤ 1e12, and a 20-row window's
+#: n·Σv² − (Σv)² stays ≤ ~1e15 ≪ 2^63, and ≪ 2^53 so the final cast to
+#: DOUBLE is exact.
+_Z_SCALE = 1_000
+
+
+def rolling_zscore(df: DataFrame, value_col: str, ts_col: str,
+                   key_cols: Sequence[str], tiebreak_col: str,
+                   window: int = 20, min_periods: int = 8) -> DataFrame:
+    """Trailing-window anomaly score: each row's value against the mean
+    and standard deviation of the PREVIOUS ``window`` rows with the same
+    keys (the row itself excluded, so a spike cannot dilute its own
+    baseline) — the classic streaming/telemetry outlier gate.
+
+    ``z = (x·n − s) / sqrt(n·ss − s²)`` over the milli-quantized trailing
+    window (``n`` rows, ``s = Σv``, ``ss = Σv²``) — the algebraic
+    expansion of ``(x − μ)/σ_pop`` that keeps every windowed aggregate a
+    BIGINT sum.  The only float ops are the final ``sqrt`` and division,
+    both IEEE correctly-rounded on exactly-representable integer inputs,
+    so ``z`` is bit-identical under any partitioning and any engine and
+    even DISCRETE decisions (``|z| ≥ cut``) are engine-stable — no
+    windowed float accumulation (whose association order differs between
+    Spark's sliding accumulator and DuckDB's segment tree) anywhere.
+
+    Rows with fewer than ``min_periods`` trailing rows, or zero trailing
+    variance, emit NULL ``z`` (insufficient baseline ≠ anomalous).
+
+    Output: ``key_cols``..., ``ts_col``, ``tiebreak_col``, ``value_col``,
+    ``n_window`` (BIGINT trailing-row count), ``z`` (DOUBLE).
+
+    Scale shape: ONE shuffle on ``key_cols`` + a sort within each key
+    partition — the standard Spark window shape, AQE/skew handling apply
+    as usual.  The window frame is row-bounded, so state per key is
+    O(window), never O(history).
+    """
+    require_columns(df, [value_col, ts_col, tiebreak_col, *key_cols])
+    if window < 1 or min_periods < 2:
+        raise ValueError("need window >= 1 and min_periods >= 2 "
+                         f"(got {window}, {min_periods})")
+    w = (Window.partitionBy(*key_cols)
+               .orderBy(ts_col, tiebreak_col)
+               .rowsBetween(-window, -1))
+    base = df.select(*key_cols, ts_col, tiebreak_col, value_col,
+                     F.round(F.col(value_col) * _Z_SCALE, 0)
+                      .cast("bigint").alias("_v"))
+    stats = base.select(
+        *key_cols, ts_col, tiebreak_col, value_col, "_v",
+        F.count("_v").over(w).alias("_n"),
+        F.coalesce(F.sum("_v").over(w), F.lit(0)).alias("_s"),
+        F.coalesce(F.sum(F.col("_v") * F.col("_v")).over(w), F.lit(0))
+         .alias("_ss"))
+    rad = F.col("_n") * F.col("_ss") - F.col("_s") * F.col("_s")
+    z = F.when(
+        (F.col("_n") >= min_periods) & (rad > 0),
+        (F.col("_v") * F.col("_n") - F.col("_s")).cast("double")
+        / F.sqrt(rad.cast("double")))
+    return stats.select(*key_cols, ts_col, tiebreak_col, value_col,
+                        F.col("_n").cast("bigint").alias("n_window"),
+                        z.alias("z"))
+
+
+def rolling_zscore_sql(table: str, value_col: str, ts_col: str,
+                       key_cols: Sequence[str], tiebreak_col: str,
+                       window: int = 20, min_periods: int = 8) -> str:
+    """DuckDB twin of :func:`rolling_zscore` (differential oracle): the
+    same milli-quantize → BIGINT windowed moments → one sqrt + one
+    division staging, verbatim."""
+    ks = ", ".join(key_cols)
+    return f"""
+        SELECT {ks}, {ts_col}, {tiebreak_col}, {value_col},
+               _n::BIGINT AS n_window,
+               CASE WHEN _n >= {min_periods}
+                         AND _n * _ss - _s * _s > 0
+                    THEN (_v * _n - _s)::DOUBLE
+                         / sqrt((_n * _ss - _s * _s)::DOUBLE)
+               END AS z
+        FROM (SELECT {ks}, {ts_col}, {tiebreak_col}, {value_col}, _v,
+                     count(_v) OVER w AS _n,
+                     coalesce(sum(_v) OVER w, 0) AS _s,
+                     coalesce(sum(_v * _v) OVER w, 0) AS _ss
+              FROM (SELECT {ks}, {ts_col}, {tiebreak_col}, {value_col},
+                           CAST(round({value_col} * {_Z_SCALE}, 0) AS BIGINT)
+                               AS _v
+                    FROM {table})
+              WINDOW w AS (PARTITION BY {ks}
+                           ORDER BY {ts_col}, {tiebreak_col}
+                           ROWS BETWEEN {window} PRECEDING
+                                    AND 1 PRECEDING))"""

@@ -988,3 +988,70 @@ def test_token_id_pipeline_matches_duckdb(spark, texts, n_merges, block):
         got_inc = sorted((r["seq_id"], tuple(r["token_ids"]),
                           r["n_tokens"]) for r in inc.collect())
         assert got_inc == got, f"cut={cut}"
+
+
+@given(docs=docs_strategy)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_token_entropy_matches_duckdb(spark, docs):
+    """Random small corpora through the entropy profile vs its DuckDB
+    twin — exercises the micronat quantize-then-BIGINT-sum staging,
+    tokenless docs (absent from both), singletons (ln(1)=0), and the
+    half-up integer division on shapes the fixed fixture lacks.  The
+    integer entropy_micro column must agree EXACTLY."""
+    from frames_map_reduce_spark.operators.quality import (
+        token_entropy_profile,
+        token_entropy_profile_sql,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(map(tuple,
+                     token_entropy_profile(df, "text", "doc_id").collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(map(tuple,
+                      con.sql(token_entropy_profile_sql("t", "text",
+                                                        "doc_id"))
+                         .fetchall()))
+    assert got == want
+
+
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["u1", "u2", "u3"]),
+              st.integers(min_value=0, max_value=10_000),
+              st.floats(min_value=0.0, max_value=1000.0,
+                        allow_nan=False, allow_infinity=False)),
+    min_size=1, max_size=60),
+    window=st.sampled_from([3, 5, 20]))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_rolling_zscore_matches_duckdb(spark, rows, window):
+    """Random per-key series through the rolling z-score vs its DuckDB
+    twin — the BIGINT windowed moments and the single sqrt+division must
+    agree BIT-FOR-BIT (no rounding in the comparison), including the
+    NULL gates (short history, zero variance) and duplicate timestamps
+    broken by the tiebreak column."""
+    from frames_map_reduce_spark.operators.temporal import (
+        rolling_zscore,
+        rolling_zscore_sql,
+    )
+
+    data = [(k, t, i, v) for i, (k, t, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "k string, t long, event_id long, v double")
+    out = rolling_zscore(df, "v", "t", ["k"], "event_id",
+                         window=window, min_periods=2)
+    got = sorted(map(tuple, out.select("k", "event_id", "n_window",
+                                       "z").collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE evts (k VARCHAR, t BIGINT, event_id BIGINT,"
+                " v DOUBLE)")
+    con.executemany("INSERT INTO evts VALUES (?, ?, ?, ?)", data)
+    sql = rolling_zscore_sql("evts", "v", "t", ["k"], "event_id",
+                             window=window, min_periods=2)
+    want = sorted(map(tuple,
+                      con.sql(f"SELECT k, event_id, n_window, z FROM ({sql})")
+                         .fetchall()))
+    assert got == want

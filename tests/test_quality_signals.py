@@ -1,0 +1,152 @@
+"""Law tests for the exact-integer quality/anomaly signals:
+token_entropy_profile (operators/quality.py) and rolling_zscore
+(operators/temporal.py).  The differential fuzz twins live in
+test_differential_fuzz.py; these pin the CLOSED-FORM cases and the
+plan shape."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from frames_map_reduce_spark.operators.quality import (
+    _ENTROPY_SCALE,
+    token_entropy_profile,
+)
+from frames_map_reduce_spark.operators.temporal import rolling_zscore
+
+
+def _profile_row(spark, text):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = token_entropy_profile(df, "text", "doc_id").collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+def test_entropy_constant_doc_is_zero(spark):
+    """A document that is one token repeated has zero entropy — the
+    degenerate-repetition floor the junk filter cuts on.  Exactly zero:
+    Σq = n·round(ln(n)·1e6) and the half-up mean cancels the ln(n) term."""
+    r = _profile_row(spark, "spam spam spam spam spam spam")
+    assert r.entropy_micro == 0
+    assert r.n_types == 1 and r.n_tokens == 6
+
+
+def test_entropy_all_distinct_is_ln_n(spark):
+    """All-distinct tokens: every c=1, ln(1)=0, so H = ln(n) exactly in
+    quantized micronats."""
+    r = _profile_row(spark, "a b c d e f g h")
+    assert r.n_tokens == 8 and r.n_types == 8
+    assert r.entropy_micro == round(math.log(8) * _ENTROPY_SCALE)
+    assert r.ttr == 1.0
+
+
+def test_entropy_uniform_two_symbol(spark):
+    """k symbols × m repeats: H = ln(k) up to the micronat quantization
+    (≤ 1 micro-unit of staging error per term)."""
+    r = _profile_row(spark, "x y " * 8)
+    assert r.n_tokens == 16 and r.n_types == 2
+    assert abs(r.entropy_micro - round(math.log(2) * _ENTROPY_SCALE)) <= 1
+
+
+def test_entropy_tokenless_doc_absent(spark):
+    df = spark.createDataFrame([(1, "   "), (2, "ok ok")],
+                               "doc_id long, text string")
+    out = token_entropy_profile(df, "text", "doc_id")
+    assert [r.doc_id for r in out.collect()] == [2]
+
+
+def test_entropy_single_exchange_plan(spark):
+    """Explode → two aggs on the SAME grouping prefix: the (doc, token)
+    agg and the per-doc agg must not interpose extra exchanges beyond
+    the two-phase pattern, and no Python stages anywhere."""
+    from frames_map_reduce_spark.plans import explain_formatted
+
+    df = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    plan = explain_formatted(token_entropy_profile(df, "text", "doc_id"))
+    # "Python" alone would false-positive on createDataFrame's
+    # applySchemaToPythonRDD source line — check execution stages only
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def _z_frame(spark, values, key="u"):
+    rows = [(key, i, i, float(v)) for i, v in enumerate(values)]
+    return spark.createDataFrame(
+        rows, "user string, ts long, event_id long, value double")
+
+
+def test_zscore_known_answer(spark):
+    """Closed-form check: baseline 1..8, then a spike of 100.
+    z = (x·n − s)/sqrt(n·ss − s²) on the milli-quantized integers."""
+    df = _z_frame(spark, [1, 2, 3, 4, 5, 6, 7, 8, 100])
+    out = rolling_zscore(df, "value", "ts", ["user"], "event_id",
+                         window=8, min_periods=8)
+    rows = {r.event_id: r for r in out.collect()}
+    # first 8 rows: fewer than min_periods trailing rows -> NULL
+    for i in range(8):
+        assert rows[i].z is None
+    v = [x * 1000 for x in range(1, 9)]
+    n, s, ss = len(v), sum(v), sum(x * x for x in v)
+    expect = (100_000 * n - s) / math.sqrt(n * ss - s * s)
+    assert rows[8].z == pytest.approx(expect, abs=0)
+    assert rows[8].n_window == 8
+
+
+def test_zscore_spike_does_not_dilute_its_own_baseline(spark):
+    """The window excludes the current row: a spike is judged against
+    the CLEAN trailing history, the property that makes the gate usable
+    for ingestion monitoring (a 100x spike still scores huge)."""
+    df = _z_frame(spark, [10, 11, 9, 10, 11, 9, 10, 11, 1000])
+    out = rolling_zscore(df, "value", "ts", ["user"], "event_id",
+                         window=8, min_periods=8)
+    z = {r.event_id: r.z for r in out.collect()}[8]
+    assert z is not None and z > 100
+
+
+def test_zscore_zero_variance_is_null(spark):
+    """Constant history: σ = 0 must gate to NULL, not a division blowup."""
+    df = _z_frame(spark, [5, 5, 5, 5, 5, 7])
+    out = rolling_zscore(df, "value", "ts", ["user"], "event_id",
+                         window=5, min_periods=2)
+    assert {r.event_id: r.z for r in out.collect()}[5] is None
+
+
+def test_zscore_keys_do_not_mix(spark):
+    """Two users interleaved: each gets its own trailing window."""
+    rows = ([("a", i, i, 1.0 + (i % 3)) for i in range(10)]
+            + [("b", i, 100 + i, 500.0 + (i % 5)) for i in range(10)])
+    df = spark.createDataFrame(
+        rows, "user string, ts long, event_id long, value double")
+    out = rolling_zscore(df, "value", "ts", ["user"], "event_id",
+                         window=5, min_periods=3)
+    got = out.filter(F.col("z").isNotNull()).select("user", "z").collect()
+    assert got, "expected some scored rows"
+    # a's values are 1..3, b's 500..504: if windows mixed, |z| explodes
+    assert all(abs(r.z) < 10 for r in got)
+
+
+def test_zscore_single_exchange_plan(spark):
+    """One shuffle on the key columns, no Python stages — the standard
+    Spark window shape."""
+    import re
+
+    from frames_map_reduce_spark.plans import explain_formatted
+
+    df = _z_frame(spark, [1, 2, 3])
+    plan = explain_formatted(
+        rolling_zscore(df, "value", "ts", ["user"], "event_id"))
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    exchanges = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert len(exchanges) == 1 and "user" in exchanges[0], exchanges
+
+
+def test_zscore_rejects_bad_params(spark):
+    df = _z_frame(spark, [1, 2, 3])
+    with pytest.raises(ValueError):
+        rolling_zscore(df, "value", "ts", ["user"], "event_id", window=0)
+    with pytest.raises(ValueError):
+        rolling_zscore(df, "value", "ts", ["user"], "event_id",
+                       min_periods=1)
