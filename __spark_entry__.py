@@ -548,6 +548,21 @@ def q_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prof.orderBy("entropy_micro", "doc_id").limit(25)
 
 
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (operators/quality.py psi_drift):
+    Population Stability Index of the doc-length distribution between
+    the English slice (reference) and everything else (current) — a
+    real subpopulation shift, so the number is non-trivial.  Per-bin
+    add-one-smoothed shares, ln term micro-quantized to BIGINT, total
+    PSI an integer sum — the alerting cut (psi_micro > 250_000) is
+    engine-stable.  Two n_bins-row aggregations + broadcast-class
+    joins; nothing quadratic."""
+    docs = _docs(spark, sf_dir)
+    ref = docs.filter(F.col("lang") == "en")
+    cur = docs.filter(F.col("lang") != "en")
+    return QL.psi_drift(ref, cur, "n_chars", 0, 600, n_bins=12)
+
+
 def q_minhash_firewall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch near-dup firewall against a PERSISTED minhash index
     (dedup.build_minhash_index / minhash_probe_index) — the
@@ -3522,9 +3537,13 @@ _R10_WINDOW = [
     # re-proofs; packing.py coverage stays via pack_extend /
     # pack_bpe_sequences / corpus_to_sequences)
     "pack_extend", "pack_bpe_sequences",
-    "corpus_to_sequences", "curate_corpus_v3",
-    # (5) mid-round debuts: entropy junk filter + rolling z-score
-    "entropy_filter", "anomaly_zscore",
+    "corpus_to_sequences",
+    # (5) mid-round debuts: entropy junk filter, rolling z-score, PSI
+    # drift monitor (curate_corpus_v3 — an expression-identical
+    # default-ngram re-proof whose classifier paths quality_classifier
+    # and dsir_select_bigram already cover in this window — moved to
+    # the r11 queue to make room)
+    "entropy_filter", "anomaly_zscore", "drift_psi",
 ]
 
 
@@ -3697,6 +3716,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ingest_gate_v2": q_stream_ingest_gate_v2,
         "entropy_filter": q_entropy_filter,
         "anomaly_zscore": q_anomaly_zscore,
+        "drift_psi": q_drift_psi,
     }
 
 
@@ -5195,6 +5215,10 @@ def oracle_sql() -> dict[str, str]:
         import sys
         print(f"# bloom_resize oracle unavailable for this fixture: {exc}",
               file=sys.stderr)
+    out["drift_psi"] = QL.psi_drift_sql(
+        "SELECT n_chars FROM documents WHERE lang = 'en'",
+        "SELECT n_chars FROM documents WHERE lang <> 'en'",
+        "n_chars", 0, 600, n_bins=12)
     out["entropy_filter"] = (
         "SELECT * FROM ("
         + QL.token_entropy_profile_sql("documents", "text", "doc_id")

@@ -129,6 +129,7 @@ HEADLINE = [
     "token_ids_extend",     # incremental encode-delta/extend-shards arc
     "entropy_filter",       # exact-integer micronat entropy bottom-k
     "anomaly_zscore",       # BIGINT windowed moments trailing z-score
+    "drift_psi",            # PSI drift monitor, two n_bins-row aggs
 ]
 
 #: entries that model amortized ONE-TIME work (index builds): repeating

@@ -419,3 +419,115 @@ def token_entropy_profile_sql(table: str, text_col: str, id_col: str,
                                 FROM {table})
                           GROUP BY {id_col}{cs}, _tok)
                     GROUP BY {id_col}{cs}))"""
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift: Population Stability Index (exact integer staging)
+# ---------------------------------------------------------------------------
+
+def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str,
+              lo: int, hi: int, n_bins: int = 10) -> DataFrame:
+    """Population Stability Index between a REFERENCE snapshot and a
+    CURRENT snapshot of a numeric column — the standard drift monitor a
+    continuously-ingesting corpus runs on its feature distributions
+    (doc length, quality score, token count): PSI < 0.1 stable,
+    0.1–0.25 moderate shift, > 0.25 investigate (the conventional
+    credit-scoring thresholds).
+
+    ``PSI = Σ_b (p_b − q_b)·ln(p_b / q_b)`` over ``n_bins`` equal-width
+    bins of ``[lo, hi)`` (values clamp into the edge bins, so the
+    binning is total — no dropped rows, and the bin index is pure
+    INTEGER arithmetic: ``(v − lo)·n_bins div (hi − lo)`` clamped).
+    Add-one smoothing (``p_b = (c_b + 1)/(N + n_bins)``) keeps empty
+    bins finite — the standard PSI practice — and makes every share a
+    single correctly-rounded division of exact integers.
+
+    The only non-correctly-rounded op is one ``ln`` per bin, which is
+    immediately quantized: ``psi_term_micro = round((p−q)·ln(p/q)·1e6)``
+    (BIGINT).  ``psi_micro`` (the total, identical on every row) is a
+    BIGINT sum of those terms — engine-stable, so alerting thresholds
+    (``psi_micro > 250_000``) never flip between engines.
+
+    Output: one row per bin — ``bin`` (0-based), ``n_ref``, ``n_cur``,
+    ``psi_term_micro``, ``psi_micro`` (total) — empty bins included
+    (generated from a literal range, so both engines emit all
+    ``n_bins`` rows even for bins neither side populates).
+
+    Scale shape: each side is one projection + one ``n_bins``-row
+    aggregation; the bin frames are tiny by construction, so the joins
+    and the total are broadcast-class.  Nothing quadratic, nothing
+    driver-side.
+    """
+    require_columns(ref, [value_col])
+    require_columns(cur, [value_col])
+    if not (isinstance(lo, int) and isinstance(hi, int)) or hi <= lo:
+        raise ValueError(f"need integer lo < hi, got {lo!r}, {hi!r}")
+    if n_bins < 2:
+        raise ValueError(f"need n_bins >= 2, got {n_bins}")
+    spark = ref.sparkSession
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        # integer div, NOT `/` (Spark's `/` on bigints is double division
+        # — a misplaced floor at scale); div truncates where DuckDB's //
+        # floors, but they only differ below lo, where the clamp-to-0
+        # makes both land in bin 0
+        b = F.expr(f"(CAST({value_col} AS BIGINT) - {lo}) * {n_bins}"
+                   f" div {hi - lo}")
+        b = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1))
+        return (df.select(b.cast("int").alias("bin"))
+                  .groupBy("bin").agg(F.count(F.lit(1)).alias(out)))
+
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    counts = (bins.join(binned(ref, "_nr"), "bin", "left")
+                  .join(binned(cur, "_nc"), "bin", "left")
+                  .select("bin",
+                          F.coalesce("_nr", F.lit(0)).alias("n_ref"),
+                          F.coalesce("_nc", F.lit(0)).alias("n_cur")))
+    tot = counts.agg(F.sum("n_ref").alias("_tr"),
+                     F.sum("n_cur").alias("_tc"))
+    p = (F.col("n_ref") + 1).cast("double") / (F.col("_tr") + n_bins)
+    q = (F.col("n_cur") + 1).cast("double") / (F.col("_tc") + n_bins)
+    term = (F.round((p - q) * F.log(p / q) * 1_000_000, 0).cast("bigint")
+             .alias("psi_term_micro"))
+    terms = counts.crossJoin(F.broadcast(tot)).select(
+        "bin", F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"), term)
+    total = terms.agg(F.sum("psi_term_micro").alias("psi_micro"))
+    return terms.crossJoin(F.broadcast(total)).select(
+        "bin", "n_ref", "n_cur", "psi_term_micro",
+        F.col("psi_micro").cast("bigint").alias("psi_micro"))
+
+
+def psi_drift_sql(ref_sel: str, cur_sel: str, value_col: str,
+                  lo: int, hi: int, n_bins: int = 10) -> str:
+    """DuckDB twin of :func:`psi_drift` (differential oracle):
+    ``ref_sel``/``cur_sel`` are SELECT statements exposing ``value_col``
+    — the same integer binning, add-one smoothing, and micro-quantized
+    term staging, verbatim."""
+    b = (f"least(greatest((CAST({value_col} AS BIGINT) - {lo})"
+         f" * {n_bins} // ({hi - lo}), 0), {n_bins - 1})")
+    return f"""
+        WITH _psi_bins AS (SELECT unnest(range({n_bins}))::INT AS bin),
+        _psi_r AS (SELECT {b}::INT AS bin, count(*) AS _nr
+              FROM ({ref_sel}) GROUP BY 1),
+        _psi_c AS (SELECT {b}::INT AS bin, count(*) AS _nc
+              FROM ({cur_sel}) GROUP BY 1),
+        _psi_counts AS (
+            SELECT _psi_bins.bin,
+                   coalesce(_nr, 0) AS n_ref, coalesce(_nc, 0) AS n_cur
+            FROM _psi_bins LEFT JOIN _psi_r USING (bin)
+                           LEFT JOIN _psi_c USING (bin)),
+        _psi_tot AS (SELECT sum(n_ref) AS _tr, sum(n_cur) AS _tc
+                     FROM _psi_counts),
+        _psi_terms AS (
+            SELECT bin, n_ref::BIGINT AS n_ref, n_cur::BIGINT AS n_cur,
+                   CAST(round(((n_ref + 1)::DOUBLE / (_tr + {n_bins})
+                               - (n_cur + 1)::DOUBLE / (_tc + {n_bins}))
+                              * ln(((n_ref + 1)::DOUBLE / (_tr + {n_bins}))
+                                   / ((n_cur + 1)::DOUBLE / (_tc + {n_bins})))
+                              * 1000000, 0) AS BIGINT) AS psi_term_micro
+            FROM _psi_counts CROSS JOIN _psi_tot)
+        SELECT bin, n_ref, n_cur, psi_term_micro,
+               (SELECT sum(psi_term_micro)
+                FROM _psi_terms)::BIGINT AS psi_micro
+        FROM _psi_terms"""

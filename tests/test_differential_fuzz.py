@@ -1055,3 +1055,39 @@ def test_rolling_zscore_matches_duckdb(spark, rows, window):
                       con.sql(f"SELECT k, event_id, n_window, z FROM ({sql})")
                          .fetchall()))
     assert got == want
+
+
+@given(ref=st.lists(st.integers(min_value=-50, max_value=150),
+                    min_size=0, max_size=60),
+       cur=st.lists(st.integers(min_value=-50, max_value=150),
+                    min_size=0, max_size=60),
+       n_bins=st.sampled_from([2, 5, 10]))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_psi_drift_matches_duckdb(spark, ref, cur, n_bins):
+    """Random snapshots through the PSI monitor vs its DuckDB twin —
+    exercises empty sides, empty bins, out-of-range clamping, and the
+    micro-quantized term staging.  The integer psi columns must agree
+    EXACTLY."""
+    from frames_map_reduce_spark.operators.quality import (
+        psi_drift,
+        psi_drift_sql,
+    )
+
+    schema = "v long"
+    rdf = spark.createDataFrame([(v,) for v in ref] or [(None,)], schema)
+    cdf = spark.createDataFrame([(v,) for v in cur] or [(None,)], schema)
+    rdf, cdf = rdf.filter("v IS NOT NULL"), cdf.filter("v IS NOT NULL")
+    got = sorted(map(tuple, psi_drift(rdf, cdf, "v", 0, 100,
+                                      n_bins=n_bins).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE r (v BIGINT)")
+    con.execute("CREATE TABLE c (v BIGINT)")
+    con.executemany("INSERT INTO r VALUES (?)", [(v,) for v in ref]) \
+        if ref else None
+    con.executemany("INSERT INTO c VALUES (?)", [(v,) for v in cur]) \
+        if cur else None
+    sql = psi_drift_sql("SELECT v FROM r", "SELECT v FROM c", "v",
+                        0, 100, n_bins=n_bins)
+    want = sorted(map(tuple, con.sql(sql).fetchall()))
+    assert got == want

@@ -150,3 +150,69 @@ def test_zscore_rejects_bad_params(spark):
     with pytest.raises(ValueError):
         rolling_zscore(df, "value", "ts", ["user"], "event_id",
                        min_periods=1)
+
+
+# ---------------------------------------------------------------------------
+# PSI drift monitor
+# ---------------------------------------------------------------------------
+
+def _vals_frame(spark, values):
+    return spark.createDataFrame([(int(v),) for v in values], "v long")
+
+
+def test_psi_identical_distributions_is_zero(spark):
+    """ref == cur (same counts, same totals): p_b = q_b exactly in
+    every bin, so every term is round(0 · ln 1) = 0 — PSI exactly 0,
+    not epsilon."""
+    from frames_map_reduce_spark.operators.quality import psi_drift
+
+    df = _vals_frame(spark, [10, 20, 30, 40, 50, 60, 70, 80] * 3)
+    out = psi_drift(df, df, "v", 0, 100, n_bins=5).collect()
+    assert len(out) == 5
+    assert all(r.psi_term_micro == 0 and r.psi_micro == 0 for r in out)
+
+
+def test_psi_planted_shift_alerts(spark):
+    """Disjoint distributions must cross the conventional 0.25
+    investigate threshold (psi_micro > 250_000) by a wide margin."""
+    from frames_map_reduce_spark.operators.quality import psi_drift
+
+    ref = _vals_frame(spark, [5] * 40 + [15] * 40)
+    cur = _vals_frame(spark, [85] * 40 + [95] * 40)
+    out = psi_drift(ref, cur, "v", 0, 100, n_bins=10).collect()
+    assert out[0].psi_micro > 250_000
+
+
+def test_psi_clamps_out_of_range_into_edge_bins(spark):
+    """Binning is total: values below lo land in bin 0, at/above hi in
+    the last bin — no dropped rows (row counts conserve)."""
+    from frames_map_reduce_spark.operators.quality import psi_drift
+
+    ref = _vals_frame(spark, [-100, -1, 0, 99, 100, 7000])
+    out = {r.bin: r for r in psi_drift(ref, ref, "v", 0, 100,
+                                       n_bins=4).collect()}
+    assert out[0].n_ref == 3        # -100, -1, 0
+    assert out[3].n_ref == 3        # 99, 100, 7000
+    assert sum(r.n_ref for r in out.values()) == 6
+
+
+def test_psi_empty_bins_present_and_finite(spark):
+    """Every bin row is emitted even when neither side populates it,
+    and add-one smoothing keeps empty-vs-populated terms finite."""
+    from frames_map_reduce_spark.operators.quality import psi_drift
+
+    ref = _vals_frame(spark, [5] * 10)
+    cur = _vals_frame(spark, [95] * 10)
+    rows = psi_drift(ref, cur, "v", 0, 100, n_bins=10).collect()
+    assert len(rows) == 10
+    assert all(r.psi_term_micro is not None for r in rows)
+
+
+def test_psi_rejects_bad_params(spark):
+    from frames_map_reduce_spark.operators.quality import psi_drift
+
+    df = _vals_frame(spark, [1])
+    with pytest.raises(ValueError):
+        psi_drift(df, df, "v", 10, 10)
+    with pytest.raises(ValueError):
+        psi_drift(df, df, "v", 0, 100, n_bins=1)
