@@ -563,6 +563,52 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return QL.psi_drift(ref, cur, "n_chars", 0, 600, n_bins=12)
 
 
+def q_drift_psi_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The textbook PSI deployment shape (quality.quantile_breakpoints
+    + psi_drift(breakpoints=)): equal-depth bin edges derived from the
+    reference slice by the cross-multiplied integer percentile_disc
+    rule (bit-identical cross-engine — no float quantile definition),
+    then the monitor runs against those frozen edges.  The bounded
+    collect is n_bins−1 integers, a design-time constant by contract."""
+    docs = _docs(spark, sf_dir)
+    ref = docs.filter(F.col("lang") == "en")
+    cur = docs.filter(F.col("lang") != "en")
+    bks = QL.quantile_breakpoints(ref, "n_chars", n_bins=10)
+    return QL.psi_drift(ref, cur, "n_chars", breakpoints=bks)
+
+
+_DRIFT_QUANTILE_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _drift_psi_quantile_oracle() -> str:
+    """drift_psi_quantile twin: derive the SAME equal-depth edges at
+    oracle-generation time from the same parquet (DuckDB replay of the
+    cross-multiplied integer percentile_disc rule — bit-identical to
+    the rig's Spark derivation by construction, proven by the
+    quantile_breakpoints differential fuzz), then the explicit-
+    breakpoints PSI twin against them."""
+    import os
+
+    import duckdb as _duckdb
+
+    sf_dir = (os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
+              or os.environ.get("SPARK_GRAFT_TEST_SF_DIR")
+              or "/root/testdata/sf0.01")
+    path = os.path.join(sf_dir, "documents.parquet")
+    if path not in _DRIFT_QUANTILE_ORACLE_CACHE:
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con = _duckdb.connect()
+        bks = [b for _, b in con.sql(
+            QL.quantile_breakpoints_sql(
+                f"SELECT n_chars FROM '{src}' WHERE lang = 'en'",
+                "n_chars", n_bins=10) + " ORDER BY k").fetchall()]
+        _DRIFT_QUANTILE_ORACLE_CACHE[path] = QL.psi_drift_sql(
+            "SELECT n_chars FROM documents WHERE lang = 'en'",
+            "SELECT n_chars FROM documents WHERE lang <> 'en'",
+            "n_chars", breakpoints=bks)
+    return _DRIFT_QUANTILE_ORACLE_CACHE[path]
+
+
 def q_minhash_firewall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch near-dup firewall against a PERSISTED minhash index
     (dedup.build_minhash_index / minhash_probe_index) — the
@@ -3536,14 +3582,16 @@ _R10_WINDOW = [
     # debuts — debuts outrank expression-identical no-regression
     # re-proofs; packing.py coverage stays via pack_extend /
     # pack_bpe_sequences / corpus_to_sequences)
-    "pack_extend", "pack_bpe_sequences",
+    "pack_bpe_sequences",
     "corpus_to_sequences",
     # (5) mid-round debuts: entropy junk filter, rolling z-score, PSI
-    # drift monitor (curate_corpus_v3 — an expression-identical
-    # default-ngram re-proof whose classifier paths quality_classifier
-    # and dsir_select_bigram already cover in this window — moved to
-    # the r11 queue to make room)
+    # drift monitor at both binnings (curate_corpus_v3 and pack_extend
+    # — expression-identical no-regression re-proofs whose paths this
+    # window already covers via quality_classifier, dsir_select_bigram,
+    # token_ids_extend, and the remaining packing rows — moved to the
+    # r11 queue to make room)
     "entropy_filter", "anomaly_zscore", "drift_psi",
+    "drift_psi_quantile",
 ]
 
 
@@ -3717,6 +3765,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_filter": q_entropy_filter,
         "anomaly_zscore": q_anomaly_zscore,
         "drift_psi": q_drift_psi,
+        "drift_psi_quantile": q_drift_psi_quantile,
     }
 
 
@@ -5215,6 +5264,7 @@ def oracle_sql() -> dict[str, str]:
         import sys
         print(f"# bloom_resize oracle unavailable for this fixture: {exc}",
               file=sys.stderr)
+    out["drift_psi_quantile"] = _drift_psi_quantile_oracle()
     out["drift_psi"] = QL.psi_drift_sql(
         "SELECT n_chars FROM documents WHERE lang = 'en'",
         "SELECT n_chars FROM documents WHERE lang <> 'en'",

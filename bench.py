@@ -130,6 +130,7 @@ HEADLINE = [
     "entropy_filter",       # exact-integer micronat entropy bottom-k
     "anomaly_zscore",       # BIGINT windowed moments trailing z-score
     "drift_psi",            # PSI drift monitor, two n_bins-row aggs
+    "drift_psi_quantile",   # equal-depth PSI: derive edges + monitor
 ]
 
 #: entries that model amortized ONE-TIME work (index builds): repeating

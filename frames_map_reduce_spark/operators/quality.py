@@ -425,8 +425,92 @@ def token_entropy_profile_sql(table: str, text_col: str, id_col: str,
 # Distribution drift: Population Stability Index (exact integer staging)
 # ---------------------------------------------------------------------------
 
+def quantile_breakpoints(df: DataFrame, value_col: str,
+                         n_bins: int = 10) -> list[int]:
+    """Equal-depth bin breakpoints of an integer column — the textbook
+    PSI deployment shape: derive the bin edges ONCE from the design-time
+    reference distribution, freeze them, and monitor every later
+    snapshot against them (:func:`psi_drift` with ``breakpoints=``).
+
+    Breakpoint ``b_k`` (k = 1..n_bins−1) is the smallest value whose
+    cumulative count satisfies ``cum·n_bins ≥ k·N`` — SQL-standard
+    ``percentile_disc(k/n_bins)``, but stated in CROSS-MULTIPLIED exact
+    integers, so the edges are bit-identical across engines with no
+    float quantile definition in sight.  Skewed references can repeat a
+    breakpoint; the duplicate is kept (deterministic; the resulting
+    permanently-empty bin is harmless under add-one smoothing).
+
+    Returns the Python list (a bounded collect by contract: exactly
+    ``n_bins − 1`` integers) — edges are design-time constants that
+    ship into monitoring jobs, not per-run data.
+
+    Scale shape: one distinct-value aggregation, then a single-column
+    cumulative window over the DISTINCT values.  That window is one
+    global sort of the value DOMAIN — fine for the bounded-cardinality
+    features PSI monitors (lengths, scores, token counts); pre-quantize
+    a genuinely continuous column before deriving edges from it.
+    """
+    from pyspark.sql import Window
+
+    require_columns(df, [value_col])
+    if n_bins < 2:
+        raise ValueError(f"need n_bins >= 2, got {n_bins}")
+    dist = (df.select(F.col(value_col).cast("bigint").alias("_v"))
+              .where(F.col("_v").isNotNull())
+              .groupBy("_v").agg(F.count(F.lit(1)).alias("_c")))
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dist.select("_v", F.sum("_c").over(w).alias("_cum"))
+    tot = dist.agg(F.sum("_c").alias("_N"))
+    ks = df.sparkSession.range(1, n_bins).select(F.col("id").alias("_k"))
+    rows = (cum.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(ks))
+               .where(F.col("_cum") * n_bins >= F.col("_k") * F.col("_N"))
+               .groupBy("_k").agg(F.min("_v").alias("_b"))
+               .orderBy("_k").collect())
+    if len(rows) != n_bins - 1:
+        raise ValueError(
+            f"reference has no rows with non-null {value_col!r} — "
+            "cannot derive breakpoints")
+    return [int(r._b) for r in rows]
+
+
+def quantile_breakpoints_sql(ref_sel: str, value_col: str,
+                             n_bins: int = 10) -> str:
+    """DuckDB twin of :func:`quantile_breakpoints` (replay oracle):
+    emits ``(k, b)`` rows — the same cross-multiplied integer
+    percentile_disc rule, verbatim."""
+    return f"""
+        WITH _qb_dist AS (
+            SELECT CAST({value_col} AS BIGINT) AS _v, count(*) AS _c
+            FROM ({ref_sel}) WHERE {value_col} IS NOT NULL GROUP BY 1),
+        _qb_cum AS (
+            SELECT _v, sum(_c) OVER (ORDER BY _v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum
+            FROM _qb_dist),
+        _qb_tot AS (SELECT sum(_c) AS _N FROM _qb_dist),
+        _qb_ks AS (SELECT unnest(range(1, {n_bins}))::BIGINT AS _k)
+        SELECT _k AS k, min(_v) AS b
+        FROM _qb_cum CROSS JOIN _qb_tot CROSS JOIN _qb_ks
+        WHERE _cum * {n_bins} >= _k * _N
+        GROUP BY _k"""
+
+
+def _breakpoint_bin_expr(value_col: str, breakpoints) -> str:
+    """Bin index under explicit breakpoints — the count of breakpoints
+    ≤ value, as a sum of cast comparisons.  Valid in BOTH dialects
+    verbatim (NULL values stay NULL and drop out of the bin range in
+    both engines); the equal-width form is NOT shared (Spark integer
+    division is ``div``, DuckDB's is ``//``) and stays inline at its
+    two call sites."""
+    terms = " + ".join(
+        f"CAST(CAST({value_col} AS BIGINT) >= {int(b)} AS INT)"
+        for b in breakpoints)
+    return f"({terms})"
+
+
 def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str,
-              lo: int, hi: int, n_bins: int = 10) -> DataFrame:
+              lo: int | None = None, hi: int | None = None,
+              n_bins: int = 10,
+              breakpoints: Sequence[int] | None = None) -> DataFrame:
     """Population Stability Index between a REFERENCE snapshot and a
     CURRENT snapshot of a numeric column — the standard drift monitor a
     continuously-ingesting corpus runs on its feature distributions
@@ -441,6 +525,13 @@ def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str,
     Add-one smoothing (``p_b = (c_b + 1)/(N + n_bins)``) keeps empty
     bins finite — the standard PSI practice — and makes every share a
     single correctly-rounded division of exact integers.
+
+    Pass ``breakpoints=`` (a sorted integer list, typically from
+    :func:`quantile_breakpoints` on the design-time reference) instead
+    of ``(lo, hi)`` for the textbook EQUAL-DEPTH deployment shape: bin
+    index = count of breakpoints ≤ value (``len(breakpoints) + 1``
+    bins, still total, still pure integer comparisons).  NULL values
+    drop out of both sides in both modes and both engines.
 
     The only non-correctly-rounded op is one ``ln`` per bin, which is
     immediately quantized: ``psi_term_micro = round((p−q)·ln(p/q)·1e6)``
@@ -460,20 +551,33 @@ def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str,
     """
     require_columns(ref, [value_col])
     require_columns(cur, [value_col])
-    if not (isinstance(lo, int) and isinstance(hi, int)) or hi <= lo:
-        raise ValueError(f"need integer lo < hi, got {lo!r}, {hi!r}")
-    if n_bins < 2:
-        raise ValueError(f"need n_bins >= 2, got {n_bins}")
+    if breakpoints is not None:
+        if lo is not None or hi is not None:
+            raise ValueError("pass EITHER (lo, hi) for equal-width bins "
+                             "OR breakpoints=, not both")
+        bks = [int(b) for b in breakpoints]
+        if len(bks) < 1 or sorted(bks) != bks:
+            raise ValueError(f"breakpoints must be a non-empty sorted "
+                             f"list, got {breakpoints!r}")
+        n_bins = len(bks) + 1
+    else:
+        if not (isinstance(lo, int) and isinstance(hi, int)) or hi <= lo:
+            raise ValueError(f"need integer lo < hi, got {lo!r}, {hi!r}")
+        if n_bins < 2:
+            raise ValueError(f"need n_bins >= 2, got {n_bins}")
     spark = ref.sparkSession
 
     def binned(df: DataFrame, out: str) -> DataFrame:
-        # integer div, NOT `/` (Spark's `/` on bigints is double division
-        # — a misplaced floor at scale); div truncates where DuckDB's //
-        # floors, but they only differ below lo, where the clamp-to-0
-        # makes both land in bin 0
-        b = F.expr(f"(CAST({value_col} AS BIGINT) - {lo}) * {n_bins}"
-                   f" div {hi - lo}")
-        b = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1))
+        if breakpoints is not None:
+            b = F.expr(_breakpoint_bin_expr(value_col, bks))
+        else:
+            # integer div, NOT `/` (Spark's `/` on bigints is double
+            # division — a misplaced floor at scale); div truncates where
+            # DuckDB's // floors, but they only differ below lo, where
+            # the clamp-to-0 makes both land in bin 0
+            b = F.expr(f"(CAST({value_col} AS BIGINT) - {lo}) * {n_bins}"
+                       f" div {hi - lo}")
+            b = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1))
         return (df.select(b.cast("int").alias("bin"))
                   .groupBy("bin").agg(F.count(F.lit(1)).alias(out)))
 
@@ -499,13 +603,20 @@ def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str,
 
 
 def psi_drift_sql(ref_sel: str, cur_sel: str, value_col: str,
-                  lo: int, hi: int, n_bins: int = 10) -> str:
+                  lo: int | None = None, hi: int | None = None,
+                  n_bins: int = 10,
+                  breakpoints: Sequence[int] | None = None) -> str:
     """DuckDB twin of :func:`psi_drift` (differential oracle):
     ``ref_sel``/``cur_sel`` are SELECT statements exposing ``value_col``
-    — the same integer binning, add-one smoothing, and micro-quantized
-    term staging, verbatim."""
-    b = (f"least(greatest((CAST({value_col} AS BIGINT) - {lo})"
-         f" * {n_bins} // ({hi - lo}), 0), {n_bins - 1})")
+    — the same integer binning (equal-width or explicit breakpoints),
+    add-one smoothing, and micro-quantized term staging, verbatim."""
+    if breakpoints is not None:
+        bks = [int(x) for x in breakpoints]
+        n_bins = len(bks) + 1
+        b = _breakpoint_bin_expr(value_col, bks)
+    else:
+        b = (f"least(greatest((CAST({value_col} AS BIGINT) - {lo})"
+             f" * {n_bins} // ({hi - lo}), 0), {n_bins - 1})")
     return f"""
         WITH _psi_bins AS (SELECT unnest(range({n_bins}))::INT AS bin),
         _psi_r AS (SELECT {b}::INT AS bin, count(*) AS _nr

@@ -1091,3 +1091,45 @@ def test_psi_drift_matches_duckdb(spark, ref, cur, n_bins):
                         0, 100, n_bins=n_bins)
     want = sorted(map(tuple, con.sql(sql).fetchall()))
     assert got == want
+
+
+@given(ref=st.lists(st.integers(min_value=0, max_value=100),
+                    min_size=4, max_size=60),
+       cur=st.lists(st.integers(min_value=-20, max_value=130),
+                    min_size=0, max_size=60),
+       n_bins=st.sampled_from([2, 4, 8]))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_psi_quantile_pipeline_matches_duckdb(spark, ref, cur, n_bins):
+    """The composed equal-depth arc on random snapshots: Spark derives
+    the edges (quantile_breakpoints), DuckDB re-derives them from the
+    same rows via the twin, and the explicit-breakpoints PSI must then
+    agree EXACTLY — including duplicate edges from skewed references
+    and out-of-edge current values."""
+    from frames_map_reduce_spark.operators.quality import (
+        psi_drift,
+        psi_drift_sql,
+        quantile_breakpoints,
+        quantile_breakpoints_sql,
+    )
+
+    rdf = spark.createDataFrame([(v,) for v in ref], "v long")
+    cdf = (spark.createDataFrame([(v,) for v in cur] or [(None,)], "v long")
+                .filter("v IS NOT NULL"))
+    bks = quantile_breakpoints(rdf, "v", n_bins=n_bins)
+    got = sorted(map(tuple, psi_drift(rdf, cdf, "v",
+                                      breakpoints=bks).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE rr (v BIGINT)")
+    con.execute("CREATE TABLE cc (v BIGINT)")
+    con.executemany("INSERT INTO rr VALUES (?)", [(v,) for v in ref])
+    if cur:
+        con.executemany("INSERT INTO cc VALUES (?)", [(v,) for v in cur])
+    obks = [b for _, b in con.sql(
+        quantile_breakpoints_sql("SELECT v FROM rr", "v", n_bins=n_bins)
+        + " ORDER BY k").fetchall()]
+    assert bks == obks
+    want = sorted(map(tuple, con.sql(
+        psi_drift_sql("SELECT v FROM rr", "SELECT v FROM cc", "v",
+                      breakpoints=obks)).fetchall()))
+    assert got == want

@@ -216,3 +216,64 @@ def test_psi_rejects_bad_params(spark):
         psi_drift(df, df, "v", 10, 10)
     with pytest.raises(ValueError):
         psi_drift(df, df, "v", 0, 100, n_bins=1)
+
+
+def test_quantile_breakpoints_equal_depth(spark):
+    """Edges derived from uniform 0..99 at 10 bins: each bin holds
+    exactly 10 values (equal depth is exact when N divides evenly and
+    values are distinct)."""
+    from frames_map_reduce_spark.operators.quality import (
+        quantile_breakpoints,
+    )
+
+    df = _vals_frame(spark, range(100))
+    bks = quantile_breakpoints(df, "v", n_bins=10)
+    assert bks == [9, 19, 29, 39, 49, 59, 69, 79, 89]
+
+
+def test_quantile_breakpoints_matches_duckdb_replay(spark):
+    """The Spark derivation and the SQL twin must agree bit-for-bit —
+    this identity is what lets the drift_psi_quantile oracle derive its
+    own edges from the fixture."""
+    import duckdb
+
+    from frames_map_reduce_spark.operators.quality import (
+        quantile_breakpoints,
+        quantile_breakpoints_sql,
+    )
+
+    vals = [5, 5, 5, 7, 9, 9, 12, 40, 41, 41, 41, 41, 100]
+    df = _vals_frame(spark, vals)
+    got = quantile_breakpoints(df, "v", n_bins=4)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    want = [b for _, b in con.sql(
+        quantile_breakpoints_sql("SELECT v FROM t", "v", n_bins=4)
+        + " ORDER BY k").fetchall()]
+    assert got == want
+
+
+def test_psi_breakpoints_mode_identity_is_zero(spark):
+    """ref == cur under explicit edges: PSI exactly 0 (same law as
+    equal-width — the binning mode must not break it)."""
+    from frames_map_reduce_spark.operators.quality import psi_drift
+
+    df = _vals_frame(spark, [1, 5, 9, 20, 50, 90] * 4)
+    out = psi_drift(df, df, "v", breakpoints=[5, 20, 60]).collect()
+    assert len(out) == 4
+    assert all(r.psi_micro == 0 for r in out)
+
+
+def test_psi_breakpoints_validation(spark):
+    from frames_map_reduce_spark.operators.quality import psi_drift
+
+    df = _vals_frame(spark, [1])
+    with pytest.raises(ValueError):
+        psi_drift(df, df, "v", 0, 100, breakpoints=[5])   # both modes
+    with pytest.raises(ValueError):
+        psi_drift(df, df, "v", breakpoints=[])            # empty
+    with pytest.raises(ValueError):
+        psi_drift(df, df, "v", breakpoints=[9, 3])        # unsorted
+    with pytest.raises(ValueError):
+        psi_drift(df, df, "v")                            # neither mode
