@@ -609,6 +609,94 @@ def _drift_psi_quantile_oracle() -> str:
     return _DRIFT_QUANTILE_ORACLE_CACHE[path]
 
 
+def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor (streaming.stream_drift_monitor): the
+    equal-depth PSI machinery deployed the way a monitor actually runs
+    — edges + reference bin counts frozen at design time from the
+    English slice (two bounded collects, design constants like the
+    gate's word/weight literals), then each micro-batch of the
+    non-English stream scored against them, one (batch_id, n_rows,
+    psi_micro) row per batch, per-batch-overwrite sink (idempotent
+    under at-least-once replay).
+
+    Rig: three mtime-ordered staged files (doc_id % 3) with
+    maxFilesPerTrigger=1 — deterministic batch composition, so the
+    oracle replays each batch as a WHERE doc_id % 3 = k slice through
+    the psi_against_reference twin with the SAME fixture-derived
+    constants."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from frames_map_reduce_spark.streaming import stream_drift_monitor
+
+    docs = _docs(spark, sf_dir)
+    ref = docs.filter(F.col("lang") == "en")
+    bks = QL.quantile_breakpoints(ref, "n_chars", n_bins=8)
+    ref_counts = QL.bin_counts(ref, "n_chars", bks)
+    cur = docs.filter(F.col("lang") != "en").select("doc_id", "n_chars")
+
+    base = "/tmp/fmr_stream_drift"
+    _shutil.rmtree(base, ignore_errors=True)
+    stage = f"{base}/in"
+    _os.makedirs(stage)
+    for i in range(3):
+        out = f"{base}/f{i}"
+        cur.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(out)
+        part = _glob.glob(f"{out}/part-*.parquet")[0]
+        dst = f"{stage}/{i}.parquet"
+        _shutil.move(part, dst)
+        _os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    stream = (spark.readStream.schema(cur.schema)
+                   .option("maxFilesPerTrigger", "1").parquet(stage))
+    q = stream_drift_monitor(stream, "n_chars", bks, ref_counts,
+                             f"{base}/out", checkpoint=f"{base}/ckpt")
+    q.awaitTermination()
+    return (spark.read.parquet(f"{base}/out")
+                 .select(F.col("batch_id").cast("bigint").alias("batch_id"),
+                         "n_rows", "psi_micro"))
+
+
+_STREAM_DRIFT_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _stream_drift_oracle() -> str:
+    """stream_drift twin: re-derive the SAME design constants (edges +
+    reference bin counts) from the fixture at oracle-generation time
+    via the DuckDB replays, then score each deterministic batch slice
+    (doc_id % 3 = k) through the psi_against_reference twin."""
+    import os
+
+    import duckdb as _duckdb
+
+    sf_dir = (os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
+              or os.environ.get("SPARK_GRAFT_TEST_SF_DIR")
+              or "/root/testdata/sf0.01")
+    path = os.path.join(sf_dir, "documents.parquet")
+    if path not in _STREAM_DRIFT_ORACLE_CACHE:
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con = _duckdb.connect()
+        ref_sel = f"SELECT n_chars FROM '{src}' WHERE lang = 'en'"
+        bks = [b for _, b in con.sql(
+            QL.quantile_breakpoints_sql(ref_sel, "n_chars", n_bins=8)
+            + " ORDER BY k").fetchall()]
+        counts = [0] * (len(bks) + 1)
+        for bin_, c in con.sql(
+                QL.bin_counts_sql(ref_sel, "n_chars", bks)).fetchall():
+            counts[bin_] = c
+        parts = []
+        for k in range(3):
+            cur_sel = (f"SELECT n_chars FROM documents "
+                       f"WHERE lang <> 'en' AND doc_id % 3 = {k}")
+            parts.append(
+                f"SELECT CAST({k} AS BIGINT) AS batch_id, * FROM ("
+                + QL.psi_against_reference_sql(cur_sel, "n_chars",
+                                               bks, counts) + ")")
+        _STREAM_DRIFT_ORACLE_CACHE[path] = " UNION ALL ".join(parts)
+    return _STREAM_DRIFT_ORACLE_CACHE[path]
+
+
 def q_minhash_firewall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch near-dup firewall against a PERSISTED minhash index
     (dedup.build_minhash_index / minhash_probe_index) — the
@@ -3582,16 +3670,17 @@ _R10_WINDOW = [
     # debuts — debuts outrank expression-identical no-regression
     # re-proofs; packing.py coverage stays via pack_extend /
     # pack_bpe_sequences / corpus_to_sequences)
-    "pack_bpe_sequences",
     "corpus_to_sequences",
     # (5) mid-round debuts: entropy junk filter, rolling z-score, PSI
-    # drift monitor at both binnings (curate_corpus_v3 and pack_extend
-    # — expression-identical no-regression re-proofs whose paths this
+    # drift monitor at both binnings, streaming drift monitor
+    # (curate_corpus_v3, pack_extend, and pack_bpe_sequences —
+    # expression-identical no-regression re-proofs whose paths this
     # window already covers via quality_classifier, dsir_select_bigram,
-    # token_ids_extend, and the remaining packing rows — moved to the
-    # r11 queue to make room)
+    # token_ids_extend, and corpus_to_sequences — moved to the r11
+    # queue to make room; debuts must be driver-proven THIS round to
+    # keep the zero-never-proven invariant)
     "entropy_filter", "anomaly_zscore", "drift_psi",
-    "drift_psi_quantile",
+    "drift_psi_quantile", "stream_drift",
 ]
 
 
@@ -3766,6 +3855,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_zscore": q_anomaly_zscore,
         "drift_psi": q_drift_psi,
         "drift_psi_quantile": q_drift_psi_quantile,
+        "stream_drift": q_stream_drift,
     }
 
 
@@ -5265,6 +5355,7 @@ def oracle_sql() -> dict[str, str]:
         print(f"# bloom_resize oracle unavailable for this fixture: {exc}",
               file=sys.stderr)
     out["drift_psi_quantile"] = _drift_psi_quantile_oracle()
+    out["stream_drift"] = _stream_drift_oracle()
     out["drift_psi"] = QL.psi_drift_sql(
         "SELECT n_chars FROM documents WHERE lang = 'en'",
         "SELECT n_chars FROM documents WHERE lang <> 'en'",

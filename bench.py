@@ -131,6 +131,7 @@ HEADLINE = [
     "anomaly_zscore",       # BIGINT windowed moments trailing z-score
     "drift_psi",            # PSI drift monitor, two n_bins-row aggs
     "drift_psi_quantile",   # equal-depth PSI: derive edges + monitor
+    "stream_drift",         # per-micro-batch PSI vs frozen reference
 ]
 
 #: entries that model amortized ONE-TIME work (index builds): repeating

@@ -642,3 +642,113 @@ def psi_drift_sql(ref_sel: str, cur_sel: str, value_col: str,
                (SELECT sum(psi_term_micro)
                 FROM _psi_terms)::BIGINT AS psi_micro
         FROM _psi_terms"""
+
+
+def psi_against_reference(cur: DataFrame, value_col: str,
+                          breakpoints: Sequence[int],
+                          ref_counts: Sequence[int]) -> DataFrame:
+    """PSI of a CURRENT snapshot against a FROZEN reference — the
+    monitoring-loop form of :func:`psi_drift`: the reference side is
+    not a frame but the design-time constants a monitor ships with
+    (edges from :func:`quantile_breakpoints`, bin counts from the same
+    design pass), so scoring a snapshot touches ONE pass over the
+    current data plus an ``n_bins``-row literal.
+
+    Same staging as :func:`psi_drift` (total integer binning, add-one
+    smoothing, micro-quantized terms, BIGINT total) — the two agree
+    exactly when handed the same reference.  Returns ONE row:
+    ``n_rows`` (BIGINT, non-null current rows binned), ``psi_micro``
+    (BIGINT).  An all-NULL or empty current side still returns the row
+    (n_rows = 0; PSI of the smoothed-uniform vs the reference).
+    """
+    require_columns(cur, [value_col])
+    bks = [int(b) for b in breakpoints]
+    if len(bks) < 1 or sorted(bks) != bks:
+        raise ValueError(f"breakpoints must be a non-empty sorted list, "
+                         f"got {breakpoints!r}")
+    n_bins = len(bks) + 1
+    refs = [int(c) for c in ref_counts]
+    if len(refs) != n_bins or any(c < 0 for c in refs):
+        raise ValueError(
+            f"ref_counts must be {n_bins} non-negative bin counts "
+            f"(len(breakpoints) + 1), got {ref_counts!r}")
+    spark = cur.sparkSession
+    ref_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(refs)], "bin int, n_ref long")
+    cur_b = (cur.select(F.expr(_breakpoint_bin_expr(value_col, bks))
+                         .cast("int").alias("bin"))
+                .groupBy("bin").agg(F.count(F.lit(1)).alias("_nc")))
+    counts = (ref_df.join(cur_b, "bin", "left")
+                    .select("bin", "n_ref",
+                            F.coalesce("_nc", F.lit(0)).alias("n_cur")))
+    tot = counts.agg(F.sum("n_ref").alias("_tr"),
+                     F.sum("n_cur").alias("_tc"))
+    p = (F.col("n_ref") + 1).cast("double") / (F.col("_tr") + n_bins)
+    q = (F.col("n_cur") + 1).cast("double") / (F.col("_tc") + n_bins)
+    term = F.round((p - q) * F.log(p / q) * 1_000_000, 0).cast("bigint")
+    return (counts.crossJoin(F.broadcast(tot))
+                  .select(F.col("n_cur"), term.alias("_t"))
+                  .agg(F.sum("n_cur").cast("bigint").alias("n_rows"),
+                       F.sum("_t").cast("bigint").alias("psi_micro")))
+
+
+def psi_against_reference_sql(cur_sel: str, value_col: str,
+                              breakpoints: Sequence[int],
+                              ref_counts: Sequence[int]) -> str:
+    """DuckDB twin of :func:`psi_against_reference` (differential
+    oracle): the reference constants are inlined as a VALUES table."""
+    bks = [int(b) for b in breakpoints]
+    refs = [int(c) for c in ref_counts]
+    n_bins = len(bks) + 1
+    vals = ", ".join(f"({i}, {c})" for i, c in enumerate(refs))
+    b = _breakpoint_bin_expr(value_col, bks)
+    return f"""
+        WITH _par_ref(bin, n_ref) AS (VALUES {vals}),
+        _par_cur AS (SELECT {b}::INT AS bin, count(*) AS _nc
+                     FROM ({cur_sel}) GROUP BY 1),
+        _par_counts AS (
+            SELECT _par_ref.bin, n_ref, coalesce(_nc, 0) AS n_cur
+            FROM _par_ref LEFT JOIN _par_cur USING (bin)),
+        _par_tot AS (SELECT sum(n_ref) AS _tr, sum(n_cur) AS _tc
+                     FROM _par_counts)
+        SELECT sum(n_cur)::BIGINT AS n_rows,
+               sum(CAST(round(((n_ref + 1)::DOUBLE / (_tr + {n_bins})
+                               - (n_cur + 1)::DOUBLE / (_tc + {n_bins}))
+                              * ln(((n_ref + 1)::DOUBLE / (_tr + {n_bins}))
+                                   / ((n_cur + 1)::DOUBLE
+                                      / (_tc + {n_bins})))
+                              * 1000000, 0) AS BIGINT))::BIGINT
+                   AS psi_micro
+        FROM _par_counts CROSS JOIN _par_tot"""
+
+
+def bin_counts(df: DataFrame, value_col: str,
+               breakpoints: Sequence[int]) -> list[int]:
+    """Reference bin counts under explicit edges — the second design-
+    time constant a PSI monitor ships with (the first being the edges
+    themselves, :func:`quantile_breakpoints`).  Bounded collect by
+    contract: exactly ``len(breakpoints) + 1`` integers.  NULL values
+    are excluded (the binning convention everywhere in this module)."""
+    require_columns(df, [value_col])
+    bks = [int(b) for b in breakpoints]
+    if len(bks) < 1 or sorted(bks) != bks:
+        raise ValueError(f"breakpoints must be a non-empty sorted list, "
+                         f"got {breakpoints!r}")
+    rows = (df.select(F.expr(_breakpoint_bin_expr(value_col, bks))
+                       .cast("int").alias("bin"))
+              .groupBy("bin").agg(F.count(F.lit(1)).alias("_c"))
+              .collect())
+    out = [0] * (len(bks) + 1)
+    for r in rows:
+        if r.bin is not None:
+            out[r.bin] = int(r._c)
+    return out
+
+
+def bin_counts_sql(sel: str, value_col: str,
+                   breakpoints: Sequence[int]) -> str:
+    """DuckDB twin of :func:`bin_counts` (replay oracle): emits
+    ``(bin, c)`` rows for the POPULATED bins (absent = 0)."""
+    b = _breakpoint_bin_expr(value_col, [int(x) for x in breakpoints])
+    return (f"SELECT {b}::INT AS bin, count(*) AS c FROM ({sel}) "
+            f"WHERE {value_col} IS NOT NULL GROUP BY 1")

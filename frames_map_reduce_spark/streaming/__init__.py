@@ -601,3 +601,51 @@ def stream_ingest_gate_v2(stream: DataFrame, words, weights,
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def stream_drift_monitor(stream: DataFrame, value_col: str,
+                         breakpoints, ref_counts, sink_dir: str,
+                         checkpoint: str | None = None):
+    """Per-micro-batch distribution-drift monitor — the streaming form
+    of :func:`~frames_map_reduce_spark.operators.quality.psi_drift`:
+    every micro-batch is scored against a FROZEN design-time reference
+    (equal-depth edges from ``quantile_breakpoints`` + the reference's
+    bin counts — constants the monitor ships with, exactly like the
+    gate's word/weight literals), emitting one ``(batch_id, n_rows,
+    psi_micro)`` row per batch.  An ingestion pipeline alerts on
+    ``psi_micro`` crossing the conventional 250_000 (0.25) line — an
+    engine-stable INTEGER comparison
+    (:func:`~frames_map_reduce_spark.operators.quality.psi_against_reference`'s
+    staging).
+
+    The monitor is per-batch STATELESS (the reference is a literal, the
+    batch aggregation is two tiny n_bins-row frames), so there is no
+    watermark and no state store; each batch OVERWRITES its own
+    ``batch_id=N`` partition under ``sink_dir`` — idempotent under
+    foreachBatch's at-least-once replay (the ``stream_ingest_gate_v2``
+    sink convention).  Batch composition follows the SOURCE's rate
+    limits (``maxFilesPerTrigger`` etc.) — per-batch statistics are
+    only meaningful if the caller stages batches deliberately.
+
+    Returns the started StreamingQuery; read the monitor log with
+    ``spark.read.parquet(sink_dir)``.
+    """
+    import os
+
+    from frames_map_reduce_spark.operators.quality import (
+        psi_against_reference,
+    )
+
+    require_columns(stream, [value_col])
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        one = psi_against_reference(batch_df, value_col,
+                                    breakpoints, ref_counts)
+        (one.coalesce(1).write.mode("overwrite")
+            .parquet(os.path.join(sink_dir, f"batch_id={batch_id}")))
+
+    writer = stream.writeStream.foreachBatch(apply) \
+        .trigger(availableNow=True)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

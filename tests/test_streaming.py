@@ -600,3 +600,48 @@ def test_gate_v2_replay_idempotent(spark, documents, tmp_path):
     finally:
         for suffix in ("_buckets", "_shingles"):
             spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+
+
+def test_stream_drift_monitor_matches_batch_and_replays(spark, documents,
+                                                        tmp_path):
+    """The streaming PSI monitor must (a) equal the batch
+    psi_against_reference on each staged batch, (b) score the reference
+    against itself as EXACTLY zero drift, and (c) read identically
+    after a full replay with a fresh checkpoint (per-batch-overwrite
+    idempotence, the gate_v2 sink convention)."""
+    from frames_map_reduce_spark.operators.quality import (
+        bin_counts,
+        psi_against_reference,
+        quantile_breakpoints,
+    )
+    from frames_map_reduce_spark.streaming import stream_drift_monitor
+
+    ref = documents.filter(F.col("doc_id") % 2 == 0)
+    bks = quantile_breakpoints(ref, "n_chars", n_bins=4)
+    counts = bin_counts(ref, "n_chars", bks)
+
+    stage = str(tmp_path / "in")
+    ref.select("doc_id", "n_chars").coalesce(1).write.parquet(stage)
+    sink = str(tmp_path / "out")
+
+    def run(ckpt: str) -> None:
+        stream = (spark.readStream
+                       .schema("doc_id long, n_chars long")
+                       .parquet(stage))
+        q = stream_drift_monitor(stream, "n_chars", bks, counts, sink,
+                                 checkpoint=str(tmp_path / ckpt))
+        q.awaitTermination()
+
+    run("ckpt1")
+    got = [tuple(r) for r in spark.read.parquet(sink)
+           .select("n_rows", "psi_micro").collect()]
+    # (a)+(b): one batch, the reference itself -> zero drift exactly
+    want = [tuple(r) for r in psi_against_reference(
+        ref, "n_chars", bks, counts).collect()]
+    assert got == want
+    assert got[0][1] == 0
+
+    run("ckpt2")   # fresh checkpoint: full at-least-once replay
+    again = [tuple(r) for r in spark.read.parquet(sink)
+             .select("n_rows", "psi_micro").collect()]
+    assert again == got
