@@ -697,6 +697,26 @@ def _stream_drift_oracle() -> str:
     return _STREAM_DRIFT_ORACLE_CACHE[path]
 
 
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planner (operators/layout.py
+    compaction_plan): a manifest-shaped frame (one row per "file" —
+    here the per-(source, lang) byte mass of documents, a realistic
+    accreted-small-files profile) grouped into rewrite tasks of ~4 KB
+    per source partition by the largest-first sequential fill.  All
+    integer arithmetic on exact byte counts; one window over the skinny
+    manifest — the plan is cheap, the rewrites it names are the
+    caller's jobs."""
+    docs = _docs(spark, sf_dir)
+    manifest = (docs.groupBy("source", "lang")
+                    .agg(F.sum("n_chars").cast("bigint").alias("bytes"))
+                    .select("source",
+                            F.concat_ws("_", "source", "lang").alias("file"),
+                            "bytes"))
+    return LA.compaction_plan(manifest, "file", "bytes",
+                              target_bytes=4000,
+                              partition_cols=["source"])
+
+
 def q_minhash_firewall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch near-dup firewall against a PERSISTED minhash index
     (dedup.build_minhash_index / minhash_probe_index) — the
@@ -3670,17 +3690,18 @@ _R10_WINDOW = [
     # debuts — debuts outrank expression-identical no-regression
     # re-proofs; packing.py coverage stays via pack_extend /
     # pack_bpe_sequences / corpus_to_sequences)
-    "corpus_to_sequences",
     # (5) mid-round debuts: entropy junk filter, rolling z-score, PSI
-    # drift monitor at both binnings, streaming drift monitor
-    # (curate_corpus_v3, pack_extend, and pack_bpe_sequences —
-    # expression-identical no-regression re-proofs whose paths this
-    # window already covers via quality_classifier, dsir_select_bigram,
-    # token_ids_extend, and corpus_to_sequences — moved to the r11
-    # queue to make room; debuts must be driver-proven THIS round to
-    # keep the zero-never-proven invariant)
+    # drift monitor at both binnings, streaming drift monitor,
+    # compaction planner.  The six category-(4) module-adjacent fills
+    # (curate_corpus_v3, corpus_to_sequences, and the four packing
+    # rows) moved to the r11 queue to make room: they are expression-
+    # identical no-regression re-proofs of r8-proven rows, while debuts
+    # must be driver-proven THIS round to keep the zero-never-proven
+    # invariant; their module paths stay covered in this window via
+    # quality_classifier, dsir_select_bigram, token_ids_extend, and
+    # corpus_to_token_ids.
     "entropy_filter", "anomaly_zscore", "drift_psi",
-    "drift_psi_quantile", "stream_drift",
+    "drift_psi_quantile", "stream_drift", "compaction_plan",
 ]
 
 
@@ -3856,6 +3877,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi": q_drift_psi,
         "drift_psi_quantile": q_drift_psi_quantile,
         "stream_drift": q_stream_drift,
+        "compaction_plan": q_compaction_plan,
     }
 
 
@@ -5356,6 +5378,11 @@ def oracle_sql() -> dict[str, str]:
               file=sys.stderr)
     out["drift_psi_quantile"] = _drift_psi_quantile_oracle()
     out["stream_drift"] = _stream_drift_oracle()
+    out["compaction_plan"] = LA.compaction_plan_sql(
+        "SELECT source, source || '_' || lang AS file, "
+        "CAST(sum(n_chars) AS BIGINT) AS bytes "
+        "FROM documents GROUP BY source, lang",
+        "file", "bytes", target_bytes=4000, partition_cols=["source"])
     out["drift_psi"] = QL.psi_drift_sql(
         "SELECT n_chars FROM documents WHERE lang = 'en'",
         "SELECT n_chars FROM documents WHERE lang <> 'en'",

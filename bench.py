@@ -132,6 +132,7 @@ HEADLINE = [
     "drift_psi",            # PSI drift monitor, two n_bins-row aggs
     "drift_psi_quantile",   # equal-depth PSI: derive edges + monitor
     "stream_drift",         # per-micro-batch PSI vs frozen reference
+    "compaction_plan",      # manifest window fill: rewrite-task plan
 ]
 
 #: entries that model amortized ONE-TIME work (index builds): repeating

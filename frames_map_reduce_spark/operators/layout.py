@@ -35,7 +35,8 @@ from frames_map_reduce_spark.schema import require_columns
 
 __all__ = ["z_value", "write_zordered", "write_zordered_fixed",
            "zorder_fixed_extents_sql", "file_column_stats",
-           "box_prune_stats"]
+           "box_prune_stats", "compaction_plan", "compaction_plan_sql",
+           "parquet_file_manifest"]
 
 
 def z_value(df: DataFrame, cols: Sequence[str], bits: int = 12,
@@ -312,3 +313,89 @@ def box_prune_stats(path: str, box: Mapping[str, tuple]) -> dict:
             rows_read += rec["num_rows"]
     return {"files_total": total, "files_pruned": pruned,
             "rows_in_read_files": rows_read}
+
+
+def compaction_plan(manifest: DataFrame, file_col: str, bytes_col: str,
+                    target_bytes: int,
+                    partition_cols: Sequence[str] = ()) -> DataFrame:
+    """Small-files compaction plan — the standing maintenance job every
+    large parquet table needs (the ``OPTIMIZE``/bin-packing half of
+    what :func:`write_zordered` is the clustering half of): group a
+    partition's files into rewrite tasks of roughly ``target_bytes``
+    each, so a 100 TB table accreted in tiny increments (streaming
+    sinks, per-batch overwrites, CDC deltas) stops paying per-file open
+    cost on every scan.
+
+    Input is a MANIFEST frame — one row per file with its size (from
+    :func:`parquet_file_manifest`, a catalog, or any listing) — so the
+    planner is pure DataFrame logic: within each partition, files order
+    by (bytes DESC, file) and fill output groups sequentially,
+    ``group = cumulative_bytes_before div target_bytes`` — the classic
+    streaming first-fill approximation of bin packing (largest-first
+    ordering bounds each group's overshoot by less than its largest
+    remaining file).  All INTEGER arithmetic on exact byte counts —
+    the plan is deterministic and engine-stable.
+
+    Output: ``partition_cols``..., ``file_col``, ``bytes`` (BIGINT),
+    ``grp`` (BIGINT rewrite-task id within the partition).  Files
+    larger than ``target_bytes`` get a group of their own (cum div
+    target jumps past them) and are left for the caller to split or
+    skip — a planner never rewrites a healthy big file into pieces.
+
+    Scale shape: one window over the manifest keyed by the partition
+    columns — the manifest is rows-per-FILE, millions at most for a
+    100 TB table, so this is a skinny frame by construction; the heavy
+    work (the rewrites) is the caller's per-group jobs.
+    """
+    require_columns(manifest, [file_col, bytes_col, *partition_cols])
+    if target_bytes < 1:
+        raise ValueError(f"need target_bytes >= 1, got {target_bytes}")
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(*[F.col(c) for c in partition_cols])
+         if partition_cols else Window.partitionBy(F.lit(1)))
+    w = (w.orderBy(F.col(bytes_col).desc(), file_col)
+          .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = F.coalesce(F.sum(F.col(bytes_col).cast("bigint")).over(w),
+                            F.lit(0))
+    staged = manifest.select(
+        *partition_cols, file_col,
+        F.col(bytes_col).cast("bigint").alias("bytes"),
+        cum_before.alias("_cb"))
+    # integer div (`div`), not `/` — float division misplaces the floor
+    # once cumulative bytes pass 2^53 (a few PB: reachable for a table
+    # manifest, and wrong is wrong)
+    return staged.select(*partition_cols, file_col, "bytes",
+                         F.expr(f"_cb div {target_bytes}").alias("grp"))
+
+
+def compaction_plan_sql(manifest_sel: str, file_col: str, bytes_col: str,
+                        target_bytes: int,
+                        partition_cols: Sequence[str] = ()) -> str:
+    """DuckDB twin of :func:`compaction_plan` (differential oracle)."""
+    parts = ", ".join(partition_cols) if partition_cols else "1"
+    cols = "".join(f"{c}, " for c in partition_cols)
+    return f"""
+        SELECT {cols}{file_col}, CAST({bytes_col} AS BIGINT) AS bytes,
+               (coalesce(sum(CAST({bytes_col} AS BIGINT)) OVER (
+                   PARTITION BY {parts}
+                   ORDER BY {bytes_col} DESC, {file_col}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // {target_bytes})::BIGINT AS grp
+        FROM ({manifest_sel})"""
+
+
+def parquet_file_manifest(spark, path: str) -> DataFrame:
+    """File manifest of a parquet directory — the input
+    :func:`compaction_plan` consumes: one row per data file with
+    ``(file STRING, bytes BIGINT)``.  Uses pyarrow's dataset listing
+    (the :func:`file_column_stats` convention — metadata only, never
+    data pages); driver-side by the same bounded-manifest contract
+    (rows per FILE, not per record)."""
+    import os
+
+    import pyarrow.dataset as ds
+
+    dataset = ds.dataset(path, format="parquet")
+    rows = [(f, int(os.path.getsize(f))) for f in dataset.files]
+    return spark.createDataFrame(rows, "file string, bytes long")

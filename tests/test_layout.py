@@ -249,3 +249,96 @@ def test_fixed_extents_sql_pinned_bounds(spark, tmp_path):
         want = {int(r[0]): (int(r[2]), r[3], r[4], r[5], r[6])
                 for r in con.sql(sql).fetchall()}
         assert got == want, bounds
+
+
+# ---------------------------------------------------------------------------
+# Compaction planner
+# ---------------------------------------------------------------------------
+
+def _manifest(spark, sizes, part="p0"):
+    rows = [(part, f"f{i:03d}", int(s)) for i, s in enumerate(sizes)]
+    return spark.createDataFrame(rows, "part string, file string, bytes long")
+
+
+def test_compaction_plan_groups_fill_sequentially(spark):
+    """Largest-first sequential fill: groups accumulate ~target bytes,
+    every file appears exactly once, and group ids are dense from 0."""
+    from frames_map_reduce_spark.operators.layout import compaction_plan
+
+    m = _manifest(spark, [700, 300, 200, 100, 900, 50])
+    plan = compaction_plan(m, "file", "bytes", 1000,
+                           partition_cols=["part"]).collect()
+    assert len(plan) == 6
+    by_grp: dict = {}
+    for r in plan:
+        by_grp.setdefault(r.grp, []).append(r.bytes)
+    # size-desc order: 900,700,300,200,100,50
+    # cum_before:        0, 900,1600,1900,2100,2200 -> grp 0,0,1,1,2,2
+    assert sorted(by_grp) == [0, 1, 2]
+    assert sorted(by_grp[0]) == [700, 900]   # 1600 bytes: overshoot < 700
+    assert sorted(by_grp[1]) == [200, 300]
+    assert sorted(by_grp[2]) == [50, 100]
+
+
+def test_compaction_plan_oversized_file_gets_own_group(spark):
+    """A file larger than target advances cum past itself: nothing else
+    lands in its group when it leads the partition."""
+    from frames_map_reduce_spark.operators.layout import compaction_plan
+
+    m = _manifest(spark, [5000, 10, 10])
+    plan = {r.file: r.grp for r in
+            compaction_plan(m, "file", "bytes", 1000,
+                            partition_cols=["part"]).collect()}
+    assert plan["f000"] == 0            # the 5000-byte file
+    assert plan["f001"] == plan["f002"] == 5  # cum 5000, 5010 -> grp 5
+
+
+def test_compaction_plan_partitions_are_independent(spark):
+    """Group ids restart per partition — a plan never merges files
+    across partition boundaries."""
+    from frames_map_reduce_spark.operators.layout import compaction_plan
+
+    rows = [("a", "f1", 1000), ("a", "f2", 600),
+            ("b", "f3", 1000), ("b", "f4", 600)]
+    m = spark.createDataFrame(rows, "part string, file string, bytes long")
+    plan = {r.file: (r.part, r.grp) for r in
+            compaction_plan(m, "file", "bytes", 1000,
+                            partition_cols=["part"]).collect()}
+    # within each partition: cum_before 0 -> grp 0, then 1000 -> grp 1;
+    # partition b restarts at 0 instead of continuing a's fill
+    assert plan["f1"] == ("a", 0) and plan["f2"] == ("a", 1)
+    assert plan["f3"] == ("b", 0) and plan["f4"] == ("b", 1)
+
+
+def test_compaction_plan_rejects_bad_target(spark):
+    import pytest
+
+    from frames_map_reduce_spark.operators.layout import compaction_plan
+
+    m = _manifest(spark, [10])
+    with pytest.raises(ValueError):
+        compaction_plan(m, "file", "bytes", 0)
+
+
+def test_parquet_manifest_feeds_planner(spark, tmp_path):
+    """End-to-end ops arc: list a real parquet dir, plan its rewrite —
+    manifest bytes must equal the on-disk sizes and the plan must cover
+    every file exactly once."""
+    import glob
+    import os
+
+    from frames_map_reduce_spark.operators.layout import (
+        compaction_plan,
+        parquet_file_manifest,
+    )
+
+    p = str(tmp_path / "t")
+    spark.range(1000).repartition(6).write.parquet(p)
+    m = parquet_file_manifest(spark, p)
+    files = sorted(glob.glob(f"{p}/part-*.parquet"))
+    got = {r.file: r.bytes for r in m.collect()}
+    assert sorted(got) == files
+    assert all(got[f] == os.path.getsize(f) for f in files)
+    plan = compaction_plan(m, "file", "bytes", 1 << 30).collect()
+    assert sorted(r.file for r in plan) == files
+    assert all(r.grp == 0 for r in plan)   # tiny files, one group
