@@ -248,6 +248,11 @@ def rolling_zscore(df: DataFrame, value_col: str, ts_col: str,
     Rows with fewer than ``min_periods`` trailing rows, or zero trailing
     variance, emit NULL ``z`` (insufficient baseline ≠ anomalous).
 
+    Range contract: raw |value| beyond ~3·10⁸ overflows the BIGINT
+    sum-of-squares at window 20 and THROWS (ANSI mode — loud, never a
+    silent wrap; DuckDB errors identically).  Rescale such columns
+    upstream; telemetry magnitudes live far inside the bound.
+
     Output: ``key_cols``..., ``ts_col``, ``tiebreak_col``, ``value_col``,
     ``n_window`` (BIGINT trailing-row count), ``z`` (DOUBLE).
 
