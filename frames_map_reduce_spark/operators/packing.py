@@ -125,7 +125,8 @@ def _bucketize(sized: DataFrame, order_by: Sequence[str],
 
 def _running_offsets(df: DataFrame, size: Column, order_by: Sequence[str],
                      by: Sequence[str], n_buckets: int | str,
-                     drop_nonpositive: bool) -> DataFrame:
+                     drop_nonpositive: bool,
+                     drain: bool = True) -> DataFrame:
     """``df`` + ``_sz`` (the evaluated size), ``_end`` (running BIGINT
     cumulative size through this row in ``order_by`` order within each
     ``by`` group) and ``_start`` (``_end − _sz``).
@@ -133,7 +134,18 @@ def _running_offsets(df: DataFrame, size: Column, order_by: Sequence[str],
     Integral sizes with ``n_buckets > 1`` take the two-phase bucketed
     path (module docstring); fractional sizes and ``n_buckets == 1``
     take the serial per-group window, whose output is defined to be
-    identical for integral sizes (fuzz-pinned)."""
+    identical for integral sizes (fuzz-pinned).
+
+    ``drain=False`` is for COMPOSED callers (the extend family) whose
+    OTHER input may still hang on a live bucketized persist from an
+    earlier pack in the same plan: the swap-cache drain here would
+    unpin that frame before the composed action consumes it, and an
+    unpersisted ``spark_partition_id`` bucketing is not stable across
+    the two branches that must agree (the module-docstring linchpin) —
+    observed at sf1.0 as NONDETERMINISTIC token loss in
+    ``pack_token_ids_extend`` before this parameter existed.  The
+    skipped drain happens at the next top-level pack call instead
+    (same swap-cache lifetime, one generation later)."""
     sized = df.withColumn("_sz", size)
     if drop_nonpositive:
         sized = sized.filter(F.col("_sz") > 0)
@@ -147,7 +159,8 @@ def _running_offsets(df: DataFrame, size: Column, order_by: Sequence[str],
                    .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         return (sized.withColumn("_end", F.sum("_sz").over(w))
                      .withColumn("_start", F.col("_end") - F.col("_sz")))
-    drain_persist_cache(_PACK_OFFSET_CACHE)
+    if drain:
+        drain_persist_cache(_PACK_OFFSET_CACHE)
     bucketed = _bucketize(sized, order_by, by, n_buckets)
     w_local = (Window.partitionBy(*[F.col(c) for c in by], F.col("_pid"))
                      .orderBy(*[F.col(c) for c in order_by])
@@ -423,10 +436,13 @@ def pack_token_ids_extend(prior_packed: DataFrame, new_df: DataFrame,
         raise ValueError("order_by must name at least one column")
     require_columns(new_df, [*by, *order_by, ids_col])
     require_columns(prior_packed, [*by, seq_col, "token_ids", "n_tokens"])
+    # drain=False: prior_packed may be a live pack_token_ids plan whose
+    # bucketized persist the swap-cache drain would unpin before the
+    # merge below consumes its ROWS (see _running_offsets docstring)
     sized = _running_offsets(new_df,
                              F.size(F.col(ids_col)).cast("bigint"),
                              order_by, by, n_buckets,
-                             drop_nonpositive=True)
+                             drop_nonpositive=True, drain=False)
     prior_tot = (prior_packed.groupBy(*[F.col(c) for c in by])
                              .agg(F.sum("n_tokens").cast("bigint")
                                    .alias("_prior")))
@@ -540,8 +556,10 @@ def pack_sequences_extend(prior_manifest: DataFrame, new_df: DataFrame,
     require_columns(prior_manifest,
                     [*by, seq_col, "n_docs", "n_tokens", "n_starts"])
     size = F.col(size_col) if isinstance(size_col, str) else size_col
+    # drain=False: prior_manifest may be a live pack_sequences plan
+    # still pinned by its bucketized persist (see _running_offsets)
     sized = _running_offsets(new_df, size.cast("bigint"), order_by, by,
-                             n_buckets, drop_nonpositive=True)
+                             n_buckets, drop_nonpositive=True, drain=False)
     prior = (prior_manifest.groupBy(*[F.col(c) for c in by])
                            .agg(F.sum("n_tokens").cast("bigint")
                                  .alias("_prior")))

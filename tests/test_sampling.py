@@ -642,3 +642,39 @@ def test_dsir_plan_shape(spark, documents):
     for py in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas"):
         assert py not in plan, py
+
+
+def test_token_ids_extend_live_prior_plan_multibucket(spark):
+    """Regression (sf1.0 scale-gate failure, r10): pack_token_ids_extend
+    fed a LIVE pack_token_ids PLAN as its prior — not a materialized
+    frame — while forcing the multi-bucket offsets path.  The extend's
+    internal _running_offsets used to drain the swap cache, unpinning
+    the prior's bucketized persist before the merge consumed its rows;
+    an unpersisted spark_partition_id bucketing is not stable across
+    the two branches that must agree, and tokens vanished
+    NONDETERMINISTICALLY at scale.  Pin: composed extend ≡ full repack,
+    value-identical, twice (two fresh plans)."""
+    from frames_map_reduce_spark.operators.packing import (
+        pack_token_ids,
+        pack_token_ids_extend,
+    )
+
+    rows = [(g, i, list(range(i % 7 + 1)))
+            for g in ("a", "b", "c") for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "g string, doc_id long, token_ids array<int>")
+    old = df.filter("doc_id < 240")
+    new = df.filter("doc_id >= 240")
+    full = sorted(
+        (r["g"], r["seq_id"], tuple(r["token_ids"]))
+        for r in pack_token_ids(df, "token_ids", 16, order_by=["doc_id"],
+                                by=["g"], n_buckets=8).collect())
+    for _ in range(2):
+        prior = pack_token_ids(old, "token_ids", 16, order_by=["doc_id"],
+                               by=["g"], n_buckets=8)
+        inc = pack_token_ids_extend(prior, new, "token_ids", 16,
+                                    order_by=["doc_id"], by=["g"],
+                                    n_buckets=8)
+        got = sorted((r["g"], r["seq_id"], tuple(r["token_ids"]))
+                     for r in inc.collect())
+        assert got == full
