@@ -2895,6 +2895,30 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "n_window", F.round("z", 6).alias("z")))
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov next-event transition matrix over per-user event streams
+    — the user-journey analytics primitive next to funnel/retention:
+    lead() per user (ts, event_id order) pairs each event with its
+    successor; pair counts and the conditional P(next | current) as ONE
+    correctly-rounded division of exact integer counts (6dp) — the same
+    single-float-op discipline as the drift monitors.  One window
+    shuffle on user_id + two aggregations; the matrix is
+    |event_type|² rows at most, broadcast-class."""
+    from pyspark.sql import Window as _W
+
+    ev = _events(spark, sf_dir)
+    w = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.select("event_type",
+                       F.lead("event_type").over(w).alias("next_type"))
+               .filter(F.col("next_type").isNotNull()))
+    counts = (pairs.groupBy("event_type", "next_type")
+                   .agg(F.count(F.lit(1)).alias("n")))
+    tot = counts.groupBy("event_type").agg(F.sum("n").alias("_t"))
+    return (counts.join(tot, "event_type")
+                  .select("event_type", "next_type", "n",
+                          F.round(F.col("n") / F.col("_t"), 6).alias("p")))
+
+
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-stage aggregation (skew.salted_aggregate): each hot
     key is split into 16 salted sub-keys for the heavy first pass, then
@@ -3878,6 +3902,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi_quantile": q_drift_psi_quantile,
         "stream_drift": q_stream_drift,
         "compaction_plan": q_compaction_plan,
+        # below-window debut: heads the r11 rotation queue (proven
+        # locally at sf0.001/0.01 by the parity suite and at sf1.0 by
+        # the scale gate this round; driver row lands in r11)
+        "event_transitions": q_event_transitions,
     }
 
 
@@ -5378,6 +5406,21 @@ def oracle_sql() -> dict[str, str]:
               file=sys.stderr)
     out["drift_psi_quantile"] = _drift_psi_quantile_oracle()
     out["stream_drift"] = _stream_drift_oracle()
+    out["event_transitions"] = """
+        WITH _et_pairs AS (
+            SELECT event_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       AS next_type
+            FROM events),
+        _et_c AS (
+            SELECT event_type, next_type, count(*)::BIGINT AS n
+            FROM _et_pairs WHERE next_type IS NOT NULL
+            GROUP BY 1, 2),
+        _et_t AS (SELECT event_type, sum(n)::BIGINT AS _t
+                  FROM _et_c GROUP BY 1)
+        SELECT _et_c.event_type, next_type, n, round(n / _t, 6) AS p
+        FROM _et_c JOIN _et_t USING (event_type)"""
     out["compaction_plan"] = LA.compaction_plan_sql(
         "SELECT source, source || '_' || lang AS file, "
         "CAST(sum(n_chars) AS BIGINT) AS bytes "

@@ -133,6 +133,7 @@ HEADLINE = [
     "drift_psi_quantile",   # equal-depth PSI: derive edges + monitor
     "stream_drift",         # per-micro-batch PSI vs frozen reference
     "compaction_plan",      # manifest window fill: rewrite-task plan
+    "event_transitions",    # lead-window Markov pair matrix
 ]
 
 #: entries that model amortized ONE-TIME work (index builds): repeating
