@@ -277,3 +277,56 @@ def test_psi_breakpoints_validation(spark):
         psi_drift(df, df, "v", breakpoints=[9, 3])        # unsorted
     with pytest.raises(ValueError):
         psi_drift(df, df, "v")                            # neither mode
+
+
+def test_psi_against_reference_identity_zero(spark):
+    """Scoring the reference against its own frozen constants is
+    EXACTLY zero — the monitoring loop's calibration law."""
+    from frames_map_reduce_spark.operators.quality import (
+        bin_counts,
+        psi_against_reference,
+        quantile_breakpoints,
+    )
+
+    df = _vals_frame(spark, [3, 8, 8, 15, 22, 22, 40, 77] * 5)
+    bks = quantile_breakpoints(df, "v", n_bins=4)
+    counts = bin_counts(df, "v", bks)
+    row = psi_against_reference(df, "v", bks, counts).collect()[0]
+    assert row.n_rows == 40 and row.psi_micro == 0
+
+
+def test_psi_against_reference_empty_current(spark):
+    """An empty current side still yields the one summary row (n_rows
+    0, finite PSI of smoothed-uniform vs the reference) — a monitor
+    must not go silent on an empty batch."""
+    from frames_map_reduce_spark.operators.quality import (
+        psi_against_reference,
+    )
+
+    empty = _vals_frame(spark, [1]).filter("v < 0")
+    row = psi_against_reference(empty, "v", [10, 20], [5, 5, 5]).collect()[0]
+    assert row.n_rows == 0 and row.psi_micro is not None
+
+
+def test_psi_against_reference_validation(spark):
+    from frames_map_reduce_spark.operators.quality import (
+        psi_against_reference,
+    )
+
+    df = _vals_frame(spark, [1])
+    with pytest.raises(ValueError):
+        psi_against_reference(df, "v", [10, 20], [1, 2])      # len != B
+    with pytest.raises(ValueError):
+        psi_against_reference(df, "v", [20, 10], [1, 2, 3])   # unsorted
+    with pytest.raises(ValueError):
+        psi_against_reference(df, "v", [10, 20], [1, -1, 3])  # negative
+
+
+def test_quantile_breakpoints_all_null_raises(spark):
+    from frames_map_reduce_spark.operators.quality import (
+        quantile_breakpoints,
+    )
+
+    df = spark.createDataFrame([(None,), (None,)], "v long")
+    with pytest.raises(ValueError, match="no rows"):
+        quantile_breakpoints(df, "v", n_bins=4)
