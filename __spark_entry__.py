@@ -79,6 +79,26 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ensure_parallelism(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _hash_token_ids(packed: DataFrame) -> DataFrame:
+    """Project a pack_token_ids output's raw ``token_ids array<int>``
+    through ``md5(to_json(...))`` for the driver registry (r10 verdict
+    #1: the driver's pandas canonicalizer cannot sort list cells).
+    Spark ``to_json(array<int>)`` and DuckDB ``to_json(INT[])::VARCHAR``
+    both render the compact ``[1,2,3]`` form, so the digests are
+    engine-exact.  The DuckDB twin is :func:`_hash_token_ids_sql`."""
+    return packed.select(
+        *[c for c in packed.columns if c != "token_ids"],
+        F.md5(F.to_json(F.col("token_ids"))).alias("ids_md5"))
+
+
+def _hash_token_ids_sql(twin_sql: str) -> str:
+    """DuckDB side of :func:`_hash_token_ids` — wraps a
+    pack_token_ids_sql twin, replacing ``token_ids`` with its digest."""
+    return (f"SELECT * EXCLUDE (token_ids), "
+            f"md5(to_json(token_ids)::VARCHAR) AS ids_md5 "
+            f"FROM ({twin_sql}) _tok_hashed")
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet has shipped ts as TIMESTAMP(NANOS) (older testdata —
     Spark's reader rejects nanos unless read as long) and as plain
@@ -1544,7 +1564,10 @@ def q_token_ids_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines draw the identical boundary.  Oracle: encode_ids_sql +
     pack_token_ids_sql over the FULL corpus — hash equality proves
     incremental ≡ full repack cross-engine, every ID in every straddled
-    tail included."""
+    tail included.  Output ships ``md5(to_json(token_ids))`` instead of
+    the raw array (the driver canonicalizer cannot sort list cells —
+    r10 verdict #1); raw-array equality stays pinned in the fuzz
+    suite."""
     docs = _docs(spark, sf_dir)
     src = docs.select("doc_id", "source", "text")
     cut = src.agg(F.expr("(4 * max(doc_id)) div 5").alias("_cut"))
@@ -1558,8 +1581,9 @@ def q_token_ids_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prior = PK.pack_token_ids(ids_of(old), "token_ids", 256,
                               order_by=["doc_id"], by=["source"])
-    return PK.pack_token_ids_extend(prior, ids_of(new), "token_ids", 256,
-                                    order_by=["doc_id"], by=["source"])
+    ext = PK.pack_token_ids_extend(prior, ids_of(new), "token_ids", 256,
+                                   order_by=["doc_id"], by=["source"])
+    return _hash_token_ids(ext)
 
 
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2242,15 +2266,24 @@ def q_corpus_to_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     FULL composed oracle: the band predicate + the recursive-CTE greedy
     scan emitting matched IDs (encode_ids_sql) + the window-offset
     chunking twin (pack_token_ids_sql), nested verbatim — hash equality
-    proves every ID in every sequence, order included."""
+    proves every ID in every sequence, order included.
+
+    Registry output convention (r10 verdict #1): the raw ``array<int>``
+    column is projected through ``md5(to_json(token_ids))`` — the
+    driver's canonicalizer sorts a pandas frame and list cells are
+    unhashable, so the registry row ships a deterministic scalar digest
+    (Spark ``to_json`` and DuckDB ``to_json(...)::VARCHAR`` agree on the
+    compact ``[1,2,3]`` form) while the raw-array equality stays pinned
+    in tests/test_differential_fuzz.py."""
     docs = _docs(spark, sf_dir)
     n_words = F.size(TX.wordish_tokens(F.col("text")))
     kept = (docs.filter((n_words >= 30) & (n_words <= 90))
                 .select("doc_id", "source", "text"))
     ids = TKZ.encode_ids(kept, "text", "doc_id")
     with_src = ids.join(kept.select("doc_id", "source"), "doc_id")
-    return PK.pack_token_ids(with_src, "token_ids", 256,
-                             order_by=["doc_id"], by=["source"])
+    packed = PK.pack_token_ids(with_src, "token_ids", 256,
+                               order_by=["doc_id"], by=["source"])
+    return _hash_token_ids(packed)
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4001,8 +4034,9 @@ def _corpus_to_token_ids_oracle() -> str:
     enc = TKZ.encode_ids_sql(band, "text", "doc_id")
     joined = (f"(SELECT e.doc_id, d.source, e.token_ids "
               f"FROM ({enc}) e JOIN documents d USING (doc_id))")
-    return PK.pack_token_ids_sql(joined, "token_ids", 256,
-                                 ["doc_id"], ["source"])
+    return _hash_token_ids_sql(
+        PK.pack_token_ids_sql(joined, "token_ids", 256,
+                              ["doc_id"], ["source"]))
 
 
 def _token_ids_extend_oracle() -> str:
@@ -4012,8 +4046,9 @@ def _token_ids_extend_oracle() -> str:
     enc = TKZ.encode_ids_sql("documents", "text", "doc_id")
     joined = (f"(SELECT e.doc_id, d.source, e.token_ids "
               f"FROM ({enc}) e JOIN documents d USING (doc_id))")
-    return PK.pack_token_ids_sql(joined, "token_ids", 256,
-                                 ["doc_id"], ["source"])
+    return _hash_token_ids_sql(
+        PK.pack_token_ids_sql(joined, "token_ids", 256,
+                              ["doc_id"], ["source"]))
 
 
 def _bpe_train_oracle() -> str:

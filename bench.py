@@ -307,14 +307,38 @@ def main() -> None:
     # returns gluing a partial stage bar onto the front of the JSON when
     # stdout and stderr share a tty/capture buffer.
     print()
-    print(json.dumps({
-        "metric": full["metric"],
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "calibration": cal_median,
-        "sf": sf,
-    }))
+    print(_final_line(full["metric"], total, timings, cal_median, sf))
+
+
+#: The driver records a bounded stdout TAIL (~2,000 chars); r10's
+#: 85-query line outgrew it and BENCH_r10.json came back
+#: ``parsed: null`` (r10 verdict #4).  Budget with headroom for the
+#: trailing newline and any console-progress residue.
+_FINAL_LINE_BUDGET = 1800
+
+
+def _final_line(metric: str, total: float, timings: dict,
+                cal_median: float, sf: float) -> str:
+    """Compact final-line JSON, HARD-BOUNDED under the driver's tail
+    capture: 2-decimal per-query medians, compact separators, and —
+    only if the full map still overflows — the per-query map truncated
+    to its first entries (suite order) with ``queries_omitted``
+    counting the cut (full detail always lives in BENCH_FULL.json)."""
+    def render(qmap: dict, omitted: int) -> str:
+        rec = {"metric": metric, "value": total, "unit": "sec",
+               "queries": qmap, "calibration": cal_median, "sf": sf}
+        if omitted:
+            rec["queries_omitted"] = omitted
+        return json.dumps(rec, separators=(",", ":"))
+
+    compact = {name: round(t, 2) for name, t in timings.items()}
+    line = render(compact, 0)
+    names = list(compact)
+    while len(line) > _FINAL_LINE_BUDGET and names:
+        names.pop()
+        line = render({n: compact[n] for n in names},
+                      len(compact) - len(names))
+    return line
 
 
 if __name__ == "__main__":

@@ -35,3 +35,27 @@ def test_bench_headline_queries_exist():
     known = set(entry_mod.queries()) | set(entry_mod.bench_only_queries())
     missing = [n for n in bench.HEADLINE if n not in known]
     assert not missing, missing
+
+
+def test_bench_final_line_bounded():
+    """The driver parses bench output from a ~2,000-char stdout tail;
+    r10's 85-query final line overflowed it (BENCH_r10 parsed: null).
+    The final line must stay under budget and parseable at ANY suite
+    size, truncating the per-query map (never the headline numbers)."""
+    import json
+
+    import bench
+
+    for n_queries in (10, 85, 200, 500):
+        timings = {f"query_name_number_{i:03d}": 1.234 + i * 0.017
+                   for i in range(n_queries)}
+        line = bench._final_line("headline-suite wall time at sf0.1",
+                                 123.456, timings, 0.179, 0.1)
+        assert len(line) <= bench._FINAL_LINE_BUDGET
+        rec = json.loads(line)
+        assert rec["value"] == 123.456
+        assert rec["sf"] == 0.1
+        assert rec["calibration"] == 0.179
+        kept = len(rec["queries"])
+        assert kept + rec.get("queries_omitted", 0) == n_queries
+        assert kept > 0

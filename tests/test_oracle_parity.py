@@ -50,10 +50,23 @@ def _norm(v):
 
 
 def _canon(rows, columns):
-    """Driver-style canonicalization: sort columns by name, then rows."""
+    """Driver-replica canonicalization (r10 verdict #2): sort columns by
+    name, then sort ROWS VIA PANDAS ``sort_values`` — the driver's
+    harness does exactly this, and its lexsort factorizes each column
+    through a hash table, so unhashable cells (lists/structs/dicts) die
+    with the driver's exact TypeError.  Local green must imply driver
+    green: do NOT fall back to a str()-keyed sort here (that list-safe
+    shortcut is how the r10 token-ID rows passed locally and failed the
+    driver)."""
+    import pandas as pd
+
     order = sorted(range(len(columns)), key=lambda i: columns[i])
-    out = [tuple(_norm(r[i]) for i in order) for r in rows]
-    return sorted(out, key=lambda t: tuple((v is None, str(type(v)), str(v)) for v in t))
+    cols = [columns[i] for i in order]
+    normed = [[_norm(r[i]) for i in order] for r in rows]
+    df = pd.DataFrame(normed, columns=cols, dtype=object)
+    if len(df):
+        df = df.sort_values(by=cols, kind="mergesort", na_position="last")
+    return [tuple(row) for row in df.itertuples(index=False, name=None)]
 
 
 @pytest.mark.parametrize("name", WITH_ORACLE)
@@ -86,3 +99,27 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_canon_is_list_fatal():
+    """The driver-replica property (r10 verdict #2): list-typed cells
+    must make _canon raise — if this test ever passes with a list-safe
+    sort, local parity green stops implying driver green."""
+    with pytest.raises(TypeError):
+        _canon([("a", [1, 2]), ("b", [3])], ["k", "ids"])
+
+
+def test_lint_forbids_nested_oracle_types():
+    """tools/lint_oracle_types.py FORBIDDEN must flag LIST/STRUCT/MAP
+    outputs (the r10 corpus_to_token_ids failure class) and still allow
+    the scalar types every registry oracle ships."""
+    import re
+    from tools.lint_oracle_types import FORBIDDEN
+
+    for bad in ["INTEGER[]", "BIGINT[]", "VARCHAR[3]",
+                "STRUCT(a INTEGER)", "MAP(VARCHAR, BIGINT)",
+                "UNION(i INTEGER)", "JSON", "HUGEINT", "DECIMAL(18,3)"]:
+        assert FORBIDDEN.match(bad), f"lint must forbid {bad}"
+    for ok in ["BIGINT", "INTEGER", "VARCHAR", "DOUBLE", "BOOLEAN",
+               "DATE", "TIMESTAMP"]:
+        assert not FORBIDDEN.match(ok), f"lint must allow {ok}"

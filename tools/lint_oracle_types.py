@@ -32,9 +32,15 @@ os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", SF_DIR)
 
 #: DuckDB types with no exact Spark analogue — any oracle output column
 #: matching one of these would hash-mismatch a value-identical Spark
-#: result at the driver's type-aware compare.
+#: result at the driver's type-aware compare — PLUS nested types
+#: (LIST/ARRAY/STRUCT/MAP/UNION/JSON): the driver canonicalizes by
+#: sorting a pandas frame, and list/struct cells are unhashable there
+#: (the r10 corpus_to_token_ids failure class — r10 verdict #2).
+#: Nested outputs must ship a deterministic scalar projection instead,
+#: e.g. ``md5(to_json(col))`` identically on both sides.
 FORBIDDEN = re.compile(
-    r"^(HUGEINT|UHUGEINT|DECIMAL\b.*|UTINYINT|USMALLINT|UINTEGER|UBIGINT)$",
+    r"^(HUGEINT|UHUGEINT|DECIMAL\b.*|UTINYINT|USMALLINT|UINTEGER|UBIGINT"
+    r"|.*\[\d*\]|STRUCT\b.*|MAP\b.*|UNION\b.*|LIST\b.*|JSON)$",
     re.IGNORECASE)
 
 
