@@ -391,11 +391,14 @@ def parquet_file_manifest(spark, path: str) -> DataFrame:
     ``(file STRING, bytes BIGINT)``.  Uses pyarrow's dataset listing
     (the :func:`file_column_stats` convention — metadata only, never
     data pages); driver-side by the same bounded-manifest contract
-    (rows per FILE, not per record)."""
-    import os
-
+    (rows per FILE, not per record).  Sizes come from the dataset's
+    OWN filesystem handle (``get_file_info``), so the manifest works on
+    every pyarrow-supported filesystem (s3://, gs://, hdfs://, local) —
+    ``os.path.getsize`` would silently narrow the contract to local
+    paths (r10 ADVICE)."""
     import pyarrow.dataset as ds
 
     dataset = ds.dataset(path, format="parquet")
-    rows = [(f, int(os.path.getsize(f))) for f in dataset.files]
+    infos = dataset.filesystem.get_file_info(list(dataset.files))
+    rows = [(i.path, int(i.size)) for i in infos]
     return spark.createDataFrame(rows, "file string, bytes long")

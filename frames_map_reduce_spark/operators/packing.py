@@ -50,7 +50,7 @@ __all__ = ["pack_shards", "pack_sequences", "pack_sequences_extend",
            "pack_sequences_sql",
            "pack_token_ids", "pack_token_ids_sql",
            "pack_token_ids_extend",
-           "write_packed_shards"]
+           "write_packed_shards", "drain_pack_cache"]
 
 _INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
 
@@ -101,6 +101,25 @@ def _resolve_n_buckets(sized: DataFrame, n_buckets: int | str) -> int:
 # dedup's shingle caches: the returned plan references it, so each call
 # drains the PREVIOUS call's cache instead of unpersisting its own)
 _PACK_OFFSET_CACHE: list[DataFrame] = []
+
+
+def drain_pack_cache() -> int:
+    """Release every bucketized frame the pack family has persisted and
+    return how many were dropped — the DOCUMENTED drain point for
+    extend-only pipelines (r10 ADVICE): ``pack_*_extend`` must not
+    drain internally (a live prior plan may still pin an earlier
+    generation's persist — the sf1.0 token-loss bug), so a loop that
+    only ever calls the extend family accumulates one
+    MEMORY_AND_DISK-persisted frame per call.  Call this AFTER
+    materializing each extend's output (count/collect/write); the
+    returned plans must not be re-executed afterwards — an unpersisted
+    ``spark_partition_id`` bucketing is not stable across
+    re-computation.  Top-level ``pack_sequences`` / ``pack_token_ids``
+    / ``pack_shards`` calls drain the previous generation automatically;
+    mixed pipelines only need this at the very end."""
+    n = len(_PACK_OFFSET_CACHE)
+    drain_persist_cache(_PACK_OFFSET_CACHE)
+    return n
 
 
 def _bucketize(sized: DataFrame, order_by: Sequence[str],
@@ -429,7 +448,13 @@ def pack_token_ids_extend(prior_packed: DataFrame, new_df: DataFrame,
     (tiny, broadcast), the same offsets/posexplode/agg as
     :func:`pack_token_ids` over the NEW batch only, then one
     key-partitioned merge whose per-group concat is bounded at
-    ``block`` IDs."""
+    ``block`` IDs.
+
+    Cache lifecycle: this call does NOT drain the pack swap-cache (the
+    prior may be a live plan pinning an earlier persist); an
+    extend-ONLY ingestion loop must call :func:`drain_pack_cache` after
+    materializing each round's output, or the persisted bucketized
+    frames accumulate unboundedly."""
     if block <= 0:
         raise ValueError(f"block must be positive, got {block}")
     if not order_by:
@@ -547,7 +572,11 @@ def pack_sequences_extend(prior_manifest: DataFrame, new_df: DataFrame,
     Scale shape: one aggregation over the manifest (tiny), the same
     two-phase offsets/explode/agg as ``pack_sequences`` over the NEW
     batch only, then one key-partitioned merge aggregation over
-    manifest ∪ delta."""
+    manifest ∪ delta.
+
+    Cache lifecycle: no internal drain (see
+    :func:`pack_token_ids_extend`) — extend-only loops call
+    :func:`drain_pack_cache` after materializing each round."""
     if block <= 0:
         raise ValueError(f"block must be positive, got {block}")
     if not order_by:

@@ -25,6 +25,7 @@ Scale design:
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -248,10 +249,19 @@ def rolling_zscore(df: DataFrame, value_col: str, ts_col: str,
     Rows with fewer than ``min_periods`` trailing rows, or zero trailing
     variance, emit NULL ``z`` (insufficient baseline ≠ anomalous).
 
-    Range contract: raw |value| beyond ~3·10⁸ overflows the BIGINT
-    sum-of-squares at window 20 and THROWS (ANSI mode — loud, never a
-    silent wrap; DuckDB errors identically).  Rescale such columns
-    upstream; telemetry magnitudes live far inside the bound.
+    Range contract (GUARDED at runtime): the widest intermediate is
+    ``n·Σv² ≤ window²·v_milli²``, so the milli-quantized magnitude must
+    satisfy ``|v_milli| ≤ isqrt(2⁶³−1) / window`` — at the default
+    window 20 that is ~1.5·10⁸ milli ≈ raw |value| ~1.5·10⁵.  Any row
+    beyond the bound raises a descriptive error from inside the plan
+    (cheap codegen comparison, no extra pass) rather than relying on
+    ANSI overflow — and NEVER silently wraps even on a non-ANSI
+    session.  The DuckDB twin does NOT error in the overflow band (its
+    ``sum(BIGINT)`` promotes to HUGEINT), which is exactly why the
+    guard lives here: out-of-range input must fail loudly in Spark
+    instead of silently disagreeing with (or outliving) the twin.
+    Rescale such columns upstream; telemetry magnitudes live far inside
+    the bound.
 
     Output: ``key_cols``..., ``ts_col``, ``tiebreak_col``, ``value_col``,
     ``n_window`` (BIGINT trailing-row count), ``z`` (DOUBLE).
@@ -268,9 +278,22 @@ def rolling_zscore(df: DataFrame, value_col: str, ts_col: str,
     w = (Window.partitionBy(*key_cols)
                .orderBy(ts_col, tiebreak_col)
                .rowsBetween(-window, -1))
+    # widest intermediate is n·Σv² ≤ window²·v²: guard the quantized
+    # magnitude per row so overflow is a named error, not an ANSI trap
+    # (and not a silent wrap on a non-ANSI session) — see Range contract
+    v_limit = math.isqrt(2**63 - 1) // window
+    raw_limit = v_limit / _Z_SCALE
+    quant = F.round(F.col(value_col) * _Z_SCALE, 0).cast("bigint")
+    guarded = F.when(
+        F.abs(quant) > v_limit,
+        F.raise_error(F.lit(
+            f"rolling_zscore: |{value_col}| exceeds the overflow-safe "
+            f"bound ~{raw_limit:.6g} at window={window} "
+            f"(quantized limit {v_limit}); rescale the column upstream "
+            f"or shrink the window"))
+    ).otherwise(quant)
     base = df.select(*key_cols, ts_col, tiebreak_col, value_col,
-                     F.round(F.col(value_col) * _Z_SCALE, 0)
-                      .cast("bigint").alias("_v"))
+                     guarded.alias("_v"))
     stats = base.select(
         *key_cols, ts_col, tiebreak_col, value_col, "_v",
         F.count("_v").over(w).alias("_n"),

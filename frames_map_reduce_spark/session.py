@@ -40,6 +40,12 @@ def get_spark(
                 or (int(cpus) * 2 if str(cpus).isdigit() else 64)),
         )
         .config("spark.sql.session.timeZone", "UTC")
+        # the engine's integer staging RELIES on overflow being loud
+        # (rolling_zscore's windowed moments, hash arithmetic): pin ANSI
+        # on explicitly rather than trusting the deployment default —
+        # a non-ANSI session would silently wrap BIGINT instead of
+        # throwing (r10 ADVICE)
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

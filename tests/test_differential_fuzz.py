@@ -1133,3 +1133,41 @@ def test_psi_quantile_pipeline_matches_duckdb(spark, ref, cur, n_bins):
         psi_drift_sql("SELECT v FROM rr", "SELECT v FROM cc", "v",
                       breakpoints=obks)).fetchall()))
     assert got == want
+
+
+@given(files=st.lists(
+    st.tuples(st.sampled_from(["p1", "p2", "p3"]),
+              st.integers(min_value=0, max_value=9_999),
+              st.integers(min_value=0, max_value=2_000_000)),
+    min_size=1, max_size=60),
+    target=st.sampled_from([1, 64_000, 1_000_000]),
+    use_parts=st.booleans())
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_compaction_plan_matches_duckdb(spark, files, target, use_parts):
+    """Random manifests through compaction_plan vs its DuckDB twin,
+    WITH and WITHOUT partition columns (r10 ADVICE: the driver oracle
+    only exercised partition_cols=['source'], leaving the PARTITION BY 1
+    no-partition path and the DESC/file tiebreak unproven): bytes DESC
+    first-fill grouping, duplicate sizes broken by file name, oversized
+    files jumping groups — grp ids must agree EXACTLY."""
+    from frames_map_reduce_spark.operators.layout import (
+        compaction_plan,
+        compaction_plan_sql,
+    )
+
+    data = [(p, f"f{i:04d}", b) for p, i, b in files]
+    df = spark.createDataFrame(data, "part string, file string, bytes long")
+    parts = ["part"] if use_parts else []
+    out = compaction_plan(df, "file", "bytes", target, partition_cols=parts)
+    sel = (["part"] if use_parts else []) + ["file", "bytes", "grp"]
+    got = sorted(map(tuple, out.select(*sel).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE mf (part VARCHAR, file VARCHAR, bytes BIGINT)")
+    con.executemany("INSERT INTO mf VALUES (?, ?, ?)", data)
+    sql = compaction_plan_sql("SELECT * FROM mf", "file", "bytes", target,
+                              partition_cols=parts)
+    want = sorted(map(tuple,
+                      con.sql(f"SELECT {', '.join(sel)} FROM ({sql})")
+                         .fetchall()))
+    assert got == want

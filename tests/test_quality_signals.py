@@ -152,6 +152,29 @@ def test_zscore_rejects_bad_params(spark):
                        min_periods=1)
 
 
+def test_zscore_overflow_guard_at_documented_boundary(spark):
+    """The runtime magnitude guard (r10 verdict #5 / ADVICE): the widest
+    intermediate is n·Σv² ≤ window²·v_milli², so the safe bound is
+    isqrt(2⁶³−1)/window milli.  A value AT the bound scores; one past it
+    raises the NAMED error from inside the plan — never an anonymous
+    ANSI overflow, never a silent wrap."""
+    window = 20
+    v_limit = math.isqrt(2**63 - 1) // window   # milli-units
+    # just inside the bound (a few thousand milli of slack so the
+    # float round-trip through raw units cannot tip past the guard)
+    at_bound = (v_limit - 5000) / 1000.0
+    ok = _z_frame(spark, [at_bound - 2, at_bound - 1] * 4 + [at_bound])
+    out = rolling_zscore(ok, "value", "ts", ["user"], "event_id",
+                         window=window, min_periods=8)
+    assert out.filter(F.col("z").isNotNull()).count() >= 1
+    # past the bound: loud, named error (guard fires before any window
+    # aggregate can overflow)
+    bad = _z_frame(spark, [1.0, 2.0, (v_limit + 1000) / 1000.0])
+    with pytest.raises(Exception, match="overflow-safe bound"):
+        rolling_zscore(bad, "value", "ts", ["user"], "event_id",
+                       window=window, min_periods=2).collect()
+
+
 # ---------------------------------------------------------------------------
 # PSI drift monitor
 # ---------------------------------------------------------------------------

@@ -678,3 +678,41 @@ def test_token_ids_extend_live_prior_plan_multibucket(spark):
         got = sorted((r["g"], r["seq_id"], tuple(r["token_ids"]))
                      for r in inc.collect())
         assert got == full
+
+
+def test_drain_pack_cache_bounds_extend_only_loop(spark):
+    """r10 ADVICE: an extend-ONLY ingestion loop never reaches a
+    top-level pack call, so the swap-cache persists accumulate one
+    bucketized frame per round.  drain_pack_cache() is the documented
+    drain point: after materializing each round's output it empties the
+    cache (returning how many frames it released), and the NEXT round's
+    extend still produces repack-identical values."""
+    from frames_map_reduce_spark.operators import packing as PK
+
+    rows = [("g", i, list(range(i % 5 + 1))) for i in range(400)]
+    df = spark.createDataFrame(
+        rows, "g string, doc_id long, token_ids array<int>")
+    prior = PK.pack_token_ids(df.filter("doc_id < 100"), "token_ids", 16,
+                              order_by=["doc_id"], by=["g"], n_buckets=4)
+    prior = spark.createDataFrame(prior.collect(), prior.schema)
+    PK.drain_pack_cache()
+    assert not PK._PACK_OFFSET_CACHE
+    for lo, hi in ((100, 200), (200, 300), (300, 400)):
+        batch = df.filter(f"doc_id >= {lo} and doc_id < {hi}")
+        ext = PK.pack_token_ids_extend(prior, batch, "token_ids", 16,
+                                       order_by=["doc_id"], by=["g"],
+                                       n_buckets=4)
+        # materialize THIS round's output, then drain: the cache must
+        # never hold more than the one generation the round created
+        prior = spark.createDataFrame(ext.collect(), ext.schema)
+        assert len(PK._PACK_OFFSET_CACHE) >= 1
+        drained = PK.drain_pack_cache()
+        assert drained >= 1 and not PK._PACK_OFFSET_CACHE
+    full = sorted(
+        (r["g"], r["seq_id"], tuple(r["token_ids"]), r["n_tokens"])
+        for r in PK.pack_token_ids(df, "token_ids", 16,
+                                   order_by=["doc_id"], by=["g"],
+                                   n_buckets=4).collect())
+    got = sorted((r["g"], r["seq_id"], tuple(r["token_ids"]), r["n_tokens"])
+                 for r in prior.collect())
+    assert got == full
