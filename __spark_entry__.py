@@ -717,6 +717,284 @@ def _stream_drift_oracle() -> str:
     return _STREAM_DRIFT_ORACLE_CACHE[path]
 
 
+def q_psi_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PSI monitor arc closed END-TO-END as one deployment
+    composition (r10 verdict #6): design-time constants DERIVED
+    (quality.quantile_breakpoints + bin_counts over the English
+    reference slice), PERSISTED to parquet, RELOADED from storage (the
+    lifecycle round-trip a real monitor performs across process
+    boundaries), then a three-batch stream scored against the reloaded
+    constants with a PLANTED drift — batch 0 replays the reference
+    population itself (PSI ≈ 0), batch 1 is the non-English
+    subpopulation (real shift), batch 2 is that subpopulation with a
+    deterministic +300 n_chars shift (hard planted drift) — and the
+    alerting decision ``alert = psi_micro > 250_000`` (the conventional
+    0.25 line) emitted as a column, an engine-stable INTEGER
+    comparison.
+
+    Oracle: the DuckDB replays re-derive the SAME constants from the
+    fixture and score the three deterministic slices through the
+    psi_against_reference twin, alert computed in SQL — hash equality
+    proves derivation, persistence round-trip, scoring, and the alert
+    verdicts in one row set."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from frames_map_reduce_spark.streaming import stream_drift_monitor
+
+    docs = _docs(spark, sf_dir)
+    ref = docs.filter(F.col("lang") == "en")
+    bks = QL.quantile_breakpoints(ref, "n_chars", n_bins=8)
+    counts = QL.bin_counts(ref, "n_chars", bks)
+
+    base = "/tmp/fmr_psi_lifecycle"
+    _shutil.rmtree(base, ignore_errors=True)
+    # persist the design constants (the artifact a monitor ships)...
+    spark.createDataFrame([(k, int(b)) for k, b in enumerate(bks)],
+                          "k int, edge bigint") \
+         .coalesce(1).write.parquet(f"{base}/design/edges")
+    spark.createDataFrame([(i, int(c)) for i, c in enumerate(counts)],
+                          "bin int, n_ref bigint") \
+         .coalesce(1).write.parquet(f"{base}/design/counts")
+    # ...and RELOAD them (bounded collects: n_bins-1 + n_bins rows)
+    bks2 = [r.edge for r in spark.read.parquet(f"{base}/design/edges")
+                                 .orderBy("k").collect()]
+    counts2 = [r.n_ref for r in spark.read.parquet(f"{base}/design/counts")
+                                     .orderBy("bin").collect()]
+
+    en = docs.filter(F.col("lang") == "en").select("doc_id", "n_chars")
+    non = docs.filter(F.col("lang") != "en").select("doc_id", "n_chars")
+    shifted = non.select("doc_id",
+                         (F.col("n_chars") + F.lit(300)).alias("n_chars"))
+    stage = f"{base}/in"
+    _os.makedirs(stage)
+    for i, b in enumerate([en, non, shifted]):
+        out = f"{base}/f{i}"
+        b.coalesce(1).write.parquet(out)
+        part = _glob.glob(f"{out}/part-*.parquet")[0]
+        dst = f"{stage}/{i}.parquet"
+        _shutil.move(part, dst)
+        _os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    stream = (spark.readStream.schema(en.schema)
+                   .option("maxFilesPerTrigger", "1").parquet(stage))
+    q = stream_drift_monitor(stream, "n_chars", bks2, counts2,
+                             f"{base}/out", checkpoint=f"{base}/ckpt")
+    q.awaitTermination()
+    return (spark.read.parquet(f"{base}/out")
+                 .select(F.col("batch_id").cast("bigint").alias("batch_id"),
+                         "n_rows", "psi_micro",
+                         (F.col("psi_micro") > 250_000).alias("alert")))
+
+
+_PSI_LIFECYCLE_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _psi_lifecycle_oracle() -> str:
+    """psi_lifecycle twin: re-derive edges + reference counts from the
+    fixture (the persisted constants are a pure function of the
+    reference slice — round-tripping them through parquet is
+    value-neutral by construction, which is exactly what the hash
+    equality proves), then score the three deterministic slices with
+    the planted +300 shift on the last, alert in SQL."""
+    import os
+
+    import duckdb as _duckdb
+
+    sf_dir = (os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
+              or os.environ.get("SPARK_GRAFT_TEST_SF_DIR")
+              or "/root/testdata/sf0.01")
+    path = os.path.join(sf_dir, "documents.parquet")
+    if path not in _PSI_LIFECYCLE_ORACLE_CACHE:
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con = _duckdb.connect()
+        ref_sel = f"SELECT n_chars FROM '{src}' WHERE lang = 'en'"
+        bks = [b for _, b in con.sql(
+            QL.quantile_breakpoints_sql(ref_sel, "n_chars", n_bins=8)
+            + " ORDER BY k").fetchall()]
+        counts = [0] * (len(bks) + 1)
+        for bin_, c in con.sql(
+                QL.bin_counts_sql(ref_sel, "n_chars", bks)).fetchall():
+            counts[bin_] = c
+        slices = [
+            "SELECT n_chars FROM documents WHERE lang = 'en'",
+            "SELECT n_chars FROM documents WHERE lang <> 'en'",
+            ("SELECT n_chars + 300 AS n_chars FROM documents "
+             "WHERE lang <> 'en'"),
+        ]
+        parts = []
+        for k, cur_sel in enumerate(slices):
+            parts.append(
+                f"SELECT CAST({k} AS BIGINT) AS batch_id, n_rows, "
+                f"psi_micro, psi_micro > 250000 AS alert FROM ("
+                + QL.psi_against_reference_sql(cur_sel, "n_chars",
+                                               bks, counts) + ")")
+        _PSI_LIFECYCLE_ORACLE_CACHE[path] = " UNION ALL ".join(parts)
+    return _PSI_LIFECYCLE_ORACLE_CACHE[path]
+
+
+def q_quality_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-micro-batch corpus-quality dashboard
+    (streaming.stream_quality_dashboard — r10 verdict #8, the
+    monitoring twin of stream_ingest_gate_v2): each batch of the
+    document stream reduces to ONE all-integer row composing the three
+    standing quality monitors against frozen design constants — mean
+    token-entropy micronats (low-entropy junk), PSI of n_chars against
+    the English-slice reference (distribution drift), and the hashed
+    log-odds gate's pass count + exact logit mass (quality
+    classification; q_quality_classifier's model spec, trained on the
+    same corpus).
+
+    Rig: three mtime-ordered staged files (doc_id % 3) with
+    maxFilesPerTrigger=1 — deterministic batch composition, so the
+    oracle replays each batch as a WHERE doc_id % 3 = k slice through
+    the entropy-profile, psi-against-reference, and train+score twins
+    with the SAME fixture-derived constants."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from frames_map_reduce_spark.streaming import stream_quality_dashboard
+
+    docs = _docs(spark, sf_dir)
+    ref = docs.filter(F.col("lang") == "en")
+    bks = QL.quantile_breakpoints(ref, "n_chars", n_bins=8)
+    ref_counts = QL.bin_counts(ref, "n_chars", bks)
+    labeled = docs.withColumn("_is_en", F.col("lang") == F.lit("en"))
+    w_rows = [(r["bucket"], r["weight"]) for r in
+              CLF.train_logodds_classifier(labeled, "text", "_is_en",
+                                           n_buckets=_QCLF_BUCKETS,
+                                           salt=_QCLF_SALT).collect()]
+
+    base = "/tmp/fmr_quality_dash"
+    _shutil.rmtree(base, ignore_errors=True)
+    inc = docs.select("doc_id", "text", "n_chars")
+    stage = f"{base}/in"
+    _os.makedirs(stage)
+    for i in range(3):
+        out = f"{base}/f{i}"
+        inc.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(out)
+        part = _glob.glob(f"{out}/part-*.parquet")[0]
+        dst = f"{stage}/{i}.parquet"
+        _shutil.move(part, dst)
+        _os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    stream = (spark.readStream.schema(inc.schema)
+                   .option("maxFilesPerTrigger", "1").parquet(stage))
+    q = stream_quality_dashboard(stream, "text", "doc_id", "n_chars",
+                                 bks, ref_counts, w_rows,
+                                 n_buckets=_QCLF_BUCKETS,
+                                 sink_dir=f"{base}/out",
+                                 salt=_QCLF_SALT,
+                                 checkpoint=f"{base}/ckpt")
+    q.awaitTermination()
+    return (spark.read.parquet(f"{base}/out")
+                 .select(F.col("batch_id").cast("bigint").alias("batch_id"),
+                         "n_docs", "entropy_mean_micro", "psi_micro",
+                         "n_pass_quality", "logit_total"))
+
+
+_QUALITY_DASH_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _quality_dashboard_oracle() -> str:
+    """quality_dashboard twin: fixture-derived PSI constants (the
+    stream_drift convention), the train twin for the gate weights (the
+    stream_classifier convention), then per deterministic batch slice
+    one row composing the three aggregated twins by CROSS JOIN."""
+    import os
+
+    import duckdb as _duckdb
+
+    sf_dir = (os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
+              or os.environ.get("SPARK_GRAFT_TEST_SF_DIR")
+              or "/root/testdata/sf0.01")
+    path = os.path.join(sf_dir, "documents.parquet")
+    if path not in _QUALITY_DASH_ORACLE_CACHE:
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con = _duckdb.connect()
+        ref_sel = f"SELECT n_chars FROM '{src}' WHERE lang = 'en'"
+        bks = [b for _, b in con.sql(
+            QL.quantile_breakpoints_sql(ref_sel, "n_chars", n_bins=8)
+            + " ORDER BY k").fetchall()]
+        counts = [0] * (len(bks) + 1)
+        for bin_, c in con.sql(
+                QL.bin_counts_sql(ref_sel, "n_chars", bks)).fetchall():
+            counts[bin_] = c
+        parts = []
+        for k in range(3):
+            slice_tbl = f"(SELECT * FROM documents WHERE doc_id % 3 = {k})"
+            ent = QL.token_entropy_profile_sql(slice_tbl, "text", "doc_id")
+            psi = QL.psi_against_reference_sql(
+                f"SELECT n_chars FROM documents WHERE doc_id % 3 = {k}",
+                "n_chars", bks, counts)
+            score = CLF.classifier_score_sql(
+                slice_tbl, "_qdash_weights", "text", "doc_id",
+                n_buckets=_QCLF_BUCKETS, salt=_QCLF_SALT)
+            parts.append(f"""
+            SELECT CAST({k} AS BIGINT) AS batch_id, n_docs,
+                   entropy_mean_micro, psi_micro,
+                   n_pass_quality, logit_total
+            FROM (SELECT count(*)::BIGINT AS n_docs FROM {slice_tbl})
+            CROSS JOIN (
+                SELECT CASE WHEN count(*) > 0 THEN
+                           CAST((2 * sum(entropy_micro) + count(*))
+                                // (2 * count(*)) AS BIGINT) END
+                           AS entropy_mean_micro
+                FROM ({ent}))
+            CROSS JOIN (SELECT psi_micro FROM ({psi}))
+            CROSS JOIN (
+                SELECT coalesce(sum(CASE WHEN logit_rank >= 0
+                                         THEN 1 ELSE 0 END), 0)::BIGINT
+                           AS n_pass_quality,
+                       coalesce(sum(logit_sum), 0)::BIGINT AS logit_total
+                FROM ({score}))""")
+        weights = CLF.train_logodds_classifier_sql(
+            "(SELECT text, (lang = 'en') AS _is_en FROM documents)",
+            "text", "_is_en", n_buckets=_QCLF_BUCKETS, salt=_QCLF_SALT)
+        _QUALITY_DASH_ORACLE_CACHE[path] = (
+            f"WITH _qdash_weights AS ({weights}) "
+            + " UNION ALL ".join(parts))
+    return _QUALITY_DASH_ORACLE_CACHE[path]
+
+
+def q_token_ids_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer losslessness law at corpus scale (r10 verdict #7):
+    ``decode_ids(encode_ids(corpus))`` must reproduce every document's
+    wordish-token stream EXACTLY — greedy encoding partitions each word
+    into inventory entries and single-char fallbacks, IDs name them
+    bijectively, so the concatenated decode equals
+    ``concat(wordish_tokens(text))`` verbatim.  The Spark side runs the
+    REAL arc (encode → distributed decode, two Arrow-batched scans);
+    the oracle computes the law's right-hand side INDEPENDENTLY from
+    the raw text (no decode replay) — hash equality over
+    ``md5(decoded)`` proves the round trip end-to-end cross-engine.
+    Output ships the digest + exact char count (the registry scalar
+    convention; raw-string equality for the word level is pinned in
+    tests/test_text.py)."""
+    docs = _docs(spark, sf_dir)
+    ids = TKZ.encode_ids(docs, "text", "doc_id")
+    dec = TKZ.decode_ids(ids, "token_ids", "doc_id")
+    return dec.select("doc_id",
+                      F.md5(F.col("decoded")).alias("decoded_md5"),
+                      F.length("decoded").cast("bigint")
+                       .alias("decoded_chars"))
+
+
+def _token_ids_roundtrip_oracle() -> str:
+    """token_ids_roundtrip twin: the law's right-hand side computed
+    straight from the text — the wordish stream joined with no
+    separator (documents with zero wordish tokens are absent, the
+    encode_ids convention)."""
+    stream = (f"array_to_string(regexp_extract_all(lower(text), "
+              f"'{TX.WORDISH}'), '')")
+    return (f"SELECT doc_id, md5({stream}) AS decoded_md5, "
+            f"CAST(length({stream}) AS BIGINT) AS decoded_chars "
+            f"FROM documents "
+            f"WHERE len(regexp_extract_all(lower(text), '{TX.WORDISH}')) > 0")
+
+
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files compaction planner (operators/layout.py
     compaction_plan): a manifest-shaped frame (one row per "file" —
@@ -3697,68 +3975,52 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_tpch_q1(spark, "/root/testdata/sf0.001")
 
 
-#: Round-10 driver window (r9 verdict #1: rotate to the r7-stale set).
-#: Composition, in priority order:
-#: (1) the FOUR queries added this round, proven in their debut round
-#:     per established practice: bloom_resize_roundtrip (the
-#:     monitor → suggest_geometry → rebuild arc, r9 verdict #2),
-#:     corpus_to_token_ids (curate → encode IDs → pack token streams,
-#:     r9 verdict #3), dsir_select_bigram (DSIR at the paper's full
-#:     (1,2)-gram feature set, r9 verdict #4), token_ids_extend (the
-#:     incremental encode-the-delta/extend-the-shards arc — the
-#:     pack_extend law carried to token streams);
-#: (2) ALL 38 r7-stale queries (PROVENANCE.json
-#:     `stale_after_next_round` entries with last_proven_round=7 after
-#:     ingesting CORRECTNESS_r09 — the exact list r9 verdict #1 names);
-#: (3) queries whose RIGS changed this round, re-proven on principle:
-#:     stream_sliding + stream_near_dup (uuid staging retired to
-#:     pre-cleaned deterministic dirs, r9 verdict #7 — stream_bloom and
-#:     stream_classifier, the other two de-uuid'd rigs, are already in
-#:     (2));
-#: (4) six r8-proven fills adjacent to this round's module changes
-#:     (packing.py gained pack_token_ids(_extend), classifier.py gained
-#:     the ngram feature stream): the five packing rows and
-#:     curate_corpus_v3 (classifier train→score→cut).  Default-ngram
-#:     plans are expression-identical, so these re-prove no-regression,
-#:     not new behavior.
-#: The r8-proven rows that did not fit lead the r11 rotation queue and
-#: are re-proven at sf0.001 by the local parity suite on every pytest
-#: run.
-_R10_WINDOW = [
-    # (1) this round's additions
-    "bloom_resize_roundtrip", "corpus_to_token_ids", "dsir_select_bigram",
-    "token_ids_extend",
-    # (2) the 38 r7-stale queries
-    "ann_int8", "ann_ivf", "asof_tolerance", "bigram_perplexity",
-    "bloom_firewall", "c4_rules", "corpus_diff", "curate_corpus",
-    "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
-    "dedup_simhash", "funnel", "gopher_rules", "minhash_firewall",
-    "mislabel_knn", "mr_sum_by_flag", "normalize_punct", "perplexity",
-    "quality_classifier", "redact_pii", "remove_dup_spans",
-    "repetition_stats", "salted_agg", "scd2", "semantic_dedup",
-    "sketch_cms", "sketch_heavy_hitters", "stream_bloom",
-    "stream_classifier", "temperature_mixture", "top_ngrams",
-    "topk_per_group", "tpch_q1", "tpch_q18", "tpch_q3", "tpch_q5",
-    "zorder_pruning",
-    # (3) rig changed this round (uuid staging retired)
-    "stream_sliding", "stream_near_dup",
-    # (4) module-adjacent r8 fills (pack_sequences and pack_shards moved
-    # to the r11 queue mid-round to make room for the session's two
-    # debuts — debuts outrank expression-identical no-regression
-    # re-proofs; packing.py coverage stays via pack_extend /
-    # pack_bpe_sequences / corpus_to_sequences)
-    # (5) mid-round debuts: entropy junk filter, rolling z-score, PSI
-    # drift monitor at both binnings, streaming drift monitor,
-    # compaction planner.  The six category-(4) module-adjacent fills
-    # (curate_corpus_v3, corpus_to_sequences, and the four packing
-    # rows) moved to the r11 queue to make room: they are expression-
-    # identical no-regression re-proofs of r8-proven rows, while debuts
-    # must be driver-proven THIS round to keep the zero-never-proven
-    # invariant; their module paths stay covered in this window via
-    # quality_classifier, dsir_select_bigram, token_ids_extend, and
-    # corpus_to_token_ids.
-    "entropy_filter", "anomaly_zscore", "drift_psi",
-    "drift_psi_quantile", "stream_drift", "compaction_plan",
+#: Round-11 driver window (r10 verdict #3: rotate to the r8-stale set,
+#: debut event_transitions inside the window).  Composition, in
+#: priority order:
+#: (1) the THREE never-driver-proven rows: corpus_to_token_ids and
+#:     token_ids_extend (r10 debuts that errored in the driver's list
+#:     canonicalizer — now fixed to ship md5(to_json(token_ids)), r10
+#:     verdict #1) and event_transitions (registered below the r10
+#:     window; the zero-never-proven invariant is breached until it
+#:     lands);
+#: (2) the THREE r11 debuts, proven in their debut round per
+#:     established practice: psi_lifecycle (the persisted-constants
+#:     monitor arc with a planted drift + alert verdicts, r10 verdict
+#:     #6), quality_dashboard (per-micro-batch entropy/PSI/classifier
+#:     quality row — the monitoring twin of stream_ingest_gate_v2, r10
+#:     verdict #8), token_ids_roundtrip (decode∘encode losslessness at
+#:     corpus scale against an independently computed oracle, r10
+#:     verdict #7);
+#: (3) 44 of the 46 r8-stale queries (PROVENANCE.json
+#:     `stale_after_next_round` entries with last_proven_round=8 after
+#:     ingesting CORRECTNESS_r10).  The two displaced to the r12 queue
+#:     — pack_shards and pack_sequences — are expression-identical
+#:     no-regression re-proofs whose module paths stay covered in this
+#:     window via pack_extend, pack_bpe_sequences, corpus_to_sequences,
+#:     token_ids_extend, and corpus_to_token_ids; debuts outrank
+#:     no-regression fills (the standing r10 rule).
+#: The r9-stale rows queue for r12, led by the two displaced packing
+#: rows; every below-window row is still re-proven at sf0.001 by the
+#: local parity suite on every pytest run.
+_R11_WINDOW = [
+    # (1) never driver-proven
+    "corpus_to_token_ids", "token_ids_extend", "event_transitions",
+    # (2) r11 debuts
+    "psi_lifecycle", "quality_dashboard", "token_ids_roundtrip",
+    # (3) the r8-stale set (44 of 46)
+    "aggregate_fold_year", "ann_bruteforce", "ann_ivf_indexed",
+    "anti_join", "asof_forward", "asof_join", "assign_keys", "bm25",
+    "cdc_compact", "chunk_docs", "clean_corpus", "collect_sorted",
+    "contamination", "corpus_to_sequences", "cube_revenue",
+    "curate_corpus_v3", "dedup_clusters", "embedding_neardup",
+    "events_hourly", "fingerprint", "flatmap_tokens", "group_median",
+    "join_revenue", "kmv_overlap", "label_outliers", "lang_id",
+    "media_meta", "merge_upsert", "mixture_weights",
+    "pack_bpe_sequences", "pack_extend", "percentile_native", "pivot",
+    "quality_score", "range_join", "remove_dup_lines",
+    "sample_stratified", "sessionize", "strip_markup", "text_quality",
+    "token_stats", "topk_native", "train_test_split", "unpivot",
 ]
 
 
@@ -3769,12 +4031,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries only, so proof rotates round-over-round.  PROVENANCE.json
     (regenerated by ``python tools/provenance.py``) is the
     machine-readable query → last-driver-proven-round ledger; the
-    window is ``_R10_WINDOW`` above (chosen from that ledger, rationale
+    window is ``_R11_WINDOW`` above (chosen from that ledger, rationale
     in its comment), applied as a reordering of the stable base dict
     below — below-window entries keep their relative order, which is
-    the r10 rotation queue."""
+    the r11 rotation queue."""
     base = _queries_base()
-    window = {k: base[k] for k in _R10_WINDOW}
+    window = {k: base[k] for k in _R11_WINDOW}
     assert len(window) == 50, f"window must be exactly 50, got {len(window)}"
     return {**window, **{k: v for k, v in base.items() if k not in window}}
 
@@ -3939,6 +4201,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # locally at sf0.001/0.01 by the parity suite and at sf1.0 by
         # the scale gate this round; driver row lands in r11)
         "event_transitions": q_event_transitions,
+        # r11 debuts (all inside _R11_WINDOW)
+        "psi_lifecycle": q_psi_lifecycle,
+        "quality_dashboard": q_quality_dashboard,
+        "token_ids_roundtrip": q_token_ids_roundtrip,
     }
 
 
@@ -5476,4 +5742,7 @@ def oracle_sql() -> dict[str, str]:
         FROM ({rolling_zscore_sql("events", "value", "ts", ["user_id"],
                                   "event_id", window=20, min_periods=8)})
         WHERE abs(z) >= 2.5"""
+    out["psi_lifecycle"] = _psi_lifecycle_oracle()
+    out["quality_dashboard"] = _quality_dashboard_oracle()
+    out["token_ids_roundtrip"] = _token_ids_roundtrip_oracle()
     return out

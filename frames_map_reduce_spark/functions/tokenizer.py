@@ -46,7 +46,8 @@ from frames_map_reduce_spark.schema import require_columns
 __all__ = ["SUBWORD_VOCAB", "encode_word_len", "subword_counts",
            "subword_counts_sql", "subword_step_case_sql",
            "encode_word_ids", "encode_ids", "encode_ids_sql",
-           "token_id_step_sql", "decode_word_ids", "token_id_decode_sql",
+           "token_id_step_sql", "decode_word_ids", "decode_ids",
+           "token_id_decode_sql",
            "bpe_merge_spec", "learn_bpe_merges", "merges_to_inventory",
            "learn_bpe_inventory",
            "bpe_word_counts_sql", "bpe_merges_values_sql"]
@@ -306,6 +307,52 @@ def encode_ids(df: DataFrame, text_col: str, id_col: str,
             yield pd.DataFrame({id_col: ids, "token_ids": seqs})
 
     return toks.mapInPandas(run, schema=out_schema)
+
+
+def decode_ids(df: DataFrame, ids_col: str, id_col: str,
+               inventory: tuple[str, ...] | None = None,
+               out_col: str = "decoded") -> DataFrame:
+    """Distributed inverse of :func:`encode_ids`: ``(id_col, out_col)``
+    with ``out_col`` the concatenated subword strings the document's
+    IDs name — by the losslessness law (:func:`decode_word_ids`) that
+    is EXACTLY the document's wordish-token stream joined with no
+    separator, so ``decode_ids(encode_ids(df))`` reproduces
+    ``concat(wordish_tokens(text))`` verbatim (the registry row
+    token_ids_roundtrip hash-proves this cross-engine against the
+    stream computed directly from the raw text).
+
+    Scale shape: ONE Arrow-batched mapInPandas scan, linear in tokens,
+    no shuffle; the inventory ships once in the task closure (the
+    :func:`encode_ids` shape, inverted).  Raises on IDs outside the
+    space — a decode must never silently drop or alias tokens."""
+    require_columns(df, [ids_col, id_col])
+    inv, _id_of, _by_len, _lens = _id_index(inventory)
+    n_inv = len(inv)
+    src = df.select(id_col, ids_col)
+    id_type = src.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, {out_col} string"
+
+    def run(batches) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            ids, texts = [], []
+            for i, seq in zip(pdf[id_col], pdf[ids_col]):
+                parts: list[str] = []
+                for tid in seq:
+                    tid = int(tid)
+                    if 0 <= tid < n_inv:
+                        parts.append(inv[tid])
+                    elif n_inv <= tid <= n_inv + 0x10FFFF:
+                        parts.append(chr(tid - n_inv))
+                    else:
+                        raise ValueError(
+                            f"token id {tid} outside the ID space "
+                            f"(inventory size {n_inv})")
+                ids.append(i)
+                texts.append("".join(parts))
+            yield pd.DataFrame({id_col: ids, out_col: texts})
+
+    return src.mapInPandas(run, schema=out_schema)
 
 
 def decode_word_ids(ids, inventory: tuple[str, ...] | None = None) -> str:

@@ -649,3 +649,93 @@ def stream_drift_monitor(stream: DataFrame, value_col: str,
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def stream_quality_dashboard(stream: DataFrame, text_col: str,
+                             id_col: str, value_col: str,
+                             breakpoints, ref_counts,
+                             weights: Sequence[tuple[int, int]],
+                             n_buckets: int, sink_dir: str,
+                             salt: str = "clf",
+                             checkpoint: str | None = None):
+    """Per-micro-batch corpus-quality dashboard — the MONITORING twin
+    of ``stream_ingest_gate_v2`` (the gate decides per document; this
+    reports per batch): every micro-batch is reduced to ONE row of
+    engine-exact integer quality metrics, composing the three standing
+    monitors over the same frozen design-time constants a deployment
+    ships with —
+
+    - ``n_docs`` (BIGINT): batch size;
+    - ``entropy_mean_micro`` (BIGINT, NULL when no doc has tokens):
+      half-up integer mean of
+      :func:`~frames_map_reduce_spark.operators.quality.token_entropy_profile`'s
+      per-document micronat entropy (the low-entropy-junk signal);
+    - ``psi_micro`` (BIGINT): distribution drift of ``value_col``
+      against the frozen reference
+      (:func:`~frames_map_reduce_spark.operators.quality.psi_against_reference`
+      — ``breakpoints`` + ``ref_counts`` are the persisted design
+      constants);
+    - ``n_pass_quality`` / ``logit_total`` (BIGINT): documents clearing
+      the hashed log-odds gate (``logit_rank ≥ 0``) and the exact
+      micro-logit mass, via the stateless
+      ``classifier_gate_columns`` expression (``weights`` is the
+      collected dense table — ``n_buckets`` rows by construction).
+
+    All three metrics are tiny aggregations (one row each) combined by
+    broadcast cross joins — per-batch STATELESS, no watermark, no state
+    store; each batch OVERWRITES its own ``batch_id=N`` partition under
+    ``sink_dir`` (idempotent under foreachBatch's at-least-once
+    replay).  Batch composition follows the source's rate limits —
+    stage batches deliberately for meaningful per-batch statistics.
+
+    Returns the started StreamingQuery; read the dashboard log with
+    ``spark.read.parquet(sink_dir)``.
+    """
+    import os
+
+    from frames_map_reduce_spark.operators.classifier import (
+        classifier_gate_columns,
+    )
+    from frames_map_reduce_spark.operators.quality import (
+        psi_against_reference,
+        token_entropy_profile,
+    )
+
+    require_columns(stream, [text_col, id_col, value_col])
+    gate_cols = classifier_gate_columns(weights, text_col, n_buckets, salt)
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        n_docs = batch_df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        ent = (token_entropy_profile(batch_df, text_col, id_col)
+               .agg(F.sum("entropy_micro").alias("_se"),
+                    F.count(F.lit(1)).alias("_n"))
+               # half-up integer mean; entropy_micro >= 0 so Spark div
+               # truncation is the half-up rule; NULL when no doc has
+               # tokens (ANSI: guard the 0-denominator, never divide)
+               .select(F.expr("case when _n > 0 then "
+                              "(2 * _se + _n) div (2 * _n) end")
+                        .cast("bigint").alias("entropy_mean_micro")))
+        psi = (psi_against_reference(batch_df, value_col,
+                                     breakpoints, ref_counts)
+               .select("psi_micro"))
+        clf = (batch_df.select(*(c.alias(name)
+                                 for name, c in gate_cols.items()))
+               .filter(F.col("n_tokens") > 0)
+               .agg(F.coalesce(
+                        F.sum(F.when(F.col("logit_rank") >= 0, 1)
+                               .otherwise(0)), F.lit(0))
+                     .cast("bigint").alias("n_pass_quality"),
+                    F.coalesce(F.sum("logit_sum"), F.lit(0))
+                     .cast("bigint").alias("logit_total")))
+        row = (n_docs.crossJoin(F.broadcast(ent))
+                     .crossJoin(F.broadcast(psi))
+                     .crossJoin(F.broadcast(clf)))
+        (row.coalesce(1).write.mode("overwrite")
+            .parquet(os.path.join(sink_dir, f"batch_id={batch_id}")))
+
+    writer = stream.writeStream.foreachBatch(apply) \
+        .trigger(availableNow=True)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

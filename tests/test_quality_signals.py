@@ -353,3 +353,21 @@ def test_quantile_breakpoints_all_null_raises(spark):
     df = spark.createDataFrame([(None,), (None,)], "v long")
     with pytest.raises(ValueError, match="no rows"):
         quantile_breakpoints(df, "v", n_bins=4)
+
+
+def test_psi_lifecycle_planted_drift_crosses_alert(spark):
+    """The persisted-reference PSI lifecycle (r10 verdict #6), asserted
+    at the DECISION level: the reference population scored against its
+    own persisted constants is exactly zero drift (no alert); the
+    planted +300 n_chars shift must cross the conventional 0.25 alert
+    line; and drift is monotone across the three staged batches."""
+    import __spark_entry__ as entry_mod
+
+    from tests.conftest import SF_DIR
+
+    rows = {r.batch_id: r
+            for r in entry_mod.q_psi_lifecycle(spark, SF_DIR).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[0].psi_micro == 0 and rows[0].alert is False
+    assert rows[2].psi_micro > 250_000 and rows[2].alert is True
+    assert rows[0].psi_micro < rows[2].psi_micro

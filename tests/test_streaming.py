@@ -645,3 +645,71 @@ def test_stream_drift_monitor_matches_batch_and_replays(spark, documents,
     again = [tuple(r) for r in spark.read.parquet(sink)
              .select("n_rows", "psi_micro").collect()]
     assert again == got
+
+
+def test_stream_quality_dashboard_matches_batch_and_replays(
+        spark, documents, tmp_path):
+    """The per-batch quality dashboard (r10 verdict #8) must (a) equal
+    the three batch monitors computed directly on the staged batch —
+    half-up mean entropy micronats, psi_against_reference, and the
+    classifier gate's pass count + logit mass — and (b) read
+    identically after a full replay with a fresh checkpoint (the
+    per-batch-overwrite sink convention)."""
+    from frames_map_reduce_spark.operators.classifier import (
+        classifier_score,
+        train_logodds_classifier,
+    )
+    from frames_map_reduce_spark.operators.quality import (
+        bin_counts,
+        psi_against_reference,
+        quantile_breakpoints,
+        token_entropy_profile,
+    )
+    from frames_map_reduce_spark.streaming import stream_quality_dashboard
+
+    ref = documents.filter(F.col("doc_id") % 2 == 0)
+    bks = quantile_breakpoints(ref, "n_chars", n_bins=4)
+    counts = bin_counts(ref, "n_chars", bks)
+    labeled = documents.withColumn("_pos", F.col("lang") == "en")
+    w = train_logodds_classifier(labeled, "text", "_pos",
+                                 n_buckets=256, salt="dash")
+    w_rows = [(r["bucket"], r["weight"]) for r in w.collect()]
+
+    batch = documents.filter(F.col("doc_id") % 2 == 1) \
+                     .select("doc_id", "text", "n_chars")
+    stage = str(tmp_path / "in")
+    batch.coalesce(1).write.parquet(stage)
+    sink = str(tmp_path / "out")
+
+    def run(ckpt: str) -> None:
+        stream = (spark.readStream
+                       .schema("doc_id long, text string, n_chars long")
+                       .parquet(stage))
+        q = stream_quality_dashboard(stream, "text", "doc_id", "n_chars",
+                                     bks, counts, w_rows, n_buckets=256,
+                                     sink_dir=sink, salt="dash",
+                                     checkpoint=str(tmp_path / ckpt))
+        q.awaitTermination()
+
+    run("ckpt1")
+    got = spark.read.parquet(sink).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert row.n_docs == batch.count()
+    prof = token_entropy_profile(batch, "text", "doc_id") \
+        .agg(F.sum("entropy_micro").alias("s"),
+             F.count(F.lit(1)).alias("n")).collect()[0]
+    assert row.entropy_mean_micro == (2 * prof.s + prof.n) // (2 * prof.n)
+    psi = psi_against_reference(batch, "n_chars", bks, counts).collect()[0]
+    assert row.psi_micro == psi.psi_micro
+    scores = classifier_score(batch, w, "text", "doc_id",
+                              n_buckets=256, salt="dash")
+    agg = scores.agg(
+        F.sum(F.when(F.col("logit_rank") >= 0, 1).otherwise(0)).alias("p"),
+        F.sum("logit_sum").alias("t")).collect()[0]
+    assert row.n_pass_quality == agg.p
+    assert row.logit_total == agg.t
+
+    run("ckpt2")   # fresh checkpoint: full at-least-once replay
+    again = spark.read.parquet(sink).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in got]

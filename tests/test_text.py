@@ -641,3 +641,35 @@ def test_decode_word_ids_roundtrip():
         decode_word_ids([-1])
     with _pt.raises(ValueError, match="outside"):
         decode_word_ids([n + 0x110000])
+
+
+def test_decode_ids_distributed_roundtrip(spark, documents):
+    """decode_ids (the distributed inverse of encode_ids) must
+    reproduce every document's wordish-token stream exactly — the
+    per-word losslessness law lifted to corpus scale: decoded text ==
+    concat(wordish_tokens(text)) row for row, and IDs outside the
+    space raise."""
+    import pytest as _pt
+
+    from frames_map_reduce_spark.functions.text import wordish_tokens
+    from frames_map_reduce_spark.functions.tokenizer import (
+        decode_ids, encode_ids)
+
+    docs = documents.select("doc_id", "text")
+    dec = decode_ids(encode_ids(docs, "text", "doc_id"),
+                     "token_ids", "doc_id")
+    want = (docs.select("doc_id",
+                        F.array_join(wordish_tokens(F.col("text")), "")
+                         .alias("expect"))
+                .filter(F.length("expect") > 0))
+    joined = dec.join(want, "doc_id", "full")
+    n_bad = joined.filter(
+        F.col("decoded").isNull() | F.col("expect").isNull()
+        | (F.col("decoded") != F.col("expect"))).count()
+    assert n_bad == 0
+    assert dec.count() == want.count() > 0
+
+    bad = spark.createDataFrame([(1, [2**31 - 1])],
+                                "doc_id long, token_ids array<int>")
+    with _pt.raises(Exception, match="outside the ID space"):
+        decode_ids(bad, "token_ids", "doc_id").collect()
