@@ -750,13 +750,19 @@ def q_psi_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = "/tmp/fmr_psi_lifecycle"
     _shutil.rmtree(base, ignore_errors=True)
-    # persist the design constants (the artifact a monitor ships)...
-    spark.createDataFrame([(k, int(b)) for k, b in enumerate(bks)],
-                          "k int, edge bigint") \
-         .coalesce(1).write.parquet(f"{base}/design/edges")
-    spark.createDataFrame([(i, int(c)) for i, c in enumerate(counts)],
-                          "bin int, n_ref bigint") \
-         .coalesce(1).write.parquet(f"{base}/design/counts")
+    # persist the design constants (the artifact a monitor ships).
+    # NOTE: single-slice parallelize, NOT createDataFrame(...).coalesce(1)
+    # — a coalesced Python-RDD literal evaluates its defaultParallelism
+    # slices SERIALLY in one task (one Python worker round-trip each,
+    # ~4 s for 7 rows at local[32]); one slice is one round-trip.
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(k, int(b)) for k, b in enumerate(bks)], 1),
+        "k int, edge bigint").write.parquet(f"{base}/design/edges")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(i, int(c)) for i, c in enumerate(counts)], 1),
+        "bin int, n_ref bigint").write.parquet(f"{base}/design/counts")
     # ...and RELOAD them (bounded collects: n_bins-1 + n_bins rows)
     bks2 = [r.edge for r in spark.read.parquet(f"{base}/design/edges")
                                  .orderBy("k").collect()]

@@ -134,6 +134,10 @@ HEADLINE = [
     "stream_drift",         # per-micro-batch PSI vs frozen reference
     "compaction_plan",      # manifest window fill: rewrite-task plan
     "event_transitions",    # lead-window Markov pair matrix
+    # round-11 additions
+    "psi_lifecycle",        # persist -> reload -> score with planted drift
+    "quality_dashboard",    # per-batch entropy/PSI/classifier quality row
+    "token_ids_roundtrip",  # decode(encode(corpus)) losslessness arc
 ]
 
 #: entries that model amortized ONE-TIME work (index builds): repeating
