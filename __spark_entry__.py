@@ -1001,6 +1001,23 @@ def _token_ids_roundtrip_oracle() -> str:
             f"WHERE len(regexp_extract_all(lower(text), '{TX.WORDISH}')) > 0")
 
 
+def q_profile_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style whole-frame profile (operators/layout.py
+    profile_frame): one row per documents column with exact n_rows /
+    n_nulls / n_distinct and the native-type min/max rendered to text —
+    the table-stats pass that feeds layout decisions (z-order bounds,
+    broadcast thresholds, null-rate assertions).  ONE aggregation pass:
+    the four exact multi-column distincts compile to Spark's Expand
+    strategy (k× map-side expansion into one 2-phase aggregate — the
+    documented price of exactness), then a stack projection unpivots
+    the 1-row wide aggregate; no second pass, nothing driver-side.
+    Profiled columns are integer/string only, so the min/max text
+    renderings are engine-exact (the DOUBLE-rendering caveat is
+    documented on the operator)."""
+    docs = _docs(spark, sf_dir)
+    return LA.profile_frame(docs, ["doc_id", "source", "lang", "n_chars"])
+
+
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files compaction planner (operators/layout.py
     compaction_plan): a manifest-shaped frame (one row per "file" —
@@ -3998,10 +4015,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     verdict #8), token_ids_roundtrip (decode∘encode losslessness at
 #:     corpus scale against an independently computed oracle, r10
 #:     verdict #7);
-#: (3) 44 of the 46 r8-stale queries (PROVENANCE.json
+#: (2b) the FOURTH r11 debut, profile_corpus (ANALYZE-style whole-frame
+#:     stats — one Expand-based exact pass, full twin), displacing a
+#:     third no-regression fill (unpivot; its sibling pivot stays);
+#: (3) 43 of the 46 r8-stale queries (PROVENANCE.json
 #:     `stale_after_next_round` entries with last_proven_round=8 after
 #:     ingesting CORRECTNESS_r10).  The two displaced to the r12 queue
-#:     — pack_shards and pack_sequences — are expression-identical
+#:     — pack_shards, pack_sequences, unpivot — are expression-identical
 #:     no-regression re-proofs whose module paths stay covered in this
 #:     window via pack_extend, pack_bpe_sequences, corpus_to_sequences,
 #:     token_ids_extend, and corpus_to_token_ids; debuts outrank
@@ -4014,6 +4034,7 @@ _R11_WINDOW = [
     "corpus_to_token_ids", "token_ids_extend", "event_transitions",
     # (2) r11 debuts
     "psi_lifecycle", "quality_dashboard", "token_ids_roundtrip",
+    "profile_corpus",
     # (3) the r8-stale set (44 of 46)
     "aggregate_fold_year", "ann_bruteforce", "ann_ivf_indexed",
     "anti_join", "asof_forward", "asof_join", "assign_keys", "bm25",
@@ -4026,7 +4047,7 @@ _R11_WINDOW = [
     "pack_bpe_sequences", "pack_extend", "percentile_native", "pivot",
     "quality_score", "range_join", "remove_dup_lines",
     "sample_stratified", "sessionize", "strip_markup", "text_quality",
-    "token_stats", "topk_native", "train_test_split", "unpivot",
+    "token_stats", "topk_native", "train_test_split",
 ]
 
 
@@ -4211,6 +4232,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_lifecycle": q_psi_lifecycle,
         "quality_dashboard": q_quality_dashboard,
         "token_ids_roundtrip": q_token_ids_roundtrip,
+        "profile_corpus": q_profile_corpus,
     }
 
 
@@ -5749,6 +5771,8 @@ def oracle_sql() -> dict[str, str]:
                                   "event_id", window=20, min_periods=8)})
         WHERE abs(z) >= 2.5"""
     out["psi_lifecycle"] = _psi_lifecycle_oracle()
+    out["profile_corpus"] = LA.profile_frame_sql(
+        "documents", ["doc_id", "source", "lang", "n_chars"])
     out["quality_dashboard"] = _quality_dashboard_oracle()
     out["token_ids_roundtrip"] = _token_ids_roundtrip_oracle()
     return out

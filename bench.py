@@ -138,6 +138,7 @@ HEADLINE = [
     "psi_lifecycle",        # persist -> reload -> score with planted drift
     "quality_dashboard",    # per-batch entropy/PSI/classifier quality row
     "token_ids_roundtrip",  # decode(encode(corpus)) losslessness arc
+    "profile_corpus",       # ANALYZE-style exact per-column stats, 1 pass
 ]
 
 #: entries that model amortized ONE-TIME work (index builds): repeating

@@ -36,7 +36,7 @@ from frames_map_reduce_spark.schema import require_columns
 __all__ = ["z_value", "write_zordered", "write_zordered_fixed",
            "zorder_fixed_extents_sql", "file_column_stats",
            "box_prune_stats", "compaction_plan", "compaction_plan_sql",
-           "parquet_file_manifest"]
+           "parquet_file_manifest", "profile_frame", "profile_frame_sql"]
 
 
 def z_value(df: DataFrame, cols: Sequence[str], bits: int = 12,
@@ -402,3 +402,81 @@ def parquet_file_manifest(spark, path: str) -> DataFrame:
     infos = dataset.filesystem.get_file_info(list(dataset.files))
     rows = [(i.path, int(i.size)) for i in infos]
     return spark.createDataFrame(rows, "file string, bytes long")
+
+
+def profile_frame(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """ANALYZE-style whole-frame data profile — the table-stats pass
+    every maintained table runs before layout decisions (this module's
+    z-order bounds, the optimizer's broadcast thresholds, a pipeline's
+    null-rate assertions all start here): ONE row per profiled column
+    with
+
+    ``col_name`` (STRING), ``n_rows`` / ``n_nulls`` / ``n_distinct``
+    (BIGINT, distinct is EXACT and excludes NULLs — the SQL
+    ``count(DISTINCT col)`` convention), ``min_value`` / ``max_value``
+    (STRING — the native-type min/max rendered to text AFTER the
+    aggregation, so numeric columns order numerically, not
+    lexicographically; NULL for all-NULL columns).
+
+    Scale shape: ONE aggregation pass.  The k exact multi-column
+    distincts compile to Spark's Expand strategy — k× map-side row
+    expansion into one 2-phase aggregate, the documented price of
+    exactness (at extreme scale profile a sample, or swap in
+    ``approx_count_distinct`` upstream — the exact form is what the
+    cross-engine oracle needs).  The wide 1-row aggregate is then
+    unpivoted to the per-column long form by a ``stack`` projection —
+    no second pass, no driver-side loop.
+
+    String rendering caveat (documented, not guarded): integer and
+    string columns render identically on every engine; DOUBLE columns
+    use each engine's float-to-text rules — profile those via an
+    integer-quantized projection when cross-engine hash equality
+    matters (the repo's exact-integer staging convention).
+    """
+    cols = list(cols) if cols is not None else list(df.columns)
+    require_columns(df, cols)
+    if not cols:
+        raise ValueError("profile_frame needs at least one column")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_n")]
+    for i, c in enumerate(cols):
+        aggs += [
+            F.count(F.col(c)).cast("bigint").alias(f"_nn{i}"),
+            F.count_distinct(F.col(c)).cast("bigint").alias(f"_nd{i}"),
+            F.min(F.col(c)).cast("string").alias(f"_mn{i}"),
+            F.max(F.col(c)).cast("string").alias(f"_mx{i}"),
+        ]
+    wide = df.agg(*aggs)
+    arms = ", ".join(
+        f"'{c}', _nn{i}, _nd{i}, _mn{i}, _mx{i}" for i, c in enumerate(cols))
+    stacked = wide.select(
+        F.col("_n"),
+        F.expr(f"stack({len(cols)}, {arms}) AS "
+               f"(col_name, _nn, n_distinct, min_value, max_value)"))
+    return stacked.select(
+        "col_name",
+        F.col("_n").alias("n_rows"),
+        (F.col("_n") - F.col("_nn")).cast("bigint").alias("n_nulls"),
+        "n_distinct", "min_value", "max_value")
+
+
+def profile_frame_sql(table: str, cols: Sequence[str]) -> str:
+    """DuckDB twin of :func:`profile_frame` (differential oracle): the
+    same single wide aggregate, unpivoted by UNION ALL of literal
+    projections (DuckDB's ``unpivot`` cannot mix types; the generated
+    arms are the stack projection spelled out)."""
+    cols = list(cols)
+    if not cols:
+        raise ValueError("profile_frame_sql needs at least one column")
+    inner = ["count(*) AS _n"]
+    for i, c in enumerate(cols):
+        inner += [f"count({c}) AS _nn{i}",
+                  f"count(DISTINCT {c}) AS _nd{i}",
+                  f"CAST(min({c}) AS VARCHAR) AS _mn{i}",
+                  f"CAST(max({c}) AS VARCHAR) AS _mx{i}"]
+    arms = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, _n::BIGINT AS n_rows, "
+        f"(_n - _nn{i})::BIGINT AS n_nulls, _nd{i}::BIGINT AS n_distinct, "
+        f"_mn{i} AS min_value, _mx{i} AS max_value FROM _pf_wide"
+        for i, c in enumerate(cols))
+    return (f"WITH _pf_wide AS (SELECT {', '.join(inner)} FROM {table}) "
+            + arms)

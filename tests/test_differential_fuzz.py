@@ -1171,3 +1171,29 @@ def test_compaction_plan_matches_duckdb(spark, files, target, use_parts):
                       con.sql(f"SELECT {', '.join(sel)} FROM ({sql})")
                          .fetchall()))
     assert got == want
+
+
+@given(rows=st.lists(
+    st.tuples(st.one_of(st.none(), st.integers(min_value=-100, max_value=100)),
+              st.one_of(st.none(), st.sampled_from(["a", "b", "c", ""]))),
+    min_size=1, max_size=50))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_profile_frame_matches_duckdb(spark, rows):
+    """Random null-bearing frames through profile_frame vs its DuckDB
+    twin: exact distincts (NULL-excluding), null counts, and the
+    post-aggregation min/max text renderings must agree EXACTLY —
+    including all-NULL columns (NULL min/max, zero distincts)."""
+    from frames_map_reduce_spark.operators.layout import (
+        profile_frame,
+        profile_frame_sql,
+    )
+
+    df = spark.createDataFrame(rows, "a int, b string")
+    got = sorted(map(tuple, profile_frame(df).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pf (a INT, b VARCHAR)")
+    con.executemany("INSERT INTO pf VALUES (?, ?)", rows)
+    want = sorted(map(tuple,
+                      con.sql(profile_frame_sql("pf", ["a", "b"])).fetchall()))
+    assert got == want

@@ -342,3 +342,33 @@ def test_parquet_manifest_feeds_planner(spark, tmp_path):
     plan = compaction_plan(m, "file", "bytes", 1 << 30).collect()
     assert sorted(r.file for r in plan) == files
     assert all(r.grp == 0 for r in plan)   # tiny files, one group
+
+
+def test_profile_frame_single_pass_plan(spark):
+    """profile_frame must stay ONE aggregation pass: the exact
+    multi-distincts compile to Expand into a 2-phase aggregate, the
+    unpivot is a stack projection — no Python stages, no join, no
+    second scan of the input."""
+    from frames_map_reduce_spark.operators.layout import profile_frame
+    from frames_map_reduce_spark.plans import explain_formatted
+
+    df = spark.range(100).selectExpr("id", "cast(id % 7 as string) AS s")
+    plan = explain_formatted(profile_frame(df, ["id", "s"]))
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "Expand" in plan
+    assert plan.count("Scan") <= 1
+
+
+def test_profile_frame_validation(spark):
+    from frames_map_reduce_spark.operators.layout import (
+        profile_frame,
+        profile_frame_sql,
+    )
+
+    df = spark.range(3)
+    with pytest.raises(ValueError):
+        profile_frame(df, [])
+    with pytest.raises(ValueError):
+        profile_frame_sql("t", [])
+    with pytest.raises(Exception):
+        profile_frame(df, ["nope"])
