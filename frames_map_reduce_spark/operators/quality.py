@@ -673,8 +673,16 @@ def psi_against_reference(cur: DataFrame, value_col: str,
             f"ref_counts must be {n_bins} non-negative bin counts "
             f"(len(breakpoints) + 1), got {ref_counts!r}")
     spark = cur.sparkSession
-    ref_df = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(refs)], "bin int, n_ref long")
+    # the reference constants as a pure ARRAY-LITERAL posexplode, not
+    # createDataFrame: this function runs once per MICRO-BATCH inside
+    # the streaming monitors, and a Python-RDD literal costs a Python
+    # worker round-trip per slice per batch — the posexplode is a
+    # zero-Python JVM expression (r11: the coalesce-literal lesson)
+    ref_df = (spark.range(1).select(
+        F.posexplode(F.lit([int(c) for c in refs]))
+         .alias("bin", "n_ref"))
+        .select(F.col("bin").cast("int").alias("bin"),
+                F.col("n_ref").cast("long").alias("n_ref")))
     cur_b = (cur.select(F.expr(_breakpoint_bin_expr(value_col, bks))
                          .cast("int").alias("bin"))
                 .groupBy("bin").agg(F.count(F.lit(1)).alias("_nc")))
