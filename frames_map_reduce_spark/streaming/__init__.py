@@ -705,8 +705,23 @@ def stream_quality_dashboard(stream: DataFrame, text_col: str,
     gate_cols = classifier_gate_columns(weights, text_col, n_buckets, salt)
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        n_docs = batch_df.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        # ONE pass for n_docs + the classifier rollup: the gate columns
+        # are stateless expressions, so the batch count and the
+        # tokenless-excluded aggregates (the classifier_score absent-row
+        # convention, via n_tokens > 0 conditionals — tokenless rows
+        # have NULL rank and contribute nothing) fuse into a single
+        # aggregation instead of two jobs per batch
+        clf = (batch_df.select(*(c.alias(name)
+                                 for name, c in gate_cols.items()))
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                    F.coalesce(
+                        F.sum(F.when((F.col("n_tokens") > 0)
+                                     & (F.col("logit_rank") >= 0), 1)
+                               .otherwise(0)), F.lit(0))
+                     .cast("bigint").alias("n_pass_quality"),
+                    F.coalesce(F.sum(F.when(F.col("n_tokens") > 0,
+                                            F.col("logit_sum"))), F.lit(0))
+                     .cast("bigint").alias("logit_total")))
         ent = (token_entropy_profile(batch_df, text_col, id_col)
                .agg(F.sum("entropy_micro").alias("_se"),
                     F.count(F.lit(1)).alias("_n"))
@@ -719,18 +734,10 @@ def stream_quality_dashboard(stream: DataFrame, text_col: str,
         psi = (psi_against_reference(batch_df, value_col,
                                      breakpoints, ref_counts)
                .select("psi_micro"))
-        clf = (batch_df.select(*(c.alias(name)
-                                 for name, c in gate_cols.items()))
-               .filter(F.col("n_tokens") > 0)
-               .agg(F.coalesce(
-                        F.sum(F.when(F.col("logit_rank") >= 0, 1)
-                               .otherwise(0)), F.lit(0))
-                     .cast("bigint").alias("n_pass_quality"),
-                    F.coalesce(F.sum("logit_sum"), F.lit(0))
-                     .cast("bigint").alias("logit_total")))
-        row = (n_docs.crossJoin(F.broadcast(ent))
-                     .crossJoin(F.broadcast(psi))
-                     .crossJoin(F.broadcast(clf)))
+        row = (clf.crossJoin(F.broadcast(ent))
+                  .crossJoin(F.broadcast(psi))
+                  .select("n_docs", "entropy_mean_micro", "psi_micro",
+                          "n_pass_quality", "logit_total"))
         (row.coalesce(1).write.mode("overwrite")
             .parquet(os.path.join(sink_dir, f"batch_id={batch_id}")))
 
