@@ -337,6 +337,17 @@ def decode_ids(df: DataFrame, ids_col: str, id_col: str,
         for pdf in batches:
             ids, texts = [], []
             for i, seq in zip(pdf[id_col], pdf[ids_col]):
+                # encode_ids never emits NULL cells, but decode_ids
+                # accepts arbitrary frames (r11 ADVICE): a NULL arrives
+                # here as None/NaN and must die with a NAMED error, not
+                # an opaque "'NoneType' is not iterable" from the worker
+                # (non-NULL cells arrive as list/ndarray — sized; a NULL
+                # is None or a float NaN scalar, both unsized)
+                if seq is None or not hasattr(seq, "__len__"):
+                    raise ValueError(
+                        f"decode_ids: NULL {ids_col} for {id_col}={i!r}"
+                        " — a decode must never silently drop documents;"
+                        " filter NULL sequences upstream")
                 parts: list[str] = []
                 for tid in seq:
                     tid = int(tid)

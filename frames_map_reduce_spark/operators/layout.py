@@ -26,6 +26,7 @@ dual of the bucketed-join sink in ``sources.write_bucketed``.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -404,6 +405,24 @@ def parquet_file_manifest(spark, path: str) -> DataFrame:
     return spark.createDataFrame(rows, "file string, bytes long")
 
 
+#: Profiled column names are interpolated into generated SQL text (the
+#: stack arm literals here, the count(c) arms in the DuckDB twin), so
+#: they must be plain identifiers — a quote/backtick/paren in a name
+#: would break or silently change the generated query (r11 ADVICE).
+#: Validated, not escaped: the twin must stay dialect-portable, and a
+#: corpus schema with SQL-special column names is an upstream smell.
+_PLAIN_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _require_plain_idents(cols: Sequence[str], where: str) -> None:
+    bad = [c for c in cols if not _PLAIN_IDENT.match(c)]
+    if bad:
+        raise ValueError(
+            f"{where}: column names must be plain identifiers "
+            f"([A-Za-z_][A-Za-z0-9_]*) because they are interpolated "
+            f"into generated SQL; rename or alias first: {bad!r}")
+
+
 def profile_frame(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
     """ANALYZE-style whole-frame data profile — the table-stats pass
     every maintained table runs before layout decisions (this module's
@@ -437,6 +456,7 @@ def profile_frame(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame
     require_columns(df, cols)
     if not cols:
         raise ValueError("profile_frame needs at least one column")
+    _require_plain_idents(cols, "profile_frame")
     aggs = [F.count(F.lit(1)).cast("bigint").alias("_n")]
     for i, c in enumerate(cols):
         aggs += [
@@ -467,6 +487,7 @@ def profile_frame_sql(table: str, cols: Sequence[str]) -> str:
     cols = list(cols)
     if not cols:
         raise ValueError("profile_frame_sql needs at least one column")
+    _require_plain_idents(cols, "profile_frame_sql")
     inner = ["count(*) AS _n"]
     for i, c in enumerate(cols):
         inner += [f"count({c}) AS _nn{i}",

@@ -280,18 +280,26 @@ def rolling_zscore(df: DataFrame, value_col: str, ts_col: str,
                .rowsBetween(-window, -1))
     # widest intermediate is n·Σv² ≤ window²·v²: guard the quantized
     # magnitude per row so overflow is a named error, not an ANSI trap
-    # (and not a silent wrap on a non-ANSI session) — see Range contract
+    # (and not a silent wrap on a non-ANSI session) — see Range contract.
+    # The guard compares in DOUBLE space BEFORE the bigint cast: a raw
+    # |value| beyond ~9.2e15 would otherwise hit the ANSI double→bigint
+    # CAST_OVERFLOW inside the cast itself, bypassing the named message
+    # (the extreme band was loud but anonymous); CaseWhen branches are
+    # evaluated lazily, so the cast never sees an out-of-range (or NaN)
+    # value.  double→double multiply overflow saturates to ±inf, which
+    # the > comparison catches, so the named error covers the FULL
+    # out-of-range band including magnitudes past double's own range.
     v_limit = math.isqrt(2**63 - 1) // window
     raw_limit = v_limit / _Z_SCALE
-    quant = F.round(F.col(value_col) * _Z_SCALE, 0).cast("bigint")
+    dval = F.round(F.col(value_col).cast("double") * _Z_SCALE, 0)
     guarded = F.when(
-        F.abs(quant) > v_limit,
+        (F.abs(dval) > F.lit(float(v_limit))) | F.isnan(dval),
         F.raise_error(F.lit(
             f"rolling_zscore: |{value_col}| exceeds the overflow-safe "
             f"bound ~{raw_limit:.6g} at window={window} "
-            f"(quantized limit {v_limit}); rescale the column upstream "
-            f"or shrink the window"))
-    ).otherwise(quant)
+            f"(quantized limit {v_limit}), or is NaN; rescale the "
+            f"column upstream or shrink the window"))
+    ).otherwise(dval.cast("bigint"))
     base = df.select(*key_cols, ts_col, tiebreak_col, value_col,
                      guarded.alias("_v"))
     stats = base.select(

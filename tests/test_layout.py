@@ -372,3 +372,15 @@ def test_profile_frame_validation(spark):
         profile_frame_sql("t", [])
     with pytest.raises(Exception):
         profile_frame(df, ["nope"])
+    # SQL-special column names are rejected with a NAMED error before
+    # they reach the generated stack/UNION arms (r11 ADVICE: an
+    # interpolated quote/backtick would break or silently change the
+    # query); plain identifiers pass
+    evil = spark.range(3).selectExpr("id AS `id'; drop`")
+    with pytest.raises(ValueError, match="plain identifiers"):
+        profile_frame(evil, ["id'; drop"])
+    with pytest.raises(ValueError, match="plain identifiers"):
+        profile_frame_sql("t", ["a b"])
+    with pytest.raises(ValueError, match="plain identifiers"):
+        profile_frame_sql("t", ['x"y'])
+    assert "col_name" in profile_frame_sql("t", ["ok_col", "_ok2"])

@@ -173,6 +173,22 @@ def test_zscore_overflow_guard_at_documented_boundary(spark):
     with pytest.raises(Exception, match="overflow-safe bound"):
         rolling_zscore(bad, "value", "ts", ["user"], "event_id",
                        window=window, min_periods=2).collect()
+    # the EXTREME band (r11 ADVICE): raw |value| past ~9.2e15 used to
+    # hit the anonymous ANSI double→bigint CAST_OVERFLOW inside the
+    # quantize cast before the guard could evaluate — the guard now
+    # compares in double space first, so the named error covers the
+    # full band (including magnitudes past double's own 1.8e308 range,
+    # where the multiply saturates to inf)
+    for extreme in (1e16, -1e16, 1e308):
+        worse = _z_frame(spark, [1.0, 2.0, extreme])
+        with pytest.raises(Exception, match="overflow-safe bound"):
+            rolling_zscore(worse, "value", "ts", ["user"], "event_id",
+                           window=window, min_periods=2).collect()
+    # NaN likewise gets the named error, not an anonymous ANSI cast trap
+    nan_frame = _z_frame(spark, [1.0, 2.0, float("nan")])
+    with pytest.raises(Exception, match="overflow-safe bound"):
+        rolling_zscore(nan_frame, "value", "ts", ["user"], "event_id",
+                       window=window, min_periods=2).collect()
 
 
 # ---------------------------------------------------------------------------

@@ -673,3 +673,11 @@ def test_decode_ids_distributed_roundtrip(spark, documents):
                                 "doc_id long, token_ids array<int>")
     with _pt.raises(Exception, match="outside the ID space"):
         decode_ids(bad, "token_ids", "doc_id").collect()
+
+    # a NULL token_ids cell gets a NAMED error (r11 ADVICE), not the
+    # opaque "'NoneType' object is not iterable" from inside the worker
+    # — decode_ids accepts arbitrary frames, not just encode_ids output
+    nulled = spark.createDataFrame([(1, [0, 1]), (2, None)],
+                                   "doc_id long, token_ids array<int>")
+    with _pt.raises(Exception, match="NULL token_ids"):
+        decode_ids(nulled, "token_ids", "doc_id").collect()
