@@ -327,8 +327,13 @@ def _final_line(metric: str, total: float, timings: dict,
     """Compact final-line JSON, HARD-BOUNDED under the driver's tail
     capture: 2-decimal per-query medians, compact separators, and —
     only if the full map still overflows — the per-query map truncated
-    to its first entries (suite order) with ``queries_omitted``
-    counting the cut (full detail always lives in BENCH_FULL.json)."""
+    NEWEST-FIRST: entries are dropped from the FRONT of suite order
+    (r11 verdict #1: the suite appends debuts last, so the old
+    tail-first cut omitted exactly the newest queries and the driver's
+    cross-round bench record never saw a debut's first number; the
+    oldest rows have ten rounds of recorded medians to spare).
+    ``queries_omitted`` counts the cut; full detail always lives in
+    BENCH_FULL.json."""
     def render(qmap: dict, omitted: int) -> str:
         rec = {"metric": metric, "value": total, "unit": "sec",
                "queries": qmap, "calibration": cal_median, "sf": sf}
@@ -340,7 +345,7 @@ def _final_line(metric: str, total: float, timings: dict,
     line = render(compact, 0)
     names = list(compact)
     while len(line) > _FINAL_LINE_BUDGET and names:
-        names.pop()
+        names.pop(0)   # oldest suite entry first; debuts survive
         line = render({n: compact[n] for n in names},
                       len(compact) - len(names))
     return line

@@ -59,3 +59,9 @@ def test_bench_final_line_bounded():
         kept = len(rec["queries"])
         assert kept + rec.get("queries_omitted", 0) == n_queries
         assert kept > 0
+        # truncation is NEWEST-FIRST (r11 verdict #1): the suite appends
+        # debuts LAST, so when the map is cut, the surviving entries
+        # must be the suite TAIL — every debut's first number reaches
+        # the driver's bench record
+        if kept < n_queries:
+            assert list(rec["queries"]) == list(timings)[-kept:]
