@@ -1214,6 +1214,7 @@ def bench_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gate_build_autosize": bench_gate_build_autosize,
         "gate_probe": bench_gate_probe,
         "stream_gate_v2_probe": bench_stream_gate_v2_probe,
+        "image_near_dup_scaled": bench_image_near_dup_scaled,
     }
 
 
@@ -3489,6 +3490,101 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", F.round(mean_expr, 4).alias("feat_mean"))
 
 
+IMAGE_DEDUP_PARQUET = "/root/repo/tests/fixtures/image_dedup.parquet"
+
+
+def bench_image_near_dup_scaled(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Bench-only scale point for the perceptual near-dup path (the
+    oracled registry row runs on the fixed 27-image fixture; this one
+    scales with the corpus): one deterministic 24×24 grayscale PNG per
+    documents row, generated INSIDE an Arrow mapInPandas stage (seeded
+    by doc_id — no driver-side bytes, linear, replica-stable at sf1.0),
+    with every doc_id ≡ 1 (mod 50) a one-pooling-cell perturbation of
+    its predecessor (~2% planted near-dups), then the full
+    sign → banded-pair path and a 1-row pair census."""
+    from frames_map_reduce_spark.operators.multimodal import (
+        image_near_dup_pairs)
+    ids = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from frames_map_reduce_spark.functions.media import png_encode
+
+        def img_for(seed: int) -> "np.ndarray":
+            rng = np.random.default_rng(seed % (2**63))
+            return rng.integers(0, 256, size=(24, 24), dtype=np.uint8)
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 50 == 1:
+                    base = img_for(did - 1).astype(np.int64)
+                    base[0:3, 0:3] += 40  # pooling cell (0,0) of the 8-grid
+                    img = np.clip(base, 0, 255).astype(np.uint8)
+                else:
+                    img = img_for(did)
+                payloads.append(png_encode(img[:, :, None]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    imgs = ids.mapInPandas(gen, "doc_id long, payload binary")
+    pairs = image_near_dup_pairs(imgs, "doc_id", "payload")
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("hamming_dist") == 0, 1).otherwise(0))
+         .cast("bigint").alias("n_exact"))
+
+
+def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup (r11 verdict #4: dedup × multimodal) —
+    REAL pixel decode (PNG/JPEG-DC/GIF, functions/media.py
+    image_luma1000) → exact-integer aHash bits (media.ahash_bands:
+    division-free threshold compare, engine-identical) → SimHash's
+    banded-Hamming equi-join pairing (multimodal.ahash_near_dup_pairs,
+    never all-pairs).  One row per image: its four 16-bit hash bands
+    (proving the byte-level decode for EVERY row, paired or not) plus
+    near-dup accounting (partner count, best Hamming; -1 when alone).
+
+    Oracle: the fixture (tests/fixtures/gen_image_dedup.py) carries
+    ground-truth bands computed from the SOURCE arrays pre-encode —
+    PNG/GIF are lossless, JPEG's truth replays the DC quantization
+    formula — and the twin recomputes the pairing all-pairs in SQL;
+    banding is recall-exact for hamming < n_bands (pigeonhole) and
+    precision-exact (pairs verified by full Hamming), and no fixture
+    bucket nears the 2000 cap, so the two shapes agree value-for-value.
+    """
+    from frames_map_reduce_spark.operators.multimodal import (
+        ahash_near_dup_pairs, image_ahash)
+    imgs = spark.read.parquet(IMAGE_DEDUP_PARQUET).select(
+        "doc_id", "payload")
+    sigs = image_ahash(imgs, "doc_id", "payload")
+    # ahash_near_dup_pairs persists `sigs`, so the decode stage runs
+    # once for both the pairing and the band projection below
+    pairs = ahash_near_dup_pairs(sigs, n_bands=4, max_hamming=3)
+    partners = pairs.select(F.col("id_a").alias("doc_id"),
+                            "hamming_dist") \
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id"),
+                                  "hamming_dist"))
+    agg = partners.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_near"),
+        F.min("hamming_dist").alias("_best"))
+    return (sigs.join(agg, "doc_id", "left")
+            .select("doc_id",
+                    F.element_at("bands", 1).cast("int").alias("b0"),
+                    F.element_at("bands", 2).cast("int").alias("b1"),
+                    F.element_at("bands", 3).cast("int").alias("b2"),
+                    F.element_at("bands", 4).cast("int").alias("b3"),
+                    F.coalesce("n_near", F.lit(0)).cast("bigint")
+                     .alias("n_near"),
+                    F.coalesce("_best", F.lit(-1)).cast("int")
+                     .alias("best_hamming")))
+
+
 # ---------------------------------------------------------------------------
 # Retrieval / corpus indexing (operators/retrieval.py)
 # ---------------------------------------------------------------------------
@@ -4233,6 +4329,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_dashboard": q_quality_dashboard,
         "token_ids_roundtrip": q_token_ids_roundtrip,
         "profile_corpus": q_profile_corpus,
+        # r12 debuts (all inside _R12_WINDOW)
+        "image_near_dup": q_image_near_dup,
     }
 
 
@@ -5448,6 +5546,37 @@ def oracle_sql() -> dict[str, str]:
         "media_features": f"""
             SELECT doc_id, round(true_feat_mean, 4) AS feat_mean
             FROM '{MEDIA_PARQUET}' WHERE feat_check""",
+        # pre-encode ground-truth bands + all-pairs Hamming pairing:
+        # banding is recall-exact below n_bands (pigeonhole) and
+        # precision-exact (full-Hamming verify), so all-pairs SQL is the
+        # same relation the banded equi-join computes
+        "image_near_dup": f"""
+            WITH _ind_sigs AS (
+                SELECT doc_id, true_b0 AS b0, true_b1 AS b1,
+                       true_b2 AS b2, true_b3 AS b3
+                FROM '{IMAGE_DEDUP_PARQUET}'),
+            _ind_pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       bit_count(xor(a.b0, b.b0))
+                     + bit_count(xor(a.b1, b.b1))
+                     + bit_count(xor(a.b2, b.b2))
+                     + bit_count(xor(a.b3, b.b3)) AS hd
+                FROM _ind_sigs a JOIN _ind_sigs b
+                  ON a.doc_id < b.doc_id),
+            _ind_near AS (SELECT * FROM _ind_pairs WHERE hd <= 3),
+            _ind_part AS (
+                SELECT id_a AS doc_id, hd FROM _ind_near
+                UNION ALL
+                SELECT id_b AS doc_id, hd FROM _ind_near),
+            _ind_agg AS (
+                SELECT doc_id, count(*) AS n_near, min(hd) AS best
+                FROM _ind_part GROUP BY doc_id)
+            SELECT s.doc_id,
+                   s.b0::INTEGER AS b0, s.b1::INTEGER AS b1,
+                   s.b2::INTEGER AS b2, s.b3::INTEGER AS b3,
+                   COALESCE(a.n_near, 0)::BIGINT AS n_near,
+                   COALESCE(a.best, -1)::INTEGER AS best_hamming
+            FROM _ind_sigs s LEFT JOIN _ind_agg a USING (doc_id)""",
         "running_total": """
             SELECT o_custkey, max(running) AS final_total,
                    count(*) AS n_orders

@@ -139,6 +139,11 @@ HEADLINE = [
     "quality_dashboard",    # per-batch entropy/PSI/classifier quality row
     "token_ids_roundtrip",  # decode(encode(corpus)) losslessness arc
     "profile_corpus",       # ANALYZE-style exact per-column stats, 1 pass
+    # round-12 additions; the oracled image_near_dup registry row runs
+    # on a fixed 27-image fixture (correctness, not scale) — the bench
+    # row is the corpus-scaled twin: 1 generated PNG per documents row,
+    # decode -> aHash -> banded Hamming pairing
+    "image_near_dup_scaled",  # perceptual dedup: decode + sign + pair
 ]
 
 #: entries that model amortized ONE-TIME work (index builds): repeating

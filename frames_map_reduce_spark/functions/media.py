@@ -1097,6 +1097,93 @@ def gif_features(b: bytes, grid: int = 4) -> list[float]:
 
 
 # ---------------------------------------------------------------------------
+# Perceptual hashing: integer milli-luma plane + average hash (aHash)
+# ---------------------------------------------------------------------------
+# The multimodal twin of SimHash (dedup.py simhash_near_dup_pairs): a
+# compact bit signature whose Hamming distance tracks VISUAL similarity,
+# feeding the same banded equi-join pairing.  Everything here is EXACT
+# integer arithmetic — milli-scaled BT.601 luma weights (299/587/114) and
+# a division-free threshold compare — so the bits are bit-identical on
+# any engine/platform and a DuckDB oracle can recompute them from
+# pre-encode ground truth (tests/fixtures/gen_image_dedup.py).
+
+def image_luma1000(b: bytes) -> np.ndarray:
+    """Integer milli-luminance plane of a supported image payload as an
+    int64 2-D array: 1000× the BT.601 luma (299·R + 587·G + 114·B; gray
+    pixels scale by 1000), one entry per pixel.
+
+    - PNG: full decode (:func:`png_decode`) — lossless, so the plane
+      equals the source array's luma exactly;
+    - GIF: first frame through the color table
+      (:func:`gif_decode_first_frame`) — lossless likewise;
+    - JPEG: the DC-only luma map (:func:`jpeg_dc_luma`, an
+      8×-downsampled plane).  Annex-K q00=16 makes every DC luma value
+      an exact integer (dc_q·2 + 128), so ×1000 + rint is exact; the
+      hash is defined over the decoder's native plane, whatever its
+      resolution.
+    """
+    if b[:8] == PNG_SIG:
+        img = png_decode(b).astype(np.int64)
+        if img.shape[2] >= 3:
+            return (img[:, :, 0] * 299 + img[:, :, 1] * 587
+                    + img[:, :, 2] * 114)
+        return img[:, :, 0] * 1000
+    if b[:2] == b"\xff\xd8":
+        return np.rint(jpeg_dc_luma(b) * 1000.0).astype(np.int64)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        img = gif_decode_first_frame(b).astype(np.int64)
+        return (img[:, :, 0] * 299 + img[:, :, 1] * 587
+                + img[:, :, 2] * 114)
+    raise ValueError("image_luma1000: unsupported payload "
+                     "(PNG, baseline/progressive JPEG, GIF)")
+
+
+def ahash_bands(lum: np.ndarray, grid: int = 8,
+                n_bands: int = 4) -> list[int]:
+    """Average-hash (aHash) band values over an integer luma plane:
+    mean-pool into a ``grid``×``grid`` cell grid (np.linspace bounds,
+    the :func:`png_features` convention — cells repeat rows when the
+    plane is smaller than the grid), set bit ``k`` (row-major cell
+    index) iff cell ``k``'s mean EXCEEDS the all-cell mean, and split
+    the ``grid²`` bits row-major into ``n_bands`` equal integers (the
+    banded-join keys; 8×8/4 ⇒ four 16-bit values, small non-negative
+    ints on every engine — no 64-bit sign games).
+
+    EXACT integers throughout: the threshold compare is
+    ``s_k · Σa > Σs · a_k`` (python ints — no division, no float, no
+    overflow), where ``s_k``/``a_k`` are cell luma-sum and cell area and
+    the sums run over the 64 cells as pooled (overlap-counted for tiny
+    planes).  Same bytes ⇒ same bits on any platform; a brightness-only
+    global shift flips no bits at all (mean-relative), which is what
+    makes aHash a NEAR-dup hash rather than a checksum."""
+    if grid < 2 or n_bands < 1 or (grid * grid) % n_bands:
+        raise ValueError(
+            f"need grid >= 2 and n_bands dividing grid² "
+            f"(got grid={grid}, n_bands={n_bands})")
+    if (grid * grid) // n_bands > 62:
+        raise ValueError(
+            f"band width {(grid * grid) // n_bands} bits exceeds a "
+            f"signed-BIGINT-safe 62: raise n_bands")
+    h, w = lum.shape
+    ys = np.linspace(0, h, grid + 1).astype(int)
+    xs = np.linspace(0, w, grid + 1).astype(int)
+    sums, areas = [], []
+    for i in range(grid):
+        for j in range(grid):
+            cell = lum[ys[i]:max(ys[i + 1], ys[i] + 1),
+                       xs[j]:max(xs[j + 1], xs[j] + 1)]
+            sums.append(int(cell.sum()))
+            areas.append(int(cell.size))
+    total_s, total_a = sum(sums), sum(areas)
+    bits_per = (grid * grid) // n_bands
+    bands = [0] * n_bands
+    for k, (s, a) in enumerate(zip(sums, areas)):
+        if s * total_a > total_s * a:
+            bands[k // bits_per] |= 1 << (k % bits_per)
+    return bands
+
+
+# ---------------------------------------------------------------------------
 # AVI (MJPEG): RIFF container parsing + minimal writer
 # ---------------------------------------------------------------------------
 # Motion-JPEG AVI is the one video format tractable without a codec

@@ -306,3 +306,134 @@ def sample_frames(df: DataFrame, id_col: str, binary_col: str,
             yield pd.DataFrame(rows)
 
     return narrow.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image near-dup (dedup × multimodal)
+# ---------------------------------------------------------------------------
+
+def image_ahash(df: DataFrame, id_col: str, binary_col: str,
+                grid: int = 8, n_bands: int = 4,
+                fake: bool = False) -> DataFrame:
+    """Perceptual average-hash signatures for image payloads:
+    ``(doc_id, bands array<bigint>)`` where ``bands`` holds the aHash's
+    ``grid²`` bits split into ``n_bands`` integers (media.ahash_bands —
+    exact integer arithmetic, engine-identical bits), the multimodal
+    analogue of dedup.py's SimHash signatures over text.
+
+    REAL for PNG (full decode), baseline/progressive JPEG (DC luma
+    plane), and GIF (first frame) via :func:`media.image_luma1000`;
+    other payloads raise unless ``fake=True`` (deterministic
+    hash-derived bands, plumbing-only — the decode_image_features
+    convention).
+
+    Scale shape: ONE Arrow-batched mapInPandas scan, O(pixels) per row,
+    bytes never on the driver; output is id + n_bands small ints — the
+    narrowest possible signature frame to shuffle downstream.
+    """
+    require_columns(df, [id_col, binary_col])
+    # validate the geometry at plan-build time, not inside the worker
+    MEDIA.ahash_bands(np.zeros((grid, grid), dtype=np.int64),
+                      grid=grid, n_bands=n_bands)
+    narrow = df.select(F.col(id_col).alias("doc_id"),
+                       F.col(binary_col).alias("_payload"))
+    schema = "doc_id long, bands array<long>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        for pdf in batches:
+            out = []
+            for p in pdf["_payload"]:
+                b = bytes(p)
+                if fake:
+                    digest = hashlib.md5(b).digest()
+                    width = (grid * grid) // n_bands
+                    val = int.from_bytes(digest, "little")
+                    out.append([(val >> (width * m)) & ((1 << width) - 1)
+                                for m in range(n_bands)])
+                else:
+                    out.append(MEDIA.ahash_bands(
+                        MEDIA.image_luma1000(b), grid=grid,
+                        n_bands=n_bands))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "bands": out})
+
+    return narrow.mapInPandas(run, schema=schema)
+
+
+def image_near_dup_pairs(df: DataFrame, id_col: str, binary_col: str,
+                         grid: int = 8, n_bands: int = 4,
+                         max_hamming: int = 3, max_bucket: int = 2000,
+                         fake: bool = False) -> DataFrame:
+    """Visual near-duplicate pairs over image payloads — SimHash's
+    banded-Hamming pairing (dedup.py simhash_near_dup_pairs, conventions
+    mirrored verbatim) applied to perceptual aHash bits: any pair within
+    Hamming distance ``max_hamming < n_bands`` agrees exactly on ≥1 band
+    (pigeonhole), so bucketing by (band index, band value) finds every
+    such pair with an EQUI-join — never an all-pairs product.  Output:
+    ``(id_a, id_b, hamming_dist)`` with ``id_a < id_b``, verified by
+    exact Hamming distance over the full ``grid²`` bits.
+
+    ``max_bucket`` caps degenerate buckets exactly as in the text
+    hashes: solid-color / boilerplate images agree on whole bands, and
+    one B-member bucket emits B² join rows; capped buckets are dropped
+    loudly (use :func:`image_ahash` + dedup.simhash_bucket_stats-style
+    accounting upstream if drop visibility is needed).
+
+    Scale shape at 100 TB: one linear Arrow signing pass → persist the
+    skinny (id, bands) frame → banded explode (n_bands rows/doc) → one
+    shuffle on bucket key with both sides broadcast-pruned to surviving
+    buckets → candidate equi-join → codegen Hamming filter.  No
+    cartesian anywhere; the pair stage touches only same-bucket rows.
+    """
+    sigs = image_ahash(df, id_col, binary_col, grid=grid,
+                       n_bands=n_bands, fake=fake)
+    return ahash_near_dup_pairs(sigs, n_bands=n_bands,
+                                max_hamming=max_hamming,
+                                max_bucket=max_bucket)
+
+
+def ahash_near_dup_pairs(sigs: DataFrame, n_bands: int = 4,
+                         max_hamming: int = 3,
+                         max_bucket: int = 2000) -> DataFrame:
+    """The pairing half of :func:`image_near_dup_pairs`, over a
+    precomputed ``(doc_id, bands)`` signature frame — the deployment
+    shape when signatures are persisted alongside the corpus (sign once,
+    pair many; the minhash build/probe convention).  Semantics and scale
+    notes as in :func:`image_near_dup_pairs`."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= n_bands={n_bands}: banding "
+            f"only guarantees recall for Hamming distance < n_bands")
+    require_columns(sigs, ["doc_id", "bands"])
+    from pyspark import StorageLevel
+
+    from frames_map_reduce_spark.operators.dedup import hamming_words
+
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    # materialize NOW: three consumers (bucket sizes + both join sides)
+    # would otherwise race the cache and re-run the decode stage — the
+    # simhash lesson (dedup.py:1058), and decode is far costlier here
+    sigs.count()
+    banded = sigs.select(
+        "doc_id", "bands",
+        F.posexplode("bands").alias("_band_idx", "_band_val")) \
+        .select("doc_id", "bands",
+                F.concat_ws(":", "_band_idx", "_band_val").alias("_bucket"))
+    sizes = banded.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
+    ok = sizes.filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket)) \
+              .select("_bucket")
+    pruned = banded.join(F.broadcast(ok), "_bucket")
+    a = pruned.select("_bucket", F.col("doc_id").alias("id_a"),
+                      F.col("bands").alias("_bands_a"))
+    b = pruned.select(F.col("_bucket").alias("_bucket_b"),
+                      F.col("doc_id").alias("id_b"),
+                      F.col("bands").alias("_bands_b"))
+    return (
+        a.join(b, (F.col("_bucket") == F.col("_bucket_b"))
+               & (F.col("id_a") < F.col("id_b")))
+         .select("id_a", "id_b",
+                 hamming_words(F.col("_bands_a"), F.col("_bands_b"),
+                               n_bands).alias("hamming_dist"))
+         .filter(F.col("hamming_dist") <= max_hamming)
+         .distinct()
+    )
