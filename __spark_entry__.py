@@ -840,6 +840,15 @@ def _psi_lifecycle_oracle() -> str:
     return _PSI_LIFECYCLE_ORACLE_CACHE[path]
 
 
+#: quality_dashboard alert thresholds (r11 verdict #6) — exact-integer
+#: comparisons, picked to split true/false across the sf0.01 batches
+#: (psi: 68484/37422/28228 vs 50k; entropy mean micronats:
+#: 3035258/3002365/2954369 vs 3.0M; pass rate: 48/66/127 milli vs 100)
+_QDASH_PSI_ALERT = 50_000
+_QDASH_ENT_FLOOR = 3_000_000
+_QDASH_PASS_MILLI = 100
+
+
 def q_quality_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-micro-batch corpus-quality dashboard
     (streaming.stream_quality_dashboard — r10 verdict #8, the
@@ -852,11 +861,17 @@ def q_quality_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     classification; q_quality_classifier's model spec, trained on the
     same corpus).
 
+    Alert semantics (r11 verdict #6 — the psi_lifecycle convention):
+    the dashboard emits three BOOLEAN verdict columns from exact
+    integer comparisons against the rig thresholds below — chosen to
+    SPLIT true/false across the sf0.01 batches so the oracle proves
+    both polarities, not a constant column.
+
     Rig: three mtime-ordered staged files (doc_id % 3) with
     maxFilesPerTrigger=1 — deterministic batch composition, so the
     oracle replays each batch as a WHERE doc_id % 3 = k slice through
     the entropy-profile, psi-against-reference, and train+score twins
-    with the SAME fixture-derived constants."""
+    with the SAME fixture-derived constants, alerts included."""
     import glob as _glob
     import os as _os
     import shutil as _shutil
@@ -893,12 +908,16 @@ def q_quality_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  n_buckets=_QCLF_BUCKETS,
                                  sink_dir=f"{base}/out",
                                  salt=_QCLF_SALT,
-                                 checkpoint=f"{base}/ckpt")
+                                 checkpoint=f"{base}/ckpt",
+                                 psi_alert=_QDASH_PSI_ALERT,
+                                 entropy_floor_micro=_QDASH_ENT_FLOOR,
+                                 min_pass_rate_milli=_QDASH_PASS_MILLI)
     q.awaitTermination()
     return (spark.read.parquet(f"{base}/out")
                  .select(F.col("batch_id").cast("bigint").alias("batch_id"),
                          "n_docs", "entropy_mean_micro", "psi_micro",
-                         "n_pass_quality", "logit_total"))
+                         "n_pass_quality", "logit_total",
+                         "alert_psi", "alert_entropy", "alert_pass_rate"))
 
 
 _QUALITY_DASH_ORACLE_CACHE: dict[str, str] = {}
@@ -941,7 +960,12 @@ def _quality_dashboard_oracle() -> str:
             parts.append(f"""
             SELECT CAST({k} AS BIGINT) AS batch_id, n_docs,
                    entropy_mean_micro, psi_micro,
-                   n_pass_quality, logit_total
+                   n_pass_quality, logit_total,
+                   psi_micro > {_QDASH_PSI_ALERT} AS alert_psi,
+                   coalesce(entropy_mean_micro < {_QDASH_ENT_FLOOR},
+                            TRUE) AS alert_entropy,
+                   n_pass_quality * 1000
+                       < {_QDASH_PASS_MILLI} * n_docs AS alert_pass_rate
             FROM (SELECT count(*)::BIGINT AS n_docs FROM {slice_tbl})
             CROSS JOIN (
                 SELECT CASE WHEN count(*) > 0 THEN

@@ -657,7 +657,10 @@ def stream_quality_dashboard(stream: DataFrame, text_col: str,
                              weights: Sequence[tuple[int, int]],
                              n_buckets: int, sink_dir: str,
                              salt: str = "clf",
-                             checkpoint: str | None = None):
+                             checkpoint: str | None = None,
+                             psi_alert: int = 250_000,
+                             entropy_floor_micro: int = 0,
+                             min_pass_rate_milli: int = 0):
     """Per-micro-batch corpus-quality dashboard — the MONITORING twin
     of ``stream_ingest_gate_v2`` (the gate decides per document; this
     reports per batch): every micro-batch is reduced to ONE row of
@@ -679,7 +682,18 @@ def stream_quality_dashboard(stream: DataFrame, text_col: str,
       the hashed log-odds gate (``logit_rank ≥ 0``) and the exact
       micro-logit mass, via the stateless
       ``classifier_gate_columns`` expression (``weights`` is the
-      collected dense table — ``n_buckets`` rows by construction).
+      collected dense table — ``n_buckets`` rows by construction);
+    - three BOOLEAN alert verdicts (r11 verdict #6 — the
+      ``psi_lifecycle`` alert convention, all exact integer
+      comparisons, engine-stable): ``alert_psi`` (``psi_micro >
+      psi_alert``; default the conventional 250_000 ≙ 0.25),
+      ``alert_entropy`` (``entropy_mean_micro < entropy_floor_micro``,
+      and TRUE when entropy is NULL — a batch with no tokenful
+      document cannot clear any junk floor; default floor 0 alerts
+      only on that NULL case), ``alert_pass_rate``
+      (``n_pass_quality·1000 < min_pass_rate_milli·n_docs`` — the
+      milli-rate staging keeps the threshold integer; default 0 never
+      alerts).
 
     All three metrics are tiny aggregations (one row each) combined by
     broadcast cross joins — per-batch STATELESS, no watermark, no state
@@ -737,7 +751,15 @@ def stream_quality_dashboard(stream: DataFrame, text_col: str,
         row = (clf.crossJoin(F.broadcast(ent))
                   .crossJoin(F.broadcast(psi))
                   .select("n_docs", "entropy_mean_micro", "psi_micro",
-                          "n_pass_quality", "logit_total"))
+                          "n_pass_quality", "logit_total",
+                          (F.col("psi_micro") > F.lit(int(psi_alert)))
+                          .alias("alert_psi"),
+                          F.coalesce(F.col("entropy_mean_micro")
+                                     < F.lit(int(entropy_floor_micro)),
+                                     F.lit(True)).alias("alert_entropy"),
+                          (F.col("n_pass_quality") * F.lit(1000)
+                           < F.lit(int(min_pass_rate_milli))
+                           * F.col("n_docs")).alias("alert_pass_rate")))
         (row.coalesce(1).write.mode("overwrite")
             .parquet(os.path.join(sink_dir, f"batch_id={batch_id}")))
 

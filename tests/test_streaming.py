@@ -709,7 +709,124 @@ def test_stream_quality_dashboard_matches_batch_and_replays(
         F.sum("logit_sum").alias("t")).collect()[0]
     assert row.n_pass_quality == agg.p
     assert row.logit_total == agg.t
+    # alert verdicts at the DEFAULT thresholds (r11 verdict #6): psi vs
+    # the conventional 250k, entropy floor 0 (alerts only on a NULL
+    # mean), pass-rate floor 0 (never alerts)
+    assert row.alert_psi == (row.psi_micro > 250_000)
+    assert row.alert_entropy is False and row.alert_pass_rate is False
 
     run("ckpt2")   # fresh checkpoint: full at-least-once replay
     again = spark.read.parquet(sink).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in got]
+
+    # thresholds straddling the measured row flip every alert TRUE —
+    # the comparisons are exact integers, so off-by-one thresholds are
+    # decisive, not flaky (min_pass_rate_milli=1001 alerts even at a
+    # 100% pass rate)
+    sink2 = str(tmp_path / "out2")
+    stream = (spark.readStream
+                   .schema("doc_id long, text string, n_chars long")
+                   .parquet(stage))
+    q = stream_quality_dashboard(
+        stream, "text", "doc_id", "n_chars", bks, counts, w_rows,
+        n_buckets=256, sink_dir=sink2, salt="dash",
+        checkpoint=str(tmp_path / "ckpt3"),
+        psi_alert=row.psi_micro - 1,
+        entropy_floor_micro=row.entropy_mean_micro + 1,
+        min_pass_rate_milli=1001)
+    q.awaitTermination()
+    hot = spark.read.parquet(sink2).collect()[0]
+    assert (hot.alert_psi, hot.alert_entropy, hot.alert_pass_rate) \
+        == (True, True, True)
+
+
+def test_stream_token_ids_extend_with_drain_stays_bounded(
+        spark, documents, tmp_path):
+    """Deployment form of the extend-drain contract (r11 verdict #8): a
+    foreachBatch ingestion loop composing encode_ids →
+    pack_token_ids_extend → drain_pack_cache across 5 micro-batches.
+    Asserts (a) the pack swap-cache NEVER accumulates — drained to zero
+    after each batch materializes, at most the current generation's one
+    bucketized persist before the drain — and (b) the final packed
+    frame is BIT-identical to pack_token_ids over the whole corpus in
+    one shot (extend ≡ repack under the monotone contract).
+
+    Batches are staged as doc_id RANGES (mtime-ordered files +
+    maxFilesPerTrigger=1), not residues: the extend contract requires
+    every new document's order_by key to sort after all previously
+    packed ones."""
+    from frames_map_reduce_spark.functions.tokenizer import encode_ids
+    from frames_map_reduce_spark.operators import packing as PK
+    from frames_map_reduce_spark.operators.packing import (
+        drain_pack_cache,
+        pack_token_ids,
+        pack_token_ids_extend,
+    )
+
+    docs = documents.select("doc_id", "text")
+    n = docs.count()
+    edges = [round(n * k / 5) for k in range(6)]
+    ordered_ids = [r["doc_id"] for r in
+                   docs.select("doc_id").orderBy("doc_id").collect()]
+    stage = str(tmp_path / "in")
+    import os as _os
+    _os.makedirs(stage)
+    import glob as _glob
+    import shutil as _shutil
+    for k in range(5):
+        lo, hi = ordered_ids[edges[k]], ordered_ids[edges[k + 1] - 1]
+        part_dir = str(tmp_path / f"f{k}")
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)) \
+            .coalesce(1).write.parquet(part_dir)
+        src = _glob.glob(f"{part_dir}/part-*.parquet")[0]
+        dst = f"{stage}/{k}.parquet"
+        _shutil.move(src, dst)
+        _os.utime(dst, (1_000_000_000 + k, 1_000_000_000 + k))
+
+    packed_root = str(tmp_path / "packed")
+    state = {"gen": -1}
+    cache_sizes_before_drain: list[int] = []
+    cache_sizes_after_drain: list[int] = []
+    n_batches = {"n": 0}
+
+    def apply(batch_df, batch_id: int) -> None:
+        ids = encode_ids(batch_df, "text", "doc_id")
+        if state["gen"] < 0:
+            packed = pack_token_ids(ids, "token_ids", block=64,
+                                    order_by=["doc_id"])
+        else:
+            prior = spark.read.parquet(f"{packed_root}/g{state['gen']}")
+            packed = pack_token_ids_extend(prior, ids, "token_ids",
+                                           block=64, order_by=["doc_id"])
+        gen = state["gen"] + 1
+        packed.write.parquet(f"{packed_root}/g{gen}")   # materialize
+        state["gen"] = gen
+        n_batches["n"] += 1
+        cache_sizes_before_drain.append(len(PK._PACK_OFFSET_CACHE))
+        drain_pack_cache()
+        cache_sizes_after_drain.append(len(PK._PACK_OFFSET_CACHE))
+
+    q = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1").parquet(stage)
+              .writeStream.foreachBatch(apply)
+              .trigger(availableNow=True)
+              .option("checkpointLocation", str(tmp_path / "ckpt"))
+              .start())
+    q.awaitTermination()
+
+    assert n_batches["n"] == 5
+    # bounded: at most the current generation's own persist before each
+    # drain, ZERO after — the loop holds one cached frame, never five
+    assert max(cache_sizes_before_drain) <= 1
+    assert all(s == 0 for s in cache_sizes_after_drain)
+
+    got = sorted(
+        (r["seq_id"], tuple(r["token_ids"]), r["n_tokens"])
+        for r in spark.read.parquet(f"{packed_root}/g4").collect())
+    want = sorted(
+        (r["seq_id"], tuple(r["token_ids"]), r["n_tokens"])
+        for r in pack_token_ids(encode_ids(docs, "text", "doc_id"),
+                                "token_ids", block=64,
+                                order_by=["doc_id"]).collect())
+    drain_pack_cache()
+    assert got == want and len(got) > 5
