@@ -2791,6 +2791,68 @@ def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_with_recall(approx, corpus, queries)
 
 
+#: ivf_drift rig thresholds — see q_ivf_drift (values chosen after
+#: measuring the sf0.01 distribution so needs_retrain splits true/false)
+_IVF_DRIFT_SHARE_MILLI = 75
+_IVF_DRIFT_DISP_MICRO = 100_000
+
+
+def _ivf_extend_slices(emb: DataFrame):
+    """Shared slicing for the IVF maintenance arc: the BUILD slice (the
+    corpus at index-build time), the DELTA batch (vectors arriving
+    later), and the union the probes run over.  Queries stay vec_id < 5
+    (the standing ANN convention)."""
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    build_slice = corpus.filter(F.col("vec_id") % 4 != 3)
+    delta = corpus.filter(F.col("vec_id") % 4 == 3)
+    return build_slice, delta, corpus
+
+
+def q_ann_ivf_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index maintenance arc (r11 verdict #7 — the bloom/minhash
+    build→extend lifecycle applied to ANN): build the persisted bucketed
+    index on the BUILD slice only (vec_id % 4 != 3, centroids frozen
+    there), EXTEND it with the remaining quarter
+    (similarity.extend_ivf_index — assign against the frozen quantizer,
+    append to the bucketed inverted lists, no retrain/rewrite), then
+    probe.  FULL value oracle proving extend ≡ rebuild: the twin replays
+    the BUILD-slice-trained centroids (replay_ivf_centroids keep=) and
+    re-derives assignment + probing + scoring over the WHOLE union —
+    i.e. a from-scratch rebuild at the frozen centroids — so hash
+    equality IS the lifecycle law."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 5)
+                  .select(F.col("vec_id").alias("query_id"), "embedding"))
+    build_slice, delta, corpus = _ivf_extend_slices(emb)
+    centroids = SIM.build_ivf_index(build_slice, "ivf_index_extend_driver",
+                                    n_centroids=16)
+    SIM.extend_ivf_index(delta, "ivf_index_extend_driver", centroids)
+    approx = SIM.ivf_topk_indexed(spark, "ivf_index_extend_driver",
+                                  queries, centroids, k=5, nprobe=4)
+    return _ann_with_recall(approx, corpus, queries)
+
+
+def q_ivf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrain trigger closing the IVF lifecycle (r11 verdict #7):
+    after the extend, does the frozen quantizer still fit the corpus?
+    similarity.ivf_drift_stats over the union assigned against the
+    BUILD-slice-trained centroids — per cell: occupancy, corpus share
+    in exact milli, centroid displacement (frozen centroid vs the
+    cell's CURRENT mean) in engine-stable micro units, and the
+    needs_retrain verdict at the rig thresholds (chosen to split
+    true/false at sf0.01 — see the constants below).  FULL oracle:
+    assignment replayed in SQL against the replayed centroid literals,
+    then the identical integer staging (ivf_drift_stats_sql)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    build_slice, _delta, corpus = _ivf_extend_slices(emb)
+    centroids = SIM.train_ivf_centroids(build_slice, "embedding", 16)
+    assigned = SIM.ivf_assign(corpus.select("vec_id", "embedding"),
+                              "embedding", centroids)
+    return SIM.ivf_drift_stats(assigned, centroids,
+                               max_share_milli=_IVF_DRIFT_SHARE_MILLI,
+                               max_displacement_micro=_IVF_DRIFT_DISP_MICRO)
+
+
 # ---------------------------------------------------------------------------
 # Scale extensions: events (JSON + sessionization + time windows)
 # ---------------------------------------------------------------------------
@@ -4355,6 +4417,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_corpus": q_profile_corpus,
         # r12 debuts (all inside _R12_WINDOW)
         "image_near_dup": q_image_near_dup,
+        "ann_ivf_extend": q_ann_ivf_extend,
+        "ivf_drift": q_ivf_drift,
     }
 
 
@@ -4363,6 +4427,8 @@ def _sql_tokens(col: str) -> str:
 
 
 _IVF_ORACLE_CACHE: dict[str, str] = {}
+_IVF_EXTEND_ORACLE_CACHE: dict[str, str] = {}
+_IVF_DRIFT_ORACLE_CACHE: dict[str, str] = {}
 _SEMDEDUP_ORACLE_CACHE: dict[str, str] = {}
 _BPE_ORACLE_CACHE: dict[str, list] = {}
 _RESIZE_ORACLE_CACHE: dict[str, str] = {}
@@ -4527,6 +4593,54 @@ def _ivf_oracle() -> str:
             "embeddings", "vec_id", "embedding",
             query_max_id=5, k=5, nprobe=4, centroids=cents)
     return _IVF_ORACLE_CACHE[path]
+
+
+def _ivf_build_slice_centroids(path: str):
+    """Replay the BUILD-slice centroids of the IVF maintenance arc
+    (q_ann_ivf_extend / q_ivf_drift train on vec_id >= 5 AND
+    vec_id % 4 != 3 — frozen before the delta arrives)."""
+    return SIM.replay_ivf_centroids(
+        path, n_centroids=16,
+        keep=lambda i: i >= 5 and i % 4 != 3)
+
+
+def _ivf_extend_oracle() -> str:
+    """ann_ivf_extend twin: a from-scratch REBUILD replay — assignment
+    + probing + scoring of the WHOLE union (vec_id >= 5) against the
+    BUILD-slice-trained centroid literals; hash equality with the
+    build→extend→probe Spark arc is the lifecycle law (extend ≡
+    rebuild at frozen centroids)."""
+    import os
+    sf_dir = (os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
+              or os.environ.get("SPARK_GRAFT_TEST_SF_DIR")
+              or "/root/testdata/sf0.01")
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if path not in _IVF_EXTEND_ORACLE_CACHE:
+        cents = _ivf_build_slice_centroids(path)
+        _IVF_EXTEND_ORACLE_CACHE[path] = SIM.ivf_ann_oracle_sql(
+            "embeddings", "vec_id", "embedding",
+            query_max_id=5, k=5, nprobe=4, centroids=cents)
+    return _IVF_EXTEND_ORACLE_CACHE[path]
+
+
+def _ivf_drift_oracle() -> str:
+    """ivf_drift twin: assignment of the union replayed in SQL against
+    the same BUILD-slice centroid literals, then the identical
+    micro-quantize → floor-mean → exact squared-delta → floored-sqrt
+    staging (similarity.ivf_drift_stats_sql)."""
+    import os
+    sf_dir = (os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
+              or os.environ.get("SPARK_GRAFT_TEST_SF_DIR")
+              or "/root/testdata/sf0.01")
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if path not in _IVF_DRIFT_ORACLE_CACHE:
+        cents = _ivf_build_slice_centroids(path)
+        _IVF_DRIFT_ORACLE_CACHE[path] = SIM.ivf_drift_stats_sql(
+            "SELECT embedding FROM embeddings WHERE vec_id >= 5",
+            "embedding", cents,
+            max_share_milli=_IVF_DRIFT_SHARE_MILLI,
+            max_displacement_micro=_IVF_DRIFT_DISP_MICRO)
+    return _IVF_DRIFT_ORACLE_CACHE[path]
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5870,6 +5984,15 @@ def oracle_sql() -> dict[str, str]:
         import sys
         print(f"# ann_ivf oracle unavailable for this fixture: {exc}",
               file=sys.stderr)
+    # Same replay guard for the IVF maintenance arc (r12): both twins
+    # embed BUILD-slice-trained centroid literals.
+    try:
+        out["ann_ivf_extend"] = _ivf_extend_oracle()
+        out["ivf_drift"] = _ivf_drift_oracle()
+    except Exception as exc:  # noqa: BLE001 — degrade, don't break all
+        import sys
+        print(f"# ivf extend/drift oracle unavailable for this fixture: "
+              f"{exc}", file=sys.stderr)
     # Same replay, same guard, for the SemDeDup twin (min_id=0 corpus).
     try:
         out["semantic_dedup"] = _semantic_dedup_oracle()

@@ -144,6 +144,8 @@ HEADLINE = [
     # row is the corpus-scaled twin: 1 generated PNG per documents row,
     # decode -> aHash -> banded Hamming pairing
     "image_near_dup_scaled",  # perceptual dedup: decode + sign + pair
+    "ann_ivf_extend",       # IVF lifecycle: build slice + extend + probe
+    "ivf_drift",            # retrain trigger: per-cell occupancy/displacement
 ]
 
 #: entries that model amortized ONE-TIME work (index builds): repeating

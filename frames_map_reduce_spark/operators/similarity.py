@@ -596,7 +596,7 @@ def train_centroids_hierarchical(corpus: DataFrame, vec_col: str,
 def replay_ivf_centroids(parquet_path: str, min_id: int = 5,
                          id_col: str = "vec_id", vec_col: str = "embedding",
                          n_centroids: int = 16, sample_limit: int = 20_000,
-                         iters: int = 10, seed: int = 42):
+                         iters: int = 10, seed: int = 42, keep=None):
     """Spark-free replay of the centroids :func:`train_ivf_centroids`
     produces for ``corpus = parquet WHERE id_col >= min_id`` — the oracle
     half of the IVF proof: because training is a pure function of the
@@ -606,13 +606,19 @@ def replay_ivf_centroids(parquet_path: str, min_id: int = 5,
 
     Requires the corpus to fit inside ``sample_limit`` (then Spark's
     ``limit`` sample is the WHOLE set and is deterministic); raises
-    loudly otherwise rather than producing an unprovable oracle."""
+    loudly otherwise rather than producing an unprovable oracle.
+
+    ``keep``: optional id predicate replacing the default
+    ``i >= min_id`` — the extend-arc oracle trains on the BUILD slice
+    only (``ann_ivf_extend``: centroids frozen before the delta
+    arrives), so its replay must filter the same subset."""
     import numpy as np
     import pyarrow.parquet as pq
     t = pq.read_table(parquet_path, columns=[id_col, vec_col])
     ids = t[id_col].to_numpy()
     vecs = t[vec_col].to_pylist()
-    x = np.array([v for v, i in zip(vecs, ids) if i >= min_id],
+    pred = keep if keep is not None else (lambda i: i >= min_id)
+    x = np.array([v for v, i in zip(vecs, ids) if pred(i)],
                  dtype=np.float64)
     if len(x) > sample_limit:
         raise ValueError(
@@ -765,6 +771,185 @@ def ivf_topk_indexed(spark, table: str, queries: DataFrame, centroids,
                                   query_id_col, vec_col)
     cb = cb.filter(F.col("_centroid").isin(probed))
     return _ivf_score(cb, qb, k, id_col, vec_col, query_id_col)
+
+
+def extend_ivf_index(new_df: DataFrame, table: str, centroids,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     n_buckets: int | None = None) -> None:
+    """Maintenance half of the IVF deployment shape (r11 verdict #7 —
+    the bloom/minhash build→extend lifecycle applied to ANN): assign a
+    batch of NEW vectors to the EXISTING frozen coarse quantizer
+    (:func:`ivf_assign` — one vectorized Arrow pass, centroids in the
+    task closure) and APPEND them to the persisted bucketed inverted
+    lists.  No retraining, no rewrite of prior lists: the quantizer is
+    frozen, so each row's cell is the same whether it arrived at build
+    or extend time — ``probe(extend(build(A), B)) ≡ probe(build(A∪B,
+    centroids=frozen))`` exactly (the registry row ``ann_ivf_extend``
+    hash-proves this against a rebuild-replaying oracle; the append
+    keeps the build's bucket spec, so bucket pruning and the
+    zero-exchange probe are untouched).
+
+    When to retrain instead of extend: :func:`ivf_drift_stats` — the
+    frozen quantizer quietly degrades as the data distribution moves
+    (cells bloat or their true mean walks away from the trained
+    centroid, inflating the scan fraction a given recall costs)."""
+    require_columns(new_df, [id_col, vec_col])
+    import numpy as np
+
+    from frames_map_reduce_spark.sources import write_bucketed
+    cents = np.asarray(centroids, dtype=np.float64)
+    assigned = ivf_assign(new_df.select(id_col, vec_col), vec_col, cents)
+    write_bucketed(assigned, table, ["_centroid"],
+                   n_buckets or len(cents), mode="append")
+
+
+_VEC_MICRO = 1_000_000
+
+
+def ivf_drift_stats(assigned: DataFrame, centroids,
+                    vec_col: str = "embedding",
+                    max_share_milli: int = 250,
+                    max_displacement_micro: int = 500_000) -> DataFrame:
+    """Retrain trigger for a frozen IVF quantizer: per-cell maintenance
+    stats over an ASSIGNED corpus (``_centroid`` present — pass
+    ``spark.table(index_table)`` for a persisted index), every number
+    engine-stable so the decision can be oracled cross-engine:
+
+    - ``cell_id`` / ``n_rows``: inverted-list occupancy;
+    - ``share_milli`` (BIGINT): the cell's corpus share in exact milli
+      (``n·1000 div total`` — integer, non-negative);
+    - ``displacement_micro`` (BIGINT): Euclidean distance between the
+      FROZEN centroid and the cell's CURRENT mean vector, in micro
+      units.  Staging: each component is quantized to micro BIGINT at
+      the row (`round(v·10⁶)` — exact sums in any order), the per-dim
+      mean is ``floor(sum/n)`` computed through one correctly-rounded
+      double division of exactly-representable integers (identical in
+      IEEE engines), the squared-delta sum vs the centroid's
+      Python-computed micro literal is exact BIGINT (≤ dim·(2·10⁶·‖v‖)²
+      — far inside 2⁶³ for unit-scale embeddings), and the final sqrt
+      is one correctly-rounded float op, floored back to BIGINT;
+    - ``needs_retrain`` (BOOLEAN): ``share_milli > max_share_milli OR
+      displacement_micro > max_displacement_micro`` — a bloated cell
+      inflates every probe touching it (scan fraction drifts above
+      nprobe/n_cells), a displaced centroid mis-ranks which lists a
+      query probes (recall decays silently).
+
+    Scale shape: one posexplode (a row per vector component — the
+    irreducible cost of exact per-dim sums) into a (cells×dim)-row
+    two-phase aggregate, then broadcast-class joins; cells with no rows
+    don't appear (an EMPTY cell is a retrain signal visible as a
+    missing row — document-level checks belong to the caller)."""
+    require_columns(assigned, ["_centroid", vec_col])
+    import numpy as np
+    cents = np.asarray(centroids, dtype=np.float64)
+    n_cells, dim = cents.shape
+    ex = assigned.select(
+        "_centroid",
+        F.posexplode(F.col(vec_col)).alias("_d", "_v"))
+    # widen BEFORE the multiply: on an array<float> column Spark's
+    # float×int stays FLOAT32 (a different rounding input than the
+    # twin's double math — 12/64 dims off by 1 micro at sf0.001 until
+    # this cast); float→double widening is exact, so both engines then
+    # quantize the identical double
+    per = ex.groupBy("_centroid", "_d").agg(
+        F.sum(F.round(F.col("_v").cast("double") * _VEC_MICRO, 0)
+               .cast("bigint")).alias("_s"),
+        F.count(F.lit(1)).cast("bigint").alias("_n"))
+    mean = per.select(
+        "_centroid", "_d", "_n",
+        F.floor(F.col("_s").cast("double") / F.col("_n").cast("double"))
+         .cast("bigint").alias("_m"))
+    c_rows = [(int(c), int(d),
+               int(round(float(cents[c, d]) * _VEC_MICRO)))
+              for c in range(n_cells) for d in range(dim)]
+    spark = assigned.sparkSession
+    cdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(c_rows, 1),
+        "_centroid int, _d int, _cm long")
+    j = mean.join(F.broadcast(cdf), ["_centroid", "_d"])
+    cell = j.groupBy("_centroid").agg(
+        F.max("_n").alias("n_rows"),
+        F.sum((F.col("_m") - F.col("_cm"))
+              * (F.col("_m") - F.col("_cm"))).alias("_d2"))
+    tot = cell.agg(F.sum("n_rows").alias("_tot"))
+    return (cell.crossJoin(F.broadcast(tot))
+                .select(F.col("_centroid").cast("int").alias("cell_id"),
+                        "n_rows",
+                        F.expr("(n_rows * 1000) div _tot").cast("bigint")
+                         .alias("share_milli"),
+                        F.floor(F.sqrt(F.col("_d2").cast("double")))
+                         .cast("bigint").alias("displacement_micro"))
+                .withColumn(
+                    "needs_retrain",
+                    (F.col("share_milli") > F.lit(int(max_share_milli)))
+                    | (F.col("displacement_micro")
+                       > F.lit(int(max_displacement_micro)))))
+
+
+def ivf_drift_stats_sql(corpus_sel: str, vec_col: str, centroids,
+                        max_share_milli: int = 250,
+                        max_displacement_micro: int = 500_000) -> str:
+    """DuckDB twin of :func:`ivf_drift_stats` over an UNASSIGNED corpus
+    selection: assignment is replayed in SQL against the same frozen
+    centroid literals (the :func:`ivf_ann_oracle_sql` cassign shape),
+    then the identical micro-quantize → floor-mean → exact squared-delta
+    → floored-sqrt staging.  ``centroids`` must be the replayed array
+    (:func:`replay_ivf_centroids`) so the literals match bit-for-bit."""
+    import numpy as np
+    cents = np.asarray(centroids, dtype=np.float64)
+    n_cells, dim = cents.shape
+    rows = []
+    for cid, c in enumerate(cents):
+        lits = ", ".join(repr(float(v)) for v in c)
+        hn = repr(float(0.5 * (c * c).sum()))
+        rows.append(f"({cid}, [{lits}], {hn})")
+    values = ",\n       ".join(rows)
+    cm_rows = ", ".join(
+        f"({c}, {d}, {int(round(float(cents[c, d]) * _VEC_MICRO))})"
+        for c in range(n_cells) for d in range(dim))
+    dot_c = (f"list_sum(list_transform(list_zip(t.{vec_col}, "
+             f"_ivfd_cents.cvec), "
+             f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
+    return f"""
+WITH _ivfd_cents(cid, cvec, hn) AS (VALUES
+       {values}),
+     _ivfd_cm(cid, dim, cm) AS (VALUES {cm_rows}),
+     _ivfd_corpus AS ({corpus_sel}),
+     _ivfd_assign AS (
+        SELECT {vec_col}, cid FROM (
+          SELECT t.{vec_col}, _ivfd_cents.cid,
+                 row_number() OVER (PARTITION BY t._ivfd_rid
+                     ORDER BY {dot_c} - _ivfd_cents.hn DESC,
+                              _ivfd_cents.cid) AS rn
+          FROM (SELECT {vec_col}, row_number() OVER () AS _ivfd_rid
+                FROM _ivfd_corpus) t
+          CROSS JOIN _ivfd_cents) WHERE rn = 1),
+     _ivfd_dims AS (
+        SELECT cid, generate_subscripts({vec_col}, 1) - 1 AS dim,
+               CAST(round(CAST(unnest({vec_col}) AS DOUBLE)
+                          * {_VEC_MICRO}) AS BIGINT) AS vm
+        FROM _ivfd_assign),
+     _ivfd_mean AS (
+        SELECT cid, dim, count(*)::BIGINT AS n,
+               CAST(floor(CAST(sum(vm) AS DOUBLE)
+                          / CAST(count(*) AS DOUBLE)) AS BIGINT) AS m
+        FROM _ivfd_dims GROUP BY cid, dim),
+     _ivfd_cell AS (
+        SELECT a.cid, max(a.n)::BIGINT AS n_rows,
+               sum((a.m - b.cm) * (a.m - b.cm))::BIGINT AS d2
+        FROM _ivfd_mean a JOIN _ivfd_cm b
+          ON a.cid = b.cid AND a.dim = b.dim
+        GROUP BY a.cid),
+     _ivfd_tot AS (SELECT sum(n_rows)::BIGINT AS tot FROM _ivfd_cell)
+SELECT cid::INTEGER AS cell_id, n_rows,
+       ((n_rows * 1000) // tot)::BIGINT AS share_milli,
+       CAST(floor(sqrt(CAST(d2 AS DOUBLE))) AS BIGINT)
+           AS displacement_micro,
+       (n_rows * 1000) // tot > {int(max_share_milli)}
+           OR CAST(floor(sqrt(CAST(d2 AS DOUBLE))) AS BIGINT)
+              > {int(max_displacement_micro)} AS needs_retrain
+FROM _ivfd_cell CROSS JOIN _ivfd_tot
+"""
 
 
 def ivf_ann_oracle_sql(table: str, id_col: str, vec_col: str,

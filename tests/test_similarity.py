@@ -465,3 +465,95 @@ def test_hierarchical_centroids_deterministic_and_usable(spark, embeddings):
     with pytest.raises(ValueError, match="sample_rate"):
         train_centroids_hierarchical(embeddings, "embedding", 16,
                                      sample_rate=1.5)
+
+
+# ---------------------------------------------------------------------------
+# IVF index maintenance arc (r11 verdict #7): extend + drift trigger
+# ---------------------------------------------------------------------------
+
+def test_extend_ivf_index_equals_rebuild(spark, embeddings):
+    """The lifecycle law: build(A) + extend(B) must probe IDENTICALLY to
+    a from-scratch rebuild of A∪B at the SAME frozen centroids — the
+    quantizer is frozen, so each row's cell is arrival-order-blind, and
+    the bucketed append preserves the probe's physical shape."""
+    queries = (embeddings.filter(F.col("vec_id") < 5)
+                         .select(F.col("vec_id").alias("query_id"),
+                                 "embedding"))
+    corpus = embeddings.filter(F.col("vec_id") >= 5)
+    a = corpus.filter(F.col("vec_id") % 4 != 3)
+    b = corpus.filter(F.col("vec_id") % 4 == 3)
+
+    cents = SIM.build_ivf_index(a, "t_ivf_ext", n_centroids=16)
+    SIM.extend_ivf_index(b, "t_ivf_ext", cents)
+    # the extended table holds exactly the union, assigned
+    assert spark.table("t_ivf_ext").count() == corpus.count()
+    got = sorted(tuple(r) for r in SIM.ivf_topk_indexed(
+        spark, "t_ivf_ext", queries, cents, k=5, nprobe=4).collect())
+
+    assigned = SIM.ivf_assign(corpus.select("vec_id", "embedding"),
+                              "embedding", cents)
+    from frames_map_reduce_spark.sources import write_bucketed
+    write_bucketed(assigned, "t_ivf_rebuild", ["_centroid"], 16)
+    want = sorted(tuple(r) for r in SIM.ivf_topk_indexed(
+        spark, "t_ivf_rebuild", queries, cents, k=5, nprobe=4).collect())
+    assert got == want and len(got) > 0
+
+
+def test_ivf_drift_stats_laws(spark, embeddings):
+    """Self-trained quantizer over its own training corpus: small
+    displacements, shares summing to ~1000 milli, no retrain verdicts
+    at loose thresholds; the SAME corpus shifted by a constant vector
+    (planted drift) drives every cell's displacement past the
+    threshold — the retrain trigger fires."""
+    corpus = embeddings.filter(F.col("vec_id") >= 5) \
+                       .select("vec_id", "embedding")
+    cents = SIM.train_ivf_centroids(corpus, "embedding", 16)
+    assigned = SIM.ivf_assign(corpus, "embedding", cents)
+    stats = SIM.ivf_drift_stats(assigned, cents,
+                                max_share_milli=990,
+                                max_displacement_micro=2_000_000).collect()
+    assert sum(r["n_rows"] for r in stats) == corpus.count()
+    total_share = sum(r["share_milli"] for r in stats)
+    assert 1000 - len(stats) <= total_share <= 1000  # floor-div loss < 1/cell
+    assert all(not r["needs_retrain"] for r in stats)
+    assert all(r["displacement_micro"] < 2_000_000 for r in stats)
+
+    # planted drift: shift every vector by +3 in every dimension — each
+    # cell's current mean walks ~3·sqrt(dim) away from its frozen
+    # centroid (in micro: ~3e6·8 = 24e6), far past any healthy value
+    shifted = corpus.withColumn(
+        "embedding",
+        F.expr("transform(embedding, x -> x + CAST(3.0 AS DOUBLE))"))
+    # keep the ORIGINAL assignment (the frozen index's lists); only the
+    # data moved — the maintenance scenario
+    drifted = SIM.ivf_assign(shifted, "embedding", cents)
+    dstats = SIM.ivf_drift_stats(drifted, cents,
+                                 max_share_milli=990,
+                                 max_displacement_micro=2_000_000).collect()
+    assert all(r["needs_retrain"] for r in dstats)
+    assert all(r["displacement_micro"] > 2_000_000 for r in dstats)
+
+
+def test_ivf_drift_stats_matches_duckdb_twin(spark, embeddings, sf_dir):
+    """Value parity of the drift stats against the SQL twin at the unit
+    level (the registry row proves it at the fixture scale): same
+    centroids via replay, same staging, bit-equal rows."""
+    import os
+
+    import duckdb
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    cents = SIM.replay_ivf_centroids(path, min_id=5, n_centroids=16)
+    corpus = embeddings.filter(F.col("vec_id") >= 5) \
+                       .select("vec_id", "embedding")
+    assigned = SIM.ivf_assign(corpus, "embedding", cents)
+    got = sorted(tuple(r) for r in
+                 SIM.ivf_drift_stats(assigned, cents).collect())
+    con = duckdb.connect()
+    src = f"{path}/*.parquet" if os.path.isdir(path) else path
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{src}'")
+    sql = SIM.ivf_drift_stats_sql(
+        "SELECT embedding FROM embeddings WHERE vec_id >= 5",
+        "embedding", cents)
+    want = sorted(tuple(r) for r in con.sql(sql).fetchall())
+    assert got == want and len(got) > 1
