@@ -4180,56 +4180,52 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_tpch_q1(spark, "/root/testdata/sf0.001")
 
 
-#: Round-11 driver window (r10 verdict #3: rotate to the r8-stale set,
-#: debut event_transitions inside the window).  Composition, in
-#: priority order:
-#: (1) the THREE never-driver-proven rows: corpus_to_token_ids and
-#:     token_ids_extend (r10 debuts that errored in the driver's list
-#:     canonicalizer — now fixed to ship md5(to_json(token_ids)), r10
-#:     verdict #1) and event_transitions (registered below the r10
-#:     window; the zero-never-proven invariant is breached until it
-#:     lands);
-#: (2) the THREE r11 debuts, proven in their debut round per
-#:     established practice: psi_lifecycle (the persisted-constants
-#:     monitor arc with a planted drift + alert verdicts, r10 verdict
-#:     #6), quality_dashboard (per-micro-batch entropy/PSI/classifier
-#:     quality row — the monitoring twin of stream_ingest_gate_v2, r10
-#:     verdict #8), token_ids_roundtrip (decode∘encode losslessness at
-#:     corpus scale against an independently computed oracle, r10
-#:     verdict #7);
-#: (2b) the FOURTH r11 debut, profile_corpus (ANALYZE-style whole-frame
-#:     stats — one Expand-based exact pass, full twin), displacing a
-#:     third no-regression fill (unpivot; its sibling pivot stays);
-#: (3) 43 of the 46 r8-stale queries (PROVENANCE.json
-#:     `stale_after_next_round` entries with last_proven_round=8 after
-#:     ingesting CORRECTNESS_r10).  The two displaced to the r12 queue
-#:     — pack_shards, pack_sequences, unpivot — are expression-identical
-#:     no-regression re-proofs whose module paths stay covered in this
-#:     window via pack_extend, pack_bpe_sequences, corpus_to_sequences,
-#:     token_ids_extend, and corpus_to_token_ids; debuts outrank
-#:     no-regression fills (the standing r10 rule).
-#: The r9-stale rows queue for r12, led by the two displaced packing
-#: rows; every below-window row is still re-proven at sf0.001 by the
-#: local parity suite on every pytest run.
-_R11_WINDOW = [
-    # (1) never driver-proven
-    "corpus_to_token_ids", "token_ids_extend", "event_transitions",
-    # (2) r11 debuts
-    "psi_lifecycle", "quality_dashboard", "token_ids_roundtrip",
-    "profile_corpus",
-    # (3) the r8-stale set (44 of 46)
-    "aggregate_fold_year", "ann_bruteforce", "ann_ivf_indexed",
-    "anti_join", "asof_forward", "asof_join", "assign_keys", "bm25",
-    "cdc_compact", "chunk_docs", "clean_corpus", "collect_sorted",
-    "contamination", "corpus_to_sequences", "cube_revenue",
-    "curate_corpus_v3", "dedup_clusters", "embedding_neardup",
-    "events_hourly", "fingerprint", "flatmap_tokens", "group_median",
-    "join_revenue", "kmv_overlap", "label_outliers", "lang_id",
-    "media_meta", "merge_upsert", "mixture_weights",
-    "pack_bpe_sequences", "pack_extend", "percentile_native", "pivot",
-    "quality_score", "range_join", "remove_dup_lines",
-    "sample_stratified", "sessionize", "strip_markup", "text_quality",
-    "token_stats", "topk_native", "train_test_split",
+#: Round-12 driver window (r11 verdict #2: ingest CORRECTNESS_r11 into
+#: PROVENANCE.json, then rotate to the r8-stale remainder + the
+#: r9-stale set).  Composition, in priority order:
+#: (1) the THREE r8-stale rows — pack_shards, unpivot, pack_sequences —
+#:     the head of the rotation queue (every other registry query's
+#:     latest proof is r9+, and nothing is never-proven);
+#: (2) the THREE r12 debuts: image_near_dup (perceptual aHash + banded
+#:     Hamming over real pixel decode — dedup × multimodal, r11 verdict
+#:     #4), ann_ivf_extend (the IVF build→extend→probe lifecycle,
+#:     oracled as a rebuild replay, r11 verdict #7), ivf_drift (the
+#:     retrain trigger closing that arc, full SQL twin);
+#: (2b) quality_dashboard RE-PROOF: its r11 proof predates the alert
+#:     columns added this round (r11 verdict #6) — a schema change
+#:     voids the old proof, so it re-enters the window like a debut;
+#: (3) 43 of the 48 r9-stale queries.  The FIVE displaced to the r13
+#:     queue — fold_all, ann_bruteforce_joined, bpe_train,
+#:     stream_hourly, sql_revenue — are no-regression re-proofs whose
+#:     module paths stay covered inside this window (fold_all_numeric +
+#:     fold_all_monoid for the foldAll family; ann_srp + the IVF rows
+#:     for ANN scoring; bpe_train_encode strictly composes bpe_train;
+#:     stream_sessions/stream_stateful/stream_join for the streaming
+#:     fold vocabulary; sql_revenue's _SQL_REVENUE text is shared
+#:     verbatim with its oracle — the lowest-risk row on the board);
+#:     debuts and schema re-proofs outrank no-regression fills (the
+#:     standing r10 rule).
+#: Every below-window row is still re-proven at sf0.001 by the local
+#: parity suite on every pytest run.
+_R12_WINDOW = [
+    # (1) r8-stale head of queue
+    "pack_shards", "unpivot", "pack_sequences",
+    # (2) r12 debuts + the alert-schema re-proof
+    "image_near_dup", "ann_ivf_extend", "ivf_drift", "quality_dashboard",
+    # (3) the r9-stale set (43 of 48)
+    "length_histogram", "asof_sliced", "zorder_extents",
+    "curate_corpus_v2", "events_json", "running_total", "weighted_mean",
+    "fold_all_numeric", "good_rows", "null_propagating",
+    "combine_key_maps", "rollup_revenue", "split_on_data",
+    "assign_keys_and_data", "fold_all_monoid", "pandas_fold",
+    "frame_concat", "to_frame", "read_csv_permissive", "stream_join",
+    "stream_enrich", "stream_dedup", "media_features", "ann_srp",
+    "sketch_distinct", "shuffle_pos", "chunk_dedup", "retention",
+    "corpus_report", "dup_spans", "sketch_quantiles", "weighted_sample",
+    "leakage_safe_split", "stream_sessions", "stream_stateful",
+    "bpe_token_count", "bpe_train_encode", "dsir_select", "ingest_gate",
+    "bloom_gen_stats", "bloom_compact_roundtrip", "stream_ingest_gate",
+    "stream_ingest_gate_v2",
 ]
 
 
@@ -4240,12 +4236,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries only, so proof rotates round-over-round.  PROVENANCE.json
     (regenerated by ``python tools/provenance.py``) is the
     machine-readable query → last-driver-proven-round ledger; the
-    window is ``_R11_WINDOW`` above (chosen from that ledger, rationale
+    window is ``_R12_WINDOW`` above (chosen from that ledger, rationale
     in its comment), applied as a reordering of the stable base dict
     below — below-window entries keep their relative order, which is
-    the r11 rotation queue."""
+    the r13 rotation queue."""
     base = _queries_base()
-    window = {k: base[k] for k in _R11_WINDOW}
+    window = {k: base[k] for k in _R12_WINDOW}
     assert len(window) == 50, f"window must be exactly 50, got {len(window)}"
     return {**window, **{k: v for k, v in base.items() if k not in window}}
 
@@ -4406,11 +4402,11 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi_quantile": q_drift_psi_quantile,
         "stream_drift": q_stream_drift,
         "compaction_plan": q_compaction_plan,
-        # below-window debut: heads the r11 rotation queue (proven
+        # below-window debut: heads the r13 rotation queue (proven
         # locally at sf0.001/0.01 by the parity suite and at sf1.0 by
         # the scale gate this round; driver row lands in r11)
         "event_transitions": q_event_transitions,
-        # r11 debuts (all inside _R11_WINDOW)
+        # r11 debuts (window-proven in r11)
         "psi_lifecycle": q_psi_lifecycle,
         "quality_dashboard": q_quality_dashboard,
         "token_ids_roundtrip": q_token_ids_roundtrip,
