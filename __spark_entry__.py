@@ -3671,6 +3671,64 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("best_hamming")))
 
 
+VIDEO_DEDUP_PARQUET = "/root/repo/tests/fixtures/video_dedup.parquet"
+VIDEO_DEDUP_TRUTH = "/root/repo/tests/fixtures/video_dedup_truth.parquet"
+
+
+def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual VIDEO near-dup — the image aHash family lifted to
+    frame granularity (multimodal.video_ahash_frames +
+    video_near_dup_pairs_from_sigs): every MJPEG-AVI frame is decoded
+    (DC luma) and hashed with the exact-integer aHash; two videos are
+    near-dups when ≥2 distinct frame pairs match within Hamming 3
+    (banded frame-bucket equi-join — never all-pairs at either
+    granularity).  One row per video: frame count, an md5 digest of the
+    frame-ordered band strings (proving EVERY frame's byte-level decode
+    — the md5(to_json) registry scalar convention), and the near-dup
+    census (partner count, best matched-frame count).
+
+    Oracle: the fixture truth table (gen_video_dedup.py) carries
+    per-frame bands computed from the SOURCE arrays pre-encode via the
+    DC quantization formula; the twin recomputes digest + all-pairs
+    frame matching + census in SQL (pigeonhole recall-exactness per
+    frame pair, no bucket near the cap at fixture scale)."""
+    from frames_map_reduce_spark.operators.multimodal import (
+        video_ahash_frames, video_near_dup_pairs_from_sigs)
+    vids = spark.read.parquet(VIDEO_DEDUP_PARQUET).select(
+        "doc_id", "payload")
+    sigs = video_ahash_frames(vids, "doc_id", "payload")
+    # pairing persists `sigs`, so the frame-decode pass runs once for
+    # both the census and the digest below
+    pairs = video_near_dup_pairs_from_sigs(sigs, min_match_frames=2)
+    digest = (
+        sigs.select(
+            "doc_id", "frame_idx",
+            F.concat_ws(":", F.element_at("bands", 1),
+                        F.element_at("bands", 2),
+                        F.element_at("bands", 3),
+                        F.element_at("bands", 4)).alias("_fs"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_frames"),
+             F.md5(F.concat_ws(",", F.transform(
+                 F.array_sort(F.collect_list(
+                     F.struct(F.col("frame_idx").alias("i"),
+                              F.col("_fs").alias("s")))),
+                 lambda s: s["s"]))).alias("frames_md5")))
+    partners = pairs.select(F.col("id_a").alias("doc_id"),
+                            "n_matched_frames") \
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id"),
+                                  "n_matched_frames"))
+    agg = partners.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_near"),
+        F.max("n_matched_frames").cast("bigint").alias("_best"))
+    return (digest.join(agg, "doc_id", "left")
+            .select("doc_id", "n_frames", "frames_md5",
+                    F.coalesce("n_near", F.lit(0)).cast("bigint")
+                     .alias("n_near"),
+                    F.coalesce("_best", F.lit(0)).cast("bigint")
+                     .alias("best_matched")))
+
+
 # ---------------------------------------------------------------------------
 # Retrieval / corpus indexing (operators/retrieval.py)
 # ---------------------------------------------------------------------------
@@ -4186,35 +4244,40 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (1) the THREE r8-stale rows — pack_shards, unpivot, pack_sequences —
 #:     the head of the rotation queue (every other registry query's
 #:     latest proof is r9+, and nothing is never-proven);
-#: (2) the THREE r12 debuts: image_near_dup (perceptual aHash + banded
+#: (2) the FOUR r12 debuts: image_near_dup (perceptual aHash + banded
 #:     Hamming over real pixel decode — dedup × multimodal, r11 verdict
 #:     #4), ann_ivf_extend (the IVF build→extend→probe lifecycle,
 #:     oracled as a rebuild replay, r11 verdict #7), ivf_drift (the
-#:     retrain trigger closing that arc, full SQL twin);
+#:     retrain trigger closing that arc, full SQL twin), and
+#:     video_near_dup (the aHash family lifted to MJPEG frames —
+#:     per-frame decode digest + matched-frame census, full truth-table
+#:     oracle);
 #: (2b) quality_dashboard RE-PROOF: its r11 proof predates the alert
 #:     columns added this round (r11 verdict #6) — a schema change
 #:     voids the old proof, so it re-enters the window like a debut;
-#: (3) 43 of the 48 r9-stale queries.  The FIVE displaced to the r13
+#: (3) 42 of the 48 r9-stale queries.  The SIX displaced to the r13
 #:     queue — fold_all, ann_bruteforce_joined, bpe_train,
-#:     stream_hourly, sql_revenue — are no-regression re-proofs whose
-#:     module paths stay covered inside this window (fold_all_numeric +
-#:     fold_all_monoid for the foldAll family; ann_srp + the IVF rows
-#:     for ANN scoring; bpe_train_encode strictly composes bpe_train;
-#:     stream_sessions/stream_stateful/stream_join for the streaming
-#:     fold vocabulary; sql_revenue's _SQL_REVENUE text is shared
-#:     verbatim with its oracle — the lowest-risk row on the board);
-#:     debuts and schema re-proofs outrank no-regression fills (the
-#:     standing r10 rule).
+#:     stream_hourly, sql_revenue, running_total — are no-regression
+#:     re-proofs whose module paths stay covered inside this window
+#:     (fold_all_numeric + fold_all_monoid for the foldAll family;
+#:     ann_srp + the IVF rows for ANN scoring; bpe_train_encode
+#:     strictly composes bpe_train; stream_sessions/stream_stateful/
+#:     stream_join for the streaming fold vocabulary; sql_revenue's
+#:     _SQL_REVENUE text is shared verbatim with its oracle;
+#:     running_total's cumulative window shape is covered by funnel/
+#:     sessionize, both proven r10+); debuts and schema re-proofs
+#:     outrank no-regression fills (the standing r10 rule).
 #: Every below-window row is still re-proven at sf0.001 by the local
 #: parity suite on every pytest run.
 _R12_WINDOW = [
     # (1) r8-stale head of queue
     "pack_shards", "unpivot", "pack_sequences",
     # (2) r12 debuts + the alert-schema re-proof
-    "image_near_dup", "ann_ivf_extend", "ivf_drift", "quality_dashboard",
-    # (3) the r9-stale set (43 of 48)
+    "image_near_dup", "ann_ivf_extend", "ivf_drift", "video_near_dup",
+    "quality_dashboard",
+    # (3) the r9-stale set (42 of 48)
     "length_histogram", "asof_sliced", "zorder_extents",
-    "curate_corpus_v2", "events_json", "running_total", "weighted_mean",
+    "curate_corpus_v2", "events_json", "weighted_mean",
     "fold_all_numeric", "good_rows", "null_propagating",
     "combine_key_maps", "rollup_revenue", "split_on_data",
     "assign_keys_and_data", "fold_all_monoid", "pandas_fold",
@@ -4415,6 +4478,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_near_dup": q_image_near_dup,
         "ann_ivf_extend": q_ann_ivf_extend,
         "ivf_drift": q_ivf_drift,
+        "video_near_dup": q_video_near_dup,
     }
 
 
@@ -5711,6 +5775,45 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(a.n_near, 0)::BIGINT AS n_near,
                    COALESCE(a.best, -1)::INTEGER AS best_hamming
             FROM _ind_sigs s LEFT JOIN _ind_agg a USING (doc_id)""",
+        # per-frame pre-encode truth -> digest + all-pairs frame
+        # matching + census (the image_near_dup oracle lifted to frames)
+        "video_near_dup": f"""
+            WITH _vnd_sigs AS (
+                SELECT doc_id, frame_idx,
+                       true_b0::VARCHAR || ':' || true_b1::VARCHAR
+                       || ':' || true_b2::VARCHAR || ':'
+                       || true_b3::VARCHAR AS fs,
+                       true_b0 AS b0, true_b1 AS b1,
+                       true_b2 AS b2, true_b3 AS b3
+                FROM '{VIDEO_DEDUP_TRUTH}'),
+            _vnd_digest AS (
+                SELECT doc_id, count(*)::INTEGER AS n_frames,
+                       md5(string_agg(fs, ',' ORDER BY frame_idx))
+                           AS frames_md5
+                FROM _vnd_sigs GROUP BY doc_id),
+            _vnd_fp AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       bit_count(xor(a.b0, b.b0))
+                     + bit_count(xor(a.b1, b.b1))
+                     + bit_count(xor(a.b2, b.b2))
+                     + bit_count(xor(a.b3, b.b3)) AS hd
+                FROM _vnd_sigs a JOIN _vnd_sigs b
+                  ON a.doc_id < b.doc_id),
+            _vnd_m AS (
+                SELECT id_a, id_b, count(*)::BIGINT AS nm
+                FROM _vnd_fp WHERE hd <= 3
+                GROUP BY id_a, id_b HAVING count(*) >= 2),
+            _vnd_part AS (
+                SELECT id_a AS doc_id, nm FROM _vnd_m
+                UNION ALL SELECT id_b AS doc_id, nm FROM _vnd_m),
+            _vnd_agg AS (
+                SELECT doc_id, count(*)::BIGINT AS n_near,
+                       max(nm)::BIGINT AS best
+                FROM _vnd_part GROUP BY doc_id)
+            SELECT d.doc_id, d.n_frames, d.frames_md5,
+                   COALESCE(a.n_near, 0)::BIGINT AS n_near,
+                   COALESCE(a.best, 0)::BIGINT AS best_matched
+            FROM _vnd_digest d LEFT JOIN _vnd_agg a USING (doc_id)""",
         "running_total": """
             SELECT o_custkey, max(running) AS final_total,
                    count(*) AS n_orders

@@ -146,6 +146,7 @@ HEADLINE = [
     "image_near_dup_scaled",  # perceptual dedup: decode + sign + pair
     "ann_ivf_extend",       # IVF lifecycle: build slice + extend + probe
     "ivf_drift",            # retrain trigger: per-cell occupancy/displacement
+    "video_near_dup",       # frame-level aHash: decode + sign + frame census
 ]
 
 #: entries that model amortized ONE-TIME work (index builds): repeating

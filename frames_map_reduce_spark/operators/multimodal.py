@@ -437,3 +437,137 @@ def ahash_near_dup_pairs(sigs: DataFrame, n_bands: int = 4,
          .filter(F.col("hamming_dist") <= max_hamming)
          .distinct()
     )
+
+
+def video_ahash_frames(df: DataFrame, id_col: str, binary_col: str,
+                       grid: int = 8, n_bands: int = 4,
+                       fake: bool = False) -> DataFrame:
+    """Per-frame perceptual signatures for video payloads:
+    ``(doc_id, frame_idx, bands array<bigint>)`` — every MJPEG-AVI
+    frame's DC-luma plane (media.jpeg_dc_luma — each frame is a
+    standalone baseline JPEG) hashed with the same exact-integer aHash
+    as :func:`image_ahash`, so a video is a SET of image fingerprints
+    and video near-dup reduces to frame-fingerprint matching (the
+    classic keyframe-signature approach).
+
+    Other containers raise unless ``fake=True`` (three deterministic
+    hash-derived frames per payload, plumbing-only).
+
+    Scale shape: ONE Arrow-batched mapInPandas scan, O(total frames ×
+    pixels), bytes never on the driver; output is (id, idx) + n_bands
+    small ints per frame — the narrowest frame-level signature frame.
+    """
+    require_columns(df, [id_col, binary_col])
+    MEDIA.ahash_bands(np.zeros((grid, grid), dtype=np.int64),
+                      grid=grid, n_bands=n_bands)
+    narrow = df.select(F.col(id_col).alias("doc_id"),
+                       F.col(binary_col).alias("_payload"))
+    schema = "doc_id long, frame_idx int, bands array<long>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        for pdf in batches:
+            ids, idxs, out = [], [], []
+            for did, p in zip(pdf["doc_id"], pdf["_payload"]):
+                b = bytes(p)
+                if fake:
+                    width = (grid * grid) // n_bands
+                    for k in range(3):
+                        digest = hashlib.md5(b + bytes([k])).digest()
+                        val = int.from_bytes(digest, "little")
+                        ids.append(did)
+                        idxs.append(k)
+                        out.append([(val >> (width * m))
+                                    & ((1 << width) - 1)
+                                    for m in range(n_bands)])
+                    continue
+                for k, jpeg in enumerate(MEDIA.avi_mjpeg_frames(b)):
+                    lum = np.rint(MEDIA.jpeg_dc_luma(jpeg) * 1000.0) \
+                        .astype(np.int64)
+                    ids.append(did)
+                    idxs.append(k)
+                    out.append(MEDIA.ahash_bands(lum, grid=grid,
+                                                 n_bands=n_bands))
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs,
+                                "bands": out})
+
+    return narrow.mapInPandas(run, schema=schema)
+
+
+def video_near_dup_pairs(df: DataFrame, id_col: str, binary_col: str,
+                         grid: int = 8, n_bands: int = 4,
+                         max_hamming: int = 3, min_match_frames: int = 2,
+                         max_bucket: int = 2000,
+                         fake: bool = False) -> DataFrame:
+    """Visual near-duplicate VIDEO pairs: two videos are near-dups when
+    at least ``min_match_frames`` distinct frame pairs match within
+    Hamming ``max_hamming`` on their perceptual aHashes — re-encoded,
+    re-containered, or lightly edited copies share most keyframe
+    fingerprints even when no byte matches.  Output one row per video
+    pair: ``(id_a, id_b, n_matched_frames, min_hamming)``, id_a < id_b.
+
+    Pairing is the image hashes' banded equi-join lifted to frame
+    granularity: frame signatures → (band idx, band value) buckets
+    (capped, broadcast-pruned, the simhash/image conventions) →
+    same-bucket CROSS-VIDEO frame candidates → codegen Hamming verify →
+    distinct frame pairs → per-video-pair census.  Recall is exact for
+    frame pairs below ``n_bands`` (pigeonhole) — so for the video pair
+    whenever any qualifying frame pair survives the bucket cap.  Never
+    all-pairs at either granularity."""
+    sigs = video_ahash_frames(df, id_col, binary_col, grid=grid,
+                              n_bands=n_bands, fake=fake)
+    return video_near_dup_pairs_from_sigs(
+        sigs, n_bands=n_bands, max_hamming=max_hamming,
+        min_match_frames=min_match_frames, max_bucket=max_bucket)
+
+
+def video_near_dup_pairs_from_sigs(sigs: DataFrame, n_bands: int = 4,
+                                   max_hamming: int = 3,
+                                   min_match_frames: int = 2,
+                                   max_bucket: int = 2000) -> DataFrame:
+    """The pairing half of :func:`video_near_dup_pairs` over a
+    precomputed ``(doc_id, frame_idx, bands)`` frame-signature frame
+    (sign once, pair many — the persisted-index deployment shape)."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= n_bands={n_bands}: banding "
+            f"only guarantees recall for Hamming distance < n_bands")
+    if min_match_frames < 1:
+        raise ValueError("min_match_frames must be >= 1")
+    require_columns(sigs, ["doc_id", "frame_idx", "bands"])
+    from pyspark import StorageLevel
+
+    from frames_map_reduce_spark.operators.dedup import hamming_words
+
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs.count()
+    banded = sigs.select(
+        "doc_id", "frame_idx", "bands",
+        F.posexplode("bands").alias("_band_idx", "_band_val")) \
+        .select("doc_id", "frame_idx", "bands",
+                F.concat_ws(":", "_band_idx", "_band_val").alias("_bucket"))
+    sizes = banded.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
+    ok = sizes.filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket)) \
+              .select("_bucket")
+    pruned = banded.join(F.broadcast(ok), "_bucket")
+    a = pruned.select("_bucket", F.col("doc_id").alias("id_a"),
+                      F.col("frame_idx").alias("_fa"),
+                      F.col("bands").alias("_bands_a"))
+    b = pruned.select(F.col("_bucket").alias("_bucket_b"),
+                      F.col("doc_id").alias("id_b"),
+                      F.col("frame_idx").alias("_fb"),
+                      F.col("bands").alias("_bands_b"))
+    frame_pairs = (
+        a.join(b, (F.col("_bucket") == F.col("_bucket_b"))
+               & (F.col("id_a") < F.col("id_b")))
+         .select("id_a", "_fa", "id_b", "_fb",
+                 hamming_words(F.col("_bands_a"), F.col("_bands_b"),
+                               n_bands).alias("hamming_dist"))
+         .filter(F.col("hamming_dist") <= max_hamming)
+         .distinct())   # a frame pair can meet in several buckets
+    return (frame_pairs.groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).cast("bigint")
+                  .alias("n_matched_frames"),
+                 F.min("hamming_dist").alias("min_hamming"))
+            .filter(F.col("n_matched_frames")
+                    >= F.lit(int(min_match_frames))))

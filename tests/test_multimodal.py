@@ -574,3 +574,89 @@ def test_ahash_fake_path_deterministic(spark):
                                 fake=True).collect()}
     assert got[1] == got[2] != got[3]
     assert all(0 <= v < (1 << 16) for v in got[1] + got[3])
+
+
+# ---------------------------------------------------------------------------
+# Perceptual VIDEO near-dup (the aHash family at frame granularity)
+# ---------------------------------------------------------------------------
+
+VIDEO_DEDUP_PARQUET = _os.path.join(_os.path.dirname(__file__),
+                                    "fixtures", "video_dedup.parquet")
+VIDEO_DEDUP_TRUTH = _os.path.join(_os.path.dirname(__file__),
+                                  "fixtures", "video_dedup_truth.parquet")
+
+
+@pytest.fixture(scope="module")
+def video_dedup(spark):
+    return spark.read.parquet(VIDEO_DEDUP_PARQUET)
+
+
+def test_video_ahash_frames_match_ground_truth(spark, video_dedup):
+    """Every fixture frame's payload-decoded bands equal the pre-encode
+    truth table — byte-level proof of the per-frame MJPEG DC decode
+    through the Spark operator."""
+    from frames_map_reduce_spark.operators.multimodal import (
+        video_ahash_frames)
+    got = {(r["doc_id"], r["frame_idx"]): list(r["bands"])
+           for r in video_ahash_frames(video_dedup, "doc_id",
+                                       "payload").collect()}
+    want = {(r["doc_id"], r["frame_idx"]):
+            [r["true_b0"], r["true_b1"], r["true_b2"], r["true_b3"]]
+            for r in spark.read.parquet(VIDEO_DEDUP_TRUTH).collect()}
+    assert got == want and len(got) == 49
+
+
+def test_video_near_dup_pairs_end_to_end(video_dedup):
+    """The fixture's engineered clusters: the V quadruple (exact copy,
+    2-frames-perturbed copy, frame-subset re-edit) fully interlinked,
+    the W pair, random videos matching nothing — per the truth table's
+    all-pairs census (gen_video_dedup.py)."""
+    from frames_map_reduce_spark.operators.multimodal import (
+        video_near_dup_pairs)
+    pairs = video_near_dup_pairs(video_dedup, "doc_id", "payload",
+                                 min_match_frames=2)
+    got = sorted((r["id_a"], r["id_b"], r["n_matched_frames"],
+                  r["min_hamming"]) for r in pairs.collect())
+    assert got == [(0, 1, 8, 0), (0, 2, 6, 0), (0, 3, 6, 0),
+                   (1, 2, 6, 0), (1, 3, 6, 0), (2, 3, 5, 0),
+                   (4, 5, 4, 0)]
+
+
+def test_video_near_dup_validation_and_threshold(video_dedup):
+    from frames_map_reduce_spark.operators.multimodal import (
+        video_near_dup_pairs)
+    with pytest.raises(ValueError, match="n_bands"):
+        video_near_dup_pairs(video_dedup, "doc_id", "payload",
+                             max_hamming=4, n_bands=4)
+    with pytest.raises(ValueError, match="min_match_frames"):
+        video_near_dup_pairs(video_dedup, "doc_id", "payload",
+                             min_match_frames=0)
+    # raising the frame threshold past the re-edit's overlap drops the
+    # partial matches but keeps the copies
+    strict = video_near_dup_pairs(video_dedup, "doc_id", "payload",
+                                  min_match_frames=7)
+    got = sorted((r["id_a"], r["id_b"]) for r in strict.collect())
+    assert got == [(0, 1)]
+
+
+def test_video_near_dup_plan_banded_equijoin(video_dedup):
+    from frames_map_reduce_spark.operators.multimodal import (
+        video_near_dup_pairs)
+    from frames_map_reduce_spark.plans import explain_formatted
+    plan = explain_formatted(
+        video_near_dup_pairs(video_dedup, "doc_id", "payload"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "_bucket" in plan
+
+
+def test_video_ahash_fake_path(spark):
+    from frames_map_reduce_spark.operators.multimodal import (
+        video_ahash_frames)
+    df = spark.createDataFrame([(1, b"blob"), (2, b"blob")],
+                               "doc_id long, payload binary")
+    rows = video_ahash_frames(df, "doc_id", "payload",
+                              fake=True).collect()
+    assert len(rows) == 6      # 3 deterministic frames per payload
+    by = {(r["doc_id"], r["frame_idx"]): list(r["bands"]) for r in rows}
+    assert by[(1, 0)] == by[(2, 0)] and by[(1, 0)] != by[(1, 1)]
