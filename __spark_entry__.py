@@ -3671,6 +3671,49 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("best_hamming")))
 
 
+AUDIO_DEDUP_PARQUET = "/root/repo/tests/fixtures/audio_dedup.parquet"
+
+
+def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual AUDIO near-dup — the aHash family over WAV payloads
+    (multimodal.audio_ahash: real PCM16/G.711 decode → exact-integer
+    energy plane → the shared threshold-bit hash → the shared banded
+    pairing).  The fixture's clusters are CROSS-CODEC: the same track
+    as PCM16, mu-law, A-law, half-gain, and noised copies all match at
+    Hamming 0 (loudness/companding invariance by construction) plus a
+    window-boosted edit at Hamming 3; distinct tracks match nothing.
+    One row per track: its four hash bands (proving the byte-level
+    sample decode for EVERY row) + the near-dup census.
+
+    Oracle: pre-encode ground-truth bands (gen_audio_dedup.py — PCM16
+    truth is the written samples, G.711 truth replays
+    decode(encode(samples))) + the all-pairs SQL census (the
+    image_near_dup oracle shape)."""
+    from frames_map_reduce_spark.operators.multimodal import (
+        ahash_near_dup_pairs, audio_ahash)
+    wavs = spark.read.parquet(AUDIO_DEDUP_PARQUET).select(
+        "doc_id", "payload")
+    sigs = audio_ahash(wavs, "doc_id", "payload")
+    pairs = ahash_near_dup_pairs(sigs, n_bands=4, max_hamming=3)
+    partners = pairs.select(F.col("id_a").alias("doc_id"),
+                            "hamming_dist") \
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id"),
+                                  "hamming_dist"))
+    agg = partners.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_near"),
+        F.min("hamming_dist").alias("_best"))
+    return (sigs.join(agg, "doc_id", "left")
+            .select("doc_id",
+                    F.element_at("bands", 1).cast("int").alias("b0"),
+                    F.element_at("bands", 2).cast("int").alias("b1"),
+                    F.element_at("bands", 3).cast("int").alias("b2"),
+                    F.element_at("bands", 4).cast("int").alias("b3"),
+                    F.coalesce("n_near", F.lit(0)).cast("bigint")
+                     .alias("n_near"),
+                    F.coalesce("_best", F.lit(-1)).cast("int")
+                     .alias("best_hamming")))
+
+
 VIDEO_DEDUP_PARQUET = "/root/repo/tests/fixtures/video_dedup.parquet"
 VIDEO_DEDUP_TRUTH = "/root/repo/tests/fixtures/video_dedup_truth.parquet"
 
@@ -4244,29 +4287,34 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (1) the THREE r8-stale rows — pack_shards, unpivot, pack_sequences —
 #:     the head of the rotation queue (every other registry query's
 #:     latest proof is r9+, and nothing is never-proven);
-#: (2) the FOUR r12 debuts: image_near_dup (perceptual aHash + banded
+#: (2) the FIVE r12 debuts: image_near_dup (perceptual aHash + banded
 #:     Hamming over real pixel decode — dedup × multimodal, r11 verdict
 #:     #4), ann_ivf_extend (the IVF build→extend→probe lifecycle,
 #:     oracled as a rebuild replay, r11 verdict #7), ivf_drift (the
-#:     retrain trigger closing that arc, full SQL twin), and
+#:     retrain trigger closing that arc, full SQL twin),
 #:     video_near_dup (the aHash family lifted to MJPEG frames —
 #:     per-frame decode digest + matched-frame census, full truth-table
-#:     oracle);
+#:     oracle), and audio_near_dup (energy-plane aHash over WAV —
+#:     cross-codec PCM16/G.711 duplicate detection, full truth-table
+#:     oracle: the perceptual-dedup family now covers text, image,
+#:     video, AND audio);
 #: (2b) quality_dashboard RE-PROOF: its r11 proof predates the alert
 #:     columns added this round (r11 verdict #6) — a schema change
 #:     voids the old proof, so it re-enters the window like a debut;
-#: (3) 42 of the 48 r9-stale queries.  The SIX displaced to the r13
+#: (3) 41 of the 48 r9-stale queries.  The SEVEN displaced to the r13
 #:     queue — fold_all, ann_bruteforce_joined, bpe_train,
-#:     stream_hourly, sql_revenue, running_total — are no-regression
-#:     re-proofs whose module paths stay covered inside this window
-#:     (fold_all_numeric + fold_all_monoid for the foldAll family;
-#:     ann_srp + the IVF rows for ANN scoring; bpe_train_encode
+#:     stream_hourly, sql_revenue, running_total, corpus_report — are
+#:     no-regression re-proofs whose module paths stay covered inside
+#:     this window (fold_all_numeric + fold_all_monoid for the foldAll
+#:     family; ann_srp + the IVF rows for ANN scoring; bpe_train_encode
 #:     strictly composes bpe_train; stream_sessions/stream_stateful/
 #:     stream_join for the streaming fold vocabulary; sql_revenue's
 #:     _SQL_REVENUE text is shared verbatim with its oracle;
 #:     running_total's cumulative window shape is covered by funnel/
-#:     sessionize, both proven r10+); debuts and schema re-proofs
-#:     outrank no-regression fills (the standing r10 rule).
+#:     sessionize, both proven r10+; corpus_report composes the shared
+#:     text specs that text_quality/quality_score/length_histogram
+#:     prove independently); debuts and schema re-proofs outrank
+#:     no-regression fills (the standing r10 rule).
 #: Every below-window row is still re-proven at sf0.001 by the local
 #: parity suite on every pytest run.
 _R12_WINDOW = [
@@ -4274,8 +4322,8 @@ _R12_WINDOW = [
     "pack_shards", "unpivot", "pack_sequences",
     # (2) r12 debuts + the alert-schema re-proof
     "image_near_dup", "ann_ivf_extend", "ivf_drift", "video_near_dup",
-    "quality_dashboard",
-    # (3) the r9-stale set (42 of 48)
+    "audio_near_dup", "quality_dashboard",
+    # (3) the r9-stale set (41 of 48)
     "length_histogram", "asof_sliced", "zorder_extents",
     "curate_corpus_v2", "events_json", "weighted_mean",
     "fold_all_numeric", "good_rows", "null_propagating",
@@ -4284,7 +4332,7 @@ _R12_WINDOW = [
     "frame_concat", "to_frame", "read_csv_permissive", "stream_join",
     "stream_enrich", "stream_dedup", "media_features", "ann_srp",
     "sketch_distinct", "shuffle_pos", "chunk_dedup", "retention",
-    "corpus_report", "dup_spans", "sketch_quantiles", "weighted_sample",
+    "dup_spans", "sketch_quantiles", "weighted_sample",
     "leakage_safe_split", "stream_sessions", "stream_stateful",
     "bpe_token_count", "bpe_train_encode", "dsir_select", "ingest_gate",
     "bloom_gen_stats", "bloom_compact_roundtrip", "stream_ingest_gate",
@@ -4479,6 +4527,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_extend": q_ann_ivf_extend,
         "ivf_drift": q_ivf_drift,
         "video_near_dup": q_video_near_dup,
+        "audio_near_dup": q_audio_near_dup,
     }
 
 
@@ -5775,6 +5824,34 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(a.n_near, 0)::BIGINT AS n_near,
                    COALESCE(a.best, -1)::INTEGER AS best_hamming
             FROM _ind_sigs s LEFT JOIN _ind_agg a USING (doc_id)""",
+        # same pre-encode-truth + all-pairs shape over the audio fixture
+        "audio_near_dup": f"""
+            WITH _and_sigs AS (
+                SELECT doc_id, true_b0 AS b0, true_b1 AS b1,
+                       true_b2 AS b2, true_b3 AS b3
+                FROM '{AUDIO_DEDUP_PARQUET}'),
+            _and_pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       bit_count(xor(a.b0, b.b0))
+                     + bit_count(xor(a.b1, b.b1))
+                     + bit_count(xor(a.b2, b.b2))
+                     + bit_count(xor(a.b3, b.b3)) AS hd
+                FROM _and_sigs a JOIN _and_sigs b
+                  ON a.doc_id < b.doc_id),
+            _and_near AS (SELECT * FROM _and_pairs WHERE hd <= 3),
+            _and_part AS (
+                SELECT id_a AS doc_id, hd FROM _and_near
+                UNION ALL
+                SELECT id_b AS doc_id, hd FROM _and_near),
+            _and_agg AS (
+                SELECT doc_id, count(*) AS n_near, min(hd) AS best
+                FROM _and_part GROUP BY doc_id)
+            SELECT s.doc_id,
+                   s.b0::INTEGER AS b0, s.b1::INTEGER AS b1,
+                   s.b2::INTEGER AS b2, s.b3::INTEGER AS b3,
+                   COALESCE(a.n_near, 0)::BIGINT AS n_near,
+                   COALESCE(a.best, -1)::INTEGER AS best_hamming
+            FROM _and_sigs s LEFT JOIN _and_agg a USING (doc_id)""",
         # per-frame pre-encode truth -> digest + all-pairs frame
         # matching + census (the image_near_dup oracle lifted to frames)
         "video_near_dup": f"""

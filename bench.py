@@ -147,6 +147,7 @@ HEADLINE = [
     "ann_ivf_extend",       # IVF lifecycle: build slice + extend + probe
     "ivf_drift",            # retrain trigger: per-cell occupancy/displacement
     "video_near_dup",       # frame-level aHash: decode + sign + frame census
+    "audio_near_dup",       # energy-plane aHash: cross-codec WAV dedup
 ]
 
 #: entries that model amortized ONE-TIME work (index builds): repeating

@@ -398,6 +398,59 @@ def wav_features(b: bytes, n_bands: int = 16) -> list[float] | None:
     return out
 
 
+def wav_samples(b: bytes) -> np.ndarray:
+    """Decode a WAV payload to its int16 sample array: PCM16 via
+    frombuffer, G.711 A-law/mu-law through the table expander — the
+    sample-extraction half of :func:`wav_features`, exposed for the
+    audio fingerprint path.  Raises ValueError on other formats (a
+    fingerprint must never silently hash garbage)."""
+    meta = parse_wav_meta(b)
+    fmt = meta.get("format", WAV_FMT_PCM) if meta else None
+    if meta is None or not (
+            (fmt == WAV_FMT_PCM and meta["bits"] == 16)
+            or (fmt in (WAV_FMT_ALAW, WAV_FMT_ULAW) and meta["bits"] == 8)):
+        raise ValueError("wav_samples: need PCM16 or G.711 WAV")
+    i = 12
+    while i + 8 <= len(b):
+        cid, size = b[i:i + 4], struct.unpack("<I", b[i + 4:i + 8])[0]
+        if cid == b"data":
+            if fmt == WAV_FMT_PCM:
+                return np.frombuffer(b, dtype="<i2", count=size // 2,
+                                     offset=i + 8).copy()
+            codes = np.frombuffer(b, dtype=np.uint8, count=size,
+                                  offset=i + 8)
+            return g711_decode(codes, fmt)
+        i += 8 + size + (size & 1)
+    raise ValueError("wav_samples: no data chunk")
+
+
+def audio_energy_grid(samples: np.ndarray, grid: int = 8) -> np.ndarray:
+    """Exact-integer energy plane of a sample array for perceptual
+    audio hashing: the track splits into ``grid²`` equal time windows
+    (np.linspace bounds, the pooling convention shared with
+    :func:`ahash_bands`); each window's SUM OF SQUARES is an exact
+    int64 (|s| ≤ 2¹⁵ ⇒ per-sample ≤ 2³⁰; hours of audio stay far inside
+    2⁶³), laid out row-major as a ``grid``×``grid`` plane.  Feeding
+    this plane to :func:`ahash_bands` gives the audio fingerprint: bit
+    = window energy above the track mean — loudness-invariant the way
+    aHash is brightness-invariant (uniform gain scales every window
+    equally), and stable across companding codecs (G.711's quantization
+    perturbs energies far less than the window-vs-mean contrast)."""
+    if grid < 2:
+        raise ValueError("grid must be >= 2")
+    s = samples.astype(np.int64)
+    n = len(s)
+    if n == 0:
+        return np.zeros((grid, grid), dtype=np.int64)
+    n_win = grid * grid
+    bounds = np.linspace(0, n, n_win + 1).astype(int)
+    out = np.empty(n_win, dtype=np.int64)
+    for k in range(n_win):
+        seg = s[bounds[k]:max(bounds[k + 1], bounds[k] + 1)]
+        out[k] = int((seg * seg).sum())
+    return out.reshape(grid, grid)
+
+
 # ---------------------------------------------------------------------------
 # Baseline JPEG: pure-numpy grayscale encoder + DC-only decoder
 # ---------------------------------------------------------------------------

@@ -571,3 +571,67 @@ def video_near_dup_pairs_from_sigs(sigs: DataFrame, n_bands: int = 4,
                  F.min("hamming_dist").alias("min_hamming"))
             .filter(F.col("n_matched_frames")
                     >= F.lit(int(min_match_frames))))
+
+
+def audio_ahash(df: DataFrame, id_col: str, binary_col: str,
+                grid: int = 8, n_bands: int = 4,
+                fake: bool = False) -> DataFrame:
+    """Perceptual audio fingerprints for WAV payloads:
+    ``(doc_id, bands array<bigint>)`` — the track's exact-integer
+    energy plane (media.audio_energy_grid: grid² time windows, int64
+    sum-of-squares each) hashed with the SAME aHash threshold rule as
+    images (media.ahash_bands), so audio plugs into the identical
+    banded-Hamming pairing (:func:`ahash_near_dup_pairs`).  Bit =
+    window louder than the track mean: loudness-invariant (uniform gain
+    cancels), and stable across companding codecs — a G.711 re-encode
+    of the same track flips few bits, a different track is ~random.
+
+    PCM16 and G.711 A-law/mu-law WAVs decode for real; other payloads
+    raise unless ``fake=True`` (hash-derived bands, plumbing-only).
+
+    Scale shape: ONE Arrow-batched mapInPandas scan, O(samples) per
+    row, bytes never on the driver."""
+    require_columns(df, [id_col, binary_col])
+    MEDIA.ahash_bands(np.zeros((grid, grid), dtype=np.int64),
+                      grid=grid, n_bands=n_bands)
+    narrow = df.select(F.col(id_col).alias("doc_id"),
+                       F.col(binary_col).alias("_payload"))
+    schema = "doc_id long, bands array<long>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        for pdf in batches:
+            out = []
+            for p in pdf["_payload"]:
+                b = bytes(p)
+                if fake:
+                    digest = hashlib.md5(b).digest()
+                    width = (grid * grid) // n_bands
+                    val = int.from_bytes(digest, "little")
+                    out.append([(val >> (width * m)) & ((1 << width) - 1)
+                                for m in range(n_bands)])
+                else:
+                    out.append(MEDIA.ahash_bands(
+                        MEDIA.audio_energy_grid(MEDIA.wav_samples(b),
+                                                grid=grid),
+                        grid=grid, n_bands=n_bands))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "bands": out})
+
+    return narrow.mapInPandas(run, schema=schema)
+
+
+def audio_near_dup_pairs(df: DataFrame, id_col: str, binary_col: str,
+                         grid: int = 8, n_bands: int = 4,
+                         max_hamming: int = 3, max_bucket: int = 2000,
+                         fake: bool = False) -> DataFrame:
+    """Audio near-duplicate pairs — :func:`audio_ahash` signatures
+    through the shared banded-Hamming pairing
+    (:func:`ahash_near_dup_pairs`; semantics, caps, and scale notes as
+    in :func:`image_near_dup_pairs`).  Catches cross-codec duplicates
+    (PCM vs G.711 companded copies of the same track) that exact/byte
+    dedup cannot see."""
+    sigs = audio_ahash(df, id_col, binary_col, grid=grid,
+                       n_bands=n_bands, fake=fake)
+    return ahash_near_dup_pairs(sigs, n_bands=n_bands,
+                                max_hamming=max_hamming,
+                                max_bucket=max_bucket)

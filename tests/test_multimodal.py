@@ -660,3 +660,77 @@ def test_video_ahash_fake_path(spark):
     assert len(rows) == 6      # 3 deterministic frames per payload
     by = {(r["doc_id"], r["frame_idx"]): list(r["bands"]) for r in rows}
     assert by[(1, 0)] == by[(2, 0)] and by[(1, 0)] != by[(1, 1)]
+
+
+# ---------------------------------------------------------------------------
+# Perceptual AUDIO near-dup (energy-plane aHash over WAV)
+# ---------------------------------------------------------------------------
+
+AUDIO_DEDUP_PARQUET = _os.path.join(_os.path.dirname(__file__),
+                                    "fixtures", "audio_dedup.parquet")
+
+
+@pytest.fixture(scope="module")
+def audio_dedup(spark):
+    return spark.read.parquet(AUDIO_DEDUP_PARQUET)
+
+
+def test_audio_ahash_matches_ground_truth(audio_dedup):
+    """Every fixture track's payload-decoded bands equal the pre-encode
+    truth — byte-level proof of PCM16 AND G.711 sample decode through
+    the Spark operator."""
+    from frames_map_reduce_spark.operators.multimodal import audio_ahash
+    got = {r["doc_id"]: list(r["bands"])
+           for r in audio_ahash(audio_dedup, "doc_id",
+                                "payload").collect()}
+    want = {r["doc_id"]: [r["true_b0"], r["true_b1"], r["true_b2"],
+                          r["true_b3"]]
+            for r in audio_dedup.collect()}
+    assert got == want and len(got) == 15
+
+
+def test_audio_near_dup_cross_codec_invariance(audio_dedup):
+    """The designed invariances, end to end: the PCM16 base, its exact
+    copy, mu-law and A-law companded re-encodes, the half-gain copy,
+    and the noised copy ALL pair at Hamming 0 (companding + loudness
+    invariance); the window-boosted edit joins the cluster at Hamming
+    3; distinct tracks match nothing."""
+    from frames_map_reduce_spark.operators.multimodal import (
+        audio_near_dup_pairs)
+    pairs = audio_near_dup_pairs(audio_dedup, "doc_id", "payload")
+    got = {(r["id_a"], r["id_b"]): r["hamming_dist"]
+           for r in pairs.collect()}
+    cluster_a = range(6)      # 0..5: all invariant copies
+    for i in cluster_a:
+        for j in cluster_a:
+            if i < j:
+                assert got[(i, j)] == 0, (i, j)
+    assert all(got[(i, 6)] == 3 for i in cluster_a)   # the edit
+    assert got[(7, 8)] == 0                           # cluster B
+    assert len(got) == 15 + 6 + 1   # C(6,2)=15 + 6 edit links + B pair
+
+
+def test_audio_energy_grid_laws():
+    """Silence hashes to all-zero (no window exceeds the zero mean);
+    doubling every sample quadruples every window energy — same bits
+    (the loudness-invariance law at the formula level)."""
+    import numpy as np
+
+    from frames_map_reduce_spark.functions.media import (
+        ahash_bands, audio_energy_grid)
+    assert ahash_bands(audio_energy_grid(
+        np.zeros(5000, dtype=np.int16))) == [0, 0, 0, 0]
+    rng = np.random.default_rng(3)
+    s = (rng.uniform(-1, 1, 7000) * 12000).astype(np.int16)
+    g1 = audio_energy_grid(s)
+    g2 = audio_energy_grid((s.astype(np.int64) * 2).astype(np.int16))
+    assert np.array_equal(g2, g1 * 4)
+    assert ahash_bands(g1) == ahash_bands(g2)
+    with pytest.raises(ValueError, match="grid"):
+        audio_energy_grid(s, grid=1)
+
+
+def test_wav_samples_validation():
+    from frames_map_reduce_spark.functions.media import wav_samples
+    with pytest.raises(ValueError, match="PCM16 or G.711"):
+        wav_samples(b"RIFFxxxxWAVE not really")
