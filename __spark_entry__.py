@@ -3835,6 +3835,32 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RET.ngram_contamination(train, eval_df, "text", "doc_id", n=5)
 
 
+def q_contamination_firewall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted benchmark-decontamination firewall
+    (retrieval.build/extend/probe_contamination_index) — the
+    train-once/query-many deployment shape of q_contamination: the eval
+    suite's distinct word-5-grams are persisted ONCE as a bucketed
+    table, a second benchmark is EXTEND-appended (delta-only distinct;
+    never reads the index), and the incoming training batch is screened
+    at probe-only cost — one scan + one broadcast left_semi join + the
+    per-doc reduce.  The semi join is multiplicity-blind, so the
+    extend's duplicate grams cannot double-count and
+    ``build(A); extend(B)`` probes bit-identically to ``build(A ∪ B)``
+    — which is exactly what the oracle computes: the SAME
+    ngram_contamination_sql twin over the union eval side, with a %4/%8
+    deterministic split (eval = %4==0, split %8 into build/extend
+    generations; incoming = %4!=0)."""
+    docs = _docs(spark, sf_dir)
+    bench_a = docs.filter(F.col("doc_id") % 8 == 0)
+    bench_b = docs.filter((F.col("doc_id") % 4 == 0)
+                          & (F.col("doc_id") % 8 != 0))
+    incoming = docs.filter(F.col("doc_id") % 4 != 0)
+    RET.build_contamination_index(bench_a, "cont_index_driver", "text", n=5)
+    RET.extend_contamination_index(bench_b, "cont_index_driver", "text", n=5)
+    return RET.probe_contamination_index(
+        spark, "cont_index_driver", incoming, "text", "doc_id", n=5)
+
+
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus cleaning — the composed use-case the engine
     exists for: language-ID filter → quality threshold → PII redaction →
@@ -4287,7 +4313,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (1) the THREE r8-stale rows — pack_shards, unpivot, pack_sequences —
 #:     the head of the rotation queue (every other registry query's
 #:     latest proof is r9+, and nothing is never-proven);
-#: (2) the FIVE r12 debuts: image_near_dup (perceptual aHash + banded
+#: (2) the SIX r12 debuts: image_near_dup (perceptual aHash + banded
 #:     Hamming over real pixel decode — dedup × multimodal, r11 verdict
 #:     #4), ann_ivf_extend (the IVF build→extend→probe lifecycle,
 #:     oracled as a rebuild replay, r11 verdict #7), ivf_drift (the
@@ -4297,24 +4323,29 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     oracle), and audio_near_dup (energy-plane aHash over WAV —
 #:     cross-codec PCM16/G.711 duplicate detection, full truth-table
 #:     oracle: the perceptual-dedup family now covers text, image,
-#:     video, AND audio);
+#:     video, AND audio), and contamination_firewall (the persisted
+#:     build→extend→probe decontamination index — the firewall
+#:     lifecycle applied to benchmark n-gram screening, oracled by the
+#:     recompute-from-scratch union audit via the extend≡rebuild law);
 #: (2b) quality_dashboard RE-PROOF: its r11 proof predates the alert
 #:     columns added this round (r11 verdict #6) — a schema change
 #:     voids the old proof, so it re-enters the window like a debut;
-#: (3) 41 of the 48 r9-stale queries.  The SEVEN displaced to the r13
+#: (3) 40 of the 48 r9-stale queries.  The EIGHT displaced to the r13
 #:     queue — fold_all, ann_bruteforce_joined, bpe_train,
-#:     stream_hourly, sql_revenue, running_total, corpus_report — are
-#:     no-regression re-proofs whose module paths stay covered inside
-#:     this window (fold_all_numeric + fold_all_monoid for the foldAll
-#:     family; ann_srp + the IVF rows for ANN scoring; bpe_train_encode
-#:     strictly composes bpe_train; stream_sessions/stream_stateful/
-#:     stream_join for the streaming fold vocabulary; sql_revenue's
-#:     _SQL_REVENUE text is shared verbatim with its oracle;
-#:     running_total's cumulative window shape is covered by funnel/
-#:     sessionize, both proven r10+; corpus_report composes the shared
-#:     text specs that text_quality/quality_score/length_histogram
-#:     prove independently); debuts and schema re-proofs outrank
-#:     no-regression fills (the standing r10 rule).
+#:     stream_hourly, sql_revenue, running_total, corpus_report,
+#:     stream_ingest_gate — are no-regression re-proofs whose module
+#:     paths stay covered inside this window (fold_all_numeric +
+#:     fold_all_monoid for the foldAll family; ann_srp + the IVF rows
+#:     for ANN scoring; bpe_train_encode strictly composes bpe_train;
+#:     stream_sessions/stream_stateful/stream_join for the streaming
+#:     fold vocabulary; sql_revenue's _SQL_REVENUE text is shared
+#:     verbatim with its oracle; running_total's cumulative window
+#:     shape is covered by funnel/sessionize, both proven r10+;
+#:     corpus_report composes the shared text specs that text_quality/
+#:     quality_score/length_histogram prove independently;
+#:     stream_ingest_gate's screen set is a strict subset of
+#:     stream_ingest_gate_v2's, in-window); debuts and schema re-proofs
+#:     outrank no-regression fills (the standing r10 rule).
 #: Every below-window row is still re-proven at sf0.001 by the local
 #: parity suite on every pytest run.
 _R12_WINDOW = [
@@ -4322,8 +4353,8 @@ _R12_WINDOW = [
     "pack_shards", "unpivot", "pack_sequences",
     # (2) r12 debuts + the alert-schema re-proof
     "image_near_dup", "ann_ivf_extend", "ivf_drift", "video_near_dup",
-    "audio_near_dup", "quality_dashboard",
-    # (3) the r9-stale set (41 of 48)
+    "audio_near_dup", "contamination_firewall", "quality_dashboard",
+    # (3) the r9-stale set (40 of 48)
     "length_histogram", "asof_sliced", "zorder_extents",
     "curate_corpus_v2", "events_json", "weighted_mean",
     "fold_all_numeric", "good_rows", "null_propagating",
@@ -4335,7 +4366,7 @@ _R12_WINDOW = [
     "dup_spans", "sketch_quantiles", "weighted_sample",
     "leakage_safe_split", "stream_sessions", "stream_stateful",
     "bpe_token_count", "bpe_train_encode", "dsir_select", "ingest_gate",
-    "bloom_gen_stats", "bloom_compact_roundtrip", "stream_ingest_gate",
+    "bloom_gen_stats", "bloom_compact_roundtrip",
     "stream_ingest_gate_v2",
 ]
 
@@ -4441,6 +4472,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2": q_scd2,
         "bm25": q_bm25,
         "contamination": q_contamination,
+        "contamination_firewall": q_contamination_firewall,
         "chunk_docs": q_chunk_docs,
         "embedding_neardup": q_embedding_neardup,
         "dedup_clusters": q_dedup_clusters,
@@ -5904,6 +5936,14 @@ def oracle_sql() -> dict[str, str]:
         "chunk_docs": RET.chunk_by_tokens_sql_select(
             "documents", "text", "doc_id", size=64, stride=48),
         "bm25": RET.bm25_sql("documents", "text", "doc_id", BM25_TERMS, k=15),
+        # the firewall probes a persisted build(A)+extend(B) index; the
+        # oracle recomputes from scratch over the UNION eval side — the
+        # extend≡rebuild law is what makes these the same query
+        "contamination_firewall": RET.ngram_contamination_sql(
+            train_sel=("SELECT doc_id, text FROM documents "
+                       "WHERE doc_id % 4 != 0"),
+            eval_sel="SELECT text FROM documents WHERE doc_id % 4 = 0",
+            text_col="text", id_col="doc_id", n=5),
         "contamination": RET.ngram_contamination_sql(
             train_sel=("SELECT doc_id, text FROM documents WHERE "
                        + SMP.hash_split_sql_case("doc_id", _CONT_WEIGHTS,

@@ -148,6 +148,7 @@ HEADLINE = [
     "ivf_drift",            # retrain trigger: per-cell occupancy/displacement
     "video_near_dup",       # frame-level aHash: decode + sign + frame census
     "audio_near_dup",       # energy-plane aHash: cross-codec WAV dedup
+    "contamination_firewall",  # persisted decontamination index lifecycle
 ]
 
 #: entries that model amortized ONE-TIME work (index builds): repeating

@@ -37,6 +37,8 @@ __all__ = [
     "chunk_by_tokens", "chunk_starts_sql", "chunk_by_tokens_sql_select",
     "bm25_scores", "bm25_sql",
     "ngram_contamination", "ngram_contamination_sql",
+    "build_contamination_index", "extend_contamination_index",
+    "probe_contamination_index", "contamination_index_stats",
 ]
 
 
@@ -244,3 +246,113 @@ def ngram_contamination_sql(train_sel: str, eval_sel: str,
         FROM tg LEFT JOIN eg USING (g)
         GROUP BY {id_col}, n_grams
         HAVING count(eg.g) > 0"""
+
+
+# ---------------------------------------------------------------------------
+# Persisted contamination firewall (build -> extend -> probe lifecycle)
+# ---------------------------------------------------------------------------
+# :func:`ngram_contamination` re-derives the eval n-gram set on every
+# audit.  In deployment the benchmark suite is FIXED and the training
+# corpus arrives in batches, so the right shape is the firewall
+# lifecycle the Bloom/MinHash/IVF indexes already follow: pay the eval
+# side ONCE, persist it, screen every incoming batch at probe-only
+# cost, and append newly-adopted benchmarks without rebuilding.
+# Membership is by the RAW n-gram string (no hashing) — the index is
+# benchmark-sized (≪ corpus), so exactness costs nothing and the probe
+# result is bit-identical to the recompute-from-scratch audit.
+
+def build_contamination_index(eval_df: DataFrame, table: str,
+                              text_col: str, n: int = 5,
+                              n_buckets: int = 16) -> None:
+    """Train-once half of the benchmark-decontamination firewall
+    (GPT-3 Appendix C / PaLM-style n-gram collision screening): derive
+    the eval corpus's DISTINCT word ``n``-grams once and persist them
+    as the bucketed table ``{table}_grams`` (one column ``g``,
+    bucketed+sorted by ``g``).
+
+    One scan + one distinct shuffle over the (small) eval corpus; the
+    training corpus is never touched.  ``n`` is the index's spec
+    parameter — probes must pass the same value, the way MinHash probes
+    must match the build's signature spec."""
+    from frames_map_reduce_spark.sources import write_bucketed
+
+    require_columns(eval_df, [text_col])
+    if n < 1:
+        raise ValueError("build_contamination_index needs n >= 1")
+    grams = (eval_df
+             .select(F.explode(F.array_distinct(
+                 TX.word_ngrams(F.col(text_col), n))).alias("g"))
+             .distinct())
+    write_bucketed(grams, f"{table}_grams", ["g"], n_buckets)
+
+
+def extend_contamination_index(eval_delta: DataFrame, table: str,
+                               text_col: str, n: int = 5) -> None:
+    """Append a newly-adopted benchmark's n-grams to a persisted
+    contamination index — paying only the delta's distinct pass, never
+    reading or rewriting the existing index.
+
+    The append may duplicate grams already present (delta-local
+    distinct only — deduplicating against the index would read it,
+    defeating the extend contract).  Probes are immune:
+    :func:`probe_contamination_index` joins ``left_semi``, which tests
+    membership, not multiplicity, so ``build(A); extend(B)`` probes
+    bit-identically to ``build(A ∪ B)`` (law pinned in
+    tests/test_retrieval.py)."""
+    from frames_map_reduce_spark.sources import write_bucketed
+
+    require_columns(eval_delta, [text_col])
+    if n < 1:
+        raise ValueError("extend_contamination_index needs n >= 1")
+    spark = eval_delta.sparkSession
+    nb = (spark.sql(f"DESCRIBE TABLE EXTENDED `{table}_grams`")
+               .filter(F.col("col_name") == "Num Buckets")
+               .select("data_type").head())
+    grams = (eval_delta
+             .select(F.explode(F.array_distinct(
+                 TX.word_ngrams(F.col(text_col), n))).alias("g"))
+             .distinct())
+    write_bucketed(grams, f"{table}_grams", ["g"],
+                   int(nb[0]) if nb else 16, mode="append")
+
+
+def probe_contamination_index(spark, table: str, incoming: DataFrame,
+                              text_col: str, id_col: str,
+                              n: int = 5) -> DataFrame:
+    """Query-many half: screen an incoming training batch against a
+    persisted contamination index.  Returns one row per CONTAMINATED
+    incoming document — ``(id_col, n_grams, n_hit, hit_frac)``, the
+    exact schema and values of :func:`ngram_contamination` run against
+    the full eval corpus the index accumulated.
+
+    Plan: the incoming batch is scanned once (distinct n-grams per doc,
+    exploded); the index — benchmark-sized by construction — is
+    broadcast, and the membership test is a ``left_semi`` hash join
+    (multiplicity-blind, so extend-appended duplicate grams cannot
+    double-count).  The only shuffle of the incoming side is the
+    per-doc reduce.  Zero index-side exchanges, no corpus self-join."""
+    require_columns(incoming, [text_col, id_col])
+    idx = spark.table(f"{table}_grams")
+    tg = (incoming
+          .select(F.col(id_col),
+                  F.array_distinct(TX.word_ngrams(F.col(text_col), n))
+                   .alias("_gs"))
+          .withColumn("n_grams", F.size("_gs").cast("long"))
+          .select(id_col, "n_grams", F.explode("_gs").alias("g")))
+    return (tg.join(F.broadcast(idx), "g", "left_semi")
+              .groupBy(id_col, "n_grams")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+              .withColumn("hit_frac",
+                          F.round(F.try_divide(F.col("n_hit"),
+                                               F.col("n_grams")), 6)))
+
+
+def contamination_index_stats(spark, table: str) -> DataFrame:
+    """Lifecycle monitor: one row — total persisted gram rows vs
+    distinct grams (the gap is extend-appended duplicates; a large gap
+    means a rebuild via :func:`build_contamination_index` over the full
+    benchmark suite would shrink the broadcast).  One aggregation over
+    the skinny index table, nothing driver-side."""
+    idx = spark.table(f"{table}_grams")
+    return idx.agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                   F.countDistinct("g").alias("n_distinct"))

@@ -103,3 +103,75 @@ class TestContamination:
         train = _doc(spark, [(1, "a b c d e f")])
         ev = _doc(spark, [(10, "q r s t u v")]).select("text")
         assert RET.ngram_contamination(train, ev, "text", "doc_id", n=5).count() == 0
+
+
+class TestContaminationFirewall:
+    def test_probe_equals_recompute_and_extend_law(self, spark, tmp_path):
+        """build(A); extend(B) probes bit-identically to (a) the
+        from-scratch ngram_contamination over A ∪ B and (b) a fresh
+        build(A ∪ B) — the extend≡rebuild law the registry oracle
+        relies on."""
+        ev_a = _doc(spark, [(10, "one two three four five six"),
+                            (11, "alpha beta gamma delta epsilon zeta")])
+        ev_b = _doc(spark, [(12, "one two three four five six"),  # dup of A!
+                            (13, "red green blue cyan magenta yellow")])
+        train = _doc(spark, [
+            (1, "one two three four five six seven"),       # hits A (and B)
+            (2, "red green blue cyan magenta yellow again"),  # hits B only
+            (3, "nothing shared with any benchmark here x")])
+        RET.build_contamination_index(ev_a.select("text"), "cont_t1", "text",
+                                      n=5)
+        RET.extend_contamination_index(ev_b.select("text"), "cont_t1", "text",
+                                       n=5)
+        got = sorted(RET.probe_contamination_index(
+            spark, "cont_t1", train, "text", "doc_id", n=5).collect())
+        want = sorted(RET.ngram_contamination(
+            train, ev_a.union(ev_b).select("text"), "text", "doc_id",
+            n=5).collect())
+        assert got == want and [r.doc_id for r in got] == [1, 2]
+        RET.build_contamination_index(
+            ev_a.union(ev_b).select("text"), "cont_t2", "text", n=5)
+        fresh = sorted(RET.probe_contamination_index(
+            spark, "cont_t2", train, "text", "doc_id", n=5).collect())
+        assert got == fresh
+
+    def test_extend_duplicates_do_not_double_count(self, spark):
+        """An extend that re-appends the EXACT same benchmark leaves
+        every probe verdict unchanged (left_semi is multiplicity-blind)
+        — and the stats monitor exposes the duplicate rows."""
+        ev = _doc(spark, [(10, "one two three four five six")])
+        train = _doc(spark, [(1, "one two three four five six seven")])
+        RET.build_contamination_index(ev.select("text"), "cont_t3", "text",
+                                      n=5)
+        before = sorted(RET.probe_contamination_index(
+            spark, "cont_t3", train, "text", "doc_id", n=5).collect())
+        RET.extend_contamination_index(ev.select("text"), "cont_t3", "text",
+                                       n=5)
+        after = sorted(RET.probe_contamination_index(
+            spark, "cont_t3", train, "text", "doc_id", n=5).collect())
+        assert before == after
+        st = RET.contamination_index_stats(spark, "cont_t3").head()
+        assert st.n_rows == 2 * st.n_distinct  # every gram exactly twice
+
+    def test_probe_plan_broadcasts_index(self, spark):
+        """The index side must reach the probe join as a broadcast —
+        the contract that keeps the incoming corpus shuffle-free beyond
+        its per-doc reduce."""
+        ev = _doc(spark, [(10, "one two three four five six")])
+        train = _doc(spark, [(1, "one two three four five six seven")])
+        RET.build_contamination_index(ev.select("text"), "cont_t4", "text",
+                                      n=5)
+        plan = RET.probe_contamination_index(
+            spark, "cont_t4", train, "text", "doc_id",
+            n=5)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+    def test_build_rejects_bad_n(self, spark):
+        ev = _doc(spark, [(10, "a b c")])
+        for fn in (RET.build_contamination_index,
+                   RET.extend_contamination_index):
+            try:
+                fn(ev.select("text"), "cont_t5", "text", n=0)
+                raise AssertionError("expected ValueError")
+            except ValueError:
+                pass
