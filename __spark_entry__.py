@@ -3861,6 +3861,39 @@ def q_contamination_firewall(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, "cont_index_driver", incoming, "text", "doc_id", n=5)
 
 
+def q_decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of the decontamination arc (the firewall row
+    audits; this row acts): probe the persisted contamination index,
+    anti-join every document with ≥1 eval n-gram collision out of the
+    incoming batch, and report per-source yield — n_in / n_dropped /
+    n_kept plus the kept token mass (what actually reaches training).
+    Plan: the probe's broadcast semi-join + per-doc reduce, then ONE
+    broadcast left join of the (output-sized) contaminated-id set back
+    onto the incoming scan and one per-source aggregation — dropped and
+    kept are counted in the SAME pass, so a source whose every doc is
+    contaminated still reports (n_kept=0) instead of vanishing.  FULL
+    oracle: the recompute-from-scratch contamination CTE left-joined in
+    SQL with the same conditional sums."""
+    docs = _docs(spark, sf_dir)
+    incoming = docs.filter(F.col("doc_id") % 4 != 0)
+    RET.build_contamination_index(
+        docs.filter(F.col("doc_id") % 4 == 0), "cont_index_decon",
+        "text", n=5)
+    hits = RET.probe_contamination_index(
+        spark, "cont_index_decon", incoming, "text", "doc_id", n=5)
+    marked = incoming.join(
+        F.broadcast(hits.select("doc_id", F.lit(1).alias("_dropped"))),
+        "doc_id", "left")
+    return (marked.groupBy("source")
+                  .agg(F.count(F.lit(1)).cast("long").alias("n_in"),
+                       F.count("_dropped").cast("long").alias("n_dropped"),
+                       F.sum(F.when(F.col("_dropped").isNull(), 1)
+                              .otherwise(0)).cast("long").alias("n_kept"),
+                       F.sum(F.when(F.col("_dropped").isNull(),
+                                    TX.token_count(F.col("text"))))
+                        .cast("long").alias("tokens_kept")))
+
+
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus cleaning — the composed use-case the engine
     exists for: language-ID filter → quality threshold → PII redaction →
@@ -4313,7 +4346,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (1) the THREE r8-stale rows — pack_shards, unpivot, pack_sequences —
 #:     the head of the rotation queue (every other registry query's
 #:     latest proof is r9+, and nothing is never-proven);
-#: (2) the SIX r12 debuts: image_near_dup (perceptual aHash + banded
+#: (2) the SEVEN r12 debuts: image_near_dup (perceptual aHash + banded
 #:     Hamming over real pixel decode — dedup × multimodal, r11 verdict
 #:     #4), ann_ivf_extend (the IVF build→extend→probe lifecycle,
 #:     oracled as a rebuild replay, r11 verdict #7), ivf_drift (the
@@ -4326,14 +4359,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     video, AND audio), and contamination_firewall (the persisted
 #:     build→extend→probe decontamination index — the firewall
 #:     lifecycle applied to benchmark n-gram screening, oracled by the
-#:     recompute-from-scratch union audit via the extend≡rebuild law);
+#:     recompute-from-scratch union audit via the extend≡rebuild law)
+#:     plus decontaminate_corpus (the removal half of that arc:
+#:     probe → anti-join → per-source yield, conditional-sum oracle);
 #: (2b) quality_dashboard RE-PROOF: its r11 proof predates the alert
 #:     columns added this round (r11 verdict #6) — a schema change
 #:     voids the old proof, so it re-enters the window like a debut;
-#: (3) 40 of the 48 r9-stale queries.  The EIGHT displaced to the r13
+#: (3) 39 of the 48 r9-stale queries.  The NINE displaced to the r13
 #:     queue — fold_all, ann_bruteforce_joined, bpe_train,
 #:     stream_hourly, sql_revenue, running_total, corpus_report,
-#:     stream_ingest_gate — are no-regression re-proofs whose module
+#:     stream_ingest_gate, bpe_token_count — are no-regression
+#:     re-proofs whose module
 #:     paths stay covered inside this window (fold_all_numeric +
 #:     fold_all_monoid for the foldAll family; ann_srp + the IVF rows
 #:     for ANN scoring; bpe_train_encode strictly composes bpe_train;
@@ -4344,8 +4380,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     corpus_report composes the shared text specs that text_quality/
 #:     quality_score/length_histogram prove independently;
 #:     stream_ingest_gate's screen set is a strict subset of
-#:     stream_ingest_gate_v2's, in-window); debuts and schema re-proofs
-#:     outrank no-regression fills (the standing r10 rule).
+#:     stream_ingest_gate_v2's, in-window; bpe_token_count's greedy
+#:     encode path is strictly composed by bpe_train_encode, in-window);
+#:     debuts and schema re-proofs outrank no-regression fills (the
+#:     standing r10 rule).
 #: Every below-window row is still re-proven at sf0.001 by the local
 #: parity suite on every pytest run.
 _R12_WINDOW = [
@@ -4353,8 +4391,9 @@ _R12_WINDOW = [
     "pack_shards", "unpivot", "pack_sequences",
     # (2) r12 debuts + the alert-schema re-proof
     "image_near_dup", "ann_ivf_extend", "ivf_drift", "video_near_dup",
-    "audio_near_dup", "contamination_firewall", "quality_dashboard",
-    # (3) the r9-stale set (40 of 48)
+    "audio_near_dup", "contamination_firewall", "decontaminate_corpus",
+    "quality_dashboard",
+    # (3) the r9-stale set (39 of 48)
     "length_histogram", "asof_sliced", "zorder_extents",
     "curate_corpus_v2", "events_json", "weighted_mean",
     "fold_all_numeric", "good_rows", "null_propagating",
@@ -4365,7 +4404,7 @@ _R12_WINDOW = [
     "sketch_distinct", "shuffle_pos", "chunk_dedup", "retention",
     "dup_spans", "sketch_quantiles", "weighted_sample",
     "leakage_safe_split", "stream_sessions", "stream_stateful",
-    "bpe_token_count", "bpe_train_encode", "dsir_select", "ingest_gate",
+    "bpe_train_encode", "dsir_select", "ingest_gate",
     "bloom_gen_stats", "bloom_compact_roundtrip",
     "stream_ingest_gate_v2",
 ]
@@ -4473,6 +4512,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "contamination": q_contamination,
         "contamination_firewall": q_contamination_firewall,
+        "decontaminate_corpus": q_decontaminate_corpus,
         "chunk_docs": q_chunk_docs,
         "embedding_neardup": q_embedding_neardup,
         "dedup_clusters": q_dedup_clusters,
@@ -5944,6 +5984,26 @@ def oracle_sql() -> dict[str, str]:
                        "WHERE doc_id % 4 != 0"),
             eval_sel="SELECT text FROM documents WHERE doc_id % 4 = 0",
             text_col="text", id_col="doc_id", n=5),
+        # removal half: the same recompute CTE, left-joined back with
+        # conditional sums so fully-contaminated sources still report
+        "decontaminate_corpus": f"""
+            WITH cont AS ({RET.ngram_contamination_sql(
+                train_sel=("SELECT doc_id, text FROM documents "
+                           "WHERE doc_id % 4 != 0"),
+                eval_sel="SELECT text FROM documents WHERE doc_id % 4 = 0",
+                text_col="text", id_col="doc_id", n=5)})
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_in,
+                   CAST(count(c.doc_id) AS BIGINT) AS n_dropped,
+                   CAST(sum(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_kept,
+                   CAST(sum(CASE WHEN c.doc_id IS NULL
+                                 THEN {TX.token_count_sql('text')} END)
+                        AS BIGINT) AS tokens_kept
+            FROM (SELECT doc_id, source, text FROM documents
+                  WHERE doc_id % 4 != 0) d
+            LEFT JOIN cont c USING (doc_id)
+            GROUP BY source""",
         "contamination": RET.ngram_contamination_sql(
             train_sel=("SELECT doc_id, text FROM documents WHERE "
                        + SMP.hash_split_sql_case("doc_id", _CONT_WEIGHTS,

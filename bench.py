@@ -149,6 +149,7 @@ HEADLINE = [
     "video_near_dup",       # frame-level aHash: decode + sign + frame census
     "audio_near_dup",       # energy-plane aHash: cross-codec WAV dedup
     "contamination_firewall",  # persisted decontamination index lifecycle
+    "decontaminate_corpus",    # removal half: probe + anti-join + yield
 ]
 
 #: entries that model amortized ONE-TIME work (index builds): repeating
