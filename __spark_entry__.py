@@ -2201,6 +2201,45 @@ def q_stream_ingest_gate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "is_near_dup", "accept"))
 
 
+def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming decontamination gate
+    (streaming.stream_decontamination_gate) — benchmark n-gram
+    collision screening at ingestion time against the PERSISTED
+    contamination index (built once on the %4==0 eval split): each
+    micro-batch pays exactly the firewall's recurring probe cost
+    (broadcast left_semi + per-doc reduce, zero index-side exchanges)
+    and every document lands with the probe's evidence columns and
+    ``accept = NOT is_contaminated``.
+
+    Rig: multi-split staging (8 files), per-batch-overwrite parquet
+    sink, deterministic pre-cleaned /tmp paths (the
+    q_stream_ingest_gate_v2 conventions).  FULL oracle: the probe ≡
+    recompute-from-scratch law means the twin is the contamination CTE
+    LEFT-joined onto the incoming id set — clean docs carry NULL
+    evidence and accept=true in both engines."""
+    import shutil as _shutil
+
+    from frames_map_reduce_spark.streaming import stream_decontamination_gate
+
+    docs = _docs(spark, sf_dir)
+    RET.build_contamination_index(
+        docs.filter(F.col("doc_id") % 4 == 0), "cont_index_stream",
+        "text", n=5)
+    base = "/tmp/fmr_stream_decon"
+    _shutil.rmtree(base, ignore_errors=True)
+    inc = docs.filter(F.col("doc_id") % 4 != 0) \
+              .select("doc_id", "source", "text")
+    inc.repartition(8).write.parquet(f"{base}/in")
+    stream = spark.readStream.schema(inc.schema).parquet(f"{base}/in")
+    q = stream_decontamination_gate(stream, "cont_index_stream",
+                                    "text", "doc_id", f"{base}/out",
+                                    n=5, checkpoint=f"{base}/ckpt")
+    q.awaitTermination()
+    return (spark.read.parquet(f"{base}/out")
+                 .select("doc_id", "n_grams", "n_hit", "hit_frac",
+                         "is_contaminated", "accept"))
+
+
 def q_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed ingestion ADMISSION GATE — the decision a streaming
     corpus loader actually makes per incoming document, all four
@@ -4346,7 +4385,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (1) the THREE r8-stale rows — pack_shards, unpivot, pack_sequences —
 #:     the head of the rotation queue (every other registry query's
 #:     latest proof is r9+, and nothing is never-proven);
-#: (2) the SEVEN r12 debuts: image_near_dup (perceptual aHash + banded
+#: (2) the EIGHT r12 debuts: image_near_dup (perceptual aHash + banded
 #:     Hamming over real pixel decode — dedup × multimodal, r11 verdict
 #:     #4), ann_ivf_extend (the IVF build→extend→probe lifecycle,
 #:     oracled as a rebuild replay, r11 verdict #7), ivf_drift (the
@@ -4361,15 +4400,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     lifecycle applied to benchmark n-gram screening, oracled by the
 #:     recompute-from-scratch union audit via the extend≡rebuild law)
 #:     plus decontaminate_corpus (the removal half of that arc:
-#:     probe → anti-join → per-source yield, conditional-sum oracle);
+#:     probe → anti-join → per-source yield, conditional-sum oracle)
+#:     and stream_decontaminate (the gate's streaming twin: per-batch
+#:     probe via foreachBatch, probe≡recompute LEFT-join oracle);
 #: (2b) quality_dashboard RE-PROOF: its r11 proof predates the alert
 #:     columns added this round (r11 verdict #6) — a schema change
 #:     voids the old proof, so it re-enters the window like a debut;
-#: (3) 39 of the 48 r9-stale queries.  The NINE displaced to the r13
+#: (3) 38 of the 48 r9-stale queries.  The TEN displaced to the r13
 #:     queue — fold_all, ann_bruteforce_joined, bpe_train,
 #:     stream_hourly, sql_revenue, running_total, corpus_report,
-#:     stream_ingest_gate, bpe_token_count — are no-regression
-#:     re-proofs whose module
+#:     stream_ingest_gate, bpe_token_count, bloom_gen_stats — are
+#:     no-regression re-proofs whose module
 #:     paths stay covered inside this window (fold_all_numeric +
 #:     fold_all_monoid for the foldAll family; ann_srp + the IVF rows
 #:     for ANN scoring; bpe_train_encode strictly composes bpe_train;
@@ -4381,9 +4422,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     quality_score/length_histogram prove independently;
 #:     stream_ingest_gate's screen set is a strict subset of
 #:     stream_ingest_gate_v2's, in-window; bpe_token_count's greedy
-#:     encode path is strictly composed by bpe_train_encode, in-window);
-#:     debuts and schema re-proofs outrank no-regression fills (the
-#:     standing r10 rule).
+#:     encode path is strictly composed by bpe_train_encode, in-window;
+#:     bloom_gen_stats' monitor is replayed verbatim inside
+#:     bloom_compact_roundtrip's before-read — same %8 build/extend
+#:     splits, same max_read_amp=2 policy read, in-window); debuts and
+#:     schema re-proofs outrank no-regression fills (the standing r10
+#:     rule).
 #: Every below-window row is still re-proven at sf0.001 by the local
 #: parity suite on every pytest run.
 _R12_WINDOW = [
@@ -4392,8 +4436,8 @@ _R12_WINDOW = [
     # (2) r12 debuts + the alert-schema re-proof
     "image_near_dup", "ann_ivf_extend", "ivf_drift", "video_near_dup",
     "audio_near_dup", "contamination_firewall", "decontaminate_corpus",
-    "quality_dashboard",
-    # (3) the r9-stale set (39 of 48)
+    "stream_decontaminate", "quality_dashboard",
+    # (3) the r9-stale set (38 of 48)
     "length_histogram", "asof_sliced", "zorder_extents",
     "curate_corpus_v2", "events_json", "weighted_mean",
     "fold_all_numeric", "good_rows", "null_propagating",
@@ -4405,7 +4449,7 @@ _R12_WINDOW = [
     "dup_spans", "sketch_quantiles", "weighted_sample",
     "leakage_safe_split", "stream_sessions", "stream_stateful",
     "bpe_train_encode", "dsir_select", "ingest_gate",
-    "bloom_gen_stats", "bloom_compact_roundtrip",
+    "bloom_compact_roundtrip",
     "stream_ingest_gate_v2",
 ]
 
@@ -4579,6 +4623,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_resize_roundtrip": q_bloom_resize_roundtrip,
         "stream_ingest_gate": q_stream_ingest_gate,
         "stream_ingest_gate_v2": q_stream_ingest_gate_v2,
+        "stream_decontaminate": q_stream_decontaminate,
         "entropy_filter": q_entropy_filter,
         "anomaly_zscore": q_anomaly_zscore,
         "drift_psi": q_drift_psi,
@@ -5228,6 +5273,20 @@ def oracle_sql() -> dict[str, str]:
         # exhaustive cross-corpus Jaccard near-dup set (the ingest_gate
         # convention, same corpus invariant) — LEFT-joined and coalesced
         # to False exactly like the probe's no-shingles convention
+        # streaming twin of the contamination firewall: probe ≡
+        # recompute, so the twin LEFT-joins the contamination CTE onto
+        # the incoming id set (clean docs: NULL evidence, accept=true)
+        "stream_decontaminate": f"""
+            WITH cont AS ({RET.ngram_contamination_sql(
+                train_sel=("SELECT doc_id, text FROM documents "
+                           "WHERE doc_id % 4 != 0"),
+                eval_sel="SELECT text FROM documents WHERE doc_id % 4 = 0",
+                text_col="text", id_col="doc_id", n=5)})
+            SELECT d.doc_id, c.n_grams, c.n_hit, c.hit_frac,
+                   (c.doc_id IS NOT NULL) AS is_contaminated,
+                   (c.doc_id IS NULL) AS accept
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 4 != 0) d
+            LEFT JOIN cont c ON d.doc_id = c.doc_id""",
         "stream_ingest_gate_v2": f"""
             WITH _member AS ({BL.bloom_firewall_sql(
                 "documents WHERE doc_id % 4 = 0", "documents",

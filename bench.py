@@ -150,6 +150,7 @@ HEADLINE = [
     "audio_near_dup",       # energy-plane aHash: cross-codec WAV dedup
     "contamination_firewall",  # persisted decontamination index lifecycle
     "decontaminate_corpus",    # removal half: probe + anti-join + yield
+    "stream_decontaminate",    # streaming twin: per-batch index probe
 ]
 
 #: entries that model amortized ONE-TIME work (index builds): repeating

@@ -603,6 +603,66 @@ def stream_ingest_gate_v2(stream: DataFrame, words, weights,
     return writer.start()
 
 
+def stream_decontamination_gate(stream: DataFrame, table: str,
+                                text_col: str, id_col: str,
+                                sink_dir: str, n: int = 5,
+                                checkpoint: str | None = None):
+    """Per-micro-batch benchmark-DECONTAMINATION gate — the streaming
+    twin of the persisted contamination firewall
+    (:func:`~frames_map_reduce_spark.operators.retrieval.build_contamination_index`
+    / ``probe_contamination_index``): every arriving training document
+    is screened for word-``n``-gram collisions against the persisted
+    eval-suite index, carrying the probe's exact per-doc evidence
+    (``n_grams``/``n_hit``/``hit_frac``, NULL for clean docs) plus
+    ``is_contaminated`` and ``accept = NOT is_contaminated``.
+
+    The probe is a join (broadcast ``left_semi`` against the
+    benchmark-sized index) followed by a per-doc reduce, so — like the
+    MinHash probe in :func:`stream_ingest_gate_v2` — it cannot be a
+    stateless expression; per micro-batch it is exactly the firewall's
+    recurring cost: one batch scan, zero index-side exchanges, no
+    state store, no watermark.  NULL/tokenless text produces no
+    n-grams, hence never flags (``accept`` True) — collision screening
+    has nothing to say about empty documents; compose a quality gate
+    for those.
+
+    Each micro-batch OVERWRITES its own ``batch_id=N`` partition under
+    ``sink_dir`` (the :func:`stream_ingest_gate_v2` sink convention —
+    idempotent under foreachBatch's at-least-once replay); read the
+    gated output with ``spark.read.parquet(sink_dir)``.  Returns the
+    started StreamingQuery.  Batch sizing follows the SOURCE's rate
+    limits (``maxFilesPerTrigger`` etc.); the probe's broadcast is the
+    index, not the batch, so batch size only scales the scan."""
+    import os
+
+    from frames_map_reduce_spark.operators.retrieval import (
+        probe_contamination_index,
+    )
+
+    require_columns(stream, [text_col, id_col])
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        hits = probe_contamination_index(spark, table, batch_df,
+                                         text_col, id_col, n=n)
+        out = (batch_df.join(
+                   F.broadcast(hits.withColumnRenamed(id_col, "_hid")),
+                   F.col(id_col) == F.col("_hid"), "left")
+               .drop("_hid")
+               .withColumn("is_contaminated", F.col("n_hit").isNotNull())
+               .withColumn("accept", ~F.col("is_contaminated")))
+        out.write.mode("overwrite").parquet(
+            os.path.join(sink_dir, f"batch_id={batch_id}"))
+
+    writer = stream.writeStream.foreachBatch(apply) \
+        .trigger(availableNow=True)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def stream_drift_monitor(stream: DataFrame, value_col: str,
                          breakpoints, ref_counts, sink_dir: str,
                          checkpoint: str | None = None):

@@ -830,3 +830,49 @@ def test_stream_token_ids_extend_with_drain_stays_bounded(
                                 order_by=["doc_id"]).collect())
     drain_pack_cache()
     assert got == want and len(got) > 5
+
+
+def test_stream_decontamination_gate_matches_batch_and_replays(
+        spark, documents, tmp_path):
+    """The streaming decontamination gate emits EXACTLY the persisted
+    firewall probe's verdicts (streaming ≡ batch), clean and NULL-text
+    docs pass with NULL evidence, and a full replay with a fresh
+    checkpoint reads identically (per-batch-overwrite idempotence)."""
+    from frames_map_reduce_spark.operators import retrieval as RET
+    from frames_map_reduce_spark.streaming import stream_decontamination_gate
+
+    ev = documents.filter(F.col("doc_id") % 4 == 0)
+    inc = documents.filter(F.col("doc_id") % 4 != 0) \
+                   .select("doc_id", "source", "text")
+    RET.build_contamination_index(ev.select("text"), "t_sdecon", "text", n=5)
+    stage = str(tmp_path / "in")
+    inc.repartition(2).write.parquet(stage)
+    sink = str(tmp_path / "out")
+
+    def run(ckpt: str) -> None:
+        stream = (spark.readStream.schema(inc.schema)
+                       .option("maxFilesPerTrigger", 1).parquet(stage))
+        q = stream_decontamination_gate(
+            stream, "t_sdecon", "text", "doc_id", sink,
+            n=5, checkpoint=str(tmp_path / ckpt))
+        q.awaitTermination()
+
+    run("ckpt1")
+    got = {r.doc_id: r for r in spark.read.parquet(sink).collect()}
+    assert len(got) == inc.count()
+    want = {r.doc_id: r for r in RET.probe_contamination_index(
+        spark, "t_sdecon", inc, "text", "doc_id", n=5).collect()}
+    assert want  # this corpus plants cross-split duplicates
+    for did, r in got.items():
+        if did in want:
+            w = want[did]
+            assert (r.n_grams, r.n_hit, r.hit_frac) == \
+                   (w.n_grams, w.n_hit, w.hit_frac)
+            assert r.is_contaminated and not r.accept
+        else:
+            assert r.n_hit is None and not r.is_contaminated and r.accept
+
+    run("ckpt2")  # at-least-once replay: same batch ids, fresh delivery
+    replay = {r.doc_id: r for r in spark.read.parquet(sink).collect()}
+    assert sorted(map(tuple, replay.values())) == sorted(map(tuple,
+                                                             got.values()))
