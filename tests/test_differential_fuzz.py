@@ -1197,3 +1197,43 @@ def test_profile_frame_matches_duckdb(spark, rows):
     want = sorted(map(tuple,
                       con.sql(profile_frame_sql("pf", ["a", "b"])).fetchall()))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Contamination firewall: probe-over-persisted-index ≡ recompute-from-scratch
+# ---------------------------------------------------------------------------
+
+_cf_word = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+_cf_text = st.one_of(
+    st.none(),
+    st.lists(_cf_word, min_size=0, max_size=12).map(" ".join))
+_cf_corpus = st.lists(_cf_text, min_size=0, max_size=8)
+
+
+@given(ev_a=_cf_corpus, ev_b=_cf_corpus, train=_cf_corpus,
+       n=st.sampled_from([1, 2, 3]))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_contamination_firewall_matches_recompute(spark, ev_a, ev_b,
+                                                  train, n):
+    """Random tiny-alphabet corpora (forced collisions, NULL and empty
+    texts, both eval generations possibly empty) through the persisted
+    firewall — build(A); extend(B); probe — vs the from-scratch
+    ngram_contamination over A ∪ B: row-for-row equal at every n."""
+    from frames_map_reduce_spark.operators import retrieval as RET
+
+    def mk(texts):
+        return spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string")
+
+    ev_a_df, ev_b_df, train_df = mk(ev_a), mk(ev_b), mk(train)
+    RET.build_contamination_index(ev_a_df.select("text"), "cont_fuzz",
+                                  "text", n=n)
+    RET.extend_contamination_index(ev_b_df.select("text"), "cont_fuzz",
+                                   "text", n=n)
+    got = sorted(map(tuple, RET.probe_contamination_index(
+        spark, "cont_fuzz", train_df, "text", "doc_id", n=n).collect()))
+    want = sorted(map(tuple, RET.ngram_contamination(
+        train_df, ev_a_df.union(ev_b_df).select("text"), "text", "doc_id",
+        n=n).collect()))
+    assert got == want
