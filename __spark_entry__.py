@@ -3900,6 +3900,24 @@ def q_contamination_firewall(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, "cont_index_driver", incoming, "text", "doc_id", n=5)
 
 
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted source mixing (sampling.token_budget_sample) —
+    the data-mixing cut sized in TOKENS, not rows: each source keeps
+    the deterministic-shuffle-order prefix whose cumulative whitespace
+    token mass fits a 600-token budget.  Distributed via the
+    contiguous-hash-bucket decomposition (never a window over a
+    source's full stream — parallelism sources × 256 at any corpus
+    size); FULL oracle: the serial window twin over the same generated
+    md5 hash order (exact integer sums re-associate across buckets)."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select("doc_id", "source",
+                    TX.token_count(F.col("text")).cast("bigint")
+                      .alias("n_tokens"))
+    out = SMP.token_budget_sample(d, "n_tokens", "doc_id", budget=600,
+                                  by="source", salt="mix0")
+    return out.select("doc_id", "source", "n_tokens", "tokens_through")
+
+
 def q_decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REMOVAL half of the decontamination arc (the firewall row
     audits; this row acts): probe the persisted contamination index,
@@ -4385,7 +4403,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (1) the THREE r8-stale rows — pack_shards, unpivot, pack_sequences —
 #:     the head of the rotation queue (every other registry query's
 #:     latest proof is r9+, and nothing is never-proven);
-#: (2) the EIGHT r12 debuts: image_near_dup (perceptual aHash + banded
+#: (2) the NINE r12 debuts: image_near_dup (perceptual aHash + banded
 #:     Hamming over real pixel decode — dedup × multimodal, r11 verdict
 #:     #4), ann_ivf_extend (the IVF build→extend→probe lifecycle,
 #:     oracled as a rebuild replay, r11 verdict #7), ivf_drift (the
@@ -4402,15 +4420,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     plus decontaminate_corpus (the removal half of that arc:
 #:     probe → anti-join → per-source yield, conditional-sum oracle)
 #:     and stream_decontaminate (the gate's streaming twin: per-batch
-#:     probe via foreachBatch, probe≡recompute LEFT-join oracle);
+#:     probe via foreachBatch, probe≡recompute LEFT-join oracle), and
+#:     token_budget_sample (token-budgeted source mixing — the
+#:     deterministic-shuffle-order prefix cut sized in tokens, serial
+#:     window twin);
 #: (2b) quality_dashboard RE-PROOF: its r11 proof predates the alert
 #:     columns added this round (r11 verdict #6) — a schema change
 #:     voids the old proof, so it re-enters the window like a debut;
-#: (3) 38 of the 48 r9-stale queries.  The TEN displaced to the r13
+#: (3) 37 of the 48 r9-stale queries.  The ELEVEN displaced to the r13
 #:     queue — fold_all, ann_bruteforce_joined, bpe_train,
 #:     stream_hourly, sql_revenue, running_total, corpus_report,
-#:     stream_ingest_gate, bpe_token_count, bloom_gen_stats — are
-#:     no-regression re-proofs whose module
+#:     stream_ingest_gate, bpe_token_count, bloom_gen_stats,
+#:     shuffle_pos — are no-regression re-proofs whose module
 #:     paths stay covered inside this window (fold_all_numeric +
 #:     fold_all_monoid for the foldAll family; ann_srp + the IVF rows
 #:     for ANN scoring; bpe_train_encode strictly composes bpe_train;
@@ -4425,9 +4446,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     encode path is strictly composed by bpe_train_encode, in-window;
 #:     bloom_gen_stats' monitor is replayed verbatim inside
 #:     bloom_compact_roundtrip's before-read — same %8 build/extend
-#:     splits, same max_read_amp=2 policy read, in-window); debuts and
-#:     schema re-proofs outrank no-regression fills (the standing r10
-#:     rule).
+#:     splits, same max_read_amp=2 policy read, in-window; shuffle_pos'
+#:     hash_unit + contiguous-bucket-offset machinery is exercised
+#:     verbatim by the token_budget_sample debut, in-window); debuts
+#:     and schema re-proofs outrank no-regression fills (the standing
+#:     r10 rule).
 #: Every below-window row is still re-proven at sf0.001 by the local
 #: parity suite on every pytest run.
 _R12_WINDOW = [
@@ -4436,8 +4459,8 @@ _R12_WINDOW = [
     # (2) r12 debuts + the alert-schema re-proof
     "image_near_dup", "ann_ivf_extend", "ivf_drift", "video_near_dup",
     "audio_near_dup", "contamination_firewall", "decontaminate_corpus",
-    "stream_decontaminate", "quality_dashboard",
-    # (3) the r9-stale set (38 of 48)
+    "stream_decontaminate", "token_budget_sample", "quality_dashboard",
+    # (3) the r9-stale set (37 of 48)
     "length_histogram", "asof_sliced", "zorder_extents",
     "curate_corpus_v2", "events_json", "weighted_mean",
     "fold_all_numeric", "good_rows", "null_propagating",
@@ -4445,7 +4468,7 @@ _R12_WINDOW = [
     "assign_keys_and_data", "fold_all_monoid", "pandas_fold",
     "frame_concat", "to_frame", "read_csv_permissive", "stream_join",
     "stream_enrich", "stream_dedup", "media_features", "ann_srp",
-    "sketch_distinct", "shuffle_pos", "chunk_dedup", "retention",
+    "sketch_distinct", "chunk_dedup", "retention",
     "dup_spans", "sketch_quantiles", "weighted_sample",
     "leakage_safe_split", "stream_sessions", "stream_stateful",
     "bpe_train_encode", "dsir_select", "ingest_gate",
@@ -4557,6 +4580,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "contamination_firewall": q_contamination_firewall,
         "decontaminate_corpus": q_decontaminate_corpus,
+        "token_budget_sample": q_token_budget_sample,
         "chunk_docs": q_chunk_docs,
         "embedding_neardup": q_embedding_neardup,
         "dedup_clusters": q_dedup_clusters,
@@ -6043,6 +6067,18 @@ def oracle_sql() -> dict[str, str]:
                        "WHERE doc_id % 4 != 0"),
             eval_sel="SELECT text FROM documents WHERE doc_id % 4 = 0",
             text_col="text", id_col="doc_id", n=5),
+        # serial-window twin of the bucket-decomposed budget cut: exact
+        # integer sums re-associate, so the forms are identical
+        "token_budget_sample": ("SELECT doc_id, source, n_tokens, "
+                                "tokens_through FROM ("
+                                + SMP.token_budget_sample_sql(
+                                    ("(SELECT doc_id, source, "
+                                     f"CAST({TX.token_count_sql('text')} "
+                                     "AS BIGINT) AS n_tokens "
+                                     "FROM documents)"),
+                                    cost_expr="n_tokens",
+                                    key_col="doc_id", budget=600,
+                                    by="source", salt="mix0") + ")"),
         # removal half: the same recompute CTE, left-joined back with
         # conditional sums so fully-contaminated sources still report
         "decontaminate_corpus": f"""

@@ -151,6 +151,7 @@ HEADLINE = [
     "contamination_firewall",  # persisted decontamination index lifecycle
     "decontaminate_corpus",    # removal half: probe + anti-join + yield
     "stream_decontaminate",    # streaming twin: per-batch index probe
+    "token_budget_sample",     # token-budgeted mixing: bucketed prefix cut
 ]
 
 #: entries that model amortized ONE-TIME work (index builds): repeating

@@ -44,6 +44,7 @@ __all__ = [
     "weighted_sample", "weighted_sample_sql", "es_priority_sql",
     "temperature_mixture", "temperature_mixture_sql",
     "dsir_resample", "dsir_priority", "dsir_priority_sql",
+    "token_budget_sample", "token_budget_sample_sql",
 ]
 
 _SCALE = 1 << 32  # 8 hex chars
@@ -288,6 +289,116 @@ def deterministic_shuffle_sql(table: str, key_col: str, salt: str = "",
     h = hash_unit_sql(key_col, salt)
     return (f"SELECT *, CAST(row_number() OVER (ORDER BY {h}, {key_col})"
             f" - 1 AS BIGINT) AS {out} FROM {table}")
+
+
+def _budget_col(budget, by: str | None) -> Column:
+    """``budget`` as a Column: a uniform int, or a per-``by``-value
+    mapping rendered as a literal when-chain (engine-stable, no join).
+    Unmapped group values get NULL — the ``<=`` keep-test then drops
+    them, i.e. an absent group has budget 0 by contract."""
+    if isinstance(budget, Mapping):
+        if by is None:
+            raise ValueError("a budget mapping needs `by`")
+        c = None
+        for k, v in sorted(budget.items()):
+            cond = F.col(by) == F.lit(k)
+            c = F.when(cond, F.lit(int(v))) if c is None \
+                else c.when(cond, F.lit(int(v)))
+        if c is None:
+            raise ValueError("empty budget mapping")
+        return c
+    return F.lit(int(budget))
+
+
+def token_budget_sample(df: DataFrame, cost_col: str, key_col: str,
+                        budget, by: str | None = None, salt: str = "",
+                        n_buckets: int = 256,
+                        out: str = "tokens_through") -> DataFrame:
+    """Keep the deterministic-shuffle-order PREFIX of each ``by`` group
+    whose cumulative ``cost_col`` mass fits ``budget`` — the data-mixing
+    cut of a pretraining pipeline ("400 B tokens of web, 80 B of code"):
+    a fixed pseudo-random subset, reproducible per salt, sized in
+    TOKENS rather than rows.  A row is kept iff the running total
+    through itself (``out``, inclusive) is ≤ its group's budget; costs
+    are non-negative, so the running total is monotone and the kept set
+    is a true prefix of the shuffle order — re-runs, retries, and any
+    partitioning agree on it exactly.
+
+    ``budget`` is a uniform int or a ``{group_value: int}`` mapping
+    (unmapped groups drop — budget 0).  ``cost_col`` must be integral
+    and ≥ 0 (a negative cost breaks prefix monotonicity — named in-plan
+    error); NULL costs count 0 (a cost-less row is free to keep).
+    ``key_col`` must be unique per row (the `deterministic_shuffle`
+    contract — duplicate keys make the order among them undefined).
+
+    Scalable rendering (the ``deterministic_shuffle`` /
+    ``top_fraction`` bucket pattern): the hash is uniform on
+    [0, 2^32), so its top bits are RANGE buckets — contiguous segments
+    of the shuffle order.  One aggregation gets each (group, bucket)'s
+    cost mass; a window over those ≤ ``n_buckets`` rows per group
+    yields each bucket's preceding-mass offset (broadcast); the running
+    total is then offset + a within-(group, bucket) window — never a
+    window over a group's full stream, so parallelism is
+    groups × n_buckets however few sources there are.  Integer sums
+    re-associate exactly across buckets (fuzz-pinned against the serial
+    window form)."""
+    cols = [cost_col, key_col] + ([by] if by else [])
+    require_columns(df, cols)
+    if n_buckets & (n_buckets - 1) or not 0 < n_buckets <= (1 << 30):
+        raise ValueError("n_buckets must be a power of two")
+    shift = 32 - n_buckets.bit_length() + 1
+    gb = [by] if by else []
+    cost = F.coalesce(F.col(cost_col).cast("bigint"), F.lit(0))
+    cost = F.when(
+        cost < 0,
+        F.raise_error(F.lit(
+            f"token_budget_sample: negative {cost_col} breaks prefix "
+            "monotonicity; clean or clamp costs upstream"))
+    ).otherwise(cost)
+    with_h = (df.withColumn("_h", hash_unit(F.col(key_col), salt))
+                .withColumn("_hb", F.shiftrightunsigned(F.col("_h"), shift)
+                                    .cast("int"))
+                .withColumn("_c", cost))
+    sums = with_h.groupBy(*gb, "_hb").agg(F.sum("_c").alias("_bsum"))
+    woff = (Window.partitionBy(*gb) if gb else Window) \
+        .orderBy("_hb").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sums.select(
+        *gb, "_hb",
+        F.coalesce(F.sum("_bsum").over(woff), F.lit(0)).alias("_toff"))
+    wrun = Window.partitionBy(*gb, "_hb").orderBy("_h", key_col) \
+                 .rowsBetween(Window.unboundedPreceding, 0)
+    return (with_h.join(F.broadcast(offsets), gb + ["_hb"])
+                  .withColumn(out, (F.col("_toff")
+                                    + F.sum("_c").over(wrun)).cast("bigint"))
+                  .filter(F.col(out) <= _budget_col(budget, by))
+                  .drop("_h", "_hb", "_c", "_toff"))
+
+
+def token_budget_sample_sql(table: str, cost_expr: str, key_col: str,
+                            budget, by: str | None = None, salt: str = "",
+                            out: str = "tokens_through") -> str:
+    """DuckDB twin of ``token_budget_sample``: the serial window form —
+    one cumulative sum over the same generated hash order per group
+    (the bucket decomposition re-associates exact integer sums, so the
+    forms are identical by construction).  ``cost_expr`` is the SQL
+    cost expression (e.g. a generated token-count)."""
+    h = hash_unit_sql(key_col, salt)
+    part = f"PARTITION BY {by} " if by else ""
+    if isinstance(budget, Mapping):
+        if by is None:
+            raise ValueError("a budget mapping needs `by`")
+        arms = " ".join(f"WHEN '{k}' THEN {int(v)}"
+                        for k, v in sorted(budget.items()))
+        pred = f"{out} <= CASE {by} {arms} END"
+    else:
+        pred = f"{out} <= {int(budget)}"
+    return f"""
+        SELECT * FROM (
+            SELECT *, CAST(sum(coalesce({cost_expr}, 0)) OVER (
+                       {part}ORDER BY {h}, {key_col}
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS {out}
+            FROM {table})
+        WHERE {pred}"""
 
 
 #: swap-cache for top_fraction's persisted input (session.drain_persist_cache

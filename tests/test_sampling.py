@@ -716,3 +716,70 @@ def test_drain_pack_cache_bounds_extend_only_loop(spark):
     got = sorted((r["g"], r["seq_id"], tuple(r["token_ids"]), r["n_tokens"])
                  for r in prior.collect())
     assert got == full
+
+
+class TestTokenBudgetSample:
+    def _frame(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, src string, c long")
+
+    def test_prefix_property_and_serial_equivalence(self, spark):
+        """The kept set is the exact shuffle-order prefix fitting the
+        budget, and the bucket decomposition (every n_buckets) equals
+        the serial window form computed directly."""
+        from frames_map_reduce_spark.operators.sampling import (
+            hash_unit, token_budget_sample)
+        rows = [(i, "a" if i % 3 else "b", (i * 7) % 23) for i in range(60)]
+        df = self._frame(spark, rows)
+        serial = (df.withColumn("_h", hash_unit(F.col("doc_id"), "s1"))
+                    .withColumn("run", F.sum("c").over(
+                        Window.partitionBy("src").orderBy("_h", "doc_id")
+                              .rowsBetween(Window.unboundedPreceding, 0)))
+                    .filter(F.col("run") <= 40))
+        want = sorted((r.doc_id, r.src, r.c, r.run)
+                      for r in serial.collect())
+        assert want  # budget actually bites
+        for nb in (1, 4, 256):
+            out = token_budget_sample(df, "c", "doc_id", budget=40,
+                                      by="src", salt="s1", n_buckets=nb)
+            got = sorted((r.doc_id, r.src, r.c, r.tokens_through)
+                         for r in out.collect())
+            assert got == want, f"n_buckets={nb}"
+
+    def test_global_stream_and_null_costs_free(self, spark):
+        from frames_map_reduce_spark.operators.sampling import (
+            token_budget_sample)
+        df = spark.createDataFrame(
+            [(1, 5), (2, None), (3, 5), (4, 5), (5, None)],
+            "doc_id long, c long")
+        out = token_budget_sample(df, "c", "doc_id", budget=10)
+        rows = out.collect()
+        # NULL costs are free: total kept cost ≤ 10 counting NULL as 0
+        assert sum(r.c or 0 for r in rows) <= 10
+        assert max(r.tokens_through for r in rows) <= 10
+        # every NULL-cost row inside the kept prefix survives
+        kept = {r.doc_id for r in rows}
+        assert kept  # budget admits at least the cheapest prefix
+
+    def test_budget_mapping_and_unmapped_drop(self, spark):
+        from frames_map_reduce_spark.operators.sampling import (
+            token_budget_sample)
+        df = self._frame(spark, [(1, "a", 3), (2, "a", 3), (3, "zz", 1)])
+        out = token_budget_sample(df, "c", "doc_id",
+                                  budget={"a": 100}, by="src", salt="s")
+        got = sorted(r.doc_id for r in out.collect())
+        assert got == [1, 2]  # zz unmapped -> budget 0 -> dropped
+
+    def test_negative_cost_raises_named(self, spark):
+        from frames_map_reduce_spark.operators.sampling import (
+            token_budget_sample)
+        df = self._frame(spark, [(1, "a", -5)])
+        out = token_budget_sample(df, "c", "doc_id", budget=10, by="src")
+        with pytest.raises(Exception, match="prefix monotonicity"):
+            out.collect()
+
+    def test_bad_n_buckets(self, spark):
+        from frames_map_reduce_spark.operators.sampling import (
+            token_budget_sample)
+        df = self._frame(spark, [(1, "a", 1)])
+        with pytest.raises(ValueError):
+            token_budget_sample(df, "c", "doc_id", budget=1, n_buckets=3)
