@@ -240,3 +240,38 @@ def test_pack_token_ids_plan_shape(spark, documents):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "_pid" in plan                       # two-phase offsets engaged
+
+
+def test_token_budget_sample_plan_shape(documents):
+    """The budget cut's scale contract in the plan: the per-bucket mass
+    offsets come back via BROADCAST (the skinny ≤ groups×n_buckets
+    frame, never a shuffle of the corpus side), the running total's
+    window partitions by (group, bucket) — the full-stream-per-group
+    window the operator exists to avoid would show a partition spec
+    without _hb — and no cartesian/nested-loop join anywhere."""
+    from frames_map_reduce_spark.functions.text import token_count
+    from frames_map_reduce_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    d = documents.select(
+        "doc_id", "source",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"))
+    out = token_budget_sample(d, "n_tokens", "doc_id", budget=600,
+                              by="source", salt="mix0")
+    plan = explain_formatted(out)
+    assert "BroadcastHashJoin" in plan          # offsets join back
+    # the corpus-side running window (the one ordered by the row hash
+    # _h) must partition by the bucket column _hb — a spec without it
+    # would be the per-group full-stream window the operator exists to
+    # avoid.  windowspecdefinition prints partition columns bare and
+    # order columns with ASC/DESC markers, so: every spec that orders
+    # by _h must carry a bare _hb partition arg before it.
+    import re
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    data_windows = [s for s in specs if re.search(r"_h#\d+L ASC", s)]
+    assert data_windows, "running window missing from plan"
+    for s in data_windows:
+        assert re.search(r"_hb#\d+,", s), f"full-group window: ({s})"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
