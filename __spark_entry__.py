@@ -1239,6 +1239,8 @@ def bench_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gate_probe": bench_gate_probe,
         "stream_gate_v2_probe": bench_stream_gate_v2_probe,
         "image_near_dup_scaled": bench_image_near_dup_scaled,
+        "audio_near_dup_scaled": bench_audio_near_dup_scaled,
+        "video_near_dup_scaled": bench_video_near_dup_scaled,
     }
 
 
@@ -3663,6 +3665,141 @@ def bench_image_near_dup_scaled(spark: SparkSession,
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum(F.when(F.col("hamming_dist") == 0, 1).otherwise(0))
          .cast("bigint").alias("n_exact"))
+
+
+def _staged_media(spark: SparkSession, sf_dir: str, kind: str,
+                  gen) -> DataFrame:
+    """Stage a deterministic generated (doc_id, payload) corpus under a
+    content-stable /tmp path, once per (sf, kind): the scaled
+    multimodal bench rows measure DECODE → SIGN → PAIR (the operator),
+    not the synthetic codec-ENCODE that builds the fixture — video's
+    pure-Python JPEG encoder costs more than the whole pairing path and
+    would swamp the measurement.  Generation still runs distributed
+    (mapInPandas → parquet write) on the first rep; later reps read."""
+    import os
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/fmr_scaled_{kind}_{tag}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ids = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .select("doc_id")
+        ids.mapInPandas(gen, "doc_id long, payload binary") \
+           .write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def bench_audio_near_dup_scaled(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Bench-only scale point for perceptual AUDIO near-dup (the
+    oracled registry row runs on the fixed cross-codec fixture; this
+    one scales with the corpus): one deterministic 4096-sample PCM16
+    WAV per documents row, generated INSIDE an Arrow mapInPandas stage
+    (random piecewise amplitude envelope seeded by doc_id — the energy
+    fingerprint measures the envelope, so distinct tracks hash
+    ~independently), with every doc_id ≡ 1 (mod 50) the G.711 μ-law
+    RE-ENCODE of its predecessor's track (~2% planted cross-codec
+    dups), then the shared sign → banded-pair path + a 1-row census.
+    Payloads are staged once per sf (_staged_media) so the timed path
+    is decode → sign → pair, not the synthetic encode."""
+    from frames_map_reduce_spark.operators.multimodal import (
+        ahash_near_dup_pairs, audio_ahash)
+
+    def gen(batches):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        from frames_map_reduce_spark.functions.media import (
+            WAV_FMT_ULAW, wav_encode_g711)
+
+        n, rate = 4096, 8000
+
+        def pcm_for(seed: int) -> "np.ndarray":
+            rng = np.random.default_rng(seed % (2**63))
+            ctrl = rng.uniform(0.05, 1.0, 32)
+            env = np.interp(np.arange(n), np.linspace(0, n - 1, 32), ctrl)
+            sig = env * rng.normal(0, 8000.0, n)
+            return np.clip(sig, -32768, 32767).astype(np.int16)
+
+        def pcm16_wav(pcm: "np.ndarray") -> bytes:
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(rate)
+                w.writeframes(pcm.astype("<i2").tobytes())
+            return buf.getvalue()
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 50 == 1:
+                    payloads.append(wav_encode_g711(
+                        pcm_for(did - 1), rate, WAV_FMT_ULAW))
+                else:
+                    payloads.append(pcm16_wav(pcm_for(did)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    wavs = _staged_media(spark, sf_dir, "wav", gen)
+    sigs = audio_ahash(wavs, "doc_id", "payload")
+    pairs = ahash_near_dup_pairs(sigs, n_bands=4, max_hamming=3)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("hamming_dist") == 0, 1).otherwise(0))
+         .cast("bigint").alias("n_exact"))
+
+
+def bench_video_near_dup_scaled(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Bench-only scale point for perceptual VIDEO near-dup: one
+    deterministic 3-frame 64×64 MJPEG-AVI per documents row, generated
+    (64×64 so the per-frame DC plane is a full 8×8 grid — a smaller
+    frame's 3×3 DC plane makes the 64 threshold bits heavily
+    structured and random frames collide at Hamming ≤ 3)
+    INSIDE an Arrow mapInPandas stage (frames seeded by doc_id), with
+    every doc_id ≡ 1 (mod 50) sharing its predecessor's first two
+    frames and swapping the third (~2% planted near-dups that must
+    match on the 2-frame census), then per-frame sign → banded pairing
+    with min_match_frames=2 + a 1-row census.  Payloads are staged once
+    per sf (_staged_media): the pure-Python JPEG encode that builds the
+    fixture costs more than the whole pairing path and belongs outside
+    the timed decode → sign → census work."""
+    from frames_map_reduce_spark.operators.multimodal import (
+        video_ahash_frames, video_near_dup_pairs_from_sigs)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from frames_map_reduce_spark.functions.media import avi_encode_mjpeg
+
+        def frames_for(seed: int) -> list:
+            rng = np.random.default_rng(seed % (2**63))
+            return [rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
+                    for _ in range(3)]
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                fr = frames_for(did - 1 if did % 50 == 1 else did)
+                if did % 50 == 1:
+                    fr = fr[:2] + frames_for(did)[2:]
+                payloads.append(avi_encode_mjpeg(fr, fps=10))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    vids = _staged_media(spark, sf_dir, "avi", gen)
+    sigs = video_ahash_frames(vids, "doc_id", "payload")
+    pairs = video_near_dup_pairs_from_sigs(sigs, n_bands=4, max_hamming=3,
+                                           min_match_frames=2)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("n_matched_frames")).cast("bigint")
+         .alias("total_matched_frames"))
 
 
 def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -152,6 +152,8 @@ HEADLINE = [
     "decontaminate_corpus",    # removal half: probe + anti-join + yield
     "stream_decontaminate",    # streaming twin: per-batch index probe
     "token_budget_sample",     # token-budgeted mixing: bucketed prefix cut
+    "audio_near_dup_scaled",   # corpus-scaled twin: WAV gen + sign + pair
+    "video_near_dup_scaled",   # corpus-scaled twin: AVI gen + sign + census
 ]
 
 #: entries that model amortized ONE-TIME work (index builds): repeating
