@@ -3766,7 +3766,17 @@ def bench_video_near_dup_scaled(spark: SparkSession,
     with min_match_frames=2 + a 1-row census.  Payloads are staged once
     per sf (_staged_media): the pure-Python JPEG encode that builds the
     fixture costs more than the whole pairing path and belongs outside
-    the timed decode → sign → census work."""
+    the timed decode → sign → census work.
+
+    EXPLICIT COVERAGE CAP (no silent caps): the row runs over the
+    ``doc_id % 8 < 2`` QUARTER of documents — still corpus-
+    proportional at every sf, and the slice keeps each planted
+    (base, copy) = (did−1, did) ADJACENT pair intact whenever
+    did ≡ 1 (mod 8) (≈¼ of the planted dups, since 50-spaced dup ids
+    cycle through the odd residues mod 8).  Cap rationale: 3 pure-numpy
+    Huffman frame-decodes per doc put the full corpus at ~85 s of
+    honest decode throughput at sf0.1 (measured) — the quarter keeps
+    the same per-doc cost and scale curve at ~¼ the suite wall."""
     from frames_map_reduce_spark.operators.multimodal import (
         video_ahash_frames, video_near_dup_pairs_from_sigs)
 
@@ -3792,7 +3802,8 @@ def bench_video_near_dup_scaled(spark: SparkSession,
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "payload": payloads})
 
-    vids = _staged_media(spark, sf_dir, "avi", gen)
+    vids = _staged_media(spark, sf_dir, "avi", gen) \
+        .filter(F.col("doc_id") % 8 < 2)
     sigs = video_ahash_frames(vids, "doc_id", "payload")
     pairs = video_near_dup_pairs_from_sigs(sigs, n_bands=4, max_hamming=3,
                                            min_match_frames=2)
