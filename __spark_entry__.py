@@ -3678,10 +3678,15 @@ def _staged_media(spark: SparkSession, sf_dir: str, kind: str,
     (mapInPandas → parquet write) on the first rep; later reps read."""
     import os
     tag = os.path.basename(sf_dir.rstrip("/"))
-    path = f"/tmp/fmr_scaled_{kind}_{tag}"
+    path = f"/tmp/fmr_scaled_{kind}_{tag}_v2"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        # repartition BEFORE the Arrow stage: documents.parquet is a
+        # single file, and inheriting its one partition serializes both
+        # the generation and every downstream decode on one core (the
+        # unsliced video row measured 84 s at sf0.1 for exactly this
+        # reason — 150k Huffman decodes on one worker)
         ids = spark.read.parquet(f"{sf_dir}/documents.parquet") \
-            .select("doc_id")
+            .select("doc_id").repartition(64)
         ids.mapInPandas(gen, "doc_id long, payload binary") \
            .write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
