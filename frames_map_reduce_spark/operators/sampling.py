@@ -325,7 +325,12 @@ def token_budget_sample(df: DataFrame, cost_col: str, key_col: str,
     partitioning agree on it exactly.
 
     ``budget`` is a uniform int or a ``{group_value: int}`` mapping
-    (unmapped groups drop — budget 0).  ``cost_col`` must be integral
+    (unmapped groups drop — budget 0, and a NULL group is "unmapped"
+    too: ``CASE``/``when`` comparison is NULL, the filter rejects).
+    Under a UNIFORM budget a NULL ``by`` group is a group like any
+    other and keeps its prefix — the offsets join is null-safe
+    (r12 advice: a plain equi-join silently dropped NULL-group rows
+    that the serial-window twin kept).  ``cost_col`` must be integral
     and ≥ 0 (a negative cost breaks prefix monotonicity — named in-plan
     error); NULL costs count 0 (a cost-less row is free to keep).
     ``key_col`` must be unique per row (the `deterministic_shuffle`
@@ -367,11 +372,21 @@ def token_budget_sample(df: DataFrame, cost_col: str, key_col: str,
         F.coalesce(F.sum("_bsum").over(woff), F.lit(0)).alias("_toff"))
     wrun = Window.partitionBy(*gb, "_hb").orderBy("_h", key_col) \
                  .rowsBetween(Window.unboundedPreceding, 0)
-    return (with_h.join(F.broadcast(offsets), gb + ["_hb"])
-                  .withColumn(out, (F.col("_toff")
-                                    + F.sum("_c").over(wrun)).cast("bigint"))
-                  .filter(F.col(out) <= _budget_col(budget, by))
-                  .drop("_h", "_hb", "_c", "_toff"))
+    if by:
+        # null-safe on the group key: a NULL-group row must still find
+        # its bucket offset (plain equi-join never matches NULL = NULL).
+        off = offsets.withColumnRenamed(by, "_gby") \
+                     .withColumnRenamed("_hb", "_ohb")
+        cond = F.col(by).eqNullSafe(F.col("_gby")) & \
+            (F.col("_hb") == F.col("_ohb"))
+        joined = with_h.join(F.broadcast(off), cond).drop("_gby", "_ohb")
+    else:
+        joined = with_h.join(F.broadcast(offsets), ["_hb"])
+    return (joined
+            .withColumn(out, (F.col("_toff")
+                              + F.sum("_c").over(wrun)).cast("bigint"))
+            .filter(F.col(out) <= _budget_col(budget, by))
+            .drop("_h", "_hb", "_c", "_toff"))
 
 
 def token_budget_sample_sql(table: str, cost_expr: str, key_col: str,
@@ -387,14 +402,28 @@ def token_budget_sample_sql(table: str, cost_expr: str, key_col: str,
     if isinstance(budget, Mapping):
         if by is None:
             raise ValueError("a budget mapping needs `by`")
-        arms = " ".join(f"WHEN '{k}' THEN {int(v)}"
+
+        def lit(k):
+            # typed to match the Spark form's F.lit comparison: numbers
+            # render bare, strings quote with '' escaping (r12 advice:
+            # a bare f-string broke on quotes and coerced numeric keys).
+            if isinstance(k, bool) or not isinstance(k, (int, float)):
+                return "'" + str(k).replace("'", "''") + "'"
+            return repr(k)
+        arms = " ".join(f"WHEN {lit(k)} THEN {int(v)}"
                         for k, v in sorted(budget.items()))
         pred = f"{out} <= CASE {by} {arms} END"
     else:
         pred = f"{out} <= {int(budget)}"
+    # the CASE below mirrors the Spark form's raise_error guard: a
+    # negative cost must fail the query in BOTH engines, not silently
+    # yield a non-prefix keep set in one of them (r12 advice).
+    guarded = (f"CASE WHEN {cost_expr} < 0 THEN CAST(error("
+               f"'token_budget_sample: negative cost') AS BIGINT) "
+               f"ELSE coalesce({cost_expr}, 0) END")
     return f"""
         SELECT * FROM (
-            SELECT *, CAST(sum(coalesce({cost_expr}, 0)) OVER (
+            SELECT *, CAST(sum({guarded}) OVER (
                        {part}ORDER BY {h}, {key_col}
                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS {out}
             FROM {table})

@@ -640,6 +640,17 @@ def stream_decontamination_gate(stream: DataFrame, table: str,
     )
 
     require_columns(stream, [text_col, id_col])
+    # the gate APPENDS the probe's evidence + verdict columns; a stream
+    # already carrying any of them would make the left join ambiguous
+    # and bind `is_contaminated` to the wrong side (r12 advice) — fail
+    # loudly at wiring time instead.
+    clash = {"n_grams", "n_hit", "hit_frac", "is_contaminated",
+             "accept"}.intersection(stream.columns)
+    if clash:
+        raise ValueError(
+            "stream_decontamination_gate: stream columns collide with "
+            f"the gate's output schema: {sorted(clash)}; rename them "
+            "upstream")
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

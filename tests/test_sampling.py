@@ -783,3 +783,58 @@ class TestTokenBudgetSample:
         df = self._frame(spark, [(1, "a", 1)])
         with pytest.raises(ValueError):
             token_budget_sample(df, "c", "doc_id", budget=1, n_buckets=3)
+
+    def test_null_group_kept_under_uniform_budget(self, spark):
+        """r12 advice (medium): a NULL `by` group must behave as a
+        group — under a uniform budget its prefix is KEPT (the serial
+        window form keeps it), not silently dropped by a non-null-safe
+        offsets join; under a mapping it is unmapped → budget 0."""
+        from frames_map_reduce_spark.operators.sampling import (
+            hash_unit, token_budget_sample)
+        rows = [(i, None if i % 2 else "a", (i * 5) % 11)
+                for i in range(40)]
+        df = self._frame(spark, rows)
+        serial = (df.withColumn("_h", hash_unit(F.col("doc_id"), "s9"))
+                    .withColumn("run", F.sum("c").over(
+                        Window.partitionBy("src").orderBy("_h", "doc_id")
+                              .rowsBetween(Window.unboundedPreceding, 0)))
+                    .filter(F.col("run") <= 25))
+        want = sorted((r.doc_id, r.src, r.run) for r in serial.collect())
+        assert any(s is None for _, s, _ in want)  # NULL group bites
+        for nb in (1, 8, 256):
+            out = token_budget_sample(df, "c", "doc_id", budget=25,
+                                      by="src", salt="s9", n_buckets=nb)
+            got = sorted((r.doc_id, r.src, r.tokens_through)
+                         for r in out.collect())
+            assert got == want, f"n_buckets={nb}"
+        # mapping: NULL group is unmapped -> dropped entirely
+        mapped = token_budget_sample(df, "c", "doc_id", budget={"a": 1000},
+                                     by="src", salt="s9")
+        assert all(r.src == "a" for r in mapped.collect())
+
+    def test_sql_twin_guard_and_key_rendering(self, spark):
+        """r12 advice (low x2): the DuckDB twin fails on negative costs
+        exactly like the Spark form, and budget-mapping keys render
+        typed (numbers bare, quotes escaped)."""
+        import duckdb
+
+        from frames_map_reduce_spark.operators.sampling import (
+            token_budget_sample_sql)
+        con = duckdb.connect()
+        con.execute("CREATE OR REPLACE TABLE tbs_t AS SELECT * FROM ("
+                    "VALUES (1, 'a', -5)) v(doc_id, src, c)")
+        sql = token_budget_sample_sql("tbs_t", "c", "doc_id", 10, by="src")
+        with pytest.raises(duckdb.Error, match="negative cost"):
+            con.execute(sql).fetchall()
+        # typed keys: int key renders unquoted and matches an int column
+        con.execute("CREATE OR REPLACE TABLE tbs_i AS SELECT * FROM ("
+                    "VALUES (1, 7, 3), (2, 8, 3)) v(doc_id, grp, c)")
+        sql = token_budget_sample_sql("tbs_i", "c", "doc_id",
+                                      {7: 100}, by="grp")
+        assert "WHEN 7 THEN" in sql
+        got = con.execute(sql).fetchall()
+        assert [r[0] for r in got] == [1]
+        # a quote inside a string key must not break the SQL
+        sql = token_budget_sample_sql("tbs_t", "c", "doc_id",
+                                      {"o'b": 10}, by="src")
+        assert "WHEN 'o''b' THEN" in sql

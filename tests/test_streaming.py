@@ -876,3 +876,16 @@ def test_stream_decontamination_gate_matches_batch_and_replays(
     replay = {r.doc_id: r for r in spark.read.parquet(sink).collect()}
     assert sorted(map(tuple, replay.values())) == sorted(map(tuple,
                                                              got.values()))
+
+
+def test_stream_decontamination_gate_rejects_colliding_columns(spark):
+    """r12 advice (low): a stream already carrying one of the gate's
+    output columns (n_hit etc.) would make the evidence join ambiguous
+    — the gate must refuse at wiring time with a named error."""
+    from frames_map_reduce_spark.streaming import stream_decontamination_gate
+
+    bad = spark.createDataFrame([(1, "x", 3)],
+                                "doc_id long, text string, n_hit long")
+    with pytest.raises(ValueError, match="collide"):
+        stream_decontamination_gate(bad, "t_any", "text", "doc_id",
+                                    "/tmp/unused_sink")
