@@ -4104,6 +4104,55 @@ def q_decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .cast("long").alias("tokens_kept")))
 
 
+def q_media_contamination_firewall(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """MEDIA decontamination firewall (r12 verdict #1 — the composition
+    of the persisted-firewall lifecycle with the perceptual-hash
+    family): eval-suite IMAGES and AUDIO are aHash-signed (real
+    pixel/sample decode) and persisted banded
+    (multimodal.build_media_contamination_index), a second benchmark
+    generation is EXTEND-appended (delta decode only), and the incoming
+    training media batch is screened at probe cost — one Arrow decode
+    pass + a broadcast banded equi-join + the codegen Hamming verify +
+    one per-item reduce.  Catches recompressed/companded/edited copies
+    of eval media that byte-level decontamination cannot see.  One
+    census row per incoming item and kind: eval-hit count, closest
+    Hamming (-1 when clean), and the verdict flag.
+
+    The probe's reduce is multiplicity-blind (countDistinct/min), so
+    build(A); extend(B) ≡ build(A ∪ B) — which is what the oracle
+    replays: all-pairs Hamming from the fixtures' PRE-ENCODE truth
+    bands (gen_image_dedup/gen_audio_dedup ground truth) over the same
+    even/odd split; banding is recall-exact for hamming < n_bands
+    (pigeonhole) and precision-exact (full-signature verify)."""
+    from frames_map_reduce_spark.operators import multimodal as MM
+
+    out = []
+    for kind, path in (("image", IMAGE_DEDUP_PARQUET),
+                       ("audio", AUDIO_DEDUP_PARQUET)):
+        media = spark.read.parquet(path).select("doc_id", "payload")
+        tbl = f"media_cont_{kind}"
+        MM.build_media_contamination_index(
+            media.filter(F.col("doc_id") % 4 == 0), tbl, "doc_id",
+            "payload", kind=kind)
+        MM.extend_media_contamination_index(
+            media.filter(F.col("doc_id") % 4 == 2), tbl, "doc_id",
+            "payload", kind=kind)
+        inc = media.filter(F.col("doc_id") % 2 == 1)
+        hits = MM.probe_media_contamination_index(
+            spark, tbl, inc, "doc_id", "payload", kind=kind)
+        out.append(
+            inc.select("doc_id").join(hits, "doc_id", "left")
+               .select(F.lit(kind).alias("kind"), "doc_id",
+                       F.coalesce("n_eval_hits", F.lit(0)).cast("bigint")
+                        .alias("n_eval_hits"),
+                       F.coalesce("best_hamming", F.lit(-1)).cast("int")
+                        .alias("best_hamming"),
+                       F.col("n_eval_hits").isNotNull()
+                        .alias("contaminated")))
+    return out[0].unionByName(out[1])
+
+
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus cleaning — the composed use-case the engine
     exists for: language-ID filter → quality threshold → PII redaction →
@@ -4822,6 +4871,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_drift": q_ivf_drift,
         "video_near_dup": q_video_near_dup,
         "audio_near_dup": q_audio_near_dup,
+        # r13 debuts
+        "media_contamination_firewall": q_media_contamination_firewall,
     }
 
 
@@ -6160,6 +6211,42 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(a.n_near, 0)::BIGINT AS n_near,
                    COALESCE(a.best, -1)::INTEGER AS best_hamming
             FROM _and_sigs s LEFT JOIN _and_agg a USING (doc_id)""",
+        # extend≡rebuild law + pre-encode-truth all-pairs replay of the
+        # banded probe (recall-exact by pigeonhole for hamming < 4,
+        # precision-exact by the full-signature verify) — per kind,
+        # even doc_ids are the eval suite (build %4==0, extend %4==2),
+        # odd doc_ids the incoming training batch
+        "media_contamination_firewall": f"""
+            WITH _mcf_sigs AS (
+                SELECT 'image' AS kind, doc_id, true_b0 AS b0,
+                       true_b1 AS b1, true_b2 AS b2, true_b3 AS b3
+                FROM '{IMAGE_DEDUP_PARQUET}'
+                UNION ALL
+                SELECT 'audio' AS kind, doc_id, true_b0 AS b0,
+                       true_b1 AS b1, true_b2 AS b2, true_b3 AS b3
+                FROM '{AUDIO_DEDUP_PARQUET}'),
+            _mcf_hits AS (
+                SELECT i.kind, i.doc_id,
+                       count(DISTINCT e.doc_id)::BIGINT AS n_eval_hits,
+                       min(bit_count(xor(i.b0, e.b0))
+                         + bit_count(xor(i.b1, e.b1))
+                         + bit_count(xor(i.b2, e.b2))
+                         + bit_count(xor(i.b3, e.b3)))::INTEGER AS best
+                FROM _mcf_sigs i JOIN _mcf_sigs e
+                  ON i.kind = e.kind
+                 AND i.doc_id % 2 = 1 AND e.doc_id % 2 = 0
+                 AND bit_count(xor(i.b0, e.b0))
+                   + bit_count(xor(i.b1, e.b1))
+                   + bit_count(xor(i.b2, e.b2))
+                   + bit_count(xor(i.b3, e.b3)) <= 3
+                GROUP BY i.kind, i.doc_id)
+            SELECT s.kind, s.doc_id,
+                   COALESCE(h.n_eval_hits, 0)::BIGINT AS n_eval_hits,
+                   COALESCE(h.best, -1)::INTEGER AS best_hamming,
+                   (h.doc_id IS NOT NULL) AS contaminated
+            FROM _mcf_sigs s LEFT JOIN _mcf_hits h
+              ON s.kind = h.kind AND s.doc_id = h.doc_id
+            WHERE s.doc_id % 2 = 1""",
         # per-frame pre-encode truth -> digest + all-pairs frame
         # matching + census (the image_near_dup oracle lifted to frames)
         "video_near_dup": f"""

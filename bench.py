@@ -154,6 +154,8 @@ HEADLINE = [
     "token_budget_sample",     # token-budgeted mixing: bucketed prefix cut
     "audio_near_dup_scaled",   # corpus-scaled twin: WAV gen + sign + pair
     "video_near_dup_scaled",   # corpus-scaled twin: AVI gen + sign + census
+    # round-13 additions
+    "media_contamination_firewall",  # eval-media perceptual firewall arc
 ]
 
 #: entries that model amortized ONE-TIME work (index builds): repeating

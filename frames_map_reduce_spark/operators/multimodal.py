@@ -635,3 +635,173 @@ def audio_near_dup_pairs(df: DataFrame, id_col: str, binary_col: str,
     return ahash_near_dup_pairs(sigs, n_bands=n_bands,
                                 max_hamming=max_hamming,
                                 max_bucket=max_bucket)
+
+
+# ---------------------------------------------------------------------------
+# Media contamination firewall (decontamination × perceptual hashing)
+# ---------------------------------------------------------------------------
+
+_MEDIA_SIGNERS = {"image": image_ahash, "audio": audio_ahash}
+
+
+def _media_sigs(df: DataFrame, id_col: str, binary_col: str, kind: str,
+                grid: int, n_bands: int, fake: bool) -> DataFrame:
+    try:
+        signer = _MEDIA_SIGNERS[kind]
+    except KeyError:
+        raise ValueError(
+            f"media contamination index: unknown kind {kind!r} "
+            f"(supported: {sorted(_MEDIA_SIGNERS)}); video screens at "
+            "frame granularity — sample frames and index them as images")
+    return signer(df, id_col, binary_col, grid=grid, n_bands=n_bands,
+                  fake=fake)
+
+
+def _banded_rows(sigs: DataFrame) -> DataFrame:
+    """(eval_id, bucket, bands): one row per band per item — the
+    persisted shape of a perceptual contamination index.  ``bucket`` is
+    the (band index, band value) key whose equality is the pigeonhole
+    candidate test; ``bands`` rides along for the exact verify."""
+    return (sigs.select(F.col("doc_id").alias("eval_id"), "bands",
+                        F.posexplode("bands").alias("_bi", "_bv"))
+                .select("eval_id", "bands",
+                        F.concat_ws(":", "_bi", "_bv").alias("bucket")))
+
+
+def build_media_contamination_index(eval_media: DataFrame, table: str,
+                                    id_col: str, binary_col: str,
+                                    kind: str = "image", grid: int = 8,
+                                    n_bands: int = 4, n_buckets: int = 16,
+                                    fake: bool = False) -> None:
+    """Train-once half of the MEDIA decontamination firewall — the
+    composition the text firewall
+    (retrieval.build_contamination_index, the GPT-3 Appendix C
+    n-gram screen) and the r12 perceptual-hash family were built for:
+    eval-suite IMAGES or AUDIO are aHash-signed
+    (:func:`image_ahash` / :func:`audio_ahash` — real pixel/sample
+    decode, exact-integer bits) and persisted banded as the bucketed
+    table ``{table}_bands`` (``eval_id, bands, bucket``, bucketed by
+    ``bucket``), so training batches can be screened for perceptual
+    collisions — recompressed, companded, or lightly edited copies of
+    eval media that byte-level screening cannot see.
+
+    One Arrow decode pass + one bucketed-write shuffle over the (small)
+    eval suite; training corpora are never touched.  ``kind``/``grid``/
+    ``n_bands`` are the index's spec parameters — probes and extends
+    must pass the same values (the text firewall's ``n`` convention).
+    """
+    from frames_map_reduce_spark.sources import write_bucketed
+
+    require_columns(eval_media, [id_col, binary_col])
+    sigs = _media_sigs(eval_media, id_col, binary_col, kind, grid,
+                       n_bands, fake)
+    write_bucketed(_banded_rows(sigs), f"{table}_bands", ["bucket"],
+                   n_buckets)
+
+
+def extend_media_contamination_index(eval_delta: DataFrame, table: str,
+                                     id_col: str, binary_col: str,
+                                     kind: str = "image", grid: int = 8,
+                                     n_bands: int = 4,
+                                     fake: bool = False) -> None:
+    """Append a newly-adopted benchmark's media signatures to a
+    persisted media contamination index — paying only the delta's
+    decode + banding, never reading or rewriting the existing index
+    (the extend contract shared by every firewall in the engine).
+
+    The append may repeat an ``eval_id`` already present (same item in
+    two benchmark generations).  Probes are immune by construction:
+    :func:`probe_media_contamination_index` counts DISTINCT eval ids
+    and takes a MIN Hamming — both multiplicity-blind — so
+    ``build(A); extend(B)`` probes bit-identically to
+    ``build(A ∪ B)`` (law pinned in tests and by the registry oracle).
+    """
+    from frames_map_reduce_spark.sources import write_bucketed
+
+    require_columns(eval_delta, [id_col, binary_col])
+    spark = eval_delta.sparkSession
+    nb = (spark.sql(f"DESCRIBE TABLE EXTENDED `{table}_bands`")
+               .filter(F.col("col_name") == "Num Buckets")
+               .select("data_type").head())
+    sigs = _media_sigs(eval_delta, id_col, binary_col, kind, grid,
+                       n_bands, fake)
+    write_bucketed(_banded_rows(sigs), f"{table}_bands", ["bucket"],
+                   int(nb[0]) if nb else 16, mode="append")
+
+
+def probe_media_contamination_index(spark, table: str, incoming: DataFrame,
+                                    id_col: str, binary_col: str,
+                                    kind: str = "image", grid: int = 8,
+                                    n_bands: int = 4, max_hamming: int = 3,
+                                    fake: bool = False) -> DataFrame:
+    """Query-many half: screen an incoming training media batch against
+    a persisted media contamination index.  Returns one row per
+    CONTAMINATED incoming item — ``(id_col, n_eval_hits,
+    best_hamming)``: how many distinct eval items it perceptually
+    matches (full-signature Hamming ≤ ``max_hamming``) and the closest
+    such distance.
+
+    Recall is EXACT for ``max_hamming < n_bands``: two signatures
+    within that Hamming distance agree exactly on ≥1 band
+    (pigeonhole), so the banded equi-join proposes every true match
+    and the unrolled :func:`~frames_map_reduce_spark.operators.dedup.hamming_words`
+    verify keeps precision exact — the same argument as
+    :func:`ahash_near_dup_pairs`, and the reason the oracle can replay
+    this all-pairs.
+
+    Plan: ONE Arrow decode pass over the batch (n_bands skinny rows
+    per item), the benchmark-sized index broadcast, a candidate
+    equi-join on ``bucket``, the codegen Hamming filter, and one
+    per-item reduce (``countDistinct``/``min`` — multiplicity-blind,
+    which is what makes extend≡rebuild exact).  Zero index-side
+    exchanges, no corpus self-join.  A degenerate band value (solid
+    frames) fans out incoming × that bucket's eval rows — bounded by
+    the eval suite size; watch ``max_bucket`` in
+    :func:`media_contamination_index_stats` if eval media is
+    boilerplate-heavy."""
+    from frames_map_reduce_spark.operators.dedup import hamming_words
+
+    require_columns(incoming, [id_col, binary_col])
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= n_bands={n_bands}: banding "
+            "only guarantees recall for Hamming distance < n_bands")
+    idx = spark.table(f"{table}_bands") \
+        .withColumnRenamed("bands", "_ibands")
+    sigs = _media_sigs(incoming, id_col, binary_col, kind, grid,
+                       n_bands, fake)
+    banded = (sigs.select(F.col("doc_id").alias(id_col), "bands",
+                          F.posexplode("bands").alias("_bi", "_bv"))
+                  .select(id_col, "bands",
+                          F.concat_ws(":", "_bi", "_bv").alias("bucket")))
+    cand = (banded.join(F.broadcast(idx), "bucket")
+                  .select(id_col, "eval_id",
+                          hamming_words(F.col("bands"), F.col("_ibands"),
+                                        n_bands).alias("_hd"))
+                  .filter(F.col("_hd") <= max_hamming))
+    return (cand.groupBy(id_col)
+                .agg(F.countDistinct("eval_id").cast("long")
+                      .alias("n_eval_hits"),
+                     F.min("_hd").cast("int").alias("best_hamming")))
+
+
+def media_contamination_index_stats(spark, table: str) -> DataFrame:
+    """Lifecycle monitor for a persisted media contamination index: one
+    row — persisted band rows, distinct eval items, distinct buckets,
+    and the largest bucket's row count (the probe's worst-case fan-out
+    multiplier; a huge value means boilerplate eval media — rebuild
+    with a finer grid or screen those eval items).  One aggregation
+    over the skinny index, nothing driver-side."""
+    idx = spark.table(f"{table}_bands")
+    # two-phase: per-bucket counts (shuffle-free on the bucketed table),
+    # then a 1-row rollup; the distinct-item count rides a second 1-row
+    # agg merged by broadcast crossJoin (the dashboard merge pattern).
+    per_bucket = idx.groupBy("bucket").agg(F.count(F.lit(1)).alias("_n"))
+    shape = per_bucket.agg(
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max("_n").cast("long").alias("max_bucket"))
+    items = idx.agg(F.countDistinct("eval_id").cast("long")
+                     .alias("n_items"))
+    return shape.crossJoin(F.broadcast(items)) \
+                .select("n_rows", "n_items", "n_buckets", "max_bucket")

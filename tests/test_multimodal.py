@@ -734,3 +734,97 @@ def test_wav_samples_validation():
     from frames_map_reduce_spark.functions.media import wav_samples
     with pytest.raises(ValueError, match="PCM16 or G.711"):
         wav_samples(b"RIFFxxxxWAVE not really")
+
+
+# ---------------------------------------------------------------------------
+# Media contamination firewall (r12 verdict #1: decontamination ×
+# perceptual hashing) — eval images/audio screened out of training media.
+# ---------------------------------------------------------------------------
+
+class TestMediaContaminationFirewall:
+    def _truth_hits(self, rows, eval_ids, inc_ids, max_hamming=3):
+        """All-pairs replay from the fixture's PRE-ENCODE truth bands."""
+        bands = {r["doc_id"]: (r["true_b0"], r["true_b1"], r["true_b2"],
+                               r["true_b3"]) for r in rows}
+        out = {}
+        for i in inc_ids:
+            hds = [sum(bin(a ^ b).count("1")
+                       for a, b in zip(bands[i], bands[e]))
+                   for e in eval_ids]
+            hits = [h for h in hds if h <= max_hamming]
+            if hits:
+                out[i] = (len(hits), min(hits))
+        return out
+
+    def test_image_lifecycle_extend_equals_rebuild(self, image_dedup):
+        """build(A); extend(B) probes bit-identically to build(A ∪ B),
+        and both equal the all-pairs truth replay over pre-encode bands
+        (recall-exact by pigeonhole for max_hamming < n_bands)."""
+        from frames_map_reduce_spark.operators.multimodal import (
+            build_media_contamination_index,
+            extend_media_contamination_index,
+            probe_media_contamination_index)
+        spark = image_dedup.sparkSession
+        a = image_dedup.filter(F.col("doc_id") % 4 == 0)
+        b = image_dedup.filter(F.col("doc_id") % 4 == 2)
+        inc = image_dedup.filter(F.col("doc_id") % 2 == 1)
+        build_media_contamination_index(a, "t_mcf_img", "doc_id", "payload")
+        extend_media_contamination_index(b, "t_mcf_img", "doc_id", "payload")
+        got = {r["doc_id"]: (r["n_eval_hits"], r["best_hamming"])
+               for r in probe_media_contamination_index(
+                   spark, "t_mcf_img", inc, "doc_id", "payload").collect()}
+        rows = image_dedup.collect()
+        eval_ids = [r["doc_id"] for r in rows if r["doc_id"] % 2 == 0]
+        inc_ids = [r["doc_id"] for r in rows if r["doc_id"] % 2 == 1]
+        want = self._truth_hits(rows, eval_ids, inc_ids)
+        assert want and got == want
+        # rebuild over A ∪ B probes identically (the extend law)
+        build_media_contamination_index(
+            image_dedup.filter(F.col("doc_id") % 2 == 0), "t_mcf_img2",
+            "doc_id", "payload")
+        got2 = {r["doc_id"]: (r["n_eval_hits"], r["best_hamming"])
+                for r in probe_media_contamination_index(
+                    spark, "t_mcf_img2", inc, "doc_id",
+                    "payload").collect()}
+        assert got2 == got
+
+    def test_audio_cross_codec_contamination(self, audio_dedup):
+        """An eval track indexed as PCM16 flags its mu-law/A-law/gain
+        re-encodes in the incoming batch at Hamming 0 — the leak that
+        byte-level decontamination cannot see."""
+        from frames_map_reduce_spark.operators.multimodal import (
+            build_media_contamination_index,
+            probe_media_contamination_index)
+        spark = audio_dedup.sparkSession
+        # fixture cluster: docs 0-5 are codec variants of one track
+        build_media_contamination_index(
+            audio_dedup.filter(F.col("doc_id") == 0), "t_mcf_aud",
+            "doc_id", "payload", kind="audio")
+        inc = audio_dedup.filter(F.col("doc_id") > 0)
+        got = {r["doc_id"]: r["best_hamming"]
+               for r in probe_media_contamination_index(
+                   spark, "t_mcf_aud", inc, "doc_id", "payload",
+                   kind="audio").collect()}
+        assert all(got[d] == 0 for d in (1, 2, 3, 4, 5))
+        assert got.get(6) == 3          # window-boosted edit
+        assert all(d <= 6 for d in got)  # distinct tracks stay clean
+
+    def test_probe_validation_and_stats(self, image_dedup):
+        from frames_map_reduce_spark.operators.multimodal import (
+            build_media_contamination_index,
+            media_contamination_index_stats,
+            probe_media_contamination_index)
+        spark = image_dedup.sparkSession
+        with pytest.raises(ValueError, match="kind"):
+            build_media_contamination_index(
+                image_dedup, "t_mcf_bad", "doc_id", "payload",
+                kind="video")
+        build_media_contamination_index(
+            image_dedup.limit(4), "t_mcf_val", "doc_id", "payload")
+        with pytest.raises(ValueError, match="recall"):
+            probe_media_contamination_index(
+                spark, "t_mcf_val", image_dedup, "doc_id", "payload",
+                max_hamming=4)
+        st = media_contamination_index_stats(spark, "t_mcf_val").head()
+        assert st["n_rows"] == 16 and st["n_items"] == 4
+        assert st["n_buckets"] <= 16 and st["max_bucket"] >= 1

@@ -275,3 +275,36 @@ def test_token_budget_sample_plan_shape(documents):
         assert re.search(r"_hb#\d+,", s), f"full-group window: ({s})"
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.fixture()
+def image_dedup(spark):
+    import os
+    return spark.read.parquet(os.path.join(
+        os.path.dirname(__file__), "fixtures", "image_dedup.parquet"))
+
+
+def test_media_contamination_probe_plan_shape(spark, image_dedup):
+    """The media firewall probe's scale contract: ONE Arrow decode
+    stage over the incoming batch, the persisted index joined by
+    BROADCAST hash on the band bucket, and no cartesian / nested-loop
+    anywhere — probe cost is one batch scan plus a per-item reduce,
+    with zero index-side exchanges."""
+    from frames_map_reduce_spark.operators.multimodal import (
+        build_media_contamination_index, probe_media_contamination_index)
+    from frames_map_reduce_spark.plans import explain_formatted
+
+    build_media_contamination_index(
+        image_dedup.filter(F.col("doc_id") % 2 == 0), "t_mcf_plan",
+        "doc_id", "payload")
+    out = probe_media_contamination_index(
+        spark, "t_mcf_plan", image_dedup.filter(F.col("doc_id") % 2 == 1),
+        "doc_id", "payload")
+    plan = explain_formatted(out)
+    # exactly one physical MapInPandas node (tree-form match only):
+    # the single Arrow decode pass over the incoming batch
+    assert plan.count("MapInPandas (") == 1, plan[:1500]
+    assert "BatchEvalPython" not in plan        # no row-at-a-time UDF
+    assert "BroadcastHashJoin" in plan          # index broadcast
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
