@@ -2894,6 +2894,45 @@ def q_ivf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                                max_displacement_micro=_IVF_DRIFT_DISP_MICRO)
 
 
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: product-quantized residuals over the frozen coarse
+    quantizer (r12 verdict #4 — quantized.build_ivf_pq_index /
+    extend_ivf_pq_index / ivf_pq_topk).  The full lifecycle in one row:
+    build the persisted bucketed CODE lists on the BUILD slice
+    (vec_id % 4 != 3 — coarse centroids AND int64 residual codebooks
+    frozen there), EXTEND with the remaining quarter (PQ-encode against
+    the frozen spec, append — no retrain/rewrite), probe via ADC: the
+    per-query LUTs are BIGINT integer dots, so every score is
+    engine-exact.  Each row carries recall@5 vs the exact integer-MIPS
+    base (quantized_topk at a never-binding 16-bit clamp).
+
+    FULL value oracle incl. recall: centroids + codebooks replayed
+    bit-identically outside Spark (replay_ivf_centroids /
+    replay_pq_codebooks on the build slice), then
+    quantized.ivf_pq_oracle_sql re-derives assignment, quantized
+    residuals, argmin codes, ADC scores, ranking, and the recall base
+    per row over the WHOLE union — a from-scratch rebuild at the frozen
+    spec, so hash equality is ALSO the extend ≡ rebuild law."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 5)
+                  .select(F.col("vec_id").alias("query_id"), "embedding"))
+    build_slice, delta, corpus = _ivf_extend_slices(emb)
+    cents, books = QZ.build_ivf_pq_index(
+        build_slice, "ivf_pq_index_driver", n_centroids=8, m_sub=8,
+        k_codes=16)
+    QZ.extend_ivf_pq_index(delta, "ivf_pq_index_driver", cents, books)
+    approx = QZ.ivf_pq_topk(spark, "ivf_pq_index_driver", queries,
+                            cents, books, k=5, nprobe=4)
+    exact = QZ.quantized_topk(corpus, queries, k=5, frac_bits=8,
+                              clamp_bits=16)
+    rec = SIM.recall_at_k(approx, exact)
+    return (approx.join(F.broadcast(rec.select("query_id", "recall")),
+                        "query_id")
+                  .select("query_id", "vec_id", "score_q",
+                          F.col("rank").cast("bigint").alias("rank"),
+                          "recall"))
+
+
 # ---------------------------------------------------------------------------
 # Scale extensions: events (JSON + sessionization + time windows)
 # ---------------------------------------------------------------------------
@@ -4873,6 +4912,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_near_dup": q_audio_near_dup,
         # r13 debuts
         "media_contamination_firewall": q_media_contamination_firewall,
+        "ann_ivf_pq": q_ann_ivf_pq,
     }
 
 
@@ -5075,6 +5115,34 @@ def _ivf_extend_oracle() -> str:
             "embeddings", "vec_id", "embedding",
             query_max_id=5, k=5, nprobe=4, centroids=cents)
     return _IVF_EXTEND_ORACLE_CACHE[path]
+
+
+_IVF_PQ_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _ivf_pq_oracle() -> str:
+    """ann_ivf_pq twin: from-scratch rebuild replay at the FROZEN spec —
+    build-slice-trained coarse centroids (replay_ivf_centroids, the
+    ann_ivf_extend convention) AND build-slice-trained int64 residual
+    codebooks (quantized.replay_pq_codebooks — integer floor-division
+    k-means, bit-replayable), embedded as literals into
+    quantized.ivf_pq_oracle_sql's per-row assignment + residual +
+    argmin-code + BIGINT ADC score + recall derivation over the union."""
+    import os
+    sf_dir = (os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
+              or os.environ.get("SPARK_GRAFT_TEST_SF_DIR")
+              or "/root/testdata/sf0.01")
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if path not in _IVF_PQ_ORACLE_CACHE:
+        keep = lambda i: i >= 5 and i % 4 != 3  # noqa: E731
+        cents = SIM.replay_ivf_centroids(path, n_centroids=8, keep=keep)
+        books = QZ.replay_pq_codebooks(path, cents, m_sub=8, k_codes=16,
+                                       keep=keep)
+        _IVF_PQ_ORACLE_CACHE[path] = QZ.ivf_pq_oracle_sql(
+            "embeddings", "vec_id", "embedding", query_max_id=5,
+            corpus_pred="vec_id >= 5", k=5, nprobe=4,
+            centroids=cents, codebooks=books)
+    return _IVF_PQ_ORACLE_CACHE[path]
 
 
 def _ivf_drift_oracle() -> str:
@@ -6604,6 +6672,14 @@ def oracle_sql() -> dict[str, str]:
         import sys
         print(f"# ivf extend/drift oracle unavailable for this fixture: "
               f"{exc}", file=sys.stderr)
+    # Same replay guard for the IVF-PQ arc (r13): coarse centroids AND
+    # int64 residual codebooks are build-slice-trained literals.
+    try:
+        out["ann_ivf_pq"] = _ivf_pq_oracle()
+    except Exception as exc:  # noqa: BLE001 — degrade, don't break all
+        import sys
+        print(f"# ann_ivf_pq oracle unavailable for this fixture: {exc}",
+              file=sys.stderr)
     # Same replay, same guard, for the SemDeDup twin (min_id=0 corpus).
     try:
         out["semantic_dedup"] = _semantic_dedup_oracle()

@@ -156,6 +156,7 @@ HEADLINE = [
     "video_near_dup_scaled",   # corpus-scaled twin: AVI gen + sign + census
     # round-13 additions
     "media_contamination_firewall",  # eval-media perceptual firewall arc
+    "ann_ivf_pq",           # IVF-PQ: residual codebooks + BIGINT ADC probe
 ]
 
 #: entries that model amortized ONE-TIME work (index builds): repeating

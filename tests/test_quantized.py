@@ -189,3 +189,157 @@ def test_quantized_topk_plan_is_codegen_broadcast(spark, embeddings):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert plan.count("MapInPandas") == 1  # partial_topk only
     assert "BatchEvalPython" not in plan   # no row-at-a-time UDF
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (r13): product-quantized residuals over the frozen coarse
+# quantizer — integer codebooks, BIGINT ADC scoring, extend ≡ rebuild.
+# ---------------------------------------------------------------------------
+
+class TestIvfPq:
+    def _split(self, embeddings):
+        queries = (embeddings.filter(F.col("vec_id") < 5)
+                             .select(F.col("vec_id").alias("query_id"),
+                                     "embedding"))
+        corpus = embeddings.filter(F.col("vec_id") >= 5)
+        return queries, corpus
+
+    def test_validation(self, spark, embeddings):
+        from frames_map_reduce_spark.operators.similarity import (
+            train_ivf_centroids)
+        cents = train_ivf_centroids(embeddings, "embedding", 4)
+        with pytest.raises(ValueError, match="divide"):
+            QZ.train_pq_codebooks(embeddings, cents, m_sub=7)
+        with pytest.raises(ValueError, match="k_codes"):
+            QZ.train_pq_codebooks(embeddings, cents, k_codes=1)
+        books = QZ.train_pq_codebooks(embeddings, cents, m_sub=8,
+                                      k_codes=4)
+        with pytest.raises(ValueError, match="nprobe"):
+            QZ.ivf_pq_topk(spark, "t_any", embeddings.limit(1)
+                           .select(F.col("vec_id").alias("query_id"),
+                                   "embedding"),
+                           cents, books, k=3, nprobe=0)
+
+    def test_training_replay_bit_identical(self, spark, embeddings,
+                                           sf_dir):
+        """Codebook training is a pure function of the sample set +
+        spec: the Spark-side train and the pyarrow replay produce the
+        SAME int64 arrays (the replay_ivf_centroids law, lifted to
+        integer PQ)."""
+        import os
+
+        from frames_map_reduce_spark.operators.similarity import (
+            train_ivf_centroids)
+        corpus = embeddings.filter(F.col("vec_id") >= 5)
+        cents = train_ivf_centroids(corpus, "embedding", 8)
+        books = QZ.train_pq_codebooks(corpus, cents, m_sub=8, k_codes=16)
+        replay = QZ.replay_pq_codebooks(
+            os.path.join(sf_dir, "embeddings.parquet"), cents,
+            m_sub=8, k_codes=16, keep=lambda i: i >= 5)
+        assert books.dtype == np.int64 and (books == replay).all()
+
+    def test_extend_equals_rebuild_and_adc_law(self, spark, embeddings):
+        """build(A); extend(B) probes identically to a rebuild over
+        A ∪ B at the frozen spec, and each ADC score equals the manual
+        reconstruction qq·cq + Σ qq_m·codebook[m][code] recomputed in
+        numpy from the persisted codes."""
+        from frames_map_reduce_spark.sources import write_bucketed
+        queries, corpus = self._split(embeddings)
+        build = corpus.filter(F.col("vec_id") % 3 != 2)
+        delta = corpus.filter(F.col("vec_id") % 3 == 2)
+        cents, books = QZ.build_ivf_pq_index(
+            build, "t_pq_ext", n_centroids=8, m_sub=8, k_codes=16)
+        QZ.extend_ivf_pq_index(delta, "t_pq_ext", cents, books)
+        out = QZ.ivf_pq_topk(spark, "t_pq_ext", queries, cents, books,
+                             k=5, nprobe=3)
+        got = sorted(map(tuple, out.collect()))
+        write_bucketed(QZ.pq_encode(corpus, cents, books), "t_pq_reb",
+                       ["_centroid"], 8)
+        reb = QZ.ivf_pq_topk(spark, "t_pq_reb", queries, cents, books,
+                             k=5, nprobe=3)
+        assert got == sorted(map(tuple, reb.collect())) and got
+        # ADC law on one scored row
+        codes = {r["vec_id"]: (r["_centroid"], r["codes"])
+                 for r in spark.table("t_pq_ext").collect()}
+        qvecs = {r["query_id"]: np.asarray(r["embedding"], np.float64)
+                 for r in queries.collect()}
+        cq = np.floor(np.asarray(cents) * 256.0).astype(np.int64)
+        for qid, vid, score, _rank, in [r[:4] for r in got[:5]]:
+            qq = np.floor(qvecs[qid] * 256.0).astype(np.int64)
+            cell, cs = codes[vid]
+            want = int(qq @ cq[cell]) + sum(
+                int(qq[m * 8:(m + 1) * 8] @ np.asarray(books[m][c]))
+                for m, c in enumerate(cs))
+            assert score == want
+
+    def test_recall_floor_and_code_width(self, spark, embeddings):
+        """Full-probe recall on the synthetic NEAR-UNIFORM corpus — 64
+        codebook bits against 64 unclustered dims is PQ's worst case
+        (residuals ARE the vectors; the 4-bit-per-subspace codebook
+        reconstructs little), so the honest floor here is low: the
+        test pins non-degeneracy (better than the ~k/N ≈ 0.01 random
+        baseline), and test_recall_high_on_clustered_data pins the
+        regime PQ exists for.  Also pins the memory shape: m_sub ints
+        per persisted vector."""
+        from frames_map_reduce_spark.operators.similarity import (
+            recall_at_k)
+        queries, corpus = self._split(embeddings)
+        cents, books = QZ.build_ivf_pq_index(
+            corpus, "t_pq_rec", n_centroids=8, m_sub=8, k_codes=16)
+        approx = QZ.ivf_pq_topk(spark, "t_pq_rec", queries, cents,
+                                books, k=5, nprobe=8)
+        exact = QZ.quantized_topk(corpus, queries, k=5, frac_bits=8,
+                                  clamp_bits=16)
+        rec = recall_at_k(approx, exact)
+        mean_rec = rec.agg(F.avg("recall")).head()[0]
+        assert mean_rec >= 0.1, mean_rec
+        row = spark.table("t_pq_rec").head()
+        assert len(row["codes"]) == 8
+
+    def test_clustered_data_ranks_right_cluster(self, spark):
+        """On CLUSTERED vectors — the regime real embedding corpora
+        live in — the ADC score resolves BETWEEN-cluster structure:
+        every full-probe top-5 member belongs to the query's own
+        cluster.  (WITHIN a tight cluster, members are near-ties at
+        noise scale — finer than any m_sub·log2(k_codes)-bit code can
+        rank, for PQ here as for FAISS; the exact re-rank of such a
+        shortlist is what ``quantized_topk`` over the float column is
+        for.)  10 gaussian clusters in 16 dims, queries perturbed
+        cluster centers."""
+        rng = np.random.default_rng(7)
+        centers = rng.uniform(-1, 1, size=(10, 16))
+        rows = []
+        for i in range(300):
+            c = centers[i % 10]
+            rows.append((i + 100,
+                         [float(v) for v in c + rng.normal(0, 0.02, 16)]))
+        qrows = [(i, [float(v) for v in centers[i]
+                      + rng.normal(0, 0.02, 16)]) for i in range(5)]
+        schema = "vec_id long, embedding array<double>"
+        corpus = spark.createDataFrame(rows, schema)
+        queries = spark.createDataFrame(qrows, schema) \
+            .withColumnRenamed("vec_id", "query_id")
+        cents, books = QZ.build_ivf_pq_index(
+            corpus, "t_pq_clus", n_centroids=8, m_sub=8, k_codes=16)
+        approx = QZ.ivf_pq_topk(spark, "t_pq_clus", queries, cents,
+                                books, k=5, nprobe=8)
+        got = approx.collect()
+        assert len(got) == 25
+        for r in got:
+            assert (r["vec_id"] - 100) % 10 == r["query_id"], r
+
+    def test_probe_plan_no_python_no_cartesian(self, spark, embeddings):
+        """The probe reads CODES, not vectors: zero Python stages on
+        the corpus side (encode happened at build time), broadcast
+        LUT join, no cartesian/NLJ."""
+        queries, corpus = self._split(embeddings)
+        cents, books = QZ.build_ivf_pq_index(
+            corpus, "t_pq_plan", n_centroids=8, m_sub=8, k_codes=16)
+        out = QZ.ivf_pq_topk(spark, "t_pq_plan", queries, cents, books,
+                             k=5, nprobe=4)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("MapInPandas") == 1   # partial_topk only
+        assert "BatchEvalPython" not in plan
+        assert "BroadcastExchange" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
