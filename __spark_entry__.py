@@ -3902,6 +3902,49 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("best_hamming")))
 
 
+def q_image_near_dup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup under the fixed-point-DCT pHash
+    (r12 verdict #5 — media.phash_bands via
+    multimodal.image_ahash(method="phash")): uniform-border trim
+    (letterbox removal) → floor-division mean-pool to 32×32 → two
+    int64 DCT matmuls → median-threshold bits over the low-frequency
+    8×8 block — same banding/pairing machinery as q_image_near_dup,
+    different sensitivity profile: the fixture's letterboxed and
+    pillarboxed re-encodes (docs 27/28) pair with their sources at
+    Hamming 0 here while flipping ~19/64 aHash bits (no aHash pair),
+    and conversely aHash's single-cell perturbation pairs sit past
+    pHash's ≤3 cut.  One census row per image: the four pHash bands
+    (byte-level decode proof for EVERY row) + the near-dup census.
+
+    Oracle: the fixture's PRE-ENCODE pHash truth bands (true_p0..3,
+    gen_image_dedup.py — the same integer pipeline over the source
+    luma planes) + the all-pairs SQL census; banding recall-exact by
+    pigeonhole, precision-exact by full-Hamming verify."""
+    from frames_map_reduce_spark.operators.multimodal import (
+        ahash_near_dup_pairs, image_ahash)
+    imgs = spark.read.parquet(IMAGE_DEDUP_PARQUET).select(
+        "doc_id", "payload")
+    sigs = image_ahash(imgs, "doc_id", "payload", method="phash")
+    pairs = ahash_near_dup_pairs(sigs, n_bands=4, max_hamming=3)
+    partners = pairs.select(F.col("id_a").alias("doc_id"),
+                            "hamming_dist") \
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id"),
+                                  "hamming_dist"))
+    agg = partners.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_near"),
+        F.min("hamming_dist").alias("_best"))
+    return (sigs.join(agg, "doc_id", "left")
+            .select("doc_id",
+                    F.element_at("bands", 1).cast("int").alias("b0"),
+                    F.element_at("bands", 2).cast("int").alias("b1"),
+                    F.element_at("bands", 3).cast("int").alias("b2"),
+                    F.element_at("bands", 4).cast("int").alias("b3"),
+                    F.coalesce("n_near", F.lit(0)).cast("bigint")
+                     .alias("n_near"),
+                    F.coalesce("_best", F.lit(-1)).cast("int")
+                     .alias("best_hamming")))
+
+
 AUDIO_DEDUP_PARQUET = "/root/repo/tests/fixtures/audio_dedup.parquet"
 
 
@@ -4913,6 +4956,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r13 debuts
         "media_contamination_firewall": q_media_contamination_firewall,
         "ann_ivf_pq": q_ann_ivf_pq,
+        "image_near_dup_phash": q_image_near_dup_phash,
     }
 
 
@@ -6251,6 +6295,34 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(a.n_near, 0)::BIGINT AS n_near,
                    COALESCE(a.best, -1)::INTEGER AS best_hamming
             FROM _ind_sigs s LEFT JOIN _ind_agg a USING (doc_id)""",
+        # the image_near_dup oracle shape over the pHash truth columns
+        "image_near_dup_phash": f"""
+            WITH _inp_sigs AS (
+                SELECT doc_id, true_p0 AS b0, true_p1 AS b1,
+                       true_p2 AS b2, true_p3 AS b3
+                FROM '{IMAGE_DEDUP_PARQUET}'),
+            _inp_pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       bit_count(xor(a.b0, b.b0))
+                     + bit_count(xor(a.b1, b.b1))
+                     + bit_count(xor(a.b2, b.b2))
+                     + bit_count(xor(a.b3, b.b3)) AS hd
+                FROM _inp_sigs a JOIN _inp_sigs b
+                  ON a.doc_id < b.doc_id),
+            _inp_near AS (SELECT * FROM _inp_pairs WHERE hd <= 3),
+            _inp_part AS (
+                SELECT id_a AS doc_id, hd FROM _inp_near
+                UNION ALL
+                SELECT id_b AS doc_id, hd FROM _inp_near),
+            _inp_agg AS (
+                SELECT doc_id, count(*) AS n_near, min(hd) AS best
+                FROM _inp_part GROUP BY doc_id)
+            SELECT s.doc_id,
+                   s.b0::INTEGER AS b0, s.b1::INTEGER AS b1,
+                   s.b2::INTEGER AS b2, s.b3::INTEGER AS b3,
+                   COALESCE(a.n_near, 0)::BIGINT AS n_near,
+                   COALESCE(a.best, -1)::INTEGER AS best_hamming
+            FROM _inp_sigs s LEFT JOIN _inp_agg a USING (doc_id)""",
         # same pre-encode-truth + all-pairs shape over the audio fixture
         "audio_near_dup": f"""
             WITH _and_sigs AS (

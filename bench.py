@@ -157,6 +157,7 @@ HEADLINE = [
     # round-13 additions
     "media_contamination_firewall",  # eval-media perceptual firewall arc
     "ann_ivf_pq",           # IVF-PQ: residual codebooks + BIGINT ADC probe
+    "image_near_dup_phash",  # integer-DCT pHash: trim + pool + DCT + pair
 ]
 
 #: entries that model amortized ONE-TIME work (index builds): repeating

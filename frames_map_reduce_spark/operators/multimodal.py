@@ -314,7 +314,7 @@ def sample_frames(df: DataFrame, id_col: str, binary_col: str,
 
 def image_ahash(df: DataFrame, id_col: str, binary_col: str,
                 grid: int = 8, n_bands: int = 4,
-                fake: bool = False) -> DataFrame:
+                fake: bool = False, method: str = "ahash") -> DataFrame:
     """Perceptual average-hash signatures for image payloads:
     ``(doc_id, bands array<bigint>)`` where ``bands`` holds the aHash's
     ``grid²`` bits split into ``n_bands`` integers (media.ahash_bands —
@@ -330,11 +330,21 @@ def image_ahash(df: DataFrame, id_col: str, binary_col: str,
     Scale shape: ONE Arrow-batched mapInPandas scan, O(pixels) per row,
     bytes never on the driver; output is id + n_bands small ints — the
     narrowest possible signature frame to shuffle downstream.
+
+    ``method="phash"`` swaps the bit rule for the fixed-point-DCT
+    perceptual hash (:func:`media.phash_bands` — r12 verdict #5):
+    same banding/pairing machinery, but letterboxed/pillarboxed and
+    integer-rescaled re-encodes hash IDENTICALLY where aHash's
+    geometry-tied cells flip many bits.
     """
+    if method not in ("ahash", "phash"):
+        raise ValueError(f"method must be 'ahash' or 'phash', "
+                         f"got {method!r}")
     require_columns(df, [id_col, binary_col])
+    hash_fn = MEDIA.ahash_bands if method == "ahash" else MEDIA.phash_bands
     # validate the geometry at plan-build time, not inside the worker
-    MEDIA.ahash_bands(np.zeros((grid, grid), dtype=np.int64),
-                      grid=grid, n_bands=n_bands)
+    hash_fn(np.zeros((grid * 4, grid * 4), dtype=np.int64),
+            grid=grid, n_bands=n_bands)
     narrow = df.select(F.col(id_col).alias("doc_id"),
                        F.col(binary_col).alias("_payload"))
     schema = "doc_id long, bands array<long>"
@@ -352,7 +362,7 @@ def image_ahash(df: DataFrame, id_col: str, binary_col: str,
                     out.append([(val >> (width * m)) & ((1 << width) - 1)
                                 for m in range(n_bands)])
                 else:
-                    out.append(MEDIA.ahash_bands(
+                    out.append(hash_fn(
                         MEDIA.image_luma1000(b), grid=grid,
                         n_bands=n_bands))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "bands": out})
@@ -363,7 +373,8 @@ def image_ahash(df: DataFrame, id_col: str, binary_col: str,
 def image_near_dup_pairs(df: DataFrame, id_col: str, binary_col: str,
                          grid: int = 8, n_bands: int = 4,
                          max_hamming: int = 3, max_bucket: int = 2000,
-                         fake: bool = False) -> DataFrame:
+                         fake: bool = False,
+                         method: str = "ahash") -> DataFrame:
     """Visual near-duplicate pairs over image payloads — SimHash's
     banded-Hamming pairing (dedup.py simhash_near_dup_pairs, conventions
     mirrored verbatim) applied to perceptual aHash bits: any pair within
@@ -386,7 +397,7 @@ def image_near_dup_pairs(df: DataFrame, id_col: str, binary_col: str,
     cartesian anywhere; the pair stage touches only same-bucket rows.
     """
     sigs = image_ahash(df, id_col, binary_col, grid=grid,
-                       n_bands=n_bands, fake=fake)
+                       n_bands=n_bands, fake=fake, method=method)
     return ahash_near_dup_pairs(sigs, n_bands=n_bands,
                                 max_hamming=max_hamming,
                                 max_bucket=max_bucket)

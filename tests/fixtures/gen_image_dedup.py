@@ -10,6 +10,7 @@ Columns:
   payload   binary   (real PNG / grayscale GIF / baseline-JPEG bytes,
                       this repo's own encoders)
   true_fmt  string   (debug only)
+  true_p0..true_p3  integer  (pHash truth — r13; same convention)
   true_b0..true_b3  integer  (the four 16-bit aHash band values of the
                       source-derived milli-luma plane: PNG/GIF are
                       lossless so the plane IS the source luma; JPEG's
@@ -40,7 +41,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 from frames_map_reduce_spark.functions.media import (  # noqa: E402
     _DCT, JPEG_QL, ahash_bands, gif_encode_gray, jpeg_encode_gray,
-    png_encode)
+    phash_bands, png_encode)
 
 OUT = os.path.join(os.path.dirname(__file__), "image_dedup.parquet")
 
@@ -93,7 +94,8 @@ def main() -> None:
     def add(payload: bytes, fmt: str, lum: np.ndarray) -> None:
         nonlocal did
         b = ahash_bands(lum, grid=GRID, n_bands=N_BANDS)
-        rows.append((did, payload, fmt, *b))
+        p = phash_bands(lum, grid=GRID, n_bands=N_BANDS)
+        rows.append((did, payload, fmt, *b, *p))
         did += 1
 
     # --- solid PNGs: every cell mean == global mean -> all-zero hash,
@@ -153,6 +155,17 @@ def main() -> None:
         img = rng.integers(0, 256, size=(32, 40), dtype=np.uint8)
         add(jpeg_encode_gray(img), "jpeg-rand", luma1000_jpeg(img))
 
+    # --- boxed re-encodes (r13, pHash truth rows): letterboxed /
+    # pillarboxed copies of cluster bases.  Under aHash the bars shift
+    # every cell (~19/64 bits — no pair); under pHash the uniform-border
+    # trim recovers the frame EXACTLY (Hamming 0 with base + copy).
+    lb = np.zeros((44, 32), dtype=np.uint8)
+    lb[6:38] = base_a
+    add(png_encode(lb[:, :, None]), "png-letterbox", luma1000_gray(lb))
+    pb = np.full((28, 52), 17, dtype=np.uint8)
+    pb[:, 6:46] = base_c
+    add(gif_encode_gray(pb), "gif-pillarbox", luma1000_gray(pb))
+
     table = pa.table({
         "doc_id": pa.array([r[0] for r in rows], pa.int64()),
         "payload": pa.array([r[1] for r in rows], pa.binary()),
@@ -161,6 +174,10 @@ def main() -> None:
         "true_b1": pa.array([r[4] for r in rows], pa.int32()),
         "true_b2": pa.array([r[5] for r in rows], pa.int32()),
         "true_b3": pa.array([r[6] for r in rows], pa.int32()),
+        "true_p0": pa.array([r[7] for r in rows], pa.int32()),
+        "true_p1": pa.array([r[8] for r in rows], pa.int32()),
+        "true_p2": pa.array([r[9] for r in rows], pa.int32()),
+        "true_p3": pa.array([r[10] for r in rows], pa.int32()),
     })
     pq.write_table(table, OUT, compression="snappy")
     print(f"wrote {OUT}: {table.num_rows} rows")
