@@ -911,13 +911,22 @@ def q_quality_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  checkpoint=f"{base}/ckpt",
                                  psi_alert=_QDASH_PSI_ALERT,
                                  entropy_floor_micro=_QDASH_ENT_FLOOR,
-                                 min_pass_rate_milli=_QDASH_PASS_MILLI)
+                                 min_pass_rate_milli=_QDASH_PASS_MILLI,
+                                 # r13: tokenizer-drift column pair
+                                 # (frozen vocab; the per-batch fallback
+                                 # share sits ~637‰ < 750 at every SF, so
+                                 # alert_oov is False here — BOTH
+                                 # polarities of the same verdict logic
+                                 # are proven by q_tokenizer_oov)
+                                 oov=True,
+                                 max_fallback_milli=_OOV_MAX_FALLBACK_MILLI)
     q.awaitTermination()
     return (spark.read.parquet(f"{base}/out")
                  .select(F.col("batch_id").cast("bigint").alias("batch_id"),
                          "n_docs", "entropy_mean_micro", "psi_micro",
                          "n_pass_quality", "logit_total",
-                         "alert_psi", "alert_entropy", "alert_pass_rate"))
+                         "alert_psi", "alert_entropy", "alert_pass_rate",
+                         "fallback_per_milli", "alert_oov"))
 
 
 _QUALITY_DASH_ORACLE_CACHE: dict[str, str] = {}
@@ -957,6 +966,9 @@ def _quality_dashboard_oracle() -> str:
             score = CLF.classifier_score_sql(
                 slice_tbl, "_qdash_weights", "text", "doc_id",
                 n_buckets=_QCLF_BUCKETS, salt=_QCLF_SALT)
+            oov = TKZ.tokenizer_oov_stats_sql(
+                slice_tbl, "text", "doc_id",
+                max_fallback_milli=_OOV_MAX_FALLBACK_MILLI)
             parts.append(f"""
             SELECT CAST({k} AS BIGINT) AS batch_id, n_docs,
                    entropy_mean_micro, psi_micro,
@@ -965,7 +977,8 @@ def _quality_dashboard_oracle() -> str:
                    coalesce(entropy_mean_micro < {_QDASH_ENT_FLOOR},
                             TRUE) AS alert_entropy,
                    n_pass_quality * 1000
-                       < {_QDASH_PASS_MILLI} * n_docs AS alert_pass_rate
+                       < {_QDASH_PASS_MILLI} * n_docs AS alert_pass_rate,
+                   fallback_per_milli, alert_oov
             FROM (SELECT count(*)::BIGINT AS n_docs FROM {slice_tbl})
             CROSS JOIN (
                 SELECT CASE WHEN count(*) > 0 THEN
@@ -979,7 +992,10 @@ def _quality_dashboard_oracle() -> str:
                                          THEN 1 ELSE 0 END), 0)::BIGINT
                            AS n_pass_quality,
                        coalesce(sum(logit_sum), 0)::BIGINT AS logit_total
-                FROM ({score}))""")
+                FROM ({score}))
+            CROSS JOIN (
+                SELECT fallback_per_milli,
+                       needs_retrain AS alert_oov FROM ({oov}))""")
         weights = CLF.train_logodds_classifier_sql(
             "(SELECT text, (lang = 'en') AS _is_en FROM documents)",
             "text", "_is_en", n_buckets=_QCLF_BUCKETS, salt=_QCLF_SALT)
@@ -1023,6 +1039,39 @@ def _token_ids_roundtrip_oracle() -> str:
             f"CAST(length({stream}) AS BIGINT) AS decoded_chars "
             f"FROM documents "
             f"WHERE len(regexp_extract_all(lower(text), '{TX.WORDISH}')) > 0")
+
+
+#: tokenizer_oov rig constants: the deliberately tiny inventory models a
+#: stale/mis-sized vocabulary; 750 sits between the frozen vocab's
+#: measured ~638‰ fallback and the tiny inventory's ~953‰ at every SF,
+#: so the verdict splits true/false in one row set.
+_OOV_TINY_INV = ("the", "and", "ing", "ion", "er")
+_OOV_MAX_FALLBACK_MILLI = 750
+
+
+def q_tokenizer_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary-drift monitor (r12 verdict #6 —
+    tokenizer.tokenizer_oov_stats, the ivf_drift_stats convention
+    applied to the frozen BPE inventory): exact-integer corpus
+    accounting of the greedy encoder's single-char FALLBACK path —
+    emitted-token fallback share and encodable character mass in
+    cross-multiplied integer milli — with a ``needs_retrain`` verdict.
+    Two rows, both polarities: the frozen SUBWORD_VOCAB (fallback
+    under the 750‰ rig threshold → False) vs a deliberately tiny
+    inventory (over → True).  One Arrow scan + one 1-row agg per
+    inventory.  FULL oracle: the recursive-CTE greedy scan threading
+    the paired token/fallback CASEs (tokenizer_oov_stats_sql) with the
+    identical integer staging."""
+    docs = _docs(spark, sf_dir)
+    a = TKZ.tokenizer_oov_stats(
+        docs, "text",
+        max_fallback_milli=_OOV_MAX_FALLBACK_MILLI) \
+        .select(F.lit("frozen").alias("tokenizer"), "*")
+    b = TKZ.tokenizer_oov_stats(
+        docs, "text", inventory=_OOV_TINY_INV,
+        max_fallback_milli=_OOV_MAX_FALLBACK_MILLI) \
+        .select(F.lit("tiny").alias("tokenizer"), "*")
+    return a.unionByName(b)
 
 
 def q_profile_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4957,6 +5006,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_contamination_firewall": q_media_contamination_firewall,
         "ann_ivf_pq": q_ann_ivf_pq,
         "image_near_dup_phash": q_image_near_dup_phash,
+        "tokenizer_oov": q_tokenizer_oov,
     }
 
 
@@ -6722,6 +6772,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_type = 'click'
             GROUP BY user_id""",
     }
+    # tokenizer_oov: the twin SQL is generated from the SAME inventories
+    # the rig encodes with (the subword_step_case_sql convention) — no
+    # data-dependent constants, so no replay guard needed.
+    out["tokenizer_oov"] = f"""
+        SELECT 'frozen' AS tokenizer, * FROM (
+            {TKZ.tokenizer_oov_stats_sql(
+                "documents", "text", "doc_id",
+                max_fallback_milli=_OOV_MAX_FALLBACK_MILLI)})
+        UNION ALL
+        SELECT 'tiny' AS tokenizer, * FROM (
+            {TKZ.tokenizer_oov_stats_sql(
+                "documents", "text", "doc_id", inventory=_OOV_TINY_INV,
+                max_fallback_milli=_OOV_MAX_FALLBACK_MILLI)})"""
     # The IVF twin replays data-dependent centroids from the fixture's
     # embeddings parquet EAGERLY; if the resolved fixture lacks the file
     # or outgrows the replay's sample_limit, that must cost only the two

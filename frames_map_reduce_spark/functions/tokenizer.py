@@ -612,3 +612,173 @@ def bpe_merges_values_sql(merges) -> str:
             f'"right", merged, CAST(pair_count AS BIGINT) AS pair_count '
             f'FROM (VALUES {vals}) AS '
             f't(merge_rank, "left", "right", merged, pair_count)')
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer OOV / drift monitor (r12 verdict #6): when to retrain BPE
+# ---------------------------------------------------------------------------
+
+def _encode_len_fb(word: str, by_len: dict[int, frozenset[str]],
+                   lens_desc: tuple[int, ...]) -> tuple[int, int]:
+    """(n_tokens, n_fallback) of the greedy encode — a step is a
+    FALLBACK iff NO inventory entry matched at the position (the
+    inventory contract bars single-char entries, so fallbacks are
+    exactly the single-char steps): the steps that take the
+    ``len(inventory) + codepoint`` ID path."""
+    n = len(word)
+    pos = 0
+    count = 0
+    fb = 0
+    while pos < n:
+        step = 1
+        matched = False
+        for ln in lens_desc:
+            if word[pos:pos + ln] in by_len[ln]:
+                step = ln
+                matched = True
+                break
+        if not matched:
+            fb += 1
+        pos += step
+        count += 1
+    return count, fb
+
+
+def _fallback_case_sql(word_expr: str, pos_expr: str,
+                       inventory: tuple[str, ...] | None = None) -> str:
+    """The fallback indicator as a closed-form CASE (0 when any
+    inventory entry matches at the position, else 1) — generated from
+    the SAME inventory as :func:`subword_step_case_sql`, so the two
+    scans cannot drift."""
+    by_len, lens_desc = ((_BY_LEN, _LENS_DESC) if inventory is None
+                         else _index_inventory(inventory))
+    if not by_len:
+        return "1"
+    arms = []
+    for ln in lens_desc:
+        lits = ", ".join("'" + w.replace("'", "''") + "'"
+                         for w in sorted(by_len[ln]))
+        arms.append(f"WHEN substr({word_expr}, {pos_expr}, {ln}) "
+                    f"IN ({lits}) THEN 0")
+    return "CASE " + " ".join(arms) + " ELSE 1 END"
+
+
+def tokenizer_oov_stats(df: DataFrame, text_col: str,
+                        inventory: tuple[str, ...] | None = None,
+                        max_fallback_milli: int = 100) -> DataFrame:
+    """Vocabulary-drift monitor for a FROZEN tokenizer inventory — the
+    ``ivf_drift_stats`` convention applied to BPE (r12 verdict #6):
+    one row of exact-integer corpus accounting telling the caller when
+    the inventory stopped fitting the data and BPE should retrain —
+
+    - ``n_docs`` (with ≥1 wordish token — the LM-scorer convention),
+      ``n_words``, ``n_subwords``, ``n_fallback`` (emitted tokens that
+      took the single-char fallback ID path), ``n_chars``;
+    - ``fallback_per_milli`` = ``n_fallback·1000 div n_subwords`` —
+      the share of the emitted token stream the inventory could not
+      cover (each fallback is one ID of the
+      ``len(inventory) + codepoint`` space);
+    - ``covered_char_per_milli`` = ``(n_chars − n_fallback)·1000 div
+      n_chars`` — encodable character mass (every fallback consumes
+      exactly one character);
+    - ``needs_retrain`` = ``fallback_per_milli > max_fallback_milli``
+      (FALSE on an empty corpus) — an engine-stable integer compare.
+
+    All divisions are single cross-multiplied integer ``div``s —
+    bit-identical cross-engine (the drift-monitor discipline).  One
+    Arrow scan + one 1-row aggregation; the inventory ships in the
+    task closure."""
+    from collections.abc import Iterator as _It  # noqa: F401
+
+    require_columns(df, [text_col])
+    if max_fallback_milli < 0:
+        raise ValueError(
+            f"max_fallback_milli must be >= 0, got {max_fallback_milli}")
+    by_len, lens_desc = ((_BY_LEN, _LENS_DESC) if inventory is None
+                         else _index_inventory(inventory))
+    toks = (df.select(TX.wordish_tokens(F.col(text_col)).alias("_w"))
+              .filter(F.size("_w") > 0))
+
+    def run(batches) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            nw, ns, nf, nc = [], [], [], []
+            for words in pdf["_w"]:
+                w_ns = w_nf = w_nc = 0
+                for w in words:
+                    t, f = _encode_len_fb(w, by_len, lens_desc)
+                    w_ns += t
+                    w_nf += f
+                    w_nc += len(w)
+                nw.append(len(words))
+                ns.append(w_ns)
+                nf.append(w_nf)
+                nc.append(w_nc)
+            yield pd.DataFrame({"_nw": nw, "_ns": ns, "_nf": nf,
+                                "_nc": nc})
+
+    per_doc = toks.mapInPandas(
+        run, schema="_nw bigint, _ns bigint, _nf bigint, _nc bigint")
+    agg = per_doc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum("_nw"), F.lit(0)).cast("bigint")
+         .alias("n_words"),
+        F.coalesce(F.sum("_ns"), F.lit(0)).cast("bigint")
+         .alias("n_subwords"),
+        F.coalesce(F.sum("_nf"), F.lit(0)).cast("bigint")
+         .alias("n_fallback"),
+        F.coalesce(F.sum("_nc"), F.lit(0)).cast("bigint")
+         .alias("n_chars"))
+    return agg.select(
+        "*",
+        F.when(F.col("n_subwords") > 0,
+               F.expr("n_fallback * 1000 div n_subwords"))
+         .cast("bigint").alias("fallback_per_milli"),
+        F.when(F.col("n_chars") > 0,
+               F.expr("(n_chars - n_fallback) * 1000 div n_chars"))
+         .cast("bigint").alias("covered_char_per_milli")) \
+        .withColumn(
+            "needs_retrain",
+            F.coalesce(F.col("fallback_per_milli")
+                       > F.lit(int(max_fallback_milli)), F.lit(False)))
+
+
+def tokenizer_oov_stats_sql(table: str, text_col: str, id_col: str,
+                            inventory: tuple[str, ...] | None = None,
+                            max_fallback_milli: int = 100) -> str:
+    """DuckDB twin of :func:`tokenizer_oov_stats`: the same wordish
+    pre-tokenization, the greedy scan as a recursive CTE threading the
+    token AND fallback counters via the paired generated CASEs, then
+    the identical cross-multiplied integer accounting.  ``id_col``
+    names a unique row key (views lack rowid) for the doc count."""
+    words = (f"SELECT {id_col} AS _d, unnest(regexp_extract_all("
+             f"lower({text_col}), '{TX.WORDISH}')) AS _w FROM {table}")
+    step = subword_step_case_sql("_w", "_pos", inventory=inventory)
+    fb = _fallback_case_sql("_w", "_pos", inventory=inventory)
+    return f"""
+        WITH RECURSIVE _words AS ({words}),
+        _enc(_d, _w, _pos, _tk, _fb) AS (
+            SELECT _d, _w, 1, 0, 0 FROM _words
+            UNION ALL
+            SELECT _d, _w, _pos + ({step}), _tk + 1, _fb + ({fb})
+            FROM _enc WHERE _pos <= len(_w)),
+        _sums AS (
+            SELECT CAST(count(DISTINCT _d) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(coalesce(sum(_tk), 0) AS BIGINT) AS n_subwords,
+                   CAST(coalesce(sum(_fb), 0) AS BIGINT) AS n_fallback,
+                   CAST(coalesce(sum(len(_w)), 0) AS BIGINT) AS n_chars
+            FROM _enc WHERE _pos > len(_w))
+        SELECT n_docs, n_words, n_subwords, n_fallback, n_chars,
+               CASE WHEN n_subwords > 0 THEN
+                    CAST(n_fallback * 1000 // n_subwords AS BIGINT)
+               END AS fallback_per_milli,
+               CASE WHEN n_chars > 0 THEN
+                    CAST((n_chars - n_fallback) * 1000 // n_chars
+                         AS BIGINT)
+               END AS covered_char_per_milli,
+               coalesce(CASE WHEN n_subwords > 0 THEN
+                    n_fallback * 1000 // n_subwords
+                    > {int(max_fallback_milli)} END, FALSE)
+                   AS needs_retrain
+        FROM _sums"""

@@ -731,7 +731,9 @@ def stream_quality_dashboard(stream: DataFrame, text_col: str,
                              checkpoint: str | None = None,
                              psi_alert: int = 250_000,
                              entropy_floor_micro: int = 0,
-                             min_pass_rate_milli: int = 0):
+                             min_pass_rate_milli: int = 0,
+                             oov=False,
+                             max_fallback_milli: int = 100):
     """Per-micro-batch corpus-quality dashboard — the MONITORING twin
     of ``stream_ingest_gate_v2`` (the gate decides per document; this
     reports per batch): every micro-batch is reduced to ONE row of
@@ -766,7 +768,17 @@ def stream_quality_dashboard(stream: DataFrame, text_col: str,
       milli-rate staging keeps the threshold integer; default 0 never
       alerts).
 
-    All three metrics are tiny aggregations (one row each) combined by
+    ``oov`` (r12 verdict #6, opt-in so the r12 schema is unchanged by
+    default): ``True`` (frozen ``SUBWORD_VOCAB``) or an inventory
+    tuple adds the tokenizer-drift column pair from
+    :func:`~frames_map_reduce_spark.functions.tokenizer.tokenizer_oov_stats`
+    — ``fallback_per_milli`` (BIGINT, NULL on a tokenless batch: the
+    share of emitted tokens taking the single-char fallback ID path)
+    and ``alert_oov`` (its ``needs_retrain`` verdict at
+    ``max_fallback_milli``) — telling the pipeline when the frozen
+    BPE inventory stopped fitting the arriving data.
+
+    All metrics are tiny aggregations (one row each) combined by
     broadcast cross joins — per-batch STATELESS, no watermark, no state
     store; each batch OVERWRITES its own ``batch_id=N`` partition under
     ``sink_dir`` (idempotent under foreachBatch's at-least-once
@@ -831,6 +843,17 @@ def stream_quality_dashboard(stream: DataFrame, text_col: str,
                           (F.col("n_pass_quality") * F.lit(1000)
                            < F.lit(int(min_pass_rate_milli))
                            * F.col("n_docs")).alias("alert_pass_rate")))
+        if oov is not False:
+            from frames_map_reduce_spark.functions.tokenizer import (
+                tokenizer_oov_stats,
+            )
+            inv = None if oov is True else tuple(oov)
+            tok = tokenizer_oov_stats(
+                batch_df, text_col, inventory=inv,
+                max_fallback_milli=max_fallback_milli) \
+                .select("fallback_per_milli",
+                        F.col("needs_retrain").alias("alert_oov"))
+            row = row.crossJoin(F.broadcast(tok))
         (row.coalesce(1).write.mode("overwrite")
             .parquet(os.path.join(sink_dir, f"batch_id={batch_id}")))
 

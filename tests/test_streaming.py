@@ -738,6 +738,28 @@ def test_stream_quality_dashboard_matches_batch_and_replays(
     hot = spark.read.parquet(sink2).collect()[0]
     assert (hot.alert_psi, hot.alert_entropy, hot.alert_pass_rate) \
         == (True, True, True)
+    # default: no tokenizer columns (the r12 schema is unchanged)
+    assert "fallback_per_milli" not in spark.read.parquet(sink).columns
+
+    # r13 opt-in tokenizer-drift column pair: must equal the batch
+    # monitor exactly, and the verdict obeys the threshold
+    from frames_map_reduce_spark.functions.tokenizer import (
+        tokenizer_oov_stats)
+    want = tokenizer_oov_stats(batch, "text", inventory=("the", "and"),
+                               max_fallback_milli=500).head()
+    sink3 = str(tmp_path / "out3")
+    stream = (spark.readStream
+                   .schema("doc_id long, text string, n_chars long")
+                   .parquet(stage))
+    q = stream_quality_dashboard(
+        stream, "text", "doc_id", "n_chars", bks, counts, w_rows,
+        n_buckets=256, sink_dir=sink3, salt="dash",
+        checkpoint=str(tmp_path / "ckpt4"),
+        oov=("the", "and"), max_fallback_milli=500)
+    q.awaitTermination()
+    tok = spark.read.parquet(sink3).collect()[0]
+    assert tok.fallback_per_milli == want.fallback_per_milli
+    assert tok.alert_oov == want.needs_retrain
 
 
 def test_stream_token_ids_extend_with_drain_stays_bounded(

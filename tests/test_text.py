@@ -681,3 +681,67 @@ def test_decode_ids_distributed_roundtrip(spark, documents):
                                    "doc_id long, token_ids array<int>")
     with _pt.raises(Exception, match="NULL token_ids"):
         decode_ids(nulled, "token_ids", "doc_id").collect()
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer OOV / drift monitor (r12 verdict #6)
+# ---------------------------------------------------------------------------
+
+class TestTokenizerOovStats:
+    def test_closed_form_laws(self, spark):
+        from frames_map_reduce_spark.functions.tokenizer import (
+            tokenizer_oov_stats)
+        df = spark.createDataFrame([(1, "abc ab")], "doc_id long, t string")
+        # 'abc' -> ab|c (c falls back), 'ab' -> ab: 3 subwords, 1 fb
+        r = tokenizer_oov_stats(df, "t", inventory=("ab",),
+                                max_fallback_milli=400).head()
+        assert (r.n_docs, r.n_words, r.n_subwords, r.n_fallback,
+                r.n_chars) == (1, 2, 3, 1, 5)
+        assert r.fallback_per_milli == 333     # 1000 div 3
+        assert r.covered_char_per_milli == 800  # (5-1)*1000 div 5
+        assert not r.needs_retrain              # 333 <= 400
+        # empty inventory: EVERY char is a fallback
+        r = tokenizer_oov_stats(df, "t", inventory=(),
+                                max_fallback_milli=100).head()
+        assert r.n_subwords == r.n_fallback == r.n_chars == 5
+        assert r.fallback_per_milli == 1000
+        assert r.covered_char_per_milli == 0
+        assert r.needs_retrain
+
+    def test_empty_and_tokenless_corpus(self, spark):
+        from frames_map_reduce_spark.functions.tokenizer import (
+            tokenizer_oov_stats)
+        df = spark.createDataFrame([(1, None), (2, "???")],
+                                   "doc_id long, t string")
+        r = tokenizer_oov_stats(df, "t").head()
+        # '?' is wordish (single symbol) so doc 2 counts; NULL doc absent
+        assert r.n_docs == 1
+        empty = spark.createDataFrame([], "doc_id long, t string")
+        r = tokenizer_oov_stats(empty, "t").head()
+        assert (r.n_docs, r.n_subwords) == (0, 0)
+        assert r.fallback_per_milli is None
+        assert r.needs_retrain is False
+        with pytest.raises(ValueError, match="max_fallback_milli"):
+            tokenizer_oov_stats(empty, "t", max_fallback_milli=-1)
+
+    def test_matches_duckdb_twin(self, spark):
+        import duckdb
+
+        from frames_map_reduce_spark.functions.tokenizer import (
+            tokenizer_oov_stats, tokenizer_oov_stats_sql)
+        rows = [(i, t) for i, t in enumerate(
+            ["the cat ate the hat", "zzyzx qwfp!", "o'brien & co",
+             None, "", "ing ion ingion", "日本語 text"])]
+        df = spark.createDataFrame(rows, "doc_id long, t string")
+        con = duckdb.connect()
+        con.execute("CREATE TABLE tt AS SELECT * FROM (VALUES "
+                    + ", ".join(
+                        f"({i}, {'NULL' if t is None else chr(39) + t.replace(chr(39), chr(39)*2) + chr(39)})"
+                        for i, t in rows)
+                    + ") v(doc_id, t)")
+        for inv in (None, ("the", "ing", "at"), ()):
+            want = con.execute(tokenizer_oov_stats_sql(
+                "tt", "t", "doc_id", inventory=inv)).fetchone()
+            got = tuple(tokenizer_oov_stats(df, "t", inventory=inv)
+                        .head())
+            assert got == want, (inv, got, want)
