@@ -158,6 +158,7 @@ HEADLINE = [
     "media_contamination_firewall",  # eval-media perceptual firewall arc
     "ann_ivf_pq",           # IVF-PQ: residual codebooks + BIGINT ADC probe
     "image_near_dup_phash",  # integer-DCT pHash: trim + pool + DCT + pair
+    "tokenizer_oov",        # vocabulary-drift monitor: fallback accounting
 ]
 
 #: entries that model amortized ONE-TIME work (index builds): repeating
@@ -341,16 +342,43 @@ def main() -> None:
 _FINAL_LINE_BUDGET = 1800
 
 
+def _driver_record_ages() -> dict[str, int]:
+    """query → the LATEST round whose driver bench record
+    (``BENCH_r{NN}.json``, committed by the driver each round) parsed a
+    number for it; absent = never driver-recorded.  Best-effort: a
+    missing/corrupt record file contributes nothing."""
+    import glob
+    import re
+    here = os.path.dirname(os.path.abspath(__file__))
+    ages: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            qmap = (rec.get("parsed") or {}).get("queries") or {}
+        except Exception:  # noqa: BLE001 — best-effort history read
+            continue
+        for q in qmap:
+            ages[q] = max(ages.get(q, 0), rnd)
+    return ages
+
+
 def _final_line(metric: str, total: float, timings: dict,
                 cal_median: float, sf: float) -> str:
     """Compact final-line JSON, HARD-BOUNDED under the driver's tail
     capture: 2-decimal per-query medians, compact separators, and —
-    only if the full map still overflows — the per-query map truncated
-    NEWEST-FIRST: entries are dropped from the FRONT of suite order
-    (r11 verdict #1: the suite appends debuts last, so the old
-    tail-first cut omitted exactly the newest queries and the driver's
-    cross-round bench record never saw a debut's first number; the
-    oldest rows have ten rounds of recorded medians to spare).
+    only if the full map overflows — truncated by RECORD AGE
+    (r12 verdict #3; supersedes r11's newest-first order, which
+    protected debuts but starved a FIXED omitted tail forever):
+    queries never driver-recorded (this round's debuts) come first,
+    then ascending latest-recorded round — so the omitted set rotates
+    round-over-round and no query goes more than ~2 rounds without a
+    driver-recorded number.  Ties (and the no-history fallback)
+    preserve suite order REVERSED, keeping the r11 debut guarantee.
     ``queries_omitted`` counts the cut; full detail always lives in
     BENCH_FULL.json."""
     def render(qmap: dict, omitted: int) -> str:
@@ -362,9 +390,14 @@ def _final_line(metric: str, total: float, timings: dict,
 
     compact = {name: round(t, 2) for name, t in timings.items()}
     line = render(compact, 0)
-    names = list(compact)
+    ages = _driver_record_ages()
+    suite_pos = {name: i for i, name in enumerate(compact)}
+    # keep-priority: never-recorded first (age 0), then stalest record,
+    # then newest suite position — drop from the END of this order
+    names = sorted(compact,
+                   key=lambda n: (ages.get(n, 0), -suite_pos[n]))
     while len(line) > _FINAL_LINE_BUDGET and names:
-        names.pop(0)   # oldest suite entry first; debuts survive
+        names.pop()    # best-covered query drops first
         line = render({n: compact[n] for n in names},
                       len(compact) - len(names))
     return line

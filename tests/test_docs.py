@@ -59,9 +59,34 @@ def test_bench_final_line_bounded():
         kept = len(rec["queries"])
         assert kept + rec.get("queries_omitted", 0) == n_queries
         assert kept > 0
-        # truncation is NEWEST-FIRST (r11 verdict #1): the suite appends
-        # debuts LAST, so when the map is cut, the surviving entries
-        # must be the suite TAIL — every debut's first number reaches
-        # the driver's bench record
+        # truncation is by RECORD AGE (r12 verdict #3): never-recorded
+        # names (these synthetic ones match no BENCH_r* history) rank
+        # by reversed suite position — when the map is cut, the
+        # surviving SET is the suite tail (debuts still always reach
+        # the driver's record, the r11 guarantee)
         if kept < n_queries:
-            assert list(rec["queries"]) == list(timings)[-kept:]
+            assert set(rec["queries"]) == set(list(timings)[-kept:])
+
+
+def test_bench_final_line_rotates_omitted_tail(monkeypatch):
+    """r12 verdict #3: the omitted set must ROTATE — queries with the
+    stalest driver-recorded number outrank freshly-recorded ones, and
+    never-recorded debuts outrank everything."""
+    import json
+
+    import bench
+
+    timings = {f"q{i:03d}": 1.0 for i in range(200)}
+    ages = {f"q{i:03d}": 12 for i in range(0, 100)}       # fresh records
+    ages.update({f"q{i:03d}": 10 for i in range(100, 150)})  # stale
+    # q150..q199: never recorded (debut-like)
+    monkeypatch.setattr(bench, "_driver_record_ages", lambda: ages)
+    line = bench._final_line("m", 1.0, timings, 0.2, 0.1)
+    rec = json.loads(line)
+    kept = set(rec["queries"])
+    assert len(line) <= bench._FINAL_LINE_BUDGET
+    # every never-recorded and every stale name survives before ANY
+    # freshly-recorded name does
+    assert all(f"q{i:03d}" in kept for i in range(100, 200))
+    dropped = set(timings) - kept
+    assert dropped and dropped <= {f"q{i:03d}" for i in range(0, 100)}
