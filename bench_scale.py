@@ -113,18 +113,13 @@ def generate() -> None:
 #: all-pairs Jaccard / SRP replays, recursive-CTE transitive closures):
 #: value-proven at sf0.001/0.01, rows-only at the sf1.0 gate.
 SUPER_LINEAR_ORACLES = {
-    "dedup_minhash": "exhaustive all-pairs Jaccard twin (O(n^2) lists)",
+    # r13: the eight Jaccard-twin queries moved OFF this list — their
+    # oracles are now the prefix-filtered bitstring-verify form
+    # (dedup.jaccard_pairs_prefix_sql), run at the gate via the staged
+    # temp-table rendering (entry.scale_staged_oracles) — full-value
+    # exact at sf1.0 in ~2-5 min each instead of intractable.
     "dedup_simhash": "exhaustive all-pairs Hamming/spec replay twin",
-    "dedup_ngram_jaccard": "blocked all-pairs Jaccard twin",
-    "minhash_firewall": "exhaustive cross-corpus Jaccard twin",
-    "stream_near_dup": "exhaustive cross-corpus Jaccard twin",
     "embedding_neardup": "all-pairs cosine twin",
-    "dedup_clusters": "recursive CTE over all-pairs Jaccard",
-    "leakage_safe_split": "recursive CTE over all-pairs Jaccard",
-    "ingest_gate": "composed twin embeds the exhaustive cross-corpus "
-                   "Jaccard (the near-dup screen)",
-    "stream_ingest_gate_v2": "composed twin embeds the exhaustive "
-                             "cross-corpus Jaccard (the near-dup screen)",
 }
 
 
@@ -287,7 +282,8 @@ def generate_slice(src: str, mod: int = SLICE_MOD) -> str:
 
 
 def _compare_one(spark, con, fn, name: str, oracle: str | None,
-                 sf_dir: str, skip_oracle_reason: str | None) -> dict:
+                 sf_dir: str, skip_oracle_reason: str | None,
+                 setup: list | None = None) -> dict:
     """Run one registry query at ``sf_dir`` and value-compare against
     its DuckDB twin (``con``'s views must already point at the same
     fixture).  Returns the SCALE_PARITY record for the query."""
@@ -308,6 +304,8 @@ def _compare_one(spark, con, fn, name: str, oracle: str | None,
             rec["status"] = "rows_only"
         else:
             t1 = time.perf_counter()
+            for stmt in setup or ():
+                con.execute(stmt)
             rel = con.sql(oracle)
             dcols = list(rel.columns)
             drows = rel.fetchall()
@@ -372,10 +370,14 @@ def verify(sf_dir: str = DST) -> int:
     con = make_con(sf_dir)
     queries = entry.queries()
     oracles = entry.oracle_sql()
+    # staged temp-table rendering of the Jaccard twins (r12 verdict #7)
+    staged = getattr(entry, "scale_staged_oracles", dict)()
     results: dict[str, dict] = {}
     for name, fn in queries.items():
-        rec = _compare_one(spark, con, fn, name, oracles.get(name),
-                           sf_dir, SUPER_LINEAR_ORACLES.get(name))
+        setup, oracle = staged.get(name, (None, oracles.get(name)))
+        rec = _compare_one(spark, con, fn, name, oracle,
+                           sf_dir, SUPER_LINEAR_ORACLES.get(name),
+                           setup=setup)
         results[name] = rec
         print(f"# {name}: {rec['status']} "
               f"({rec.get('spark_sec', '?')}s spark"

@@ -1558,3 +1558,144 @@ SELECT {id_col},
        count(*)::BIGINT AS n_lines,
        sum(CASE WHEN cut THEN 1 ELSE 0 END)::BIGINT AS n_lines_removed
 FROM marked GROUP BY {id_col}"""
+
+
+def jaccard_pairs_prefix_parts(docs_sel: str, id_col: str,
+                               shingle_expr: str, threshold_num: int,
+                               threshold_den: int, pair_pred: str,
+                               vocab_bits: int, tag: str,
+                               block_expr: str | None = None):
+    """Shared fragments of the prefix-filtered Jaccard twin — one
+    (name, body) stage list + the final pair SELECT, rendered two ways
+    by :func:`jaccard_pairs_prefix_sql` (single-statement CTE form, the
+    driver oracle) and :func:`jaccard_pairs_prefix_staged_sql` (temp-
+    table form for the sf1.0 scale gate: DuckDB re-executes a CTE body
+    once PER REFERENCE, which multiplies the shingle scan ~8× and made
+    the one-statement form ~10× slower than the identical staged
+    pipeline — same SQL text either way, so no semantic drift).
+    ``tag`` namespaces the temp tables per query."""
+    tn, td = int(threshold_num), int(threshold_den)
+    if tn <= 0 or td <= 0:
+        raise ValueError("prefix filter needs threshold > 0 "
+                         f"(got {tn}/{td})")
+    if vocab_bits < 1:
+        raise ValueError(f"vocab_bits must be >= 1, got {vocab_bits}")
+    t = f"_pp{tag}"
+    blk_sel = f", {block_expr} AS _blk" if block_expr else ""
+    blk_out = ", x._blk AS block" if block_expr else ""
+    blk_cand = " AND a._blk = b._blk" if block_expr else ""
+    blk_carry = ", _blk" if block_expr else ""
+    stages = [
+        (f"{t}_sized", f"""
+            SELECT {id_col} AS _id{blk_sel},
+                   list_distinct({shingle_expr}) AS _shd
+            FROM ({docs_sel})
+            WHERE {shingle_expr} IS NOT NULL"""),
+        (f"{t}_ex", f"""
+            SELECT _id{blk_carry}, len(_shd) AS _n, unnest(_shd) AS _s
+            FROM {t}_sized"""),
+        (f"{t}_freq", f"""
+            SELECT _s, count(*) AS _df FROM {t}_ex GROUP BY _s"""),
+        (f"{t}_prefix", f"""
+            SELECT _id{blk_carry}, _s, _n, _pos FROM (
+                SELECT e._id{(", e._blk" if block_expr else "")}, e._s,
+                       e._n,
+                       row_number() OVER (PARTITION BY e._id
+                           ORDER BY f._df, e._s) AS _pos
+                FROM {t}_ex e JOIN {t}_freq f USING (_s))
+            WHERE _pos <= _n - (({tn} * _n + {td} - 1) // {td}) + 1"""),
+        # PPJoin refinements (Xiao et al., WWW'08), both lossless
+        # (cross-multiplied integers): size filter t·|A| <= |B|
+        # (sym.); positional filter 1 + min(remaining) >= minoverlap
+        # ceil(t/(1+t)·(|A|+|B|)) — the row generated by a qualifying
+        # pair's LOWEST common shingle always passes.
+        (f"{t}_cand", f"""
+            SELECT DISTINCT a._id AS _ca, b._id AS _cb
+            FROM {t}_prefix a JOIN {t}_prefix b
+              ON a._s = b._s{blk_cand} AND ({pair_pred})
+            WHERE {td} * b._n >= {tn} * a._n
+              AND {td} * a._n >= {tn} * b._n
+              AND (1 + least(a._n - a._pos, b._n - b._pos))
+                  * ({td} + {tn}) >= {tn} * (a._n + b._n)"""),
+        (f"{t}_vocab", f"""
+            SELECT _s, row_number() OVER (ORDER BY _s) - 1 AS _bi
+            FROM (SELECT DISTINCT _s FROM {t}_freq)"""),
+        (f"{t}_bits", f"""
+            SELECT e._id{(", any_value(e._blk) AS _blk" if block_expr
+                          else "")},
+                   bitstring_agg(v._bi, 0, {vocab_bits - 1}) AS _bs
+            FROM {t}_ex e JOIN {t}_vocab v USING (_s)
+            GROUP BY e._id"""),
+    ]
+    final = f"""
+        SELECT * FROM (
+            SELECT c._ca AS id_a, c._cb AS id_b{blk_out},
+                   round(bit_count(x._bs & y._bs)::DOUBLE /
+                         nullif(bit_count(x._bs | y._bs), 0), 6)
+                       AS jaccard_sim
+            FROM {t}_cand c
+            JOIN {t}_bits x ON x._id = c._ca
+            JOIN {t}_bits y ON y._id = c._cb)
+        WHERE jaccard_sim >= {tn}::DOUBLE / {td}::DOUBLE"""
+    return stages, final
+
+
+def jaccard_pairs_prefix_sql(docs_sel: str, id_col: str,
+                             shingle_expr: str, threshold_num: int,
+                             threshold_den: int, pair_pred: str,
+                             vocab_bits: int, tag: str = "",
+                             block_expr: str | None = None) -> str:
+    """Prefix-filtered DuckDB twin of an exact-Jaccard pair set — the
+    ENGINE's own AllPairs/PPJoin rewrite (:func:`ngram_jaccard_pairs`)
+    rendered as ONE SQL statement (r12 verdict #7: the all-pairs
+    Jaccard twins were the sliced-exact residue at the sf1.0 gate).
+
+    LOSSLESS by the lemma the engine cites (Bayardo et al., WWW 2007):
+    under the shared (document-frequency asc, shingle asc) total
+    order, a pair with J(A,B) ≥ t shares its lowest-ordered common
+    shingle inside BOTH prefixes of length ``|S| − ⌈t·|S|⌉ + 1`` — the
+    candidate equi-join on prefix shingles proposes every qualifying
+    pair, and the exact verify (BITSTRING set algebra over a dense
+    global shingle index: ``|A∩B| = bit_count(a & b)`` — the same
+    integers as list_intersect, ~100× faster per pair) keeps output
+    values identical to the all-pairs form.  ``vocab_bits`` must be
+    ≥ the corpus's distinct-shingle count (bitstring_agg demands a
+    CONSTANT bound): derive it at oracle-generation time from the same
+    parquet (the IVF convention) — an undersized bound fails LOUDLY.
+
+    ``docs_sel``: a SELECT yielding ``{id_col}`` + the text column
+    ``shingle_expr`` references; ``pair_pred``: the pair condition
+    over prefix aliases ``a``/``b`` on ``_id`` (self-join
+    ``a._id < b._id``, %4 splits for cross-corpus screens);
+    ``block_expr``: optional blocking column (candidates must share
+    it).  Output: ``(id_a, id_b, jaccard_sim)`` (6-dp round before the
+    threshold compare, matching the historical twins) + ``block`` when
+    blocked.  For the sf1.0 gate use
+    :func:`jaccard_pairs_prefix_staged_sql` — same fragments, temp
+    tables instead of CTEs (DuckDB re-executes CTE bodies per
+    reference)."""
+    stages, final = jaccard_pairs_prefix_parts(
+        docs_sel, id_col, shingle_expr, threshold_num, threshold_den,
+        pair_pred, vocab_bits, tag, block_expr)
+    ctes = ",\n".join(f"{name} AS MATERIALIZED ({body})"
+                      for name, body in stages)
+    return f"WITH {ctes}\n{final}"
+
+
+def jaccard_pairs_prefix_staged_sql(docs_sel: str, id_col: str,
+                                    shingle_expr: str,
+                                    threshold_num: int,
+                                    threshold_den: int, pair_pred: str,
+                                    vocab_bits: int, tag: str,
+                                    block_expr: str | None = None):
+    """(setup_statements, pairs_select): the SAME fragments as
+    :func:`jaccard_pairs_prefix_sql` rendered as ``CREATE OR REPLACE
+    TEMP TABLE`` stages + a final select — each stage executes exactly
+    once, which is what makes the full (unsliced) sf1.0 oracle pass
+    tractable.  ``tag`` MUST be unique per query within a connection."""
+    stages, final = jaccard_pairs_prefix_parts(
+        docs_sel, id_col, shingle_expr, threshold_num, threshold_den,
+        pair_pred, vocab_bits, tag, block_expr)
+    setup = [f"CREATE OR REPLACE TEMP TABLE {name} AS {body}"
+             for name, body in stages]
+    return setup, final

@@ -5111,6 +5111,134 @@ def _ivf_extend_oracle() -> str:
     return _IVF_EXTEND_ORACLE_CACHE[path]
 
 
+_SHINGLE_VOCAB_CACHE: dict[str, int] = {}
+
+
+def _shingle_vocab_bits() -> int:
+    """Distinct 5-gram shingle count of the resolved fixture's
+    documents table — the constant bitstring width the prefix-filtered
+    Jaccard twins verify in (jaccard_pairs_prefix_sql; an undersized
+    width fails loudly, so this MUST be >= the true count — it IS the
+    true count, recomputed per fixture and cached)."""
+    import os
+
+    import duckdb as _duckdb
+    sf_dir = (os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
+              or os.environ.get("SPARK_GRAFT_TEST_SF_DIR")
+              or "/root/testdata/sf0.01")
+    path = os.path.join(sf_dir, "documents.parquet")
+    if path not in _SHINGLE_VOCAB_CACHE:
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        sh5 = TX.char_shingles_sql("text", 5)
+        con = _duckdb.connect()
+        n = con.sql(
+            f"SELECT count(DISTINCT s) FROM "
+            f"(SELECT unnest({sh5}) AS s FROM '{src}')").fetchone()[0]
+        con.close()
+        _SHINGLE_VOCAB_CACHE[path] = max(int(n), 1)
+    return _SHINGLE_VOCAB_CACHE[path]
+
+
+_JACCARD_FRAG_CACHE: dict[str, dict] = {}
+
+#: (query, fragment key) map for the staged sf1.0 oracle surface
+_STAGED_JACCARD_QUERIES = (
+    ("dedup_minhash", "self"), ("stream_near_dup", "cross"),
+    ("minhash_firewall", "cross"), ("dedup_ngram_jaccard", "blocked"),
+    ("stream_ingest_gate_v2", "cross_all"), ("ingest_gate", "cross"),
+    ("dedup_clusters", "self"), ("leakage_safe_split", "self"),
+)
+
+
+def _jaccard_pair_fragments() -> dict:
+    """Exact-Jaccard pair-set SQL fragments shared by eight twins (r12
+    verdict #7): the prefix-filtered bitstring-verify builder
+    (dedup.jaccard_pairs_prefix_sql — value-identical to all-pairs by
+    the AllPairs lemma, ~100× cheaper verify) needs the fixture's
+    distinct-shingle count as a constant; if that derivation fails
+    (fixture without documents.parquet) fall back to the historical
+    all-pairs forms so nothing else degrades (``staged`` then None).
+    Keys: self / cross / cross_all / blocked (single-statement SQL) +
+    ``staged`` ({key: (setup stmts, final select)} — the temp-table
+    rendering the sf1.0 gate runs, see scale_staged_oracles)."""
+    import os
+    sf_dir = (os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
+              or os.environ.get("SPARK_GRAFT_TEST_SF_DIR")
+              or "/root/testdata/sf0.01")
+    if sf_dir in _JACCARD_FRAG_CACHE:
+        return _JACCARD_FRAG_CACHE[sf_dir]
+    shingle5 = TX.char_shingles_sql("text", 5)
+    jaccard5 = (
+        "round(len(list_intersect(a.sh, b.sh))::DOUBLE / "
+        "nullif(len(list_distinct(list_concat(a.sh, b.sh))), 0), 6)")
+    specs = {
+        "self": ("SELECT doc_id, text FROM documents", 3, 5,
+                 "a._id < b._id", None, "s"),
+        "cross": ("SELECT doc_id, text FROM documents", 3, 5,
+                  "(a._id % 4 <> 0) AND (b._id % 4 = 0)", None, "c"),
+        "cross_all": ("SELECT doc_id, text FROM documents", 3, 5,
+                      "b._id % 4 = 0", None, "x"),
+        "blocked": ("SELECT doc_id, source, text FROM documents", 1, 2,
+                    "a._id < b._id", "source", "b"),
+    }
+    fr: dict = {}
+    try:
+        nv = _shingle_vocab_bits()
+        fr["staged"] = {}
+        for key, (sel, tn, td, pred, blk, tag) in specs.items():
+            fr[key] = DD.jaccard_pairs_prefix_sql(
+                sel, "doc_id", shingle5, tn, td, pred, nv, tag=tag,
+                block_expr=blk)
+            fr["staged"][key] = DD.jaccard_pairs_prefix_staged_sql(
+                sel, "doc_id", shingle5, tn, td, pred, nv, tag=tag,
+                block_expr=blk)
+    except Exception as exc:  # noqa: BLE001 — degrade to all-pairs
+        import sys
+        print(f"# prefix-jaccard twins degrade to all-pairs: {exc}",
+              file=sys.stderr)
+        ap = (f"WITH sh AS MATERIALIZED (SELECT doc_id, {{blk}}"
+              f"{shingle5} AS sh FROM documents) "
+              f"SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+              f"{jaccard5} AS jaccard_sim FROM sh a JOIN sh b ON ")
+        fr = {
+            "self": (ap.format(blk="") + "a.doc_id < b.doc_id "
+                     f"WHERE {jaccard5} >= 0.6"),
+            "cross": (ap.format(blk="")
+                      + "(a.doc_id % 4 <> 0) AND (b.doc_id % 4 = 0) "
+                      f"WHERE {jaccard5} >= 0.6"),
+            "cross_all": (ap.format(blk="") + "(b.doc_id % 4 = 0) "
+                          f"WHERE {jaccard5} >= 0.6"),
+            "blocked": (ap.format(blk="source, ")
+                        + "a.source = b.source AND a.doc_id < b.doc_id "
+                        f"WHERE {jaccard5} >= 0.5"),
+            "staged": None,
+        }
+    _JACCARD_FRAG_CACHE[sf_dir] = fr
+    return fr
+
+
+def scale_staged_oracles() -> dict[str, tuple[list[str], str]]:
+    """query → (setup statements, oracle SQL) for the eight
+    Jaccard-twin queries at the sf1.0 scale gate: the SAME oracle text
+    as oracle_sql() with the embedded single-statement pair CTE block
+    swapped for a select over temp tables the setups create — each
+    pipeline stage executes once (DuckDB re-executes CTE bodies per
+    reference, which made the one-statement form ~10× slower than the
+    identical staged pipeline).  Empty when the fragments degraded to
+    all-pairs (no documents fixture)."""
+    fr = _jaccard_pair_fragments()
+    if fr.get("staged") is None:
+        return {}
+    base = oracle_sql()
+    out: dict[str, tuple[list[str], str]] = {}
+    for name, key in _STAGED_JACCARD_QUERIES:
+        setup, final = fr["staged"][key]
+        sql = base[name]
+        assert fr[key] in sql, f"{name}: pair fragment not embedded"
+        out[name] = (setup, sql.replace(fr[key], final))
+    return out
+
+
 _IVF_PQ_ORACLE_CACHE: dict[str, str] = {}
 
 
@@ -5163,6 +5291,12 @@ def oracle_sql() -> dict[str, str]:
     shingle5 = TX.char_shingles_sql("text", 5)
     jaccard5 = (f"round(len(list_intersect(a.sh, b.sh))::DOUBLE / "
                 f"nullif(len(list_distinct(list_concat(a.sh, b.sh))), 0), 6)")
+    _fr = _jaccard_pair_fragments()
+    _self_pairs = _fr["self"]
+    _cross_pairs = _fr["cross"]
+    _cross_all_pairs = _fr["cross_all"]
+    _blocked_pairs = ("SELECT id_a, id_b, jaccard_sim FROM ("
+                      + _fr["blocked"] + ")")
     cos = ("round(list_sum(list_transform(list_zip(a.embedding, b.embedding), "
            "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / nullif("
            "sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
@@ -5386,35 +5520,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT {TX.fingerprint_sql('text')} AS fingerprint,
                    min(doc_id) AS keep_id, count(*) AS dup_count
             FROM documents GROUP BY fingerprint""",
-        "dedup_minhash": f"""
-            WITH sh AS (SELECT doc_id, {shingle5} AS sh FROM documents)
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, {jaccard5} AS jaccard_sim
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            WHERE {jaccard5} >= 0.6""",
-        # exhaustive cross-corpus twin of the streaming firewall — exact
-        # for the same banding-losslessness reason as dedup_minhash
-        "stream_near_dup": f"""
-            WITH sh AS (SELECT doc_id, {shingle5} AS sh FROM documents)
-            SELECT a.doc_id AS id_in, b.doc_id AS ref_id,
-                   {jaccard5} AS jaccard
-            FROM sh a JOIN sh b
-              ON (a.doc_id % 4 <> 0) AND (b.doc_id % 4 = 0)
-            WHERE {jaccard5} >= 0.6""",
-        # identical contract to stream_near_dup (same %4 split, spec,
-        # threshold) computed via the PERSISTED index path — bucketing
-        # changes the physical plan, never the result
-        "minhash_firewall": f"""
-            WITH sh AS (SELECT doc_id, {shingle5} AS sh FROM documents)
-            SELECT a.doc_id AS id_in, b.doc_id AS ref_id,
-                   {jaccard5} AS jaccard
-            FROM sh a JOIN sh b
-              ON (a.doc_id % 4 <> 0) AND (b.doc_id % 4 = 0)
-            WHERE {jaccard5} >= 0.6""",
-        "dedup_ngram_jaccard": f"""
-            WITH sh AS (SELECT doc_id, source, {shingle5} AS sh FROM documents)
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, {jaccard5} AS jaccard_sim
-            FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-            WHERE {jaccard5} >= 0.5""",
+        "dedup_minhash": (
+            f"SELECT id_a, id_b, jaccard_sim FROM ({_self_pairs})"),
+        # cross-corpus twin of the streaming firewall — exact for the
+        # same banding-losslessness reason as dedup_minhash; the
+        # persisted-index row shares it (bucketing changes the physical
+        # plan, never the result)
+        "stream_near_dup": (
+            f"SELECT id_a AS id_in, id_b AS ref_id, "
+            f"jaccard_sim AS jaccard FROM ({_cross_pairs})"),
+        "minhash_firewall": (
+            f"SELECT id_a AS id_in, id_b AS ref_id, "
+            f"jaccard_sim AS jaccard FROM ({_cross_pairs})"),
+        "dedup_ngram_jaccard": _blocked_pairs,
         # exhaustive Hamming twin, valid because the query runs with
         # n_bands=9 > max_hamming=8 (lossless banding by pigeonhole); the
         # integer hash pipeline is generated from dedup.py's spec constants
@@ -5589,11 +5707,8 @@ def oracle_sql() -> dict[str, str]:
                 "documents", "_weights", "text", "doc_id",
                 n_buckets=_QCLF_BUCKETS, salt=_QCLF_SALT,
                 carry=("source",))}),
-            _v2_sh AS (SELECT doc_id, {shingle5} AS sh FROM documents),
             _v2_nd AS (
-                SELECT DISTINCT a.doc_id
-                FROM _v2_sh a JOIN _v2_sh b ON (b.doc_id % 4 = 0)
-                WHERE {jaccard5} >= 0.6)
+                SELECT DISTINCT id_a AS doc_id FROM ({_cross_all_pairs}))
             SELECT s.doc_id, s.source, m.maybe_dup,
                    (s.logit_rank >= 0) AS quality_ok,
                    (nd.doc_id IS NOT NULL) AS is_near_dup,
@@ -5712,12 +5827,8 @@ def oracle_sql() -> dict[str, str]:
             _ig_member AS ({BL.bloom_firewall_sql(
                 "documents WHERE doc_id % 4 = 0",
                 "documents WHERE doc_id % 4 <> 0", "text", "doc_id")}),
-            _ig_sh AS (SELECT doc_id, {shingle5} AS sh FROM documents),
             _ig_nd AS (
-                SELECT DISTINCT a.doc_id
-                FROM _ig_sh a JOIN _ig_sh b
-                  ON (a.doc_id % 4 <> 0) AND (b.doc_id % 4 = 0)
-                WHERE {jaccard5} >= 0.6)
+                SELECT DISTINCT id_a AS doc_id FROM ({_cross_pairs}))
             SELECT q.doc_id, q.source, q.quality_ok,
                    m.maybe_dup AS is_member,
                    (nd.doc_id IS NOT NULL) AS is_near_dup,
@@ -5853,10 +5964,8 @@ def oracle_sql() -> dict[str, str]:
         "token_ids_extend": _token_ids_extend_oracle(),
         "dedup_clusters": f"""
             WITH RECURSIVE
-            sh AS (SELECT doc_id, {shingle5} AS sh FROM documents),
-            p AS (SELECT a.doc_id AS u, b.doc_id AS v
-                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-                  WHERE {jaccard5} >= 0.6),
+            p AS (SELECT id_a AS u, id_b AS v
+                  FROM ({_self_pairs})),
             e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
             reach(id, r) AS (
                 SELECT doc_id, doc_id FROM documents
@@ -5872,10 +5981,8 @@ def oracle_sql() -> dict[str, str]:
         # land in one split because they share the hash input.
         "leakage_safe_split": f"""
             WITH RECURSIVE
-            sh AS (SELECT doc_id, {shingle5} AS sh FROM documents),
-            p AS (SELECT a.doc_id AS u, b.doc_id AS v
-                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-                  WHERE {jaccard5} >= 0.6),
+            p AS (SELECT id_a AS u, id_b AS v
+                  FROM ({_self_pairs})),
             e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
             reach(id, r) AS (
                 SELECT doc_id, doc_id FROM documents
