@@ -38,85 +38,71 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 
-#: Round-12 driver window (r11 verdict #2: ingest CORRECTNESS_r11 into
-#: PROVENANCE.json, then rotate to the r8-stale remainder + the
-#: r9-stale set).  Composition, in priority order:
-#: (1) the THREE r8-stale rows — pack_shards, unpivot, pack_sequences —
-#:     the head of the rotation queue (every other registry query's
-#:     latest proof is r9+, and nothing is never-proven);
-#: (2) the NINE r12 debuts: image_near_dup (perceptual aHash + banded
-#:     Hamming over real pixel decode — dedup × multimodal, r11 verdict
-#:     #4), ann_ivf_extend (the IVF build→extend→probe lifecycle,
-#:     oracled as a rebuild replay, r11 verdict #7), ivf_drift (the
-#:     retrain trigger closing that arc, full SQL twin),
-#:     video_near_dup (the aHash family lifted to MJPEG frames —
-#:     per-frame decode digest + matched-frame census, full truth-table
-#:     oracle), and audio_near_dup (energy-plane aHash over WAV —
-#:     cross-codec PCM16/G.711 duplicate detection, full truth-table
-#:     oracle: the perceptual-dedup family now covers text, image,
-#:     video, AND audio), and contamination_firewall (the persisted
-#:     build→extend→probe decontamination index — the firewall
-#:     lifecycle applied to benchmark n-gram screening, oracled by the
-#:     recompute-from-scratch union audit via the extend≡rebuild law)
-#:     plus decontaminate_corpus (the removal half of that arc:
-#:     probe → anti-join → per-source yield, conditional-sum oracle)
-#:     and stream_decontaminate (the gate's streaming twin: per-batch
-#:     probe via foreachBatch, probe≡recompute LEFT-join oracle), and
-#:     token_budget_sample (token-budgeted source mixing — the
-#:     deterministic-shuffle-order prefix cut sized in tokens, serial
-#:     window twin);
-#: (2b) quality_dashboard RE-PROOF: its r11 proof predates the alert
-#:     columns added this round (r11 verdict #6) — a schema change
-#:     voids the old proof, so it re-enters the window like a debut;
-#: (3) 37 of the 48 r9-stale queries.  The ELEVEN displaced to the r13
-#:     queue — fold_all, ann_bruteforce_joined, bpe_train,
-#:     stream_hourly, sql_revenue, running_total, corpus_report,
-#:     stream_ingest_gate, bpe_token_count, bloom_gen_stats,
-#:     shuffle_pos — are no-regression re-proofs whose module
-#:     paths stay covered inside this window (fold_all_numeric +
-#:     fold_all_monoid for the foldAll family; ann_srp + the IVF rows
-#:     for ANN scoring; bpe_train_encode strictly composes bpe_train;
-#:     stream_sessions/stream_stateful/stream_join for the streaming
-#:     fold vocabulary; sql_revenue's _SQL_REVENUE text is shared
-#:     verbatim with its oracle; running_total's cumulative window
-#:     shape is covered by funnel/sessionize, both proven r10+;
-#:     corpus_report composes the shared text specs that text_quality/
-#:     quality_score/length_histogram prove independently;
-#:     stream_ingest_gate's screen set is a strict subset of
-#:     stream_ingest_gate_v2's, in-window; bpe_token_count's greedy
-#:     encode path is strictly composed by bpe_train_encode, in-window;
-#:     bloom_gen_stats' monitor is replayed verbatim inside
-#:     bloom_compact_roundtrip's before-read — same %8 build/extend
-#:     splits, same max_read_amp=2 policy read, in-window; shuffle_pos'
-#:     hash_unit + contiguous-bucket-offset machinery is exercised
-#:     verbatim by the token_budget_sample debut, in-window); debuts
-#:     and schema re-proofs outrank no-regression fills (the standing
-#:     r10 rule).
+#: Round-13 driver window (r12 verdict #2: PROVENANCE.json regenerated
+#: with r12 ingested — proof-age spread was 11 rows at r9, 48 at r10).
+#: Composition, in priority order:
+#: (1) the FOUR r13 debuts: media_contamination_firewall (perceptual
+#:     screening of eval images/audio — the r12 firewall lifecycle ×
+#:     perceptual-hash composition, extend≡rebuild oracle), ann_ivf_pq
+#:     (product-quantized residuals at the frozen coarse quantizer —
+#:     integer codebooks + BIGINT ADC, full oracle incl. recall + the
+#:     extend law), image_near_dup_phash (integer-DCT pHash with
+#:     uniform-border trim — boxed re-encodes at Hamming 0, pre-encode
+#:     truth oracle), tokenizer_oov (BPE vocabulary-drift monitor,
+#:     both verdict polarities);
+#: (1b) quality_dashboard RE-PROOF: its r12 proof predates the r13
+#:     fallback_per_milli/alert_oov columns — schema change voids the
+#:     old proof (the standing r12 rule);
+#: (2) ALL ELEVEN r9-stale rows (the head of the rotation queue);
+#: (3) 34 of the 48 r10-stale rows.  The FOURTEEN displaced to the r14
+#:     queue, each with its in-window coverage: tpch_q1 (driver
+#:     smoke-runs it EVERY round via entry(); sf0.001/0.01 value
+#:     parity on every pytest run), tpch_q3/q5/q18 (sql_revenue —
+#:     in-window — exercises the same star-join + pushed-predicate +
+#:     broadcast-dims shape with a verbatim shared-dialect twin),
+#:     stream_near_dup (minhash_firewall, in-window, has the IDENTICAL
+#:     contract — same %4 split/spec/threshold, same oracle text — via
+#:     the persisted-index path), stream_bloom (bloom_firewall +
+#:     stream_ingest_gate, both in-window, cover the screen and its
+#:     streaming admission form), stream_classifier
+#:     (quality_classifier in-window trains/scores the same model;
+#:     the dashboard re-proof embeds the stateless gate per batch),
+#:     stream_drift (the dashboard re-proof embeds
+#:     psi_against_reference per batch; drift_psi in-window),
+#:     stream_sliding (stream_hourly in-window covers the streaming
+#:     windowed-agg shape), ann_ivf (the ann_ivf_pq debut composes the
+#:     same coarse-quantizer train/assign/probe at frozen centroids;
+#:     ann_int8 in-window), bloom_resize_roundtrip (bloom_firewall +
+#:     bloom_gen_stats in-window cover build/extend/monitor; the
+#:     geometry law is pinned by the 2k-point sweep test),
+#:     drift_psi_quantile (drift_psi in-window shares the monitor
+#:     core; edge derivation pinned by the Spark≡DuckDB test + fuzz),
+#:     sketch_cms (sketch_heavy_hitters in-window covers the
+#:     frequency.py sketch conventions; CMS laws test-pinned),
+#:     dsir_select_bigram (dsir_select proven r12; the bigram feature
+#:     laws are pinned by test_classifier + parameterized fuzz).
 #: Every below-window row is still re-proven at sf0.001 by the local
 #: parity suite on every pytest run.
 _R12_WINDOW = [
-    # (1) r8-stale head of queue
-    "pack_shards", "unpivot", "pack_sequences",
-    # (2) r12 debuts + the alert-schema re-proof
-    "image_near_dup", "ann_ivf_extend", "ivf_drift", "video_near_dup",
-    "audio_near_dup", "contamination_firewall", "decontaminate_corpus",
-    "stream_decontaminate", "token_budget_sample", "quality_dashboard",
-    # (3) the r9-stale set (37 of 48)
-    "length_histogram", "asof_sliced", "zorder_extents",
-    "curate_corpus_v2", "events_json", "weighted_mean",
-    "fold_all_numeric", "good_rows", "null_propagating",
-    "combine_key_maps", "rollup_revenue", "split_on_data",
-    "assign_keys_and_data", "fold_all_monoid", "pandas_fold",
-    "frame_concat", "to_frame", "read_csv_permissive", "stream_join",
-    "stream_enrich", "stream_dedup", "media_features", "ann_srp",
-    "sketch_distinct", "chunk_dedup", "retention",
-    "dup_spans", "sketch_quantiles", "weighted_sample",
-    "leakage_safe_split", "stream_sessions", "stream_stateful",
-    "bpe_train_encode", "dsir_select", "ingest_gate",
-    "bloom_compact_roundtrip",
-    "stream_ingest_gate_v2",
+    # (1) r13 debuts + the oov-schema re-proof
+    "media_contamination_firewall", "ann_ivf_pq",
+    "image_near_dup_phash", "tokenizer_oov", "quality_dashboard",
+    # (2) the eleven r9-stale rows
+    "ann_bruteforce_joined", "bloom_gen_stats", "bpe_token_count",
+    "bpe_train", "corpus_report", "fold_all", "running_total",
+    "shuffle_pos", "sql_revenue", "stream_hourly", "stream_ingest_gate",
+    # (3) 34 of the 48 r10-stale rows
+    "ann_int8", "anomaly_zscore", "asof_tolerance", "bigram_perplexity",
+    "bloom_firewall", "c4_rules", "compaction_plan", "corpus_diff",
+    "curate_corpus", "dedup_exact", "dedup_minhash",
+    "dedup_ngram_jaccard", "dedup_simhash", "drift_psi",
+    "entropy_filter", "funnel", "gopher_rules", "minhash_firewall",
+    "mislabel_knn", "mr_sum_by_flag", "normalize_punct", "perplexity",
+    "quality_classifier", "redact_pii", "remove_dup_spans",
+    "repetition_stats", "salted_agg", "scd2", "semantic_dedup",
+    "sketch_heavy_hitters", "temperature_mixture", "top_ngrams",
+    "topk_per_group", "zorder_pruning",
 ]
-
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
