@@ -159,6 +159,7 @@ HEADLINE = [
     "ann_ivf_pq",           # IVF-PQ: residual codebooks + BIGINT ADC probe
     "image_near_dup_phash",  # integer-DCT pHash: trim + pool + DCT + pair
     "tokenizer_oov",        # vocabulary-drift monitor: fallback accounting
+    "media_firewall_scaled",  # corpus-scaled eval-media firewall build+probe
 ]
 
 #: entries that model amortized ONE-TIME work (index builds): repeating

@@ -1292,6 +1292,7 @@ def bench_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_near_dup_scaled": bench_image_near_dup_scaled,
         "audio_near_dup_scaled": bench_audio_near_dup_scaled,
         "video_near_dup_scaled": bench_video_near_dup_scaled,
+        "media_firewall_scaled": bench_media_firewall_scaled,
     }
 
 
@@ -3754,6 +3755,63 @@ def bench_image_near_dup_scaled(spark: SparkSession,
     return pairs.agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum(F.when(F.col("hamming_dist") == 0, 1).otherwise(0))
+         .cast("bigint").alias("n_exact"))
+
+
+def _scaled_png_gen(batches):
+    """Deterministic 24×24 grayscale PNG per doc_id (the
+    bench_image_near_dup_scaled corpus, factored for reuse): every
+    doc_id ≡ 1 (mod 50) is a one-pooling-cell perturbation of its
+    predecessor (~2% planted near-dups)."""
+    import numpy as np
+    import pandas as pd
+
+    from frames_map_reduce_spark.functions.media import png_encode
+
+    def img_for(seed: int):
+        rng = np.random.default_rng(seed % (2 ** 63))
+        return rng.integers(0, 256, size=(24, 24), dtype=np.uint8)
+
+    for pdf in batches:
+        payloads = []
+        for did in pdf["doc_id"]:
+            did = int(did)
+            if did % 50 == 1:
+                base = img_for(did - 1).astype(np.int64)
+                base[0:3, 0:3] += 40
+                img = np.clip(base, 0, 255).astype(np.uint8)
+            else:
+                img = img_for(did)
+            payloads.append(png_encode(img[:, :, None]))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                            "payload": payloads})
+
+
+def bench_media_firewall_scaled(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Corpus-scaled bench point for the MEDIA contamination firewall
+    (the oracled registry row runs on the fixed 44-item fixtures; this
+    one scales with the corpus): the staged generated-PNG corpus's
+    doc_id % 10 == 0 slice plays the eval suite
+    (build_media_contamination_index — one decode pass + bucketed
+    write), the other 90% the incoming training batch (probe — decode
+    + broadcast banded join + Hamming verify).  Every planted near-dup
+    copy (doc_id ≡ 1 mod 50) has its base (≡ 0 mod 50 ⊂ mod 10) in
+    the eval slice, so ~2% of incoming flags by construction.  1-row
+    census: probed count, contaminated count, Hamming-0 count."""
+    from frames_map_reduce_spark.operators import multimodal as MM
+    imgs = _staged_media(spark, sf_dir, "img", _scaled_png_gen)
+    MM.build_media_contamination_index(
+        imgs.filter(F.col("doc_id") % 10 == 0), "media_cont_scaled",
+        "doc_id", "payload")
+    inc = imgs.filter(F.col("doc_id") % 10 != 0)
+    hits = MM.probe_media_contamination_index(
+        spark, "media_cont_scaled", inc, "doc_id", "payload")
+    n_inc = inc.count()
+    return hits.agg(
+        F.lit(n_inc).cast("bigint").alias("n_probed"),
+        F.count(F.lit(1)).cast("bigint").alias("n_contaminated"),
+        F.sum(F.when(F.col("best_hamming") == 0, 1).otherwise(0))
          .cast("bigint").alias("n_exact"))
 
 
