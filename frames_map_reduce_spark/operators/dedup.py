@@ -520,10 +520,22 @@ def build_minhash_index(corpus: DataFrame, table: str, text_col: str,
         sizes = banded.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
         ok = sizes.filter(F.col("_n") <= max_bucket).select("_bucket")
         pruned = banded.join(F.broadcast(ok), "_bucket")
-        write_bucketed(pruned.select("ref_id", "_bucket"),
-                       f"{table}_buckets", ["_bucket"], n_buckets)
-        write_bucketed(sig.select("ref_id", "_sh64"),
-                       f"{table}_shingles", ["ref_id"], n_buckets)
+        # The two table writes are independent actions over the SAME
+        # materialized cache — submit them from two driver threads so
+        # the second write's tasks back-fill executors idled by the
+        # first write's tail (guide §2.6 overlap; jobs are FIFO, the
+        # wall-clock is max() instead of sum()).  Safe: ``sig`` is
+        # already materialized by count(), so there is no concurrent
+        # cache-population race.
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fb = pool.submit(write_bucketed,
+                             pruned.select("ref_id", "_bucket"),
+                             f"{table}_buckets", ["_bucket"], n_buckets)
+            fs = pool.submit(write_bucketed, sig.select("ref_id", "_sh64"),
+                             f"{table}_shingles", ["ref_id"], n_buckets)
+            fb.result()
+            fs.result()
     finally:
         sig.unpersist()
 
@@ -562,10 +574,19 @@ def extend_minhash_index(corpus_delta: DataFrame, table: str, text_col: str,
         # append must reuse the table's recorded bucket count — read it
         # from the catalog rather than trusting a caller parameter
         nb = _index_num_buckets(spark, table)
-        write_bucketed(banded.select("ref_id", "_bucket"),
-                       f"{table}_buckets", ["_bucket"], nb, mode="append")
-        write_bucketed(sig.select("ref_id", "_sh64"),
-                       f"{table}_shingles", ["ref_id"], nb, mode="append")
+        # independent appends over the materialized cache: overlap them
+        # (guide §2.6), same rationale as build_minhash_index's writes
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fb = pool.submit(write_bucketed,
+                             banded.select("ref_id", "_bucket"),
+                             f"{table}_buckets", ["_bucket"], nb,
+                             mode="append")
+            fs = pool.submit(write_bucketed, sig.select("ref_id", "_sh64"),
+                             f"{table}_shingles", ["ref_id"], nb,
+                             mode="append")
+            fb.result()
+            fs.result()
     finally:
         sig.unpersist()
 

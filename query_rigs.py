@@ -81,6 +81,44 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ensure_parallelism(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _overlap(*thunks):
+    """Run independent Spark actions from driver threads (guide §2.6 —
+    overlap independent jobs): each thunk's job back-fills executors
+    idled by the others' stage tails, so the wall-clock is ~max()
+    instead of sum().  Returns the thunk results in order; exceptions
+    propagate.  Only for thunks with NO data dependence on each other
+    (the caller asserts that by using this)."""
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futs = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futs]
+
+
+def _stage_batches(slices, stage_dir: str) -> None:
+    """Stage mtime-ordered single-file micro-batches: write every slice
+    CONCURRENTLY (independent jobs over the same scan — guide §2.6),
+    then move each single part file into ``stage_dir/{i}.parquet`` with
+    a deterministic mtime.  Identical bytes/ordering to the old serial
+    per-slice loop (each slice is still one coalesce(1) write); only
+    the wall-clock changes."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    base = _os.path.dirname(stage_dir)
+
+    def write_one(i_df):
+        i, df = i_df
+        out = f"{base}/f{i}"
+        df.coalesce(1).write.parquet(out)
+        part = _glob.glob(f"{out}/part-*.parquet")[0]
+        dst = f"{stage_dir}/{i}.parquet"
+        _shutil.move(part, dst)
+        _os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    _overlap(*[lambda p=pair: write_one(p) for pair in enumerate(slices)])
+
+
 def _hash_token_ids(packed: DataFrame) -> DataFrame:
     """Project a pack_token_ids output's raw ``token_ids array<int>``
     through ``md5(to_json(...))`` for the driver registry (r10 verdict
@@ -646,7 +684,6 @@ def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays each batch as a WHERE doc_id % 3 = k slice through
     the psi_against_reference twin with the SAME fixture-derived
     constants."""
-    import glob as _glob
     import os as _os
     import shutil as _shutil
 
@@ -654,21 +691,25 @@ def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     ref = docs.filter(F.col("lang") == "en")
-    bks = QL.quantile_breakpoints(ref, "n_chars", n_bins=8)
-    ref_counts = QL.bin_counts(ref, "n_chars", bks)
     cur = docs.filter(F.col("lang") != "en").select("doc_id", "n_chars")
 
     base = "/tmp/fmr_stream_drift"
     _shutil.rmtree(base, ignore_errors=True)
     stage = f"{base}/in"
     _os.makedirs(stage)
-    for i in range(3):
-        out = f"{base}/f{i}"
-        cur.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(out)
-        part = _glob.glob(f"{out}/part-*.parquet")[0]
-        dst = f"{stage}/{i}.parquet"
-        _shutil.move(part, dst)
-        _os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    # the design-constant derivation (two dependent aggs) and the three
+    # staging writes are independent job chains — overlap them
+    # (guide §2.6); values are unchanged, only the wall-clock
+    def derive():
+        bks = QL.quantile_breakpoints(ref, "n_chars", n_bins=8)
+        return bks, QL.bin_counts(ref, "n_chars", bks)
+
+    (bks, ref_counts), _ = _overlap(
+        derive,
+        lambda: _stage_batches(
+            [cur.filter(F.col("doc_id") % 3 == i) for i in range(3)],
+            stage))
 
     stream = (spark.readStream.schema(cur.schema)
                    .option("maxFilesPerTrigger", "1").parquet(stage))
@@ -739,7 +780,6 @@ def q_psi_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     psi_against_reference twin, alert computed in SQL — hash equality
     proves derivation, persistence round-trip, scoring, and the alert
     verdicts in one row set."""
-    import glob as _glob
     import os as _os
     import shutil as _shutil
 
@@ -747,43 +787,47 @@ def q_psi_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     ref = docs.filter(F.col("lang") == "en")
-    bks = QL.quantile_breakpoints(ref, "n_chars", n_bins=8)
-    counts = QL.bin_counts(ref, "n_chars", bks)
 
     base = "/tmp/fmr_psi_lifecycle"
     _shutil.rmtree(base, ignore_errors=True)
-    # persist the design constants (the artifact a monitor ships).
-    # NOTE: single-slice parallelize, NOT createDataFrame(...).coalesce(1)
-    # — a coalesced Python-RDD literal evaluates its defaultParallelism
-    # slices SERIALLY in one task (one Python worker round-trip each,
-    # ~4 s for 7 rows at local[32]); one slice is one round-trip.
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(
-            [(k, int(b)) for k, b in enumerate(bks)], 1),
-        "k int, edge bigint").write.parquet(f"{base}/design/edges")
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(
-            [(i, int(c)) for i, c in enumerate(counts)], 1),
-        "bin int, n_ref bigint").write.parquet(f"{base}/design/counts")
-    # ...and RELOAD them (bounded collects: n_bins-1 + n_bins rows)
-    bks2 = [r.edge for r in spark.read.parquet(f"{base}/design/edges")
-                                 .orderBy("k").collect()]
-    counts2 = [r.n_ref for r in spark.read.parquet(f"{base}/design/counts")
-                                     .orderBy("bin").collect()]
-
     en = docs.filter(F.col("lang") == "en").select("doc_id", "n_chars")
     non = docs.filter(F.col("lang") != "en").select("doc_id", "n_chars")
     shifted = non.select("doc_id",
                          (F.col("n_chars") + F.lit(300)).alias("n_chars"))
     stage = f"{base}/in"
     _os.makedirs(stage)
-    for i, b in enumerate([en, non, shifted]):
-        out = f"{base}/f{i}"
-        b.coalesce(1).write.parquet(out)
-        part = _glob.glob(f"{out}/part-*.parquet")[0]
-        dst = f"{stage}/{i}.parquet"
-        _shutil.move(part, dst)
-        _os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    # derive → persist → reload the design constants (one dependent
+    # chain) while the three batch files stage CONCURRENTLY — the two
+    # chains share no data (guide §2.6); every value is unchanged
+    def design_chain():
+        bks = QL.quantile_breakpoints(ref, "n_chars", n_bins=8)
+        counts = QL.bin_counts(ref, "n_chars", bks)
+        # persist the design constants (the artifact a monitor ships).
+        # NOTE: single-slice parallelize, NOT
+        # createDataFrame(...).coalesce(1) — a coalesced Python-RDD
+        # literal evaluates its defaultParallelism slices SERIALLY in
+        # one task (one Python worker round-trip each, ~4 s for 7 rows
+        # at local[32]); one slice is one round-trip.
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(
+                [(k, int(b)) for k, b in enumerate(bks)], 1),
+            "k int, edge bigint").write.parquet(f"{base}/design/edges")
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(
+                [(i, int(c)) for i, c in enumerate(counts)], 1),
+            "bin int, n_ref bigint").write.parquet(f"{base}/design/counts")
+        # ...and RELOAD them (bounded collects: n_bins-1 + n_bins rows)
+        bks2 = [r.edge for r in spark.read.parquet(f"{base}/design/edges")
+                                     .orderBy("k").collect()]
+        counts2 = [r.n_ref for r in
+                   spark.read.parquet(f"{base}/design/counts")
+                        .orderBy("bin").collect()]
+        return bks2, counts2
+
+    (bks2, counts2), _ = _overlap(
+        design_chain,
+        lambda: _stage_batches([en, non, shifted], stage))
 
     stream = (spark.readStream.schema(en.schema)
                    .option("maxFilesPerTrigger", "1").parquet(stage))
@@ -874,7 +918,6 @@ def q_quality_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays each batch as a WHERE doc_id % 3 = k slice through
     the entropy-profile, psi-against-reference, and train+score twins
     with the SAME fixture-derived constants, alerts included."""
-    import glob as _glob
     import os as _os
     import shutil as _shutil
 
@@ -882,26 +925,29 @@ def q_quality_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     ref = docs.filter(F.col("lang") == "en")
-    bks = QL.quantile_breakpoints(ref, "n_chars", n_bins=8)
-    ref_counts = QL.bin_counts(ref, "n_chars", bks)
     labeled = docs.withColumn("_is_en", F.col("lang") == F.lit("en"))
-    w_rows = [(r["bucket"], r["weight"]) for r in
-              CLF.train_logodds_classifier(labeled, "text", "_is_en",
-                                           n_buckets=_QCLF_BUCKETS,
-                                           salt=_QCLF_SALT).collect()]
 
     base = "/tmp/fmr_quality_dash"
     _shutil.rmtree(base, ignore_errors=True)
     inc = docs.select("doc_id", "text", "n_chars")
     stage = f"{base}/in"
     _os.makedirs(stage)
-    for i in range(3):
-        out = f"{base}/f{i}"
-        inc.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(out)
-        part = _glob.glob(f"{out}/part-*.parquet")[0]
-        dst = f"{stage}/{i}.parquet"
-        _shutil.move(part, dst)
-        _os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    # three independent design-time chains — PSI constants, classifier
+    # training, batch staging — overlapped per guide §2.6; same values
+    def psi_chain():
+        bks = QL.quantile_breakpoints(ref, "n_chars", n_bins=8)
+        return bks, QL.bin_counts(ref, "n_chars", bks)
+
+    (bks, ref_counts), w_rows, _ = _overlap(
+        psi_chain,
+        lambda: [(r["bucket"], r["weight"]) for r in
+                 CLF.train_logodds_classifier(labeled, "text", "_is_en",
+                                              n_buckets=_QCLF_BUCKETS,
+                                              salt=_QCLF_SALT).collect()],
+        lambda: _stage_batches(
+            [inc.filter(F.col("doc_id") % 3 == i) for i in range(3)],
+            stage))
 
     stream = (spark.readStream.schema(inc.schema)
                    .option("maxFilesPerTrigger", "1").parquet(stage))
@@ -1166,8 +1212,18 @@ def bench_gate_build(spark: SparkSession, sf_dir: str) -> None:
     separately."""
     docs = _docs(spark, sf_dir)
     ref = docs.filter(F.col("doc_id") % 4 == 0)
-    BL.build_bloom_index(ref, "gate_bloom_bench", "text")
-    DD.build_minhash_index(ref, "gate_minhash_bench", "text", "doc_id")
+    # the two index builds are independent jobs over the same slice:
+    # submit them from two driver threads so minhash's Python signing
+    # stage and bloom's JVM word pass share the executor pool instead
+    # of running back-to-back (guide §2.6 — overlap independent jobs)
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fb = pool.submit(BL.build_bloom_index, ref, "gate_bloom_bench",
+                         "text")
+        fm = pool.submit(DD.build_minhash_index, ref,
+                         "gate_minhash_bench", "text", "doc_id")
+        fb.result()
+        fm.result()
 
 
 def bench_gate_build_bloom(spark: SparkSession, sf_dir: str) -> None:
@@ -1250,19 +1306,22 @@ def bench_stream_gate_v2_probe(spark: SparkSession,
     from frames_map_reduce_spark.streaming import stream_ingest_gate_v2
 
     docs = _docs(spark, sf_dir)
-    words = [(r["_word"], r["_bits"]) for r in
-             spark.table("gate_bloom_bench_words")
-                  .groupBy("_word").agg(F.bit_or("_bits").alias("_bits"))
-                  .collect()]
     labeled = docs.withColumn("_is_en", F.col("lang") == F.lit("en"))
-    weights = [(r["bucket"], r["weight"]) for r in
-               CLF.train_logodds_classifier(labeled, "text", "_is_en",
-                                            n_buckets=_QCLF_BUCKETS,
-                                            salt=_QCLF_SALT).collect()]
     base = "/tmp/fmr_stream_gate_v2_bench"
     _shutil.rmtree(base, ignore_errors=True)
     inc = docs.select("doc_id", "source", "text")
-    inc.repartition(8).write.parquet(f"{base}/in")
+    # three independent jobs — word-spine read (Arrow collect), weight
+    # training, input staging — overlapped per guide §2.6
+    words, weights, _ = _overlap(
+        lambda: SRC.arrow_rows(
+            spark.table("gate_bloom_bench_words")
+                 .groupBy("_word").agg(F.bit_or("_bits").alias("_bits")),
+            "_word", "_bits"),
+        lambda: [(r["bucket"], r["weight"]) for r in
+                 CLF.train_logodds_classifier(labeled, "text", "_is_en",
+                                              n_buckets=_QCLF_BUCKETS,
+                                              salt=_QCLF_SALT).collect()],
+        lambda: inc.repartition(8).write.parquet(f"{base}/in"))
     stream = spark.readStream.schema(inc.schema).parquet(f"{base}/in")
     q = stream_ingest_gate_v2(stream, words, weights, "text", "doc_id",
                               "gate_minhash_bench", f"{base}/out",
@@ -1852,17 +1911,19 @@ def q_stream_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     labeled = docs.withColumn("_is_en", F.col("lang") == F.lit("en"))
-    w_rows = [(r["bucket"], r["weight"]) for r in
-              CLF.train_logodds_classifier(labeled, "text", "_is_en",
-                                           n_buckets=_QCLF_BUCKETS,
-                                           salt=_QCLF_SALT).collect()]
     # deterministic pre-cleaned staging (r9 verdict #7 — the
     # q_stream_ingest_gate convention; the memory sink holds its rows
     # in driver memory, so no post-run cleanup is needed or wanted)
     base = "/tmp/fmr_stream_clf"
     _shutil.rmtree(base, ignore_errors=True)
     inc = docs.select("doc_id", "source", "text")
-    inc.write.parquet(f"{base}/in")
+    # training and staging are independent jobs — overlap (guide §2.6)
+    w_rows, _ = _overlap(
+        lambda: [(r["bucket"], r["weight"]) for r in
+                 CLF.train_logodds_classifier(labeled, "text", "_is_en",
+                                              n_buckets=_QCLF_BUCKETS,
+                                              salt=_QCLF_SALT).collect()],
+        lambda: inc.write.parquet(f"{base}/in"))
     stream = spark.readStream.schema(inc.schema).parquet(f"{base}/in")
     gated = stream_classifier_gate(stream, w_rows, "text",
                                    n_buckets=_QCLF_BUCKETS,
@@ -2115,13 +2176,17 @@ def q_stream_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     ref = docs.filter(F.col("doc_id") % 4 == 0)
-    words = [(r["_word"], r["_bits"])
-             for r in BL.bloom_words(ref, "text").collect()]
     # deterministic pre-cleaned staging (r9 verdict #7)
     base = "/tmp/fmr_stream_bloom"
     _shutil.rmtree(base, ignore_errors=True)
     inc = docs.select("doc_id", "text")
-    inc.write.parquet(f"{base}/in")
+    # word-spine training and input staging are independent jobs —
+    # overlap them (guide §2.6); the spine collects over Arrow
+    # (sources.arrow_rows — same values, ~6× less driver transport)
+    words, _ = _overlap(
+        lambda: SRC.arrow_rows(BL.bloom_words(ref, "text"),
+                               "_word", "_bits"),
+        lambda: inc.write.parquet(f"{base}/in"))
     stream = spark.readStream.schema(inc.schema).parquet(f"{base}/in")
     gated = stream_bloom_gate(stream, words, "text")
     # FIXED sink name (r7 ADVICE): restarting a memory-sink query
@@ -2169,17 +2234,21 @@ def q_stream_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     ref = docs.filter(F.col("doc_id") % 4 == 0)
-    words = [(r["_word"], r["_bits"])
-             for r in BL.bloom_words(ref, "text").collect()]
     labeled = docs.withColumn("_is_en", F.col("lang") == F.lit("en"))
-    weights = [(r["bucket"], r["weight"]) for r in
-               CLF.train_logodds_classifier(labeled, "text", "_is_en",
-                                            n_buckets=_QCLF_BUCKETS,
-                                            salt=_QCLF_SALT).collect()]
     base = "/tmp/fmr_stream_ingest"
     _shutil.rmtree(base, ignore_errors=True)
     inc = docs.select("doc_id", "source", "text")
-    inc.repartition(8).write.parquet(f"{base}/in")
+    # three independent design-time jobs — Bloom word spine (collected
+    # over Arrow), classifier training, input staging — overlapped per
+    # guide §2.6; identical values, wall-clock ≈ max() not sum()
+    words, weights, _ = _overlap(
+        lambda: SRC.arrow_rows(BL.bloom_words(ref, "text"),
+                               "_word", "_bits"),
+        lambda: [(r["bucket"], r["weight"]) for r in
+                 CLF.train_logodds_classifier(labeled, "text", "_is_en",
+                                              n_buckets=_QCLF_BUCKETS,
+                                              salt=_QCLF_SALT).collect()],
+        lambda: inc.repartition(8).write.parquet(f"{base}/in"))
     stream = spark.readStream.schema(inc.schema).parquet(f"{base}/in")
     gated = stream_ingest_gate(stream, words, weights, "text",
                                n_buckets=_QCLF_BUCKETS,
@@ -2229,18 +2298,23 @@ def q_stream_ingest_gate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     ref = docs.filter(F.col("doc_id") % 4 == 0)
-    words = [(r["_word"], r["_bits"])
-             for r in BL.bloom_words(ref, "text").collect()]
     labeled = docs.withColumn("_is_en", F.col("lang") == F.lit("en"))
-    weights = [(r["bucket"], r["weight"]) for r in
-               CLF.train_logodds_classifier(labeled, "text", "_is_en",
-                                            n_buckets=_QCLF_BUCKETS,
-                                            salt=_QCLF_SALT).collect()]
-    DD.build_minhash_index(ref, "streamgate_mh_driver", "text", "doc_id")
     base = "/tmp/fmr_stream_ingest_v2"
     _shutil.rmtree(base, ignore_errors=True)
     inc = docs.select("doc_id", "source", "text")
-    inc.repartition(8).write.parquet(f"{base}/in")
+    # four independent design-time jobs — Bloom spine (Arrow collect),
+    # classifier training, MinHash index build, input staging —
+    # overlapped per guide §2.6; identical values
+    words, weights, _, _ = _overlap(
+        lambda: SRC.arrow_rows(BL.bloom_words(ref, "text"),
+                               "_word", "_bits"),
+        lambda: [(r["bucket"], r["weight"]) for r in
+                 CLF.train_logodds_classifier(labeled, "text", "_is_en",
+                                              n_buckets=_QCLF_BUCKETS,
+                                              salt=_QCLF_SALT).collect()],
+        lambda: DD.build_minhash_index(ref, "streamgate_mh_driver",
+                                       "text", "doc_id"),
+        lambda: inc.repartition(8).write.parquet(f"{base}/in"))
     stream = spark.readStream.schema(inc.schema).parquet(f"{base}/in")
     q = stream_ingest_gate_v2(stream, words, weights, "text", "doc_id",
                               "streamgate_mh_driver", f"{base}/out",
@@ -2276,14 +2350,17 @@ def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frames_map_reduce_spark.streaming import stream_decontamination_gate
 
     docs = _docs(spark, sf_dir)
-    RET.build_contamination_index(
-        docs.filter(F.col("doc_id") % 4 == 0), "cont_index_stream",
-        "text", n=5)
     base = "/tmp/fmr_stream_decon"
     _shutil.rmtree(base, ignore_errors=True)
     inc = docs.filter(F.col("doc_id") % 4 != 0) \
               .select("doc_id", "source", "text")
-    inc.repartition(8).write.parquet(f"{base}/in")
+    # index build and input staging are independent jobs — overlap
+    # them (guide §2.6); identical values
+    _overlap(
+        lambda: RET.build_contamination_index(
+            docs.filter(F.col("doc_id") % 4 == 0), "cont_index_stream",
+            "text", n=5),
+        lambda: inc.repartition(8).write.parquet(f"{base}/in"))
     stream = spark.readStream.schema(inc.schema).parquet(f"{base}/in")
     q = stream_decontamination_gate(stream, "cont_index_stream",
                                     "text", "doc_id", f"{base}/out",
@@ -2326,11 +2403,20 @@ def q_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     ref = docs.filter(F.col("doc_id") % 4 == 0)
     inc = docs.filter(F.col("doc_id") % 4 != 0)
-    BL.build_bloom_index(ref, "gate_bloom_driver", "text")
+    # independent train-once builds: overlap them on the executor pool
+    # (guide §2.6), same as bench_gate_build — the probes below are
+    # lazy and only run after both indexes exist
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fb = pool.submit(BL.build_bloom_index, ref, "gate_bloom_driver",
+                         "text")
+        fm = pool.submit(DD.build_minhash_index, ref,
+                         "gate_minhash_driver", "text", "doc_id")
+        fb.result()
+        fm.result()
     member = (BL.bloom_probe_index(spark, "gate_bloom_driver", inc,
                                    "text", "doc_id")
                 .withColumnRenamed("maybe_dup", "is_member"))
-    DD.build_minhash_index(ref, "gate_minhash_driver", "text", "doc_id")
     nd = (DD.minhash_probe_index(spark, "gate_minhash_driver", inc,
                                  "text", "doc_id", threshold=0.6)
             .select("doc_id").distinct()
@@ -3056,7 +3142,6 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     end <= max(ts)+1min — which is the DuckDB oracle.  The tick row's own
     windows end past the watermark, so it never reaches the output."""
     import datetime as _dtm
-    import glob as _glob
     import os as _os
     import shutil as _shutil
 
@@ -3078,14 +3163,10 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=ev.schema)
     late = (ev.orderBy("ts", "event_id").limit(100)
               .withColumn("event_id", F.col("event_id") + F.lit(10_000_000)))
-    for i, df in enumerate((ev, tick, late)):
-        out = f"{base}/f{i}"
-        df.coalesce(1).write.parquet(out)
-        part = _glob.glob(f"{out}/part-*.parquet")[0]
-        dst = f"{stage}/{i}.parquet"
-        _shutil.move(part, dst)
-        # file source processes oldest-mtime first: force the batch order
-        _os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+    # file source processes oldest-mtime first; _stage_batches stamps
+    # the same mtimes the old serial loop did, writing the three
+    # independent batch files concurrently (guide §2.6)
+    _stage_batches([ev, tick, late], stage)
 
     stream = (spark.readStream.schema(ev.schema)
                    .option("maxFilesPerTrigger", "1").parquet(stage))
@@ -4318,9 +4399,7 @@ def q_media_contamination_firewall(spark: SparkSession,
     (pigeonhole) and precision-exact (full-signature verify)."""
     from frames_map_reduce_spark.operators import multimodal as MM
 
-    out = []
-    for kind, path in (("image", IMAGE_DEDUP_PARQUET),
-                       ("audio", AUDIO_DEDUP_PARQUET)):
+    def arc(kind: str, path: str) -> DataFrame:
         media = spark.read.parquet(path).select("doc_id", "payload")
         tbl = f"media_cont_{kind}"
         MM.build_media_contamination_index(
@@ -4332,7 +4411,7 @@ def q_media_contamination_firewall(spark: SparkSession,
         inc = media.filter(F.col("doc_id") % 2 == 1)
         hits = MM.probe_media_contamination_index(
             spark, tbl, inc, "doc_id", "payload", kind=kind)
-        out.append(
+        return (
             inc.select("doc_id").join(hits, "doc_id", "left")
                .select(F.lit(kind).alias("kind"), "doc_id",
                        F.coalesce("n_eval_hits", F.lit(0)).cast("bigint")
@@ -4341,7 +4420,17 @@ def q_media_contamination_firewall(spark: SparkSession,
                         .alias("best_hamming"),
                        F.col("n_eval_hits").isNotNull()
                         .alias("contaminated")))
-    return out[0].unionByName(out[1])
+
+    # the image and audio arcs are fully independent (disjoint tables,
+    # no shared caches, lazy probes): run the eager build+extend halves
+    # from two driver threads so the Arrow decode passes overlap on the
+    # executor pool (guide §2.6) — the returned union is unchanged
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fi = pool.submit(arc, "image", IMAGE_DEDUP_PARQUET)
+        fa = pool.submit(arc, "audio", AUDIO_DEDUP_PARQUET)
+        img, aud = fi.result(), fa.result()
+    return img.unionByName(aud)
 
 
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
