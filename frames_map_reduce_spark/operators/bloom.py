@@ -149,9 +149,19 @@ def _mask_expr(pos_col: str) -> Column:
 # Index lifecycle: build → extend (append-only) → probe → compact
 # ---------------------------------------------------------------------------
 
+def _bloom_auto_buckets(m_bits: int) -> int:
+    """Bucket count from the filter GEOMETRY (deterministic, no job):
+    the word table is bounded at ``m_bits/32`` rows × ~16 B ≈
+    ``m_bits/2`` bytes, so the spec itself sizes the layout — 8 buckets
+    at the default 2^22 geometry, growing linearly with the filter
+    (2^34 bits → 256 buckets of ≤ 32 MB)."""
+    from frames_map_reduce_spark.sources import clamp_buckets
+    return clamp_buckets(m_bits // 2)
+
+
 def build_bloom_index(corpus: DataFrame, table: str, text_col: str,
                       m_bits=DEFAULT_M_BITS, k: int | None = None,
-                      n_buckets: int = 64,
+                      n_buckets: int | str = "auto",
                       target_fpr: float = 1e-3,
                       n_items: int | None = None) -> tuple[int, int]:
     """Build ``{table}_words`` — the bucketed Bloom word table — over the
@@ -171,6 +181,13 @@ def build_bloom_index(corpus: DataFrame, table: str, text_col: str,
     absorbed by the power-of-two round-up (which already
     over-provisions by up to 2×); pass explicit integers when the
     geometry must be bit-reproducible across corpora.
+
+    ``n_buckets="auto"`` (r13): the word-table layout is sized from the
+    geometry itself (:func:`_bloom_auto_buckets` — the table is bounded
+    at ``m_bits/2`` bytes), so local builds stop paying 64 write
+    tasks/files for a 4k-row table while big geometries still split.
+    Extends/compacts/rebuilds inherit the built bucket spec from the
+    catalog as before.
 
     ``n_items=`` (r9 verdict #5): a caller-supplied member-count
     estimate for the auto sizing, skipping the ``approx_count_distinct``
@@ -206,6 +223,13 @@ def build_bloom_index(corpus: DataFrame, table: str, text_col: str,
                 "explicit geometry ignores the member count")
         if k is None:
             k = DEFAULT_K
+    if n_buckets == "auto":
+        # scale-adaptive layout (r13): the geometry bounds the word
+        # table, so it sizes the buckets — see _bloom_auto_buckets
+        n_buckets = _bloom_auto_buckets(m_bits)
+    elif isinstance(n_buckets, bool) or not isinstance(n_buckets, int):
+        raise ValueError(
+            f"n_buckets must be an int or 'auto', got {n_buckets!r}")
     write_bucketed(_word_rows(corpus, text_col, m_bits, k),
                    f"{table}_words", ["_word"], n_buckets)
     # persist the geometry beside the bits (like the IVF centroid

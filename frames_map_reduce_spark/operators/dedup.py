@@ -483,7 +483,7 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
 def build_minhash_index(corpus: DataFrame, table: str, text_col: str,
                         id_col: str, num_perm: int = 128, bands: int = 16,
                         shingle_k: int = 5, seed: int = 42,
-                        n_buckets: int = 64,
+                        n_buckets: int | str = "auto",
                         max_bucket: int = 1000) -> None:
     """Train-once half of the batch near-dup FIREWALL deployment shape
     (the batch twin of :func:`streaming.stream_near_dup`, same spec):
@@ -504,7 +504,9 @@ def build_minhash_index(corpus: DataFrame, table: str, text_col: str,
 
     Probe-time parameters (num_perm/bands/shingle_k/seed) must match the
     build; they define the signature spec the way the centroid array
-    defines an IVF index."""
+    defines an IVF index.  ``n_buckets="auto"`` (r13) sizes the bucket
+    count from the corpus count the build already materializes (see the
+    inline note); extends inherit the built spec from the catalog."""
     from pyspark import StorageLevel
 
     from frames_map_reduce_spark.sources import write_bucketed
@@ -514,7 +516,21 @@ def build_minhash_index(corpus: DataFrame, table: str, text_col: str,
                              num_perm, seed) \
         .withColumnRenamed(id_col, "ref_id") \
         .persist(StorageLevel.MEMORY_AND_DISK)
-    sig.count()
+    n_docs = sig.count()
+    if n_buckets == "auto":
+        # scale-adaptive layout from the EXACT corpus count the
+        # materializing count() above already produced (r13; guide §2):
+        # the bucket table is ≤ bands rows/doc × ~24 B, the shingle
+        # table ~1 hash per character (~8 B each, ~4 KB/doc at this
+        # corpus's shape) — size both tables' buckets from the larger
+        # estimate so neither degenerates.  8 buckets at test scale,
+        # growing to the 32k-file cap at ~10^8 docs (buckets then grow
+        # past 32 MB instead — the right trade, see clamp_buckets).
+        from frames_map_reduce_spark.sources import clamp_buckets
+        n_buckets = clamp_buckets(n_docs * 4096)
+    elif isinstance(n_buckets, bool) or not isinstance(n_buckets, int):
+        raise ValueError(
+            f"n_buckets must be an int or 'auto', got {n_buckets!r}")
     try:
         banded = _minhash_banded(sig, "ref_id", num_perm, bands)
         sizes = banded.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))

@@ -1478,18 +1478,28 @@ def q_bloom_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = "bloom_resize_driver"
     for sfx in ("words_old", "words_rebuild"):  # crashed-run leftovers
         spark.sql(f"DROP TABLE IF EXISTS {t}_{sfx}")
-    BL.build_bloom_index(docs.filter(F.col("doc_id") % 8 == 0), t, "text",
-                         m_bits=_RESIZE_M0, k=_RESIZE_K0)
-    BL.extend_bloom_index(docs.filter(F.col("doc_id") % 8 == 4), t, "text",
-                          m_bits=_RESIZE_M0, k=_RESIZE_K0)
-    BL.extend_bloom_index(docs.filter(F.col("doc_id") % 8 == 2), t, "text",
-                          m_bits=_RESIZE_M0, k=_RESIZE_K0)
-    before = (BL.expected_fpr(spark, t)
-                .withColumn("stage", F.lit("overfull")))
-    before = spark.createDataFrame(before.collect(), before.schema)
     corpus = docs.filter((F.col("doc_id") % 8).isin(0, 4, 2))
-    n_exact = corpus.agg(F.count_distinct(TX.normalized(F.col("text")))
-                          .alias("n")).first()["n"]
+
+    # the build→extend→extend→before-read chain and the exact
+    # distinct-count pass (input to the rebuild sizing) share no state —
+    # overlap them (guide §2.6).  The extends stay INSIDE one chain:
+    # concurrent appends to the same table would share a FileOutputCommitter
+    # staging dir (a real commit race), so same-table writes remain serial.
+    def lifecycle_chain():
+        BL.build_bloom_index(docs.filter(F.col("doc_id") % 8 == 0), t,
+                             "text", m_bits=_RESIZE_M0, k=_RESIZE_K0)
+        BL.extend_bloom_index(docs.filter(F.col("doc_id") % 8 == 4), t,
+                              "text", m_bits=_RESIZE_M0, k=_RESIZE_K0)
+        BL.extend_bloom_index(docs.filter(F.col("doc_id") % 8 == 2), t,
+                              "text", m_bits=_RESIZE_M0, k=_RESIZE_K0)
+        b = (BL.expected_fpr(spark, t)
+               .withColumn("stage", F.lit("overfull")))
+        return spark.createDataFrame(b.collect(), b.schema)
+
+    before, n_exact = _overlap(
+        lifecycle_chain,
+        lambda: corpus.agg(F.count_distinct(TX.normalized(F.col("text")))
+                            .alias("n")).first()["n"])
     BL.rebuild_bloom_index(corpus, t, "text", m_bits="auto",
                            n_items=n_exact, target_fpr=_RESIZE_TARGET)
     after = (BL.expected_fpr(spark, t)
@@ -2020,6 +2030,13 @@ def q_token_ids_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
         enc = TKZ.encode_ids(part, "text", "doc_id")
         return enc.join(part.select("doc_id", "source"), "doc_id")
 
+    # NOTE (r13, measured): staging the prior to parquet and extending
+    # from the scan was TRIED and reverted — the extend's second
+    # consumption of a live prior plan is column-pruned to n_tokens
+    # (Catalyst drops the collect_list for the totals agg) and the
+    # offsets' bucketized persist already caches the encoded frame, so
+    # the "double execution" costs ~nothing, while the staging write is
+    # a full barrier (+1.1 s median).
     prior = PK.pack_token_ids(ids_of(old), "token_ids", 256,
                               order_by=["doc_id"], by=["source"])
     ext = PK.pack_token_ids_extend(prior, ids_of(new), "token_ids", 256,

@@ -48,6 +48,40 @@ def test_bucketed_group_by_is_shuffle_free(spark, bucketed_tables):
     assert count_exchanges(agg) == 0
 
 
+def test_bucketed_write_one_file_per_bucket(spark, bucketed_tables):
+    """r13 write-fix pin: a bucketed write must emit exactly one data
+    file per bucket (the pre-fix layout fanned out one file per
+    (task × bucket) — 2048 files for a 17 MB index table), because
+    probe-side scans pay a footer read per file at every probe."""
+    import glob
+    files = glob.glob("spark-warehouse/li_b/part-*")
+    assert len(files) == 8
+
+
+def test_auto_bucket_counts(spark, sf_dir, documents):
+    """r13 scale-adaptive layout pin: index builds size their bucket
+    count from the data/spec instead of a constant 64 — 8 at test
+    scale (the clamp floor), growing with the geometry/corpus."""
+    from frames_map_reduce_spark.operators.bloom import (
+        _bloom_auto_buckets, build_bloom_index, _bloom_num_buckets)
+    from frames_map_reduce_spark.operators.dedup import (
+        build_minhash_index, _index_num_buckets)
+    from frames_map_reduce_spark.sources import clamp_buckets
+
+    assert _bloom_auto_buckets(1 << 22) == 8          # default geometry
+    assert _bloom_auto_buckets(1 << 34) == 256        # big filter splits
+    assert clamp_buckets(10**18) == 32768             # file-count cap
+    build_bloom_index(documents.limit(50), "autob_bloom_t", "text")
+    assert _bloom_num_buckets(spark, "autob_bloom_t") == 8
+    build_minhash_index(documents.limit(50), "autob_mh_t", "text",
+                        "doc_id")
+    assert _index_num_buckets(spark, "autob_mh_t") == 8
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n_buckets"):
+        build_bloom_index(documents.limit(5), "autob_bad_t", "text",
+                          n_buckets=True)
+
+
 def test_native_topk_matches_grouped_map(spark, lineitem):
     from frames_map_reduce_spark.operators.topk import top_k_per_group
     native = top_k_per_group(
