@@ -1280,7 +1280,13 @@ def bench_gate_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
          & TX.c4_rules(TX.resentence(F.col("text")))["pass_c4"])
         .alias("quality_ok"))
     out = (quality.join(member, "doc_id", "left")
-                  .join(nd, "doc_id", "left")
+                  # nd is the batch's near-dup id subset — bounded by the
+                  # gate's batch contract (the probe already
+                  # driver-collects its bucket keys), so broadcast it
+                  # like the streaming gate does: the initial plan was a
+                  # SortMergeJoin paying Exchange+Sort on BOTH sides
+                  # (plans/r13/gate_probe_before.txt nodes 23/64-66)
+                  .join(F.broadcast(nd), "doc_id", "left")
                   .select("doc_id", "source", "quality_ok", "is_member",
                           F.coalesce(F.col("_nd"), F.lit(False))
                            .alias("is_near_dup")))
@@ -2444,7 +2450,13 @@ def q_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
          & TX.c4_rules(TX.resentence(F.col("text")))["pass_c4"])
         .alias("quality_ok"))
     out = (quality.join(member, "doc_id", "left")
-                  .join(nd, "doc_id", "left")
+                  # nd is the batch's near-dup id subset — bounded by the
+                  # gate's batch contract (the probe already
+                  # driver-collects its bucket keys), so broadcast it
+                  # like the streaming gate does: the initial plan was a
+                  # SortMergeJoin paying Exchange+Sort on BOTH sides
+                  # (plans/r13/gate_probe_before.txt nodes 23/64-66)
+                  .join(F.broadcast(nd), "doc_id", "left")
                   .select("doc_id", "source", "quality_ok", "is_member",
                           F.coalesce(F.col("_nd"), F.lit(False))
                            .alias("is_near_dup")))
