@@ -81,6 +81,19 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ensure_parallelism(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _docs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw documents scan, NOT widened — for paths whose per-row work is
+    cheap JVM hashing (the Bloom word-row builds): the round-robin widen
+    is a full exchange, and the 32 map tasks it creates multiply every
+    downstream shuffle's block count (measured: bloom word_rows to a
+    noop sink 0.92 s widened vs 0.30 s raw at sf0.1 — guide §2.2/§2.4).
+    At 100 TB the scan is already wide and ``ensure_parallelism``
+    no-ops, so skipping it here keeps the exact production plan shape;
+    Python-heavy operators (minhash signing, tokenizer encode) widen
+    their own narrow projections internally and are unaffected."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
 def _overlap(*thunks):
     """Run independent Spark actions from driver threads (guide §2.6 —
     overlap independent jobs): each thunk's job back-fills executors
@@ -1376,7 +1389,7 @@ def q_bloom_firewall(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the same md5 double-hash positions and word packing over the
     union (%4==0) in one statement — extend-then-merge ≡ build-on-union
     is exactly the monoid law the lifecycle relies on."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_raw(spark, sf_dir)
     BL.build_bloom_index(docs.filter(F.col("doc_id") % 8 == 0),
                          "bloom_index_driver", "text")
     BL.extend_bloom_index(docs.filter(F.col("doc_id") % 8 == 4),
@@ -1398,7 +1411,7 @@ def q_bloom_gen_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the same three batches through the same double-hash word
     packing (extend writes exactly one merged row set per batch, so
     generations are engine-exact, not an implementation accident)."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_raw(spark, sf_dir)
     BL.build_bloom_index(docs.filter(F.col("doc_id") % 8 == 0),
                          "bloom_genstats_driver", "text")
     BL.extend_bloom_index(docs.filter(F.col("doc_id") % 8 == 4),
@@ -1430,7 +1443,7 @@ def q_bloom_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation-stats SQL; after-twin replays their UNION as one batch —
     compaction ≡ build-on-union per word is exactly the monoid law the
     lifecycle relies on."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_raw(spark, sf_dir)
     t = "bloom_compact_driver"
     BL.build_bloom_index(docs.filter(F.col("doc_id") % 8 == 0), t, "text")
     BL.extend_bloom_index(docs.filter(F.col("doc_id") % 8 == 4), t, "text")
@@ -1480,7 +1493,7 @@ def q_bloom_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture's exact distinct count (computed at oracle-generation time
     from the same parquet — the IVF/BPE data-dependent-constant
     convention)."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_raw(spark, sf_dir)
     t = "bloom_resize_driver"
     for sfx in ("words_old", "words_rebuild"):  # crashed-run leftovers
         spark.sql(f"DROP TABLE IF EXISTS {t}_{sfx}")
