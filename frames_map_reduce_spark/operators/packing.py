@@ -401,20 +401,53 @@ def pack_token_ids(df: DataFrame, ids_col: str, block: int,
 def _pack_ids_tail(off: DataFrame, ids_col: str, block: int,
                    by: Sequence[str], seq_col: str) -> DataFrame:
     """Shared tail of :func:`pack_token_ids` / :func:`pack_token_ids_extend`:
-    offsets → one posexplode → block ids → bounded-group integer
-    array_sort reassembly."""
-    tok = (off.select(*[F.col(c) for c in by], F.col("_start"),
-                      F.posexplode(F.col(ids_col)).alias("_i", "_id"))
-              .withColumn("_gpos", F.col("_start") + F.col("_i"))
-              .withColumn(seq_col, F.expr(f"_gpos div {int(block)}")))
-    slot = (F.col("_gpos") % block).cast("int")
-    return (tok.groupBy(*[F.col(c) for c in by], F.col(seq_col))
-               .agg(F.transform(
-                        F.array_sort(F.collect_list(
-                            F.struct(slot.alias("o"),
-                                     F.col("_id").alias("t")))),
-                        lambda s: s["t"]).alias("token_ids"),
-                    F.count(F.lit(1)).cast("bigint").alias("n_tokens")))
+    offsets → one per-document block explode (a row per block the
+    document STRADDLES, the :func:`pack_sequences` shape) carrying the
+    document's array SLICE for that block → bounded-group integer
+    array_sort reassembly.
+
+    r13 (guide §2.3 — shuffle fewer rows): this was one ``posexplode``
+    row PER TOKEN (id + slot struct through the exchange and a
+    ``block``-element ``collect_list`` per sequence).  The slice form
+    moves the same token bytes as contiguous arrays — row count drops
+    from ``corpus_tokens`` to ``corpus_tokens/block + n_docs``, and the
+    per-group sort compares a handful of slices instead of ``block``
+    structs.  Output is BIT-IDENTICAL: slices within a block are
+    disjoint slot ranges (one row per document per block), so sorting
+    by each slice's first slot and flattening reproduces exactly the
+    slot-sorted token order; ``n_tokens`` is the same count summed
+    slice-wise.  The slice/slot columns are projected BEFORE the
+    exchange so a straddling document ships each block exactly its own
+    piece, never the whole array."""
+    b = int(block)
+    sized = (off.select(*[F.col(c) for c in by], F.col("_start"),
+                        F.col(ids_col).alias("_ids"))
+                .withColumn("_end",
+                            F.col("_start")
+                            + F.size("_ids").cast("bigint")))
+    blocks = sized.withColumn(
+        seq_col, F.explode(F.sequence(F.expr(f"_start div {b}"),
+                                      F.expr(f"(_end - 1) div {b}"))))
+    lo = F.col(seq_col) * b
+    cut_len = (F.least(F.col("_end"), lo + b)
+               - F.greatest(F.col("_start"), lo))
+    pieces = blocks.select(
+        *[F.col(c) for c in by], F.col(seq_col),
+        # slot of the slice's first token within the block — unique per
+        # (group, block): documents occupy disjoint slot ranges
+        F.greatest(F.col("_start") - lo, F.lit(0)).cast("int").alias("_o"),
+        F.slice(F.col("_ids"),
+                (F.greatest(lo - F.col("_start"), F.lit(0)) + 1)
+                 .cast("int"),
+                cut_len.cast("int")).alias("_piece"),
+        cut_len.alias("_n"))
+    return (pieces.groupBy(*[F.col(c) for c in by], F.col(seq_col))
+                  .agg(F.flatten(F.transform(
+                           F.array_sort(F.collect_list(
+                               F.struct(F.col("_o").alias("o"),
+                                        F.col("_piece").alias("t")))),
+                           lambda s: s["t"])).alias("token_ids"),
+                       F.sum("_n").cast("bigint").alias("n_tokens")))
 
 
 def pack_token_ids_extend(prior_packed: DataFrame, new_df: DataFrame,
