@@ -106,6 +106,16 @@ def _index_inventory(
 
 _BY_LEN, _LENS_DESC = _index_inventory(SUBWORD_VOCAB)
 
+#: Per-task memo cap for the word-level encode caches (guide §4.5 —
+#: amortize per-task work): Zipf repetition makes the DISTINCT word
+#: stream far smaller than the token stream, so each Arrow task caches
+#: the pure word → encode result and pays the greedy scan once per
+#: type, not once per token.  The cap only guards a pathological
+#: all-unique vocabulary from growing a task's memo without bound;
+#: clearing it changes nothing but speed (the encode is a pure
+#: function of the word).
+_MEMO_CAP = 1 << 20
+
 
 def encode_word_len(word: str,
                     inventory: tuple[str, ...] | None = None) -> int:
@@ -161,13 +171,22 @@ def subword_counts(df: DataFrame, text_col: str, id_col: str,
 
     def run(batches) -> Iterator:
         import pandas as pd
+        memo: dict[str, int] = {}
         for pdf in batches:
             ids, nw, ns = [], [], []
             for i, words in zip(pdf[id_col], pdf["_w"]):
                 ids.append(i)
                 nw.append(len(words))
-                ns.append(sum(_encode_len(w, by_len, lens_desc)
-                              for w in words))
+                tot = 0
+                for w in words:
+                    c = memo.get(w)
+                    if c is None:
+                        if len(memo) >= _MEMO_CAP:
+                            memo.clear()
+                        c = _encode_len(w, by_len, lens_desc)
+                        memo[w] = c
+                    tot += c
+                ns.append(tot)
             yield pd.DataFrame({id_col: ids, "n_words": nw,
                                 "n_subwords": ns})
 
@@ -295,14 +314,21 @@ def encode_ids(df: DataFrame, text_col: str, id_col: str,
 
     def run(batches) -> Iterator:
         import pandas as pd
+        memo: dict[str, list[int]] = {}
         for pdf in batches:
             ids, seqs = [], []
             for i, words in zip(pdf[id_col], pdf["_w"]):
                 ids.append(i)
                 flat: list[int] = []
                 for w in words:
-                    flat.extend(_encode_ids(w, id_of, n_inv,
-                                            by_len, lens_desc))
+                    wi = memo.get(w)
+                    if wi is None:
+                        if len(memo) >= _MEMO_CAP:
+                            memo.clear()
+                        wi = _encode_ids(w, id_of, n_inv,
+                                         by_len, lens_desc)
+                        memo[w] = wi
+                    flat.extend(wi)
                 seqs.append(flat)
             yield pd.DataFrame({id_col: ids, "token_ids": seqs})
 
@@ -701,12 +727,19 @@ def tokenizer_oov_stats(df: DataFrame, text_col: str,
 
     def run(batches) -> Iterator:
         import pandas as pd
+        memo: dict[str, tuple[int, int]] = {}
         for pdf in batches:
             nw, ns, nf, nc = [], [], [], []
             for words in pdf["_w"]:
                 w_ns = w_nf = w_nc = 0
                 for w in words:
-                    t, f = _encode_len_fb(w, by_len, lens_desc)
+                    tf = memo.get(w)
+                    if tf is None:
+                        if len(memo) >= _MEMO_CAP:
+                            memo.clear()
+                        tf = _encode_len_fb(w, by_len, lens_desc)
+                        memo[w] = tf
+                    t, f = tf
                     w_ns += t
                     w_nf += f
                     w_nc += len(w)

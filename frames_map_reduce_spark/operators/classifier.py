@@ -54,7 +54,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from frames_map_reduce_spark.functions import text as TX
@@ -171,21 +171,30 @@ def train_logodds_classifier(df: DataFrame, text_col: str, label_col: str,
              .agg(F.sum(F.when(F.col("_pos"), 1).otherwise(0)).alias("_p"),
                   F.sum(F.when(F.col("_pos"), 0).otherwise(1)).alias("_n")))
     # dense [0, n_buckets) spine so unseen buckets carry the prior-only
-    # weight and scoring never needs a fallback constant
+    # weight and scoring never needs a fallback constant; occ is
+    # n_buckets rows at most — broadcast it so the spine join never
+    # shuffles (guide §3.1)
     spine = (df.sparkSession.range(0, n_buckets)
                .select(F.col("id").alias("bucket")))
-    counts = (spine.join(occ, "bucket", "left")
+    counts = (spine.join(F.broadcast(occ), "bucket", "left")
                    .select("bucket",
                            F.coalesce("_p", F.lit(0)).alias("_p"),
                            F.coalesce("_n", F.lit(0)).alias("_n")))
-    totals = counts.agg(F.sum("_p").alias("_pt"), F.sum("_n").alias("_nt"))
+    # totals via ONE unpartitioned window over the n_buckets-row counts
+    # frame (bounded by construction), NOT a separate agg + crossJoin:
+    # that shape re-ran the whole corpus tokenize/bucket subtree a
+    # second time under the broadcast (two scans of the training data
+    # per fit — guide §1.2 "don't compute things you throw away");
+    # same exact BIGINT sums, same downstream arithmetic
+    w_all = Window.partitionBy()
+    counts = (counts.withColumn("_pt", F.sum("_p").over(w_all))
+                    .withColumn("_nt", F.sum("_n").over(w_all)))
     d = float(n_buckets)
     # smoothed log-odds on exact integer inputs; products/quotients are
     # correctly-rounded IEEE doubles (engine-identical), then ONE ln
     ratio = (((F.col("_p") + F.lit(1.0)) * (F.col("_nt") + F.lit(d)))
              / ((F.col("_n") + F.lit(1.0)) * (F.col("_pt") + F.lit(d))))
-    return (counts.crossJoin(F.broadcast(totals))
-                  .select(F.col("bucket").cast("bigint").alias("bucket"),
+    return (counts.select(F.col("bucket").cast("bigint").alias("bucket"),
                           F.round(F.log(ratio) * LOGIT_SCALE, 0)
                            .cast("bigint").alias("weight")))
 

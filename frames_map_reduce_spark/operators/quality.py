@@ -15,6 +15,8 @@ fold algebra downstream (the output is a plain frame).
 from __future__ import annotations
 
 from collections.abc import Sequence
+from functools import reduce as _reduce
+from operator import add as _add
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -368,16 +370,56 @@ def token_entropy_profile(df: DataFrame, text_col: str, id_col: str,
     tokens.  Nothing quadratic, nothing driver-side.
     """
     require_columns(df, [text_col, id_col, *carry])
-    counts = (df.select(id_col, *carry,
-                        F.explode(TX.tokens(F.col(text_col))).alias("_tok"))
-                .groupBy(id_col, *carry, "_tok")
-                .agg(F.count(F.lit(1)).alias("_c")))
-    q = (F.round(F.log(F.col("_c").cast("double")) * _ENTROPY_SCALE, 0)
-          .cast("bigint") * F.col("_c"))
-    per_doc = (counts.groupBy(id_col, *carry)
-                     .agg(F.sum("_c").alias("n_tokens"),
-                          F.count(F.lit(1)).alias("n_types"),
-                          F.sum(q).alias("_qs")))
+    # r13 (guide §2.4 — remove shuffles outright): entropy is a
+    # PER-DOCUMENT quantity, so no shuffle is fundamentally required —
+    # the old explode → groupBy(doc, token) → groupBy(doc) shape paid
+    # two exchanges to count within-row token repeats.  Now the counts
+    # come from one in-row pass: sort the token array and fold it with
+    # ``F.aggregate``, closing each equal-run by adding the SAME
+    # quantized ``round(ln(c)·1e6)·c`` term (the identical Spark Log
+    # expression, so the doubles are the engine's own), types and
+    # token totals alongside.  BIGINT sums are exact under any
+    # association order, so the output is bit-identical (verified
+    # row-for-row on the sf0.1 corpus before the switch); tokenless
+    # documents stay absent via the size filter.
+    toks = TX.tokens(F.col(text_col))
+    srt = F.array_sort(toks)
+    zl = F.lit(0).cast("long")
+
+    def _closed(acc):
+        return (F.round(F.log(acc["c"].cast("double")) * _ENTROPY_SCALE, 0)
+                 .cast("bigint") * acc["c"])
+
+    def _merge(acc, x):
+        return F.when(
+            (acc["c"] > zl) & (x == acc["p"]),
+            F.struct(acc["p"].alias("p"),
+                     (acc["c"] + F.lit(1).cast("long")).alias("c"),
+                     acc["t"].alias("t"), acc["q"].alias("q"))
+        ).otherwise(
+            F.struct(x.alias("p"), F.lit(1).cast("long").alias("c"),
+                     (acc["t"] + F.lit(1).cast("long")).alias("t"),
+                     (acc["q"] + F.when(acc["c"] > zl, _closed(acc))
+                                  .otherwise(zl)).alias("q")))
+
+    def _finish(acc):
+        return F.struct(
+            (acc["q"] + F.when(acc["c"] > zl, _closed(acc)).otherwise(zl))
+             .alias("q"),
+            acc["t"].alias("t"))
+
+    runs = F.aggregate(
+        srt,
+        F.struct(F.lit("").alias("p"), zl.alias("c"),
+                 zl.alias("t"), zl.alias("q")),
+        _merge, _finish)
+    per_doc = (df.select(id_col, *carry,
+                         F.size(toks).cast("long").alias("n_tokens"),
+                         runs.alias("_runs"))
+                 .filter(F.col("n_tokens") > 0)
+                 .select(id_col, *carry, "n_tokens",
+                         F.col("_runs")["t"].alias("n_types"),
+                         F.col("_runs")["q"].alias("_qs")))
     h = (F.round(F.log(F.col("n_tokens").cast("double")) * _ENTROPY_SCALE, 0)
           .cast("bigint")
          - F.expr("(2 * _qs + n_tokens) div (2 * n_tokens)"))
@@ -672,32 +714,35 @@ def psi_against_reference(cur: DataFrame, value_col: str,
         raise ValueError(
             f"ref_counts must be {n_bins} non-negative bin counts "
             f"(len(breakpoints) + 1), got {ref_counts!r}")
-    spark = cur.sparkSession
-    # the reference constants as a pure ARRAY-LITERAL posexplode, not
-    # createDataFrame: this function runs once per MICRO-BATCH inside
-    # the streaming monitors, and a Python-RDD literal costs a Python
-    # worker round-trip per slice per batch — the posexplode is a
-    # zero-Python JVM expression (r11: the coalesce-literal lesson)
-    ref_df = (spark.range(1).select(
-        F.posexplode(F.lit([int(c) for c in refs]))
-         .alias("bin", "n_ref"))
-        .select(F.col("bin").cast("int").alias("bin"),
-                F.col("n_ref").cast("long").alias("n_ref")))
-    cur_b = (cur.select(F.expr(_breakpoint_bin_expr(value_col, bks))
-                         .cast("int").alias("bin"))
-                .groupBy("bin").agg(F.count(F.lit(1)).alias("_nc")))
-    counts = (ref_df.join(cur_b, "bin", "left")
-                    .select("bin", "n_ref",
-                            F.coalesce("_nc", F.lit(0)).alias("n_cur")))
-    tot = counts.agg(F.sum("n_ref").alias("_tr"),
-                     F.sum("n_cur").alias("_tc"))
-    p = (F.col("n_ref") + 1).cast("double") / (F.col("_tr") + n_bins)
-    q = (F.col("n_cur") + 1).cast("double") / (F.col("_tc") + n_bins)
-    term = F.round((p - q) * F.log(p / q) * 1_000_000, 0).cast("bigint")
-    return (counts.crossJoin(F.broadcast(tot))
-                  .select(F.col("n_cur"), term.alias("_t"))
-                  .agg(F.sum("n_cur").cast("bigint").alias("n_rows"),
-                       F.sum("_t").cast("bigint").alias("psi_micro")))
+    # ONE flat conditional aggregation (r13, guide §2.4 — remove
+    # shuffles outright): the reference side is all Python constants,
+    # so the per-bin current counts are ``n_bins`` conditional sums in
+    # a single 2-phase aggregation — no bin groupBy, no spine join, no
+    # totals crossJoin (the old plan ran 3 extra tiny exchanges plus a
+    # broadcast per MICRO-BATCH).  Values are bit-identical: each
+    # bin's (p, q, term) arithmetic is the same expression over the
+    # same numbers (the reference total is the literal ``sum(refs)``),
+    # and the BIGINT term/count sums are exact regardless of
+    # association order.
+    binx = F.expr(_breakpoint_bin_expr(value_col, bks)).cast("int")
+    row = cur.select(binx.alias("_b")).agg(*[
+        F.coalesce(F.sum(F.when(F.col("_b") == F.lit(i), 1).otherwise(0)),
+                   F.lit(0)).cast("long").alias(f"_c{i}")
+        for i in range(n_bins)])
+    tr = sum(refs)
+    tc = _reduce(_add, [F.col(f"_c{i}") for i in range(n_bins)])
+    terms = []
+    for i in range(n_bins):
+        p = ((F.lit(int(refs[i])) + F.lit(1)).cast("double")
+             / (F.lit(int(tr)) + F.lit(n_bins)))
+        q = ((F.col(f"_c{i}") + F.lit(1)).cast("double")
+             / (F.col("_tc") + F.lit(n_bins)))
+        terms.append(
+            F.round((p - q) * F.log(p / q) * 1_000_000, 0).cast("bigint"))
+    return (row.withColumn("_tc", tc)
+               .select(F.col("_tc").cast("bigint").alias("n_rows"),
+                       _reduce(_add, terms).cast("bigint")
+                        .alias("psi_micro")))
 
 
 def psi_against_reference_sql(cur_sel: str, value_col: str,
