@@ -333,6 +333,55 @@ def bigram_lm_score_sql(table: str, text_col: str, id_col: str,
 _ENTROPY_SCALE = 1_000_000
 
 
+def entropy_run_struct(text_col: str):
+    """The in-row entropy fold as ONE reusable Column — the exact
+    arithmetic of :func:`token_entropy_profile`, factored so per-batch
+    monitors (``streaming.stream_quality_dashboard``) can fuse it into
+    a single aggregation pass instead of running the profile as a
+    separate job.
+
+    Returns ``struct(n: long, r: struct(q: long, t: long))`` per row:
+    ``n`` = token count, ``r.t`` = distinct-token count, ``r.q`` =
+    BIGINT Σ ``round(ln(c)·1e6)·c`` over the row's equal-runs —
+    ``entropy_micro = round(ln(n)·1e6) − (2·q + n) div (2·n)`` exactly
+    as the profile stages it.  The fold appears once in the expression
+    tree (extract fields AFTER a select boundary to keep it
+    evaluated once per row)."""
+    toks = TX.tokens(F.col(text_col))
+    srt = F.array_sort(toks)
+    zl = F.lit(0).cast("long")
+
+    def _closed(acc):
+        return (F.round(F.log(acc["c"].cast("double")) * _ENTROPY_SCALE, 0)
+                 .cast("bigint") * acc["c"])
+
+    def _merge(acc, x):
+        return F.when(
+            (acc["c"] > zl) & (x == acc["p"]),
+            F.struct(acc["p"].alias("p"),
+                     (acc["c"] + F.lit(1).cast("long")).alias("c"),
+                     acc["t"].alias("t"), acc["q"].alias("q"))
+        ).otherwise(
+            F.struct(x.alias("p"), F.lit(1).cast("long").alias("c"),
+                     (acc["t"] + F.lit(1).cast("long")).alias("t"),
+                     (acc["q"] + F.when(acc["c"] > zl, _closed(acc))
+                                  .otherwise(zl)).alias("q")))
+
+    def _finish(acc):
+        return F.struct(
+            (acc["q"] + F.when(acc["c"] > zl, _closed(acc)).otherwise(zl))
+             .alias("q"),
+            acc["t"].alias("t"))
+
+    runs = F.aggregate(
+        srt,
+        F.struct(F.lit("").alias("p"), zl.alias("c"),
+                 zl.alias("t"), zl.alias("q")),
+        _merge, _finish)
+    return F.struct(F.size(toks).cast("long").alias("n"),
+                    runs.alias("r"))
+
+
 def token_entropy_profile(df: DataFrame, text_col: str, id_col: str,
                           carry: Sequence[str] = ()) -> DataFrame:
     """Per-document Shannon entropy of the token distribution, in exact
@@ -374,52 +423,21 @@ def token_entropy_profile(df: DataFrame, text_col: str, id_col: str,
     # PER-DOCUMENT quantity, so no shuffle is fundamentally required —
     # the old explode → groupBy(doc, token) → groupBy(doc) shape paid
     # two exchanges to count within-row token repeats.  Now the counts
-    # come from one in-row pass: sort the token array and fold it with
-    # ``F.aggregate``, closing each equal-run by adding the SAME
-    # quantized ``round(ln(c)·1e6)·c`` term (the identical Spark Log
-    # expression, so the doubles are the engine's own), types and
-    # token totals alongside.  BIGINT sums are exact under any
-    # association order, so the output is bit-identical (verified
-    # row-for-row on the sf0.1 corpus before the switch); tokenless
-    # documents stay absent via the size filter.
-    toks = TX.tokens(F.col(text_col))
-    srt = F.array_sort(toks)
-    zl = F.lit(0).cast("long")
-
-    def _closed(acc):
-        return (F.round(F.log(acc["c"].cast("double")) * _ENTROPY_SCALE, 0)
-                 .cast("bigint") * acc["c"])
-
-    def _merge(acc, x):
-        return F.when(
-            (acc["c"] > zl) & (x == acc["p"]),
-            F.struct(acc["p"].alias("p"),
-                     (acc["c"] + F.lit(1).cast("long")).alias("c"),
-                     acc["t"].alias("t"), acc["q"].alias("q"))
-        ).otherwise(
-            F.struct(x.alias("p"), F.lit(1).cast("long").alias("c"),
-                     (acc["t"] + F.lit(1).cast("long")).alias("t"),
-                     (acc["q"] + F.when(acc["c"] > zl, _closed(acc))
-                                  .otherwise(zl)).alias("q")))
-
-    def _finish(acc):
-        return F.struct(
-            (acc["q"] + F.when(acc["c"] > zl, _closed(acc)).otherwise(zl))
-             .alias("q"),
-            acc["t"].alias("t"))
-
-    runs = F.aggregate(
-        srt,
-        F.struct(F.lit("").alias("p"), zl.alias("c"),
-                 zl.alias("t"), zl.alias("q")),
-        _merge, _finish)
-    per_doc = (df.select(id_col, *carry,
-                         F.size(toks).cast("long").alias("n_tokens"),
-                         runs.alias("_runs"))
-                 .filter(F.col("n_tokens") > 0)
-                 .select(id_col, *carry, "n_tokens",
-                         F.col("_runs")["t"].alias("n_types"),
-                         F.col("_runs")["q"].alias("_qs")))
+    # come from one in-row pass (entropy_run_struct): sort the token
+    # array and fold it with ``F.aggregate``, closing each equal-run by
+    # adding the SAME quantized ``round(ln(c)·1e6)·c`` term (the
+    # identical Spark Log expression, so the doubles are the engine's
+    # own), types and token totals alongside.  BIGINT sums are exact
+    # under any association order, so the output is bit-identical
+    # (verified row-for-row on the sf0.1 corpus before the switch);
+    # tokenless documents stay absent via the size filter.
+    runs = entropy_run_struct(text_col)
+    per_doc = (df.select(id_col, *carry, runs.alias("_runs"))
+                 .filter(F.col("_runs")["n"] > 0)
+                 .select(id_col, *carry,
+                         F.col("_runs")["n"].alias("n_tokens"),
+                         F.col("_runs")["r"]["t"].alias("n_types"),
+                         F.col("_runs")["r"]["q"].alias("_qs")))
     h = (F.round(F.log(F.col("n_tokens").cast("double")) * _ENTROPY_SCALE, 0)
           .cast("bigint")
          - F.expr("(2 * _qs + n_tokens) div (2 * n_tokens)"))
@@ -704,16 +722,6 @@ def psi_against_reference(cur: DataFrame, value_col: str,
     (n_rows = 0; PSI of the smoothed-uniform vs the reference).
     """
     require_columns(cur, [value_col])
-    bks = [int(b) for b in breakpoints]
-    if len(bks) < 1 or sorted(bks) != bks:
-        raise ValueError(f"breakpoints must be a non-empty sorted list, "
-                         f"got {breakpoints!r}")
-    n_bins = len(bks) + 1
-    refs = [int(c) for c in ref_counts]
-    if len(refs) != n_bins or any(c < 0 for c in refs):
-        raise ValueError(
-            f"ref_counts must be {n_bins} non-negative bin counts "
-            f"(len(breakpoints) + 1), got {ref_counts!r}")
     # ONE flat conditional aggregation (r13, guide §2.4 — remove
     # shuffles outright): the reference side is all Python constants,
     # so the per-bin current counts are ``n_bins`` conditional sums in
@@ -724,25 +732,60 @@ def psi_against_reference(cur: DataFrame, value_col: str,
     # same numbers (the reference total is the literal ``sum(refs)``),
     # and the BIGINT term/count sums are exact regardless of
     # association order.
+    binx, agg_cols, with_total, n_rows_col, psi_col = \
+        psi_reference_fusion(value_col, breakpoints, ref_counts)
+    row = cur.select(binx.alias("_b")).agg(*agg_cols)
+    return with_total(row).select(n_rows_col.alias("n_rows"),
+                                  psi_col.alias("psi_micro"))
+
+
+def psi_reference_fusion(value_col: str, breakpoints: Sequence[int],
+                         ref_counts: Sequence[int], prefix: str = ""):
+    """The pieces of :func:`psi_against_reference` exposed for FUSION
+    into a wider single-pass aggregation (``streaming.
+    stream_quality_dashboard`` computes entropy + PSI + classifier
+    totals in ONE job per micro-batch) — the arithmetic is this
+    module's, verbatim, so fused and standalone scores are
+    bit-identical by construction.
+
+    Returns ``(bin_col, agg_cols, with_total, n_rows_col, psi_col)``:
+    project ``bin_col`` as ``{prefix}_b`` alongside whatever else the
+    pass computes, add ``agg_cols`` to the single ``.agg``, pipe the
+    1-row result through ``with_total`` (attaches ``{prefix}_tc``),
+    then select ``n_rows_col`` / ``psi_col``."""
+    bks = [int(b) for b in breakpoints]
+    if len(bks) < 1 or sorted(bks) != bks:
+        raise ValueError(f"breakpoints must be a non-empty sorted list, "
+                         f"got {breakpoints!r}")
+    n_bins = len(bks) + 1
+    refs = [int(c) for c in ref_counts]
+    if len(refs) != n_bins or any(c < 0 for c in refs):
+        raise ValueError(
+            f"ref_counts must be {n_bins} non-negative bin counts "
+            f"(len(breakpoints) + 1), got {ref_counts!r}")
     binx = F.expr(_breakpoint_bin_expr(value_col, bks)).cast("int")
-    row = cur.select(binx.alias("_b")).agg(*[
-        F.coalesce(F.sum(F.when(F.col("_b") == F.lit(i), 1).otherwise(0)),
-                   F.lit(0)).cast("long").alias(f"_c{i}")
-        for i in range(n_bins)])
+    agg_cols = [
+        F.coalesce(F.sum(F.when(F.col(f"{prefix}_b") == F.lit(i), 1)
+                          .otherwise(0)),
+                   F.lit(0)).cast("long").alias(f"{prefix}_c{i}")
+        for i in range(n_bins)]
     tr = sum(refs)
-    tc = _reduce(_add, [F.col(f"_c{i}") for i in range(n_bins)])
+    tc = _reduce(_add, [F.col(f"{prefix}_c{i}") for i in range(n_bins)])
+
+    def with_total(row: DataFrame) -> DataFrame:
+        return row.withColumn(f"{prefix}_tc", tc)
+
     terms = []
     for i in range(n_bins):
         p = ((F.lit(int(refs[i])) + F.lit(1)).cast("double")
              / (F.lit(int(tr)) + F.lit(n_bins)))
-        q = ((F.col(f"_c{i}") + F.lit(1)).cast("double")
-             / (F.col("_tc") + F.lit(n_bins)))
+        q = ((F.col(f"{prefix}_c{i}") + F.lit(1)).cast("double")
+             / (F.col(f"{prefix}_tc") + F.lit(n_bins)))
         terms.append(
             F.round((p - q) * F.log(p / q) * 1_000_000, 0).cast("bigint"))
-    return (row.withColumn("_tc", tc)
-               .select(F.col("_tc").cast("bigint").alias("n_rows"),
-                       _reduce(_add, terms).cast("bigint")
-                        .alias("psi_micro")))
+    n_rows_col = F.col(f"{prefix}_tc").cast("bigint")
+    psi_col = _reduce(_add, terms).cast("bigint")
+    return binx, agg_cols, with_total, n_rows_col, psi_col
 
 
 def psi_against_reference_sql(cur_sel: str, value_col: str,

@@ -794,55 +794,73 @@ def stream_quality_dashboard(stream: DataFrame, text_col: str,
         classifier_gate_columns,
     )
     from frames_map_reduce_spark.operators.quality import (
-        psi_against_reference,
-        token_entropy_profile,
+        _ENTROPY_SCALE,
+        entropy_run_struct,
+        psi_reference_fusion,
     )
 
     require_columns(stream, [text_col, id_col, value_col])
     gate_cols = classifier_gate_columns(weights, text_col, n_buckets, salt)
+    # r13 (guide §1.2/§2.4 — one pass, not four): every metric here is
+    # a row-level expression followed by a 1-row aggregation, so the
+    # whole dashboard fuses into ONE job per micro-batch — the gate
+    # columns (stateless classifier), the in-row entropy fold
+    # (quality.entropy_run_struct), and the PSI bin counts
+    # (quality.psi_reference_fusion) share a single projection and a
+    # single .agg, instead of 3 separate aggregation jobs + 2 broadcast
+    # crossJoins re-scanning the batch.  Values are bit-identical by
+    # construction: the per-row expressions are the SAME factored
+    # Columns the standalone operators use, and every merged aggregate
+    # is an exact BIGINT sum/count (association-order free).
+    binx, psi_aggs, psi_total, _psi_n_rows, psi_col = \
+        psi_reference_fusion(value_col, breakpoints, ref_counts,
+                             prefix="_psi")
+    ent = entropy_run_struct(text_col)
+    # the profile's per-doc entropy, over the projected fold struct
+    # (guarded: only rows with >= 1 token reach the log/div)
+    ent_micro = (F.round(F.log(F.col("_ent")["n"].cast("double"))
+                         * _ENTROPY_SCALE, 0).cast("bigint")
+                 - F.expr("(2 * _ent.r.q + _ent.n) div (2 * _ent.n)"))
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        # ONE pass for n_docs + the classifier rollup: the gate columns
-        # are stateless expressions, so the batch count and the
-        # tokenless-excluded aggregates (the classifier_score absent-row
-        # convention, via n_tokens > 0 conditionals — tokenless rows
-        # have NULL rank and contribute nothing) fuse into a single
-        # aggregation instead of two jobs per batch
-        clf = (batch_df.select(*(c.alias(name)
-                                 for name, c in gate_cols.items()))
-               .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-                    F.coalesce(
-                        F.sum(F.when((F.col("n_tokens") > 0)
-                                     & (F.col("logit_rank") >= 0), 1)
-                               .otherwise(0)), F.lit(0))
-                     .cast("bigint").alias("n_pass_quality"),
-                    F.coalesce(F.sum(F.when(F.col("n_tokens") > 0,
-                                            F.col("logit_sum"))), F.lit(0))
-                     .cast("bigint").alias("logit_total")))
-        ent = (token_entropy_profile(batch_df, text_col, id_col)
-               .agg(F.sum("entropy_micro").alias("_se"),
-                    F.count(F.lit(1)).alias("_n"))
-               # half-up integer mean; entropy_micro >= 0 so Spark div
-               # truncation is the half-up rule; NULL when no doc has
-               # tokens (ANSI: guard the 0-denominator, never divide)
-               .select(F.expr("case when _n > 0 then "
-                              "(2 * _se + _n) div (2 * _n) end")
-                        .cast("bigint").alias("entropy_mean_micro")))
-        psi = (psi_against_reference(batch_df, value_col,
-                                     breakpoints, ref_counts)
-               .select("psi_micro"))
-        row = (clf.crossJoin(F.broadcast(ent))
-                  .crossJoin(F.broadcast(psi))
-                  .select("n_docs", "entropy_mean_micro", "psi_micro",
-                          "n_pass_quality", "logit_total",
-                          (F.col("psi_micro") > F.lit(int(psi_alert)))
-                          .alias("alert_psi"),
-                          F.coalesce(F.col("entropy_mean_micro")
-                                     < F.lit(int(entropy_floor_micro)),
-                                     F.lit(True)).alias("alert_entropy"),
-                          (F.col("n_pass_quality") * F.lit(1000)
-                           < F.lit(int(min_pass_rate_milli))
-                           * F.col("n_docs")).alias("alert_pass_rate")))
+        proj = batch_df.select(
+            *(c.alias(name) for name, c in gate_cols.items()),
+            ent.alias("_ent"), binx.alias("_psi_b"))
+        row = proj.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(
+                F.sum(F.when((F.col("n_tokens") > 0)
+                             & (F.col("logit_rank") >= 0), 1)
+                       .otherwise(0)), F.lit(0))
+             .cast("bigint").alias("n_pass_quality"),
+            F.coalesce(F.sum(F.when(F.col("n_tokens") > 0,
+                                    F.col("logit_sum"))), F.lit(0))
+             .cast("bigint").alias("logit_total"),
+            # tokenless docs are absent from the profile: same
+            # conditionals here (NULL _se / 0 _n on a tokenless batch)
+            F.sum(F.when(F.col("_ent")["n"] > 0, ent_micro)).alias("_se"),
+            F.count(F.when(F.col("_ent")["n"] > 0, 1)).alias("_n"),
+            *psi_aggs)
+        row = psi_total(row).select(
+            "n_docs",
+            # half-up integer mean; entropy_micro >= 0 so Spark div
+            # truncation is the half-up rule; NULL when no doc has
+            # tokens (ANSI: guard the 0-denominator, never divide)
+            F.expr("case when _n > 0 then "
+                   "(2 * _se + _n) div (2 * _n) end")
+             .cast("bigint").alias("entropy_mean_micro"),
+            psi_col.alias("psi_micro"),
+            "n_pass_quality", "logit_total")
+        row = row.select("n_docs", "entropy_mean_micro", "psi_micro",
+                         "n_pass_quality", "logit_total",
+                         (F.col("psi_micro") > F.lit(int(psi_alert)))
+                         .alias("alert_psi"),
+                         F.coalesce(F.col("entropy_mean_micro")
+                                    < F.lit(int(entropy_floor_micro)),
+                                    F.lit(True)).alias("alert_entropy"),
+                         (F.col("n_pass_quality") * F.lit(1000)
+                          < F.lit(int(min_pass_rate_milli))
+                          * F.col("n_docs")).alias("alert_pass_rate"))
         if oov is not False:
             from frames_map_reduce_spark.functions.tokenizer import (
                 tokenizer_oov_stats,
