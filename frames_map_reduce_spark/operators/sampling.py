@@ -719,7 +719,7 @@ def dsir_resample(raw: DataFrame, target: DataFrame, text_col: str,
                   by: Sequence[str] = (), n_buckets: int = 1 << 14,
                   salt: str = "dsir", gumbel: bool = True,
                   select_buckets=256,
-                  materialize: str | None = None,
+                  materialize: str | None = "local_checkpoint",
                   ngram=(1, 1)) -> DataFrame:
     """Data Selection with Importance Resampling (DSIR — Xie et al.,
     NeurIPS 2023, arXiv:2302.03169): select ``num/den`` of the RAW
@@ -751,7 +751,17 @@ def dsir_resample(raw: DataFrame, target: DataFrame, text_col: str,
 
     Output: the scored frame filtered to the kept rows — ``(by…,
     id_col, n_tokens, logit_sum, logit_rank, dsir_priority)``; join
-    back on ``id_col`` for payload columns."""
+    back on ``id_col`` for payload columns.
+
+    ``materialize`` defaults to ``"local_checkpoint"`` (r13, guide
+    §1.2/§5 — the scored lineage here is ALWAYS expensive: train +
+    explode + broadcast join + agg, and :func:`top_fraction`'s
+    two-phase cut references it three times with branch-specific
+    pruning that defeats exchange reuse).  Measured on the sf0.1 rig:
+    unigram 3.7 → 2.7 s, bigram 4.2–5.5 → 3.6 s (stable).  Values are
+    unchanged — the barrier only truncates lineage; pass ``None`` to
+    recompute per branch (stage-retry-safe for cluster runs that
+    prefer it)."""
     from frames_map_reduce_spark.operators.classifier import (
         classifier_score,
         train_logodds_classifier,
