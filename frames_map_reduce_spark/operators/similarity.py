@@ -1244,19 +1244,27 @@ def knn_label_vote(corpus: DataFrame, queries: DataFrame, vec_col: str,
             .join(F.broadcast(qz.select("_qid", "_qlabel")), "_qid"))
     votes = nb.groupBy("_qid", "_qlabel", "_clabel") \
               .agg(F.count(F.lit(1)).alias("_c"))
+    # winner pick and same-label tally are BOTH per-_qid quantities over
+    # the tiny votes frame: compute them in one window pass (row_number
+    # on the ordered spec, sum over the whole partition) instead of two
+    # branches merged by a join — the two-branch form duplicated the
+    # votes lineage (and the corpus pass under it) in the plan and paid
+    # an Exchange+Sort on each side of a SortMergeJoin for rows that are
+    # 1-per-query on both sides.  Same BIGINT sum, same tie order —
+    # values unchanged.
     w = Window.partitionBy("_qid").orderBy(
         F.col("_c").desc(), F.col("_clabel").asc())
-    top = votes.withColumn("_rn", F.row_number().over(w)) \
-               .filter(F.col("_rn") == 1) \
-               .select("_qid", "_qlabel",
-                       F.col("_clabel").alias("knn_label"))
-    same = votes.groupBy("_qid").agg(
-        F.sum(F.when(F.col("_clabel") == F.col("_qlabel"), F.col("_c"))
-               .otherwise(0)).cast("bigint").alias("n_same"))
-    return (top.join(same, "_qid")
-               .select(F.col("_qid").alias(id_col),
-                       F.col("_qlabel").alias(label_col),
-                       "knn_label", "n_same"))
+    wq = Window.partitionBy("_qid")
+    return (votes
+            .withColumn("_rn", F.row_number().over(w))
+            .withColumn("n_same",
+                        F.sum(F.when(F.col("_clabel") == F.col("_qlabel"),
+                                     F.col("_c")).otherwise(0))
+                         .over(wq).cast("bigint"))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("_qid").alias(id_col),
+                    F.col("_qlabel").alias(label_col),
+                    F.col("_clabel").alias("knn_label"), "n_same"))
 
 
 def knn_label_vote_sql(table: str, queries_sql: str, vec_col: str,
