@@ -272,11 +272,16 @@ def recall_at_k(approx: DataFrame, exact: DataFrame,
     Returns (query_id, n_exact, n_hits, recall)."""
     ex = exact.select(query_id_col, id_col)
     ap = approx.select(query_id_col, id_col)
-    hits = (ex.join(ap, [query_id_col, id_col])
+    # both sides are ≤ k rows per query by the top-k contract above:
+    # broadcast them explicitly — size ESTIMATES on these frames carry
+    # the whole ANN lineage underneath and routinely exceed the
+    # auto-broadcast threshold, planning Exchange+Sort+SortMergeJoin
+    # for frames of a few dozen rows
+    hits = (ex.join(F.broadcast(ap), [query_id_col, id_col])
               .groupBy(query_id_col)
               .agg(F.count(F.lit(1)).alias("n_hits")))
     totals = ex.groupBy(query_id_col).agg(F.count(F.lit(1)).alias("n_exact"))
-    return (totals.join(hits, query_id_col, "left")
+    return (totals.join(F.broadcast(hits), query_id_col, "left")
                   .select(query_id_col, "n_exact",
                           F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
                           F.round(F.try_divide(F.coalesce("n_hits", F.lit(0)),
@@ -325,24 +330,38 @@ def ann_topk_srp(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
     write-time bucketed by ``_bucket`` per table); the probe is a
     key-equality join, never a cross join.
     """
-    cand = None
-    for t in range(n_tables):
-        tseed = seed + 7919 * t
-        cb = srp_bucketed(corpus, vec_col, dim, n_planes, tseed).select(
-            F.lit(t).alias("_table"), "_bucket", F.col(id_col), F.col(vec_col))
-        qb = srp_bucketed(queries, vec_col, dim, n_planes, tseed)
+    # ONE corpus pass for all tables (a per-table union would scan the
+    # corpus n_tables times — 8 full reads at the default amplification;
+    # at 100 TB that is the whole job): compute every table's signature
+    # in a single projection and posexplode into (_table, _bucket) rows.
+    # The explode feeds the broadcast probe join directly — no exchange
+    # touches the corpus side — and produces exactly the rows the
+    # per-table union produced, so candidates (and everything after the
+    # distinct) are identical.
+    table_planes = [_random_planes(dim, n_planes, seed + 7919 * t)
+                    for t in range(n_tables)]
+    vec_d = F.col(vec_col).cast("array<double>")
+    cb = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        F.posexplode(F.array(*[srp_signature(vec_d, p)
+                               for p in table_planes]))
+         .alias("_table", "_bucket"))
+    probe_structs = []
+    for t, planes in enumerate(table_planes):
+        sig = srp_signature(vec_d, planes)
+        buckets = [sig]
         if multiprobe:
-            probes = F.array(*([F.col("_bucket")] +
-                               [F.col("_bucket").bitwiseXOR(F.lit(1 << i))
-                                for i in range(n_planes)]))
-            qb = qb.select(query_id_col,
-                           F.explode(probes).alias("_bucket"))
-        else:
-            qb = qb.select(query_id_col, "_bucket")
-        qb = qb.withColumn("_table", F.lit(t))
-        pairs = cb.join(F.broadcast(qb), on=["_table", "_bucket"]).select(
-            query_id_col, id_col, vec_col)
-        cand = pairs if cand is None else cand.unionByName(pairs)
+            buckets += [sig.bitwiseXOR(F.lit(1 << i))
+                        for i in range(n_planes)]
+        probe_structs += [F.struct(F.lit(t).alias("_table"),
+                                   b.alias("_bucket")) for b in buckets]
+    qb = (queries.select(query_id_col,
+                         F.explode(F.array(*probe_structs)).alias("_p"))
+                 .select(query_id_col,
+                         F.col("_p._table").alias("_table"),
+                         F.col("_p._bucket").alias("_bucket")))
+    cand = cb.join(F.broadcast(qb), on=["_table", "_bucket"]).select(
+        query_id_col, id_col, vec_col)
 
     # dedupe across tables/probes (vector rides along — identical source
     # bytes, so distinct is exact and no corpus-wide re-join is needed),

@@ -2922,7 +2922,19 @@ def _ann_with_recall(approx: DataFrame, corpus: DataFrame,
     against brute force computed in the same query — the accuracy
     accounting that makes a rows-only ANN check auditable (the judge sees
     recall values, tests pin a floor)."""
-    exact = SIM.brute_force_topk(corpus, queries, k=5)
+    # both top-k frames are ≤ queries·k rows, but each is referenced
+    # twice below (recall + the final attach), and the lineage
+    # underneath re-expands per reference: the top-k tail is an Arrow
+    # stage (partial_topk), which exchange reuse cannot deduplicate, so
+    # the candidate/scoring pass genuinely ran TWICE (ann_srp's returned
+    # plan carried 72 parquet scans).  localCheckpoint materializes the
+    # tiny frames once and truncates the lineage (values unchanged —
+    # computed inside the timed query, nothing persists across runs).
+    # Measured per consumer: ann_srp 10.4 → 8.1 s; q_ann_ivf_pq's
+    # analogous frames are exchange-reusable and the barrier HURT there
+    # (3.0 → 3.7 s), so this stays rig-local, not in recall_at_k.
+    approx = approx.localCheckpoint()
+    exact = SIM.brute_force_topk(corpus, queries, k=5).localCheckpoint()
     rec = SIM.recall_at_k(approx, exact)
     return (approx.join(F.broadcast(rec.select("query_id", "recall")), "query_id")
                   .select("query_id", "vec_id", "cosine_sim",
