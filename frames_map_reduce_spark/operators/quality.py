@@ -647,19 +647,29 @@ def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str,
                   .select("bin",
                           F.coalesce("_nr", F.lit(0)).alias("n_ref"),
                           F.coalesce("_nc", F.lit(0)).alias("n_cur")))
-    tot = counts.agg(F.sum("n_ref").alias("_tr"),
-                     F.sum("n_cur").alias("_tc"))
-    p = (F.col("n_ref") + 1).cast("double") / (F.col("_tr") + n_bins)
-    q = (F.col("n_cur") + 1).cast("double") / (F.col("_tc") + n_bins)
+    # totals and the PSI sum are aggregates OVER the n_bins-row counts
+    # frame: unpartitioned windows over that bounded frame compute them
+    # in place (the train_logodds_classifier totals shape) instead of
+    # two agg→broadcast-crossJoin round-trips, each of which
+    # re-referenced the counts lineage and re-expanded both corpus-side
+    # aggregations in the plan.  Same BIGINT sums in the same double
+    # expressions — values unchanged; the single-partition window is
+    # bounded at n_bins rows by construction.
+    from pyspark.sql import Window as _W
+    wall = _W.partitionBy()
+    p = (F.col("n_ref") + 1).cast("double") \
+        / (F.sum("n_ref").over(wall) + n_bins)
+    q = (F.col("n_cur") + 1).cast("double") \
+        / (F.sum("n_cur").over(wall) + n_bins)
     term = (F.round((p - q) * F.log(p / q) * 1_000_000, 0).cast("bigint")
              .alias("psi_term_micro"))
-    terms = counts.crossJoin(F.broadcast(tot)).select(
+    terms = counts.select(
         "bin", F.col("n_ref").cast("bigint").alias("n_ref"),
         F.col("n_cur").cast("bigint").alias("n_cur"), term)
-    total = terms.agg(F.sum("psi_term_micro").alias("psi_micro"))
-    return terms.crossJoin(F.broadcast(total)).select(
+    return terms.select(
         "bin", "n_ref", "n_cur", "psi_term_micro",
-        F.col("psi_micro").cast("bigint").alias("psi_micro"))
+        F.sum("psi_term_micro").over(wall).cast("bigint")
+         .alias("psi_micro"))
 
 
 def psi_drift_sql(ref_sel: str, cur_sel: str, value_col: str,
