@@ -4282,7 +4282,10 @@ def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = partners.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_near"),
         F.max("n_matched_frames").cast("bigint").alias("_best"))
-    return (digest.join(agg, "doc_id", "left")
+    # agg is the near-dup census (one row per video WITH a partner —
+    # output-sized, the decontaminate join-back convention): broadcast
+    # it instead of sorting/shuffling both sides onto doc_id
+    return (digest.join(F.broadcast(agg), "doc_id", "left")
             .select("doc_id", "n_frames", "frames_md5",
                     F.coalesce("n_near", F.lit(0)).cast("bigint")
                      .alias("n_near"),
@@ -4465,8 +4468,12 @@ def q_media_contamination_firewall(spark: SparkSession,
         inc = media.filter(F.col("doc_id") % 2 == 1)
         hits = MM.probe_media_contamination_index(
             spark, tbl, inc, "doc_id", "payload", kind=kind)
+        # hits is the probe's census of contaminated candidates — the
+        # same output-sized id set q_decontaminate_corpus broadcasts for
+        # its join-back; without the hint the planner sorts/shuffles
+        # both sides (2 SortMergeJoins per arc) to attach a small frame
         return (
-            inc.select("doc_id").join(hits, "doc_id", "left")
+            inc.select("doc_id").join(F.broadcast(hits), "doc_id", "left")
                .select(F.lit(kind).alias("kind"), "doc_id",
                        F.coalesce("n_eval_hits", F.lit(0)).cast("bigint")
                         .alias("n_eval_hits"),
