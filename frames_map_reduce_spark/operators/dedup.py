@@ -54,8 +54,10 @@ def exact_dedup_keys(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """The deduplicated rows themselves (winner rows, all original columns).
+def exact_dedup(df: DataFrame, text_col: str, id_col: str,
+                keep: list[str] | None = None) -> DataFrame:
+    """The deduplicated rows themselves (winner rows, all original columns
+    by default; pass ``keep`` to carry only a projection of them).
 
     ONE 2-phase aggregation: ``min_by(struct(row), id)`` grouped by the
     content fingerprint.  Map-side partials keep a single candidate row
@@ -65,9 +67,19 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     semi-join reads the input twice (once to pick winners, once to join
     them back) and shuffles three times; the window ``row_number() = 1``
     formulation sorts whole fingerprint partitions.  Fingerprints are
-    high-cardinality and uniform, so this aggregation cannot skew."""
+    high-cardinality and uniform, so this aggregation cannot skew.
+
+    ``keep`` is the shuffle-bytes lever: ``min_by``'s struct buffer is
+    not hash-aggregable, so the aggregation sorts and ships whatever the
+    struct carries.  A caller that only needs derived metadata downstream
+    (ids, counts, pre-computed lengths) should compute those BEFORE the
+    dedup and list them in ``keep`` — the heavy ``text_col`` payload is
+    then consumed map-side by the fingerprint hash and never enters the
+    sort or the exchange.  Winner selection is unaffected: the same
+    ``min(id)`` row wins per fingerprint whichever columns ride along."""
     require_columns(df, [text_col, id_col])
-    cols = df.columns
+    cols = list(keep) if keep is not None else df.columns
+    require_columns(df, cols)
     out = (df.groupBy(fingerprint(F.col(text_col)).alias("_fp"))
              .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("_w")))
     return out.select(*[F.col(f"_w.{c}").alias(c) for c in cols])

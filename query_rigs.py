@@ -4501,19 +4501,34 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage is a map-side expression except the dedup (one min_by
     aggregation on the fingerprint — the regex-heavy projection is
     computed exactly once) and the final rollup: 2 shuffles total at
-    any corpus size, no Python."""
+    any corpus size, no Python.
+
+    r13 shape (guide §2.3/§4.4-analogue for JVM expressions): the
+    filter used to reference the derived ``lid``/``q`` columns, so
+    predicate pushdown re-inlined the expensive lang-ID / quality
+    expressions into a second evaluation below the parallelism widen
+    (measured: kept→noop 1.57 s vs 0.46 s for the whole projection
+    once).  A lazy ``localCheckpoint`` between the projection and the
+    filter pins the single evaluation (same barrier the curation rigs
+    use; computed inside the timed query).  ``token_count`` moves
+    BEFORE the dedup and the dedup's ``keep`` projection drops the
+    redacted text from the min_by struct — the sort-aggregated
+    exchange ships (id, source, q, tokens) per distinct fingerprint,
+    never the document bytes (§8: decide with small rows)."""
     docs = _docs(spark, sf_dir)
     scored = docs.select(
         "doc_id", "source",
         TX.lang_id(F.col("text")).alias("lid"),
         F.round(TX.quality_score(F.col("text")), 6).alias("q"),
         TX.redact_pii(F.col("text")).alias("clean_text"))
+    scored = scored.withColumn(
+        "tc", TX.token_count(F.col("clean_text"))).localCheckpoint(eager=False)
     kept = scored.filter((F.col("lid") == "en") & (F.col("q") >= 0.7))
-    deduped = DD.exact_dedup(kept, "clean_text", "doc_id")
+    deduped = DD.exact_dedup(kept, "clean_text", "doc_id",
+                             keep=["doc_id", "source", "q", "tc"])
     return (deduped.groupBy("source")
                    .agg(F.count(F.lit(1)).alias("n_docs"),
-                        F.sum(TX.token_count(F.col("clean_text")))
-                         .alias("total_tokens"),
+                        F.sum("tc").alias("total_tokens"),
                         F.round(F.avg("q"), 6).alias("avg_quality")))
 
 

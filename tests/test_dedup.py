@@ -38,6 +38,24 @@ def test_exact_dedup_rows(docs):
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 3, 4]
 
 
+def test_exact_dedup_keep_projection(docs):
+    """``keep`` drops the payload from the min_by struct without changing
+    winner selection: same winner rows as the full-column form, projected;
+    derived columns computed before the dedup ride through unchanged."""
+    slim = docs.withColumn("n_chars", F.length("text"))
+    out = DD.exact_dedup(slim, "text", "doc_id", keep=["doc_id", "n_chars"])
+    assert out.columns == ["doc_id", "n_chars"]
+    got = {r["doc_id"]: r["n_chars"] for r in out.collect()}
+    full = {r["doc_id"]: r["n_chars"]
+            for r in DD.exact_dedup(slim, "text", "doc_id").collect()}
+    assert got == full and sorted(got) == [1, 3, 4]
+    # keep need not include the id column; winners are still min-id rows
+    only_len = DD.exact_dedup(slim, "text", "doc_id", keep=["n_chars"])
+    assert only_len.columns == ["n_chars"]
+    assert sorted(r["n_chars"] for r in only_len.collect()) == sorted(
+        full.values())
+
+
 def test_minhash_near_dup_pairs(docs):
     pairs = DD.minhash_near_dup_pairs(docs, "text", "doc_id",
                                       threshold=0.5, num_perm=64, bands=16)
