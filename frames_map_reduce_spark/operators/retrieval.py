@@ -212,12 +212,24 @@ def ngram_contamination(train: DataFrame, eval_df: DataFrame,
     require_columns(eval_df, [text_col])
     grams = lambda c: F.array_distinct(TX.word_ngrams(c, n))  # noqa: E731
 
-    eval_g = (eval_df.select(F.explode(grams(F.col(text_col))).alias("g"))
+    # explode_outer, NOT explode: Catalyst's InferFiltersFromGenerate
+    # adds ``size(arr) > 0 AND isnotnull(arr)`` below a non-outer
+    # Generate, and predicate pushdown then re-inlines the n-gram
+    # zip_with chain — the most expensive expression in the query —
+    # into that Filter, evaluating it TWICE per row (the rule skips
+    # outer generates).  The ``g IS NOT NULL`` post-filter restores
+    # the exact explode semantics: gram arrays cannot contain null
+    # elements (concat_ws never yields NULL), so the only null rows
+    # are the empty/null-array docs explode would have dropped.
+    eval_g = (eval_df.select(
+                  F.explode_outer(grams(F.col(text_col))).alias("g"))
+                     .where(F.col("g").isNotNull())
                      .distinct()
                      .withColumn("_hit", F.lit(1)))
     tg = (train.select(F.col(id_col), grams(F.col(text_col)).alias("_gs"))
                .withColumn("n_grams", F.size("_gs").cast("long"))
-               .select(id_col, "n_grams", F.explode("_gs").alias("g")))
+               .select(id_col, "n_grams", F.explode_outer("_gs").alias("g"))
+               .where(F.col("g").isNotNull()))
     return (tg.join(F.broadcast(eval_g), "g", "left")
               .groupBy(id_col, "n_grams")
               .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
@@ -279,9 +291,12 @@ def build_contamination_index(eval_df: DataFrame, table: str,
     require_columns(eval_df, [text_col])
     if n < 1:
         raise ValueError("build_contamination_index needs n >= 1")
+    # explode_outer + isnotnull: see ngram_contamination — avoids the
+    # InferFiltersFromGenerate double evaluation of the n-gram chain.
     grams = (eval_df
-             .select(F.explode(F.array_distinct(
+             .select(F.explode_outer(F.array_distinct(
                  TX.word_ngrams(F.col(text_col), n))).alias("g"))
+             .where(F.col("g").isNotNull())
              .distinct())
     write_bucketed(grams, f"{table}_grams", ["g"], n_buckets)
 
@@ -308,9 +323,12 @@ def extend_contamination_index(eval_delta: DataFrame, table: str,
     nb = (spark.sql(f"DESCRIBE TABLE EXTENDED `{table}_grams`")
                .filter(F.col("col_name") == "Num Buckets")
                .select("data_type").head())
+    # explode_outer + isnotnull: see ngram_contamination — avoids the
+    # InferFiltersFromGenerate double evaluation of the n-gram chain.
     grams = (eval_delta
-             .select(F.explode(F.array_distinct(
+             .select(F.explode_outer(F.array_distinct(
                  TX.word_ngrams(F.col(text_col), n))).alias("g"))
+             .where(F.col("g").isNotNull())
              .distinct())
     write_bucketed(grams, f"{table}_grams", ["g"],
                    int(nb[0]) if nb else 16, mode="append")
@@ -333,12 +351,15 @@ def probe_contamination_index(spark, table: str, incoming: DataFrame,
     per-doc reduce.  Zero index-side exchanges, no corpus self-join."""
     require_columns(incoming, [text_col, id_col])
     idx = spark.table(f"{table}_grams")
+    # explode_outer + isnotnull: see ngram_contamination — avoids the
+    # InferFiltersFromGenerate double evaluation of the n-gram chain.
     tg = (incoming
           .select(F.col(id_col),
                   F.array_distinct(TX.word_ngrams(F.col(text_col), n))
                    .alias("_gs"))
           .withColumn("n_grams", F.size("_gs").cast("long"))
-          .select(id_col, "n_grams", F.explode("_gs").alias("g")))
+          .select(id_col, "n_grams", F.explode_outer("_gs").alias("g"))
+          .where(F.col("g").isNotNull()))
     return (tg.join(F.broadcast(idx), "g", "left_semi")
               .groupBy(id_col, "n_grams")
               .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
