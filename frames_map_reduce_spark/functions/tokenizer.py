@@ -162,9 +162,14 @@ def subword_counts(df: DataFrame, text_col: str, id_col: str,
     require_columns(df, [text_col, id_col])
     by_len, lens_desc = ((_BY_LEN, _LENS_DESC) if inventory is None
                          else _index_inventory(inventory))
-    toks = (df.select(F.col(id_col),
-                      TX.wordish_tokens(F.col(text_col)).alias("_w"))
-              .filter(F.size("_w") > 0))
+    # no JVM size("_w") > 0 filter: predicate pushdown substitutes the
+    # defining expression, so the wordish regex would run TWICE per
+    # document (Filter + Project).  The zero-token docs are skipped
+    # inside the Arrow stage instead — mapInPandas may change
+    # cardinality, and the output convention (tokenless docs absent)
+    # is unchanged.
+    toks = df.select(F.col(id_col),
+                     TX.wordish_tokens(F.col(text_col)).alias("_w"))
     id_type = toks.schema[id_col].dataType.simpleString()
     out_schema = (f"{id_col} {id_type}, n_words bigint, "
                   f"n_subwords bigint")
@@ -175,6 +180,8 @@ def subword_counts(df: DataFrame, text_col: str, id_col: str,
         for pdf in batches:
             ids, nw, ns = [], [], []
             for i, words in zip(pdf[id_col], pdf["_w"]):
+                if words is None or len(words) == 0:
+                    continue   # tokenless docs are absent (contract)
                 ids.append(i)
                 nw.append(len(words))
                 tot = 0
@@ -187,8 +194,9 @@ def subword_counts(df: DataFrame, text_col: str, id_col: str,
                         memo[w] = c
                     tot += c
                 ns.append(tot)
-            yield pd.DataFrame({id_col: ids, "n_words": nw,
-                                "n_subwords": ns})
+            if ids:   # an all-skipped batch has no typed frame to yield
+                yield pd.DataFrame({id_col: ids, "n_words": nw,
+                                    "n_subwords": ns})
 
     return toks.mapInPandas(run, schema=out_schema)
 
@@ -306,9 +314,10 @@ def encode_ids(df: DataFrame, text_col: str, id_col: str,
     require_columns(df, [text_col, id_col])
     inv, id_of, by_len, lens_desc = _id_index(inventory)
     n_inv = len(inv)
-    toks = (df.select(F.col(id_col),
-                      TX.wordish_tokens(F.col(text_col)).alias("_w"))
-              .filter(F.size("_w") > 0))
+    # no JVM size filter — regex would run twice (see subword_counts);
+    # zero-token docs are skipped inside the Arrow stage instead
+    toks = df.select(F.col(id_col),
+                     TX.wordish_tokens(F.col(text_col)).alias("_w"))
     id_type = toks.schema[id_col].dataType.simpleString()
     out_schema = f"{id_col} {id_type}, token_ids array<int>"
 
@@ -318,6 +327,8 @@ def encode_ids(df: DataFrame, text_col: str, id_col: str,
         for pdf in batches:
             ids, seqs = [], []
             for i, words in zip(pdf[id_col], pdf["_w"]):
+                if words is None or len(words) == 0:
+                    continue   # tokenless docs are absent (contract)
                 ids.append(i)
                 flat: list[int] = []
                 for w in words:
@@ -330,7 +341,8 @@ def encode_ids(df: DataFrame, text_col: str, id_col: str,
                         memo[w] = wi
                     flat.extend(wi)
                 seqs.append(flat)
-            yield pd.DataFrame({id_col: ids, "token_ids": seqs})
+            if ids:   # an all-skipped batch has no typed frame to yield
+                yield pd.DataFrame({id_col: ids, "token_ids": seqs})
 
     return toks.mapInPandas(run, schema=out_schema)
 
@@ -722,8 +734,9 @@ def tokenizer_oov_stats(df: DataFrame, text_col: str,
             f"max_fallback_milli must be >= 0, got {max_fallback_milli}")
     by_len, lens_desc = ((_BY_LEN, _LENS_DESC) if inventory is None
                          else _index_inventory(inventory))
-    toks = (df.select(TX.wordish_tokens(F.col(text_col)).alias("_w"))
-              .filter(F.size("_w") > 0))
+    # no JVM size filter — regex would run twice (see subword_counts);
+    # zero-token docs are skipped inside the Arrow stage instead
+    toks = df.select(TX.wordish_tokens(F.col(text_col)).alias("_w"))
 
     def run(batches) -> Iterator:
         import pandas as pd
@@ -731,6 +744,8 @@ def tokenizer_oov_stats(df: DataFrame, text_col: str,
         for pdf in batches:
             nw, ns, nf, nc = [], [], [], []
             for words in pdf["_w"]:
+                if words is None or len(words) == 0:
+                    continue   # tokenless docs are absent (contract)
                 w_ns = w_nf = w_nc = 0
                 for w in words:
                     tf = memo.get(w)
@@ -747,8 +762,9 @@ def tokenizer_oov_stats(df: DataFrame, text_col: str,
                 ns.append(w_ns)
                 nf.append(w_nf)
                 nc.append(w_nc)
-            yield pd.DataFrame({"_nw": nw, "_ns": ns, "_nf": nf,
-                                "_nc": nc})
+            if nw:   # an all-skipped batch has no typed frame to yield
+                yield pd.DataFrame({"_nw": nw, "_ns": ns, "_nf": nf,
+                                    "_nc": nc})
 
     per_doc = toks.mapInPandas(
         run, schema="_nw bigint, _ns bigint, _nf bigint, _nc bigint")

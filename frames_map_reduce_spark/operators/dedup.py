@@ -1364,13 +1364,22 @@ def duplicated_spans(df: DataFrame, text_col: str, id_col: str,
     from pyspark.sql import Window
 
     require_columns(df, [text_col, id_col])
-    base = (df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
-              .filter(F.size("_t") >= k))   # sequence(1, n-k+1) needs n >= k
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    # the n >= k guard lives INSIDE the generator expression (NULL for
+    # short docs), not in a .filter(size(_t) >= k): predicate pushdown
+    # substitutes a filter's defining expression, so the tokenize chain
+    # would run TWICE per row (Filter + Project).  sequence(1, n-k+1)
+    # needs n >= k — start > stop would generate DESCENDING offsets.
+    # explode_outer (no InferFiltersFromGenerate size()>0 re-inline)
+    # turns the NULL arrays into one null row each, and the isnotnull
+    # drops them — exactly the docs the old filter removed.
+    starts = F.when(F.size("_t") >= k,
+                    F.sequence(F.lit(1), F.size("_t") - k + 1))
     grams = base.select(
         id_col,
-        F.explode(F.sequence(F.lit(1), F.size("_t") - k + 1)).alias("_p"),
+        F.explode_outer(starts).alias("_p"),
         "_t",
-    ).select(
+    ).where(F.col("_p").isNotNull()).select(
         id_col, F.col("_p").cast("bigint").alias("_p"),
         F.md5(F.encode(F.concat_ws(" ", F.slice(F.col("_t"), F.col("_p"), k)),
                        "UTF-8")).alias("_g"))
