@@ -308,3 +308,69 @@ def test_media_contamination_probe_plan_shape(spark, image_dedup):
     assert "BroadcastHashJoin" in plan          # index broadcast
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# r13 single-evaluation pins: expensive derived expressions must not be
+# re-inlined into Filter conditions (InferFiltersFromGenerate /
+# InferFiltersFromConstraints + predicate pushdown — the JVM analogue
+# of the guide's UDF-duplication trap).  Each assertion pins a change
+# that was measured to win; see OPTIMIZATION_r13.md changes 19-21.
+# ---------------------------------------------------------------------------
+
+def _filter_conditions(df) -> list[str]:
+    """All Filter node lines of the executed plan (simple mode: the
+    full condition text lives on the node's own line)."""
+    import re
+    from frames_map_reduce_spark.plans import executed_plan
+    return [ln for ln in executed_plan(df).splitlines()
+            if re.search(r"\bFilter\b", ln)]
+
+
+def test_contamination_gram_chain_single_eval(documents):
+    """The 5-gram zip_with chain must appear only in the Generate's
+    projection — never in a Filter condition (change 19: explode_outer
+    suppresses the inferred size()>0 re-inline; measured 0.35x)."""
+    from frames_map_reduce_spark.operators.retrieval import (
+        ngram_contamination)
+    out = ngram_contamination(
+        documents.filter(F.col("doc_id") % 4 != 0),
+        documents.filter(F.col("doc_id") % 4 == 0),
+        "text", "doc_id", n=5)
+    bad = [c for c in _filter_conditions(out) if "zip_with" in c]
+    assert not bad, bad[0][:500]
+
+
+def test_duplicated_spans_gram_key_single_eval(documents):
+    """Neither the tokenize chain (change 20: guard inside the
+    generator) nor the md5 gram key (change 21: non-nullable key) may
+    be re-evaluated in a Filter condition."""
+    from frames_map_reduce_spark.operators.dedup import duplicated_spans
+    out = duplicated_spans(documents, "text", "doc_id", k=8, min_count=2)
+    conds = _filter_conditions(out)
+    bad = [c for c in conds if "md5" in c or "lambdafunction" in c]
+    assert not bad, bad[0][:500]
+
+
+def test_classifier_bucket_single_eval(documents):
+    """The per-token bucket hash must not be re-evaluated in the
+    weight join's inferred isnotnull filter (change 21; measured
+    0.65x on the score shape)."""
+    from frames_map_reduce_spark.operators.classifier import (
+        classifier_score, train_logodds_classifier)
+    lab = documents.withColumn("label", F.col("doc_id") % 2 == 0)
+    w = train_logodds_classifier(lab, "text", "label", n_buckets=256)
+    out = classifier_score(documents, w, "text", "doc_id", n_buckets=256)
+    bad = [c for c in _filter_conditions(out) if "md5" in c]
+    assert not bad, bad[0][:500]
+
+
+def test_subword_input_no_jvm_size_filter(documents):
+    """The subword stages' input must not carry a JVM size filter —
+    the wordish regex would run twice per document (change 20: the
+    zero-token skip lives inside the Arrow stage)."""
+    from frames_map_reduce_spark.functions.tokenizer import encode_ids
+    out = encode_ids(documents, "text", "doc_id")
+    bad = [c for c in _filter_conditions(out)
+           if "regexp_extract_all" in c]
+    assert not bad, bad[0][:500]
